@@ -1,0 +1,178 @@
+package graft.cube
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** A dimension/measure definition over a source DataFrame.
+  *
+  * Mirrors the reference Label (bacon/cubedef.py:236) but holds a Catalyst
+  * Column expression instead of a Python extractor, so every label is
+  * evaluated inside whole-stage codegen and can be pushed into the scan.
+  *
+  * @param name     query name of the label
+  * @param expr     expression over the source DataFrame
+  * @param title    human title (defaults from name)
+  * @param childOf  hierarchy parents (coarser labels, e.g. month childOf year)
+  * @param parentOf hierarchy children
+  * @param dimension named dimension this label belongs to
+  * @param isSet    set-valued (ArrayType) label — enables set filter ops
+  * @param hidden   excluded from Navigator expansion lists
+  * @param reverse  default sort direction for slice iteration
+  */
+final case class Label(
+    name: String,
+    expr: Column,
+    title: Option[String] = None,
+    childOf: Seq[String] = Nil,
+    parentOf: Seq[String] = Nil,
+    dimension: Option[String] = None,
+    isSet: Boolean = false,
+    hidden: Boolean = false,
+    reverse: Boolean = false,
+    allowPivot: Boolean = true,
+) {
+  def prettyTitle: String =
+    title.getOrElse(name.split('_').map(_.capitalize).mkString(" "))
+  def named: Column = expr.as(name)
+}
+
+object Label {
+  def apply(name: String): Label = Label(name, col(name))
+}
+
+/** An aggregatable value (bacon/cubedef.py:1047 Measure). */
+final case class Measure(
+    name: String,
+    expr: Column,
+    agg: Agg = Agg.Sum,
+    title: Option[String] = None,
+    showByDefault: Boolean = true,
+) {
+  def compiled: Column = agg.compile(expr).as(name)
+}
+
+object Measure {
+  def apply(name: String): Measure = Measure(name, col(name))
+  def apply(name: String, agg: Agg): Measure = Measure(name, col(name), agg)
+}
+
+/** Date hierarchy label factory — the reference's DateTruncLabel /
+  * DatetimePartLabel family (bacon/cubedef.py:645-1040) as Spark exprs.
+  * Truncations return DATE (comparable across engines); parts return INT.
+  * The DOY label follows the reference's SQL path (`date_part('doy')`),
+  * not its buggy Python path (SURVEY.md §3).
+  */
+object DateLabels {
+  def year(field: String): Label =
+    Label(s"${field}_year", trunc(col(field), "year"), childOf = Nil)
+  def quarter(field: String): Label =
+    Label(s"${field}_quarter", trunc(col(field), "quarter"), childOf = Seq(s"${field}_year"))
+  def month(field: String): Label =
+    Label(s"${field}_month", trunc(col(field), "month"), childOf = Seq(s"${field}_quarter"))
+  def week(field: String): Label =  // ISO Monday trunc, own branch of the dimension
+    Label(s"${field}_week", trunc(col(field), "week"), childOf = Seq(s"${field}_year"))
+  def day(field: String): Label =
+    Label(s"${field}_day", to_date(col(field)), childOf = Seq(s"${field}_month"))
+  def hour(field: String): Label =
+    Label(s"${field}_hour", date_trunc("hour", col(field)), childOf = Seq(s"${field}_day"))
+  def weekday(field: String): Label = // ISO dow: 1=Mon..7=Sun
+    Label(s"${field}_weekday", ((dayofweek(col(field)) + 5) % 7 + 1).cast("int"))
+  def monthOfYear(field: String): Label =
+    Label(s"${field}_moy", org.apache.spark.sql.functions.month(col(field)))
+  def quarterNum(field: String): Label =
+    Label(s"${field}_quarternum", org.apache.spark.sql.functions.quarter(col(field)))
+  def monthday(field: String): Label =
+    Label(s"${field}_monthday", dayofmonth(col(field)))
+  def doy(field: String): Label =
+    Label(s"${field}_doy", dayofyear(col(field)))
+  def isoWeekNum(field: String): Label =
+    Label(s"${field}_isoweeknum", weekofyear(col(field)))
+  def isoYear(field: String): Label =
+    Label(s"${field}_isoyear", expr(s"extract(YEAROFWEEK FROM $field)").cast("int"))
+
+  /** The full day→month→quarter→year chain plus part labels, wired as one
+    * hierarchy dimension (bacon's add_hierarchy DAG).
+    */
+  def hierarchy(field: String, dim: String): Seq[Label] = Seq(
+    year(field).copy(dimension = Some(dim)),
+    quarter(field).copy(dimension = Some(dim)),
+    month(field).copy(dimension = Some(dim)),
+    week(field).copy(dimension = Some(dim)),
+    day(field).copy(dimension = Some(dim)),
+    weekday(field).copy(dimension = Some(dim)),
+    monthOfYear(field).copy(dimension = Some(dim)),
+    quarterNum(field).copy(dimension = Some(dim)),
+    monthday(field).copy(dimension = Some(dim)),
+    doy(field).copy(dimension = Some(dim)),
+    isoWeekNum(field).copy(dimension = Some(dim)),
+    isoYear(field).copy(dimension = Some(dim)),
+  )
+}
+
+/** Schema of a cube: labels, measures and the hierarchy DAG between labels
+  * (bacon/cubedef.py:61 CubeDef). Connected components of the (undirected)
+  * hierarchy graph are "dimensions"; the Navigator uses ancestor/descendant
+  * queries to decide which drill-downs are legal.
+  */
+final class CubeDef private (
+    val labels: Vector[Label],
+    val measures: Vector[Measure],
+    edges: Vector[(String, String)], // parent -> child (coarse -> fine)
+) {
+  private val labelByName = labels.map(l => l.name -> l).toMap
+  private val measureByName = measures.map(m => m.name -> m).toMap
+
+  def label(name: String): Label =
+    labelByName.getOrElse(name, throw new NoSuchElementException(s"label not defined: '$name'"))
+  def measure(name: String): Measure =
+    measureByName.getOrElse(name, throw new NoSuchElementException(s"measure not defined: '$name'"))
+  def hasLabel(name: String): Boolean = labelByName.contains(name)
+  def hasMeasure(name: String): Boolean = measureByName.contains(name)
+
+  def withLabel(l: Label): CubeDef = {
+    val newEdges = l.childOf.map(p => p -> l.name) ++ l.parentOf.map(c => l.name -> c)
+    new CubeDef(labels :+ l, measures, edges ++ newEdges)
+  }
+  def withLabels(ls: Seq[Label]): CubeDef = ls.foldLeft(this)(_ withLabel _)
+  def withMeasure(m: Measure): CubeDef = new CubeDef(labels, measures :+ m, edges)
+  def withMeasures(ms: Seq[Measure]): CubeDef = ms.foldLeft(this)(_ withMeasure _)
+  def withHierarchy(parent: String, child: String): CubeDef =
+    new CubeDef(labels, measures, edges :+ (parent -> child))
+
+  private lazy val children: Map[String, Set[String]] =
+    edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+  private lazy val parents: Map[String, Set[String]] =
+    edges.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSet }
+
+  private def reach(start: String, next: String => Set[String]): Set[String] = {
+    var seen = Set.empty[String]
+    var frontier = next(start)
+    while (frontier.nonEmpty) {
+      seen ++= frontier
+      frontier = frontier.flatMap(next) -- seen
+    }
+    seen
+  }
+
+  def ancestors(name: String): Set[String] =
+    reach(name, n => parents.getOrElse(n, Set.empty))
+  def descendants(name: String): Set[String] =
+    reach(name, n => children.getOrElse(n, Set.empty))
+  /** All labels in the same connected component (= dimension). */
+  def connected(name: String): Set[String] = {
+    val und = (n: String) => children.getOrElse(n, Set.empty) ++ parents.getOrElse(n, Set.empty)
+    reach(name, und) + name
+  }
+
+  /** Rank = depth in the hierarchy; used to order Navigator expansions. */
+  def rank(name: String): Int = {
+    val anc = ancestors(name)
+    anc.size
+  }
+}
+
+object CubeDef {
+  val empty: CubeDef = new CubeDef(Vector.empty, Vector.empty, Vector.empty)
+  def apply(labels: Seq[Label], measures: Seq[Measure]): CubeDef =
+    empty.withLabels(labels).withMeasures(measures)
+}

@@ -1,0 +1,115 @@
+package graft.cube
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Compiles a CubeQuery over a CubeDef into a DataFrame plan — the Spark
+  * re-expression of the reference's CuttingBoard (bacon/cutting.py:21).
+  *
+  * Where the reference folds Python objects into nested dicts on one
+  * thread, we emit a declarative plan: `where` (filters, pushed to the
+  * parquet scan by Catalyst) → `groupBy`/`rollup`/`cube`/`pivot` (one
+  * shuffle, map-side partial aggregation) → `orderBy`/`limit`. The
+  * reference's slice cache + reuse strategies (bacon/cutting.py:205-522)
+  * map onto Catalyst plan reuse and `persist()`ed finer-grained slices
+  * re-aggregated with `Reagg.from` below.
+  */
+object Slicer {
+
+  /** Totals mode — NoTotals for plain slices; RollupTotals/CubeTotals add
+    * the subtotal levels the table observers need (bacon computes these by
+    * re-iterating the slice; rollup does it in the same shuffle).
+    */
+  sealed trait Totals
+  case object NoTotals extends Totals
+  case object RollupTotals extends Totals
+  case object CubeTotals extends Totals
+
+  /** AND of all compiled filter predicates, if any. */
+  def filterPredicate(cube: CubeDef, q: CubeQuery): Option[Column] =
+    q.filters
+      .map(f => FilterOp.compile(f.op, cube.label(f.name).expr, f.value))
+      .reduceOption(_ && _)
+
+  /** The filtered (un-aggregated) dataset — bacon CuttingBoard.filter. */
+  def filter(df: DataFrame, cube: CubeDef, q: CubeQuery): DataFrame =
+    filterPredicate(cube, q).map(df.where).getOrElse(df)
+
+  /** Execute the query. With `pivotValues` supplied the pivot column set is
+    * fixed (no extra distinct-values job — the scale-friendly path).
+    */
+  def slice(
+      df: DataFrame,
+      cube: CubeDef,
+      q: CubeQuery,
+      totals: Totals = NoTotals,
+      pivotValues: Seq[Any] = Nil,
+      withGroupingId: Boolean = false,
+  ): DataFrame = {
+    val filtered = filter(df, cube, q)
+    val aggCols = q.values.map(v => cube.measure(v).compiled)
+
+    val result =
+      if (q.pivot.nonEmpty) {
+        val rowCols = q.rowAxes.map(a => cube.label(a).named)
+        val pivotCol =
+          if (q.pivot.size == 1) cube.label(q.pivot.head).expr
+          else concat_ws("/", q.pivot.map(p => cube.label(p).expr.cast("string")): _*)
+        val grouped = filtered.groupBy(rowCols: _*)
+        val pivoted =
+          if (pivotValues.nonEmpty) grouped.pivot(pivotCol, pivotValues)
+          else grouped.pivot(pivotCol)
+        pivoted.agg(aggCols.head, aggCols.tail: _*)
+      } else {
+        val axisCols = q.axes.map(a => cube.label(a).named)
+        val grouped = totals match {
+          case NoTotals     => filtered.groupBy(axisCols: _*)
+          case RollupTotals => filtered.rollup(axisCols: _*)
+          case CubeTotals   => filtered.cube(axisCols: _*)
+        }
+        val out =
+          if (withGroupingId && totals != NoTotals) aggCols :+ grouping_id().as("grouping_level")
+          else aggCols
+        if (q.axes.isEmpty && out.isEmpty) filtered.agg(count(lit(1)).as("count"))
+        else grouped.agg(out.head, out.tail: _*)
+      }
+
+    val ordered = applyOrder(result, q)
+    val limited = q.limit match {
+      case Some(n) => q.offset.fold(ordered.limit(n))(o => ordered.offset(o).limit(n))
+      case None    => q.offset.fold(ordered)(o => ordered.offset(o))
+    }
+    limited
+  }
+
+  private def applyOrder(df: DataFrame, q: CubeQuery): DataFrame = {
+    if (q.order.isEmpty) return df
+    val cols = q.order.map { o =>
+      val c = col(o.name)
+      if (o.ascending) c.asc_nulls_first else c.desc_nulls_last
+    }
+    // stable tiebreak on the row axes that exist in the output
+    val ties = q.rowAxes.filter(df.columns.contains).map(col(_).asc_nulls_first)
+    df.orderBy(cols ++ ties: _*)
+  }
+
+  /** Re-aggregate a finer slice into a coarser one — the Spark form of the
+    * reference's ManipulateSlice reuse strategy (bacon/cutting.py:336):
+    * a persisted slice grouped on a superset of axes can answer any query
+    * on a subset of them without touching the base data, provided every
+    * measure is re-aggregatable (sum/min/max/count are; avg/stddev need
+    * their decomposed parts).
+    */
+  object Reagg {
+    def from(finer: DataFrame, coarserAxes: Seq[String], measures: Seq[(String, Agg)]): DataFrame = {
+      val aggs = measures.map { case (name, agg) =>
+        val rolled = agg match {
+          case Agg.Count => sum(col(name)) // counts add up
+          case other     => other.compile(col(name))
+        }
+        rolled.as(name)
+      }
+      finer.groupBy(coarserAxes.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+  }
+}

@@ -1,0 +1,93 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cube._
+
+/** Loaders + CubeDefs for the driver's TPC-H-ish test tables.
+  *
+  * This is the graft analogue of a reference user's cubedef module: the
+  * engine itself (graft.cube) is schema-agnostic; this file is just the
+  * concrete cube wiring for the test star schema.
+  */
+object Tpch {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Fact table cube over lineitem. Date hierarchy hangs off l_shipdate. */
+  val lineitemCube: CubeDef = CubeDef(
+    labels = Seq(
+      Label("l_returnflag"),
+      Label("l_linestatus"),
+      Label("l_orderkey"),
+      Label("l_partkey"),
+      Label("l_suppkey"),
+      Label("l_quantity_band", (floor(col("l_quantity") / 10) * 10).cast("long")),
+    ) ++ DateLabels.hierarchy("l_shipdate", dim = "ship_time"),
+    measures = Seq(
+      Measure("sum_qty", col("l_quantity"), Agg.Sum),
+      Measure("sum_price", col("l_extendedprice"), Agg.Sum),
+      Measure("sum_disc_price", col("l_extendedprice") * (lit(1) - col("l_discount")), Agg.Sum),
+      Measure("n_rows", lit(1), Agg.Count),
+      Measure("avg_qty", col("l_quantity"), Agg.Avg),
+      Measure("std_qty", col("l_quantity"), Agg.StdDev),
+      Measure("min_qty", col("l_quantity"), Agg.Min),
+      Measure("max_qty", col("l_quantity"), Agg.Max),
+      Measure("grp_flag", col("l_returnflag"), Agg.GroupConsistent),
+      Measure("margin_ratio",
+        lit(0), // expr unused by Ratio
+        Agg.Ratio(col("l_extendedprice") * (lit(1) - col("l_discount")), col("l_extendedprice"))),
+      Measure("sum_tax", col("l_tax"), Agg.Sum),
+      Measure("n_parts", col("l_partkey"), Agg.CountDistinct),
+    ),
+  )
+
+  /** Orders cube; date hierarchy on o_orderdate. */
+  val ordersCube: CubeDef = CubeDef(
+    labels = Seq(
+      Label("o_orderstatus"),
+      Label("o_orderpriority"),
+      Label("o_custkey"),
+    ) ++ DateLabels.hierarchy("o_orderdate", dim = "order_time"),
+    measures = Seq(
+      Measure("sum_total", col("o_totalprice"), Agg.Sum),
+      Measure("min_total", col("o_totalprice"), Agg.Min),
+      Measure("max_total", col("o_totalprice"), Agg.Max),
+      Measure("n_orders", lit(1), Agg.Count),
+      Measure("n_cust", col("o_custkey"), Agg.CountDistinct),
+      Measure("grp_status", col("o_orderstatus"), Agg.GroupConsistent),
+    ),
+  )
+
+  /** Part cube — includes the set-valued label over p_type words
+    * (reference SetLabel, bacon/cubedef.py:532).
+    */
+  val partCube: CubeDef = CubeDef(
+    labels = Seq(
+      Label("p_brand"),
+      Label("p_type"),
+      Label("p_size_band", (floor(col("p_size") / 10) * 10).cast("long")),
+      Label("p_name"),
+      Label("type_words", split(col("p_type"), " "), isSet = true),
+    ),
+    measures = Seq(
+      Measure("sum_retail", col("p_retailprice"), Agg.Sum),
+      Measure("n_parts", lit(1), Agg.Count),
+      Measure("type_word_set", split(col("p_type"), " "), Agg.UnionSet),
+    ),
+  )
+
+  /** Events cube (the "stream" table, here in batch form). */
+  val eventsCube: CubeDef = CubeDef(
+    labels = Seq(
+      Label("event_type"),
+      Label("user_id"),
+    ) ++ DateLabels.hierarchy("ts", dim = "event_time") :+
+      Label("ts_hour", date_trunc("hour", col("ts")), dimension = Some("event_time"), childOf = Seq("ts_day")),
+    measures = Seq(
+      Measure("sum_value", col("value"), Agg.Sum),
+      Measure("n_events", lit(1), Agg.Count),
+      Measure("n_users", col("user_id"), Agg.CountDistinct),
+    ),
+  )
+}
