@@ -20,6 +20,7 @@ object Queries {
   private def li(s: SparkSession, dir: String) = Tpch.table(s, dir, "lineitem")
   private def ord(s: SparkSession, dir: String) = Tpch.table(s, dir, "orders")
   private def part(s: SparkSession, dir: String) = Tpch.table(s, dir, "part")
+  private def ev(s: SparkSession, dir: String) = Tpch.table(s, dir, "events")
 
   /** Oracle-checked query. */
   private def oq(sql: String)(f: Q): (Q, Option[String]) = (f, Some(sql.stripMargin))
@@ -114,6 +115,313 @@ object Queries {
       val q = CubeQuery().addValue("sum_price").addValue("n_rows")
       Slicer.slice(li(s, dir), Tpch.lineitemCube, q)
         .select(round(col("sum_price"), 2).as("sum_price"), col("n_rows"))
+    },
+
+    // §2.11: comparison filters gt/ne/le (Python null semantics)
+    "q08_filter_cmp" -> oq(
+      """SELECT l_linestatus, round(sum(l_quantity),2) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_quantity > 25 AND l_returnflag <> 'A'
+        |  AND l_shipdate <= DATE '1997-06-30'
+        |GROUP BY l_linestatus""") { (s, dir) =>
+      val q = CubeQuery().addAxis("l_linestatus")
+        .addValue("sum_qty").addValue("n_rows")
+        .addFilter("l_quantity_raw", 25, FilterOp.Gt)
+        .addFilter("l_returnflag", "A", FilterOp.Ne)
+        .addFilter("l_shipdate_day", java.sql.Date.valueOf("1997-06-30"), FilterOp.Le)
+      val cube = Tpch.lineitemCube.withLabel(Label("l_quantity_raw", col("l_quantity")))
+      Slicer.slice(li(s, dir), cube, q)
+        .select(col("l_linestatus"), round(col("sum_qty"), 2).as("sum_qty"), col("n_rows"))
+    },
+
+    // §2.12: in / ni filters
+    "q09_filter_in" -> oq(
+      """SELECT o_orderpriority, count(*) AS n_orders, round(sum(o_totalprice),2) AS sum_total
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT','2-HIGH') AND o_custkey NOT IN (1,2,3)
+        |GROUP BY o_orderpriority""") { (s, dir) =>
+      val q = CubeQuery().addAxis("o_orderpriority")
+        .addValue("n_orders").addValue("sum_total")
+        .addFilter("o_orderpriority", Seq("1-URGENT", "2-HIGH"), FilterOp.In)
+        .addFilter("o_custkey", Seq(1L, 2L, 3L), FilterOp.Ni)
+      Slicer.slice(ord(s, dir), Tpch.ordersCube, q)
+        .select(col("o_orderpriority"), col("n_orders"), round(col("sum_total"), 2).as("sum_total"))
+    },
+
+    // §2.13: regex match / nmatch (re.search semantics = unanchored rlike)
+    "q10_filter_match" -> oq(
+      """SELECT p_brand, count(*) AS n_parts
+        |FROM part
+        |WHERE regexp_matches(p_name, 'red|blue') AND NOT regexp_matches(p_name, 'widget')
+        |GROUP BY p_brand""") { (s, dir) =>
+      val q = CubeQuery().addAxis("p_brand").addValue("n_parts")
+        .addFilter("p_name", "red|blue", FilterOp.Match)
+        .addFilter("p_name", "widget", FilterOp.NMatch)
+      Slicer.slice(part(s, dir), Tpch.partCube, q)
+    },
+
+    // §2.14a: set algebra — hasany / hasall / hasnone
+    "q11_set_ops" -> oq(
+      """SELECT p_type, count(*) AS n_parts
+        |FROM part
+        |WHERE list_has_any(string_split(p_name,' '), ['red','blue'])
+        |  AND list_has_all(string_split(p_name,' '), ['bolt'])
+        |GROUP BY p_type""") { (s, dir) =>
+      val q = CubeQuery().addAxis("p_type").addValue("n_parts")
+        .addFilter("name_words", Seq("red", "blue"), FilterOp.HasAny)
+        .addFilter("name_words", Seq("bolt"), FilterOp.HasAll)
+      Slicer.slice(part(s, dir), Tpch.partCube, q)
+    },
+
+    // §2.14b: set algebra — subsetof / disjointfrom
+    "q12_set_ops2" -> oq(
+      """SELECT p_brand, count(*) AS n_parts
+        |FROM part
+        |WHERE len(list_filter(string_split(p_name,' '),
+        |        x -> NOT list_contains(['red','blue','small','large','bolt','nut','widget'], x))) = 0
+        |  AND NOT list_has_any(string_split(p_name,' '), ['gear','gizmo'])
+        |GROUP BY p_brand""") { (s, dir) =>
+      val q = CubeQuery().addAxis("p_brand").addValue("n_parts")
+        .addFilter("name_words", Seq("red", "blue", "small", "large", "bolt", "nut", "widget"), FilterOp.SubsetOf)
+        .addFilter("name_words", Seq("gear", "gizmo"), FilterOp.DisjointFrom)
+      Slicer.slice(part(s, dir), Tpch.partCube, q)
+    },
+
+    // §2.16: hidden values — accumulated but not emitted
+    "q13_hidden" -> oq(
+      """SELECT l_returnflag, round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""") { (s, dir) =>
+      val q = CubeQuery().addAxis("l_returnflag")
+        .addValue("sum_qty").addValue("sum_tax")
+        .hideValue("sum_tax")
+      Slicer.slice(li(s, dir), Tpch.lineitemCube, q)
+        .select(col("l_returnflag"), round(col("sum_qty"), 2).as("sum_qty"))
+    },
+
+    // §2.17: pivot axis — one measure, fixed pivot values (no discovery job)
+    "q14_pivot" -> oq(
+      """SELECT l_linestatus,
+        |round(sum(CASE WHEN l_returnflag='A' THEN l_quantity END),2) AS "A",
+        |round(sum(CASE WHEN l_returnflag='N' THEN l_quantity END),2) AS "N",
+        |round(sum(CASE WHEN l_returnflag='R' THEN l_quantity END),2) AS "R"
+        |FROM lineitem GROUP BY l_linestatus""") { (s, dir) =>
+      val q = CubeQuery().addAxis("l_linestatus").addValue("sum_qty")
+        .setPivot("l_returnflag")
+      Slicer.slice(li(s, dir), Tpch.lineitemCube, q, pivotValues = Seq("A", "N", "R"))
+        .select(col("l_linestatus"),
+          round(col("A"), 2).as("A"), round(col("N"), 2).as("N"), round(col("R"), 2).as("R"))
+    },
+
+    // §2.18: order by measure desc + limit (top-k customers)
+    "q15_order_limit" -> oq(
+      """SELECT o_custkey, round(sum(o_totalprice),2) AS sum_total
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY sum(o_totalprice) DESC, o_custkey LIMIT 10""") { (s, dir) =>
+      val q = CubeQuery().addAxis("o_custkey").addValue("sum_total")
+        .orderBy("-sum_total").setLimit(10)
+      Slicer.slice(ord(s, dir), Tpch.ordersCube, q)
+        .select(col("o_custkey"), round(col("sum_total"), 2).as("sum_total"))
+    },
+
+    // §2.19: slice reuse — coarsen a persisted finer slice (ManipulateSlice)
+    "q16_reagg" -> oq(
+      """SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS o_orderdate_year,
+        |round(sum(o_totalprice),2) AS sum_total, count(*) AS n_orders
+        |FROM orders GROUP BY 1""") { (s, dir) =>
+      val fine = CubeQuery().addAxis("o_orderdate_year").addAxis("o_orderdate_month")
+        .addValue("sum_total").addValue("n_orders")
+      val finer = Slicer.slice(ord(s, dir), Tpch.ordersCube, fine)
+      Slicer.Reagg.from(finer, Seq("o_orderdate_year"),
+          Seq("sum_total" -> Agg.Sum, "n_orders" -> Agg.Count))
+        .select(col("o_orderdate_year"), round(col("sum_total"), 2).as("sum_total"), col("n_orders"))
+    },
+
+    // §2.20a: rollup subtotals + grouping level
+    "q17_rollup" -> oq(
+      """SELECT l_returnflag, l_linestatus,
+        |round(sum(l_quantity),2) AS sum_qty,
+        |CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping_level
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""") { (s, dir) =>
+      val q = CubeQuery().addAxis("l_returnflag").addAxis("l_linestatus").addValue("sum_qty")
+      Slicer.slice(li(s, dir), Tpch.lineitemCube, q,
+          totals = Slicer.RollupTotals, withGroupingId = true)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("sum_qty"), 2).as("sum_qty"),
+          col("grouping_level").cast("long").as("grouping_level"))
+    },
+
+    // §2.20b: full cube subtotals
+    "q18_cube" -> oq(
+      """SELECT o_orderstatus, o_orderpriority,
+        |round(sum(o_totalprice),2) AS sum_total,
+        |CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grouping_level
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""") { (s, dir) =>
+      val q = CubeQuery().addAxis("o_orderstatus").addAxis("o_orderpriority").addValue("sum_total")
+      Slicer.slice(ord(s, dir), Tpch.ordersCube, q,
+          totals = Slicer.CubeTotals, withGroupingId = true)
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          round(col("sum_total"), 2).as("sum_total"),
+          col("grouping_level").cast("long").as("grouping_level"))
+    },
+
+    // §2.21: drill-down — eq-filter on first axis, axis removed (DrillOnFirstAxis)
+    "q19_drill" -> oq(
+      """SELECT l_linestatus, round(sum(l_quantity),2) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus""") { (s, dir) =>
+      val base = CubeQuery().addAxis("l_returnflag").addAxis("l_linestatus")
+        .addValue("sum_qty").addValue("n_rows")
+      val drilled = base.addFilter("l_returnflag", "R").removeAxis("l_returnflag")
+      Slicer.slice(li(s, dir), Tpch.lineitemCube, drilled)
+        .select(col("l_linestatus"), round(col("sum_qty"), 2).as("sum_qty"), col("n_rows"))
+    },
+
+    // §2.26: date hierarchy truncations year/quarter/month
+    "q20_date_trunc" -> oq(
+      """SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS o_orderdate_year,
+        |CAST(date_trunc('quarter', o_orderdate) AS DATE) AS o_orderdate_quarter,
+        |CAST(date_trunc('month', o_orderdate) AS DATE) AS o_orderdate_month,
+        |count(*) AS n_orders, round(sum(o_totalprice),2) AS sum_total
+        |FROM orders GROUP BY 1,2,3""") { (s, dir) =>
+      val q = CubeQuery()
+        .addAxis("o_orderdate_year").addAxis("o_orderdate_quarter").addAxis("o_orderdate_month")
+        .addValue("n_orders").addValue("sum_total")
+      Slicer.slice(ord(s, dir), Tpch.ordersCube, q)
+        .select(col("o_orderdate_year"), col("o_orderdate_quarter"), col("o_orderdate_month"),
+          col("n_orders"), round(col("sum_total"), 2).as("sum_total"))
+    },
+
+    // §2.27: hour truncation on the events stream table
+    "q21_events_hour" -> oq(
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS ts_hour,
+        |count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1""") { (s, dir) =>
+      val q = CubeQuery().addAxis("ts_hour").addValue("n_events").addValue("sum_value")
+      Slicer.slice(ev(s, dir), Tpch.eventsCube, q)
+        .select(date_format(col("ts_hour"), "yyyy-MM-dd HH:00").as("ts_hour"),
+          col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+    },
+
+    // §2.28: date part labels (isodow/moy/quarternum/monthday/doy/isoweek/isoyear)
+    "q22_date_parts" -> oq(
+      """SELECT CAST(isodow(o_orderdate) AS BIGINT) AS o_orderdate_weekday,
+        |CAST(month(o_orderdate) AS BIGINT) AS o_orderdate_moy,
+        |CAST(quarter(o_orderdate) AS BIGINT) AS o_orderdate_quarternum,
+        |CAST(dayofmonth(o_orderdate) AS BIGINT) AS o_orderdate_monthday,
+        |CAST(dayofyear(o_orderdate) AS BIGINT) AS o_orderdate_doy,
+        |CAST(weekofyear(o_orderdate) AS BIGINT) AS o_orderdate_isoweeknum,
+        |CAST(isoyear(o_orderdate) AS BIGINT) AS o_orderdate_isoyear,
+        |count(*) AS n_orders
+        |FROM orders GROUP BY 1,2,3,4,5,6,7""") { (s, dir) =>
+      val q = CubeQuery()
+        .addAxis("o_orderdate_weekday").addAxis("o_orderdate_moy")
+        .addAxis("o_orderdate_quarternum").addAxis("o_orderdate_monthday")
+        .addAxis("o_orderdate_doy").addAxis("o_orderdate_isoweeknum")
+        .addAxis("o_orderdate_isoyear")
+        .addValue("n_orders")
+      val sl = Slicer.slice(ord(s, dir), Tpch.ordersCube, q)
+      sl.select(
+        (Seq("o_orderdate_weekday", "o_orderdate_moy", "o_orderdate_quarternum",
+          "o_orderdate_monthday", "o_orderdate_doy", "o_orderdate_isoweeknum",
+          "o_orderdate_isoyear").map(c => col(c).cast("long").as(c)) :+ col("n_orders")): _*)
+    },
+
+    // §2.29: date-range filters (pushdown-friendly ge/le)
+    "q23_date_range" -> oq(
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS o_orderdate_month,
+        |count(*) AS n_orders, round(sum(o_totalprice),2) AS sum_total
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-03-01'
+        |  AND CAST(o_orderdate AS DATE) <= DATE '1998-09-30'
+        |GROUP BY 1""") { (s, dir) =>
+      val q = CubeQuery().addAxis("o_orderdate_month")
+        .addValue("n_orders").addValue("sum_total")
+        .addFilter("o_orderdate_day", java.sql.Date.valueOf("1997-03-01"), FilterOp.Ge)
+        .addFilter("o_orderdate_day", java.sql.Date.valueOf("1998-09-30"), FilterOp.Le)
+      Slicer.slice(ord(s, dir), Tpch.ordersCube, q)
+        .select(col("o_orderdate_month"), col("n_orders"), round(col("sum_total"), 2).as("sum_total"))
+    },
+
+    // §2.30: star-schema join with broadcast dims, revenue by region/nation
+    "q24_star_join" -> oq(
+      """SELECT r_name, n_name,
+        |round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""") { (s, dir) =>
+      val joined = graft.ops.Relational.starJoin(
+        li(s, dir),
+        Seq(
+          Tpch.table(s, dir, "orders") -> (col("l_orderkey") === col("o_orderkey")),
+          Tpch.table(s, dir, "customer") -> (col("o_custkey") === col("c_custkey")),
+          Tpch.table(s, dir, "nation") -> (col("c_nationkey") === col("n_nationkey")),
+          Tpch.table(s, dir, "region") -> (col("n_regionkey") === col("r_regionkey")),
+        ))
+      val starCube = CubeDef(
+        labels = Seq(Label("r_name"), Label("n_name")),
+        measures = Seq(
+          Measure("revenue", col("l_extendedprice") * (lit(1) - col("l_discount")), Agg.Sum),
+          Measure("n_rows", lit(1), Agg.Count)))
+      val q = CubeQuery().addAxis("r_name").addAxis("n_name")
+        .addValue("revenue").addValue("n_rows")
+      Slicer.slice(joined, starCube, q)
+        .select(col("r_name"), col("n_name"), round(col("revenue"), 2).as("revenue"), col("n_rows"))
+    },
+
+    // §2.31: top-k per group (window)
+    "q25_topk_group" -> oq(
+      """SELECT p_brand, p_partkey, round(p_retailprice,2) AS p_retailprice
+        |FROM part
+        |QUALIFY row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) <= 3""") { (s, dir) =>
+      graft.ops.Relational.topKPerGroup(
+          part(s, dir), Seq(col("p_brand")),
+          Seq(col("p_retailprice").desc, col("p_partkey").asc), 3)
+        .select(col("p_brand"), col("p_partkey"), round(col("p_retailprice"), 2).as("p_retailprice"))
+    },
+
+    // §2.32: distinct-count measure
+    "q26_distinct" -> oq(
+      """SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        |FROM orders GROUP BY o_orderpriority""") { (s, dir) =>
+      val q = CubeQuery().addAxis("o_orderpriority").addValue("n_cust")
+      Slicer.slice(ord(s, dir), Tpch.ordersCube, q)
+    },
+
+    // §2.33: HAVING — filter on the aggregated measure
+    "q27_having" -> oq(
+      """SELECT o_custkey, round(sum(o_totalprice),2) AS sum_total
+        |FROM orders GROUP BY o_custkey
+        |HAVING sum(o_totalprice) > 1000000""") { (s, dir) =>
+      val q = CubeQuery().addAxis("o_custkey").addValue("sum_total")
+      val sl = Slicer.slice(ord(s, dir), Tpch.ordersCube, q)
+      graft.ops.Relational.having(sl, col("sum_total") > 1000000)
+        .select(col("o_custkey"), round(col("sum_total"), 2).as("sum_total"))
+    },
+
+    // §2.35: sessionization (session_window; batch-equivalent oracle)
+    "q28_session" -> oq(
+      """WITH gaps AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        |  FROM gaps
+        |)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM sess GROUP BY user_id, sid""") { (s, dir) =>
+      ev(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), round(col("sum_value"), 2).as("sum_value"))
     },
   )
 

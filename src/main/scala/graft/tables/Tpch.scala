@@ -11,8 +11,18 @@ import graft.cube._
   * concrete cube wiring for the test star schema.
   */
 object Tpch {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Load a test table. The events table carries TIMESTAMP(NANOS) which
+    * Spark's parquet reader rejects; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and we rebuild a proper
+    * µs TimestampType column here (UTC).
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case None    => df
+    }
+  }
 
   /** Fact table cube over lineitem. Date hierarchy hangs off l_shipdate. */
   val lineitemCube: CubeDef = CubeDef(
@@ -68,7 +78,9 @@ object Tpch {
       Label("p_type"),
       Label("p_size_band", (floor(col("p_size") / 10) * 10).cast("long")),
       Label("p_name"),
+      Label("p_partkey"),
       Label("type_words", split(col("p_type"), " "), isSet = true),
+      Label("name_words", split(col("p_name"), " "), isSet = true),
     ),
     measures = Seq(
       Measure("sum_retail", col("p_retailprice"), Agg.Sum),
