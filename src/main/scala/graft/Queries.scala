@@ -425,6 +425,185 @@ object Queries {
     },
   )
 
-  def all: Map[String, Q] = cube.map { case (k, (f, _)) => k -> f }
-  def oracles: Map[String, String] = cube.collect { case (k, (_, Some(sql))) => k -> sql }
+  private def docs(s: SparkSession, dir: String) = Tpch.table(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tpch.table(s, dir, "embeddings")
+
+  /** LLM-pipeline operators (SURVEY.md §2.36-47). */
+  val pipeline: Map[String, (Q, Option[String])] = Map(
+    // §2.36: exact dedup via content fingerprint
+    "d01_exact_dedup" -> oq(
+      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        |min(doc_id) AS canonical_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""") { (s, dir) =>
+      graft.dedup.Dedup.exact(docs(s, dir), "doc_id", "text")
+    },
+
+    // §2.37: n-gram Jaccard near-dup pairs (word 3-shingles, θ=0.5)
+    "d02_ngram_jaccard" -> oq(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 1)),
+        |      i -> array_to_string(list_slice(tk, i, i+2), ' '))) AS sset
+        |  FROM toks
+        |), ex AS (
+        |  SELECT doc_id, len(sset) AS sz, unnest(sset) AS s FROM sh
+        |)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  round(CAST(count(*) AS DOUBLE)/(a.sz + b.sz - count(*)), 6) AS jaccard
+        |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |HAVING CAST(count(*) AS DOUBLE)/(a.sz + b.sz - count(*)) >= 0.5""") { (s, dir) =>
+      graft.dedup.Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.5)
+    },
+
+    // §2.38: MinHash+LSH near-dup (rows-only: xxhash64 not in DuckDB)
+    "d03_minhash_lsh" -> nq { (s, dir) =>
+      graft.dedup.Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+    },
+
+    // §2.39: SimHash near-dup (rows-only)
+    "d04_simhash" -> nq { (s, dir) =>
+      graft.dedup.Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+    },
+
+    // §2.40: embedding cosine near-dup pairs
+    "d05_embed_dup" -> oq(
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.9""") { (s, dir) =>
+      graft.sim.Similarity.cosineDupPairs(emb(s, dir), "vec_id", "embedding", threshold = 0.9)
+    },
+
+    // §2.41: brute-force cosine top-k ANN baseline
+    "d06_cosine_topk" -> oq(
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])), 6) AS cos,
+        |CAST(row_number() OVER (PARTITION BY a.vec_id
+        |  ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |           CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS BIGINT) AS rk
+        |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |QUALIFY rk <= 5""") { (s, dir) =>
+      graft.sim.Similarity.cosineTopK(emb(s, dir), "vec_id", "embedding", k = 5)
+    },
+
+    // §2.42: LSH-bucketed ANN — the 100 TB path (rows-only)
+    "d07_ann_lsh" -> nq { (s, dir) =>
+      graft.sim.Similarity.annLshTopK(emb(s, dir), "vec_id", "embedding",
+        k = 5, numPlanes = 10, numTables = 4)
+    },
+
+    // §2.43: language-ID heuristic
+    "d08_langid" -> oq(
+      """WITH t AS (
+        |  SELECT list_distinct(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0)) AS toks
+        |  FROM documents
+        |), sc AS (
+        |  SELECT
+        |    len(list_intersect(toks, ['the','a','of','and','to','in','is','it','that','for'])) AS en,
+        |    len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','auf','zu'])) AS de,
+        |    len(list_intersect(toks, ['le','la','les','et','est','un','une','dans','que','pour'])) AS fr,
+        |    len(list_intersect(toks, ['el','la','los','y','es','un','una','en','que','por'])) AS es
+        |  FROM t
+        |)
+        |SELECT CASE WHEN greatest(en,de,fr,es) = 0 THEN 'und'
+        |            WHEN en = greatest(en,de,fr,es) THEN 'en'
+        |            WHEN de = greatest(en,de,fr,es) THEN 'de'
+        |            WHEN fr = greatest(en,de,fr,es) THEN 'fr'
+        |            ELSE 'es' END AS lang_pred,
+        |  count(*) AS n_docs
+        |FROM sc GROUP BY 1""") { (s, dir) =>
+      docs(s, dir)
+        .select(graft.text.TextFunctions.langId(col("text")).as("lang_pred"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("n_docs"))
+    },
+
+    // §2.44: quality scoring per source
+    "d09_quality" -> oq(
+      """WITH q AS (
+        |  SELECT source,
+        |    round((
+        |      least(CAST(len(list_filter(string_split_regex(trim(text),'\s+'), t -> len(t)>0)) AS DOUBLE)/100.0, 1.0)
+        |      + (1.0 - least(CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |                     / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0))
+        |      + least(CAST(len(list_filter(string_split_regex(lower(trim(text)),'\s+'),
+        |          t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE)
+        |          / greatest(CAST(len(list_filter(string_split_regex(trim(text),'\s+'), t -> len(t)>0)) AS DOUBLE), 1.0) * 5.0, 1.0)
+        |    ) / 3.0, 6) AS quality
+        |  FROM documents
+        |)
+        |SELECT source, round(avg(quality), 4) AS avg_quality, count(*) AS n_docs
+        |FROM q GROUP BY source""") { (s, dir) =>
+      docs(s, dir)
+        .select(col("source"), graft.text.TextFunctions.qualityScore(col("text")).as("quality"))
+        .groupBy("source")
+        .agg(round(avg(col("quality")), 4).as("avg_quality"), count(lit(1)).as("n_docs"))
+    },
+
+    // §2.45: token counting (whitespace + BPE-ish regex)
+    "d10_tokens" -> oq(
+      """SELECT source,
+        |sum(CAST(len(list_filter(string_split_regex(trim(text),'\s+'), t -> len(t)>0)) AS BIGINT)) AS ws_tokens,
+        |sum(CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]', 0)) AS BIGINT)) AS bpe_tokens,
+        |count(*) AS n_docs
+        |FROM documents GROUP BY source""") { (s, dir) =>
+      import graft.text.TextFunctions._
+      docs(s, dir)
+        .groupBy("source")
+        .agg(sum(tokenCount(col("text"))).as("ws_tokens"),
+          sum(bpeTokenCount(col("text"))).as("bpe_tokens"),
+          count(lit(1)).as("n_docs"))
+    },
+
+    // §2.46: document fingerprinting (md5 + min-shingle winnowing)
+    "d11_fingerprint" -> oq(
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(trim(text)),'\s+'), t -> len(t)>0) AS tk
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        |  list_aggregate(list_transform(
+        |    list_distinct(list_transform(generate_series(1, greatest(len(tk)-2,1)),
+        |      i -> array_to_string(list_slice(tk, i, i+2), ' '))),
+        |    s -> md5(s)), 'min') AS min_shingle_fp
+        |FROM toks""") { (s, dir) =>
+      import graft.text.TextFunctions._
+      docs(s, dir).select(col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        minShingleFingerprint(col("text"), 3).as("min_shingle_fp"))
+    },
+
+    // §2.47: multimodal binary plumbing (rows-only; decode is a marked fake)
+    "m01_multimodal" -> nq { (s, dir) =>
+      import graft.multimodal.Multimodal._
+      val media = withFakeMedia(docs(s, dir), "doc_id", "image")
+      decodeImageMeta(media.repartition(col("media_id")))
+        .groupBy("format").agg(count(lit(1)).as("n"), avg(col("width")).as("avg_w"))
+    },
+
+    // §2.34: tumbling-window agg (streaming code path run on batch; oracle)
+    "q29_window_tumbling" -> oq(
+      """SELECT strftime(to_timestamp(floor(epoch(ts)/900)*900), '%Y-%m-%d %H:%M') AS window_start,
+        |event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1, 2""") { (s, dir) =>
+      graft.streaming.Streams.tumblingAgg(ev(s, dir), "ts", "15 minutes")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("window_start"),
+          col("event_type"), col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+    },
+  )
+
+  def all: Map[String, Q] = (cube ++ pipeline).map { case (k, (f, _)) => k -> f }
+  def oracles: Map[String, String] =
+    (cube ++ pipeline).collect { case (k, (_, Some(sql))) => k -> sql }
 }

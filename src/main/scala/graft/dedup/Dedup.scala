@@ -1,0 +1,126 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions._
+
+/** Deduplication family for web-scale corpora.
+  *
+  * Scale design: every variant avoids the O(n²) cross join. Exact dedup is
+  * a hash groupBy (one shuffle on the digest). Near-dup variants build an
+  * inverted index (explode → shuffle on shingle/band/bucket key) so only
+  * documents sharing a key ever meet; document text itself is never
+  * shuffled — only ids and signatures.
+  */
+object Dedup {
+
+  /** Exact dedup via content fingerprint. Returns one row per distinct
+    * content with the canonical (minimum) id and the duplicate count.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** Near-duplicate pairs by exact n-gram Jaccard over word k-shingles.
+    * Inverted index join: docs meet only on shared shingles; |A∩B| is the
+    * per-pair match count, |A∪B| from the per-doc shingle counts.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingleSet(col(textCol), k).as("shingles"))
+      .select(col("id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
+    val a = sh.alias("a"); val b = sh.alias("b")
+    a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature: for seed j, sig(j) = min over shingles of
+    * xxhash64(j || shingle). Pure column expression, no UDF.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(shingles, s => xxhash64(concat(j.cast("string"), lit("|"), s)))))
+
+  /** MinHash + LSH candidate pairs, verified by true Jaccard.
+    *
+    * bands × rowsPerBand = numHashes. Docs collide in a bucket iff one
+    * band of their signatures matches exactly; candidates are then
+    * verified with exact shingle Jaccard. The shuffle key is
+    * (band, bandHash) — tiny — and the verify join only touches
+    * candidate ids.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val withSig = df.select(col(idCol).as("id"), shingleSet(col(textCol), k).as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+
+    val banded = withSig.select(
+      col("id"), col("shingles"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))).as("bucket")))).as("bb"))
+      .select(col("id"), col("shingles"), col("bb.band"), col("bb.bucket"))
+
+    val a = banded.alias("a"); val b = banded.alias("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.shingles").as("sh1"), col("b.shingles").as("sh2"))
+      .dropDuplicates("id1", "id2")
+
+    candidates
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard", col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit i is the sign of
+    * Σ_tokens (±1 depending on bit i of xxhash64(token)).
+    * Expressed with higher-order functions — still no UDF.
+    */
+  def simhash64(text: Column): Column = {
+    val toks = wsTokens(lower(text))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, i) => {
+        val votes = aggregate(toks, lit(0),
+          (v, t) => v + when(call_function("shiftright", xxhash64(t), i).bitwiseAND(1) === 1, 1)
+            .otherwise(-1))
+        acc.bitwiseOR(when(votes > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+      })
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming. Buckets on
+    * the 4 16-bit quarters of the hash (pigeonhole: any pair with ≤3
+    * differing bits shares at least one exact quarter), so the join key
+    * is a 16-bit band — no cross join.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val banded = hashed.select(col("id"), col("sh"),
+      explode(transform(sequence(lit(0), lit(3)),
+        q => struct(q.as("q"),
+          call_function("shiftright", col("sh"), q * 16).bitwiseAND(0xFFFFL).as("band")))).as("bq"))
+      .select(col("id"), col("sh"), col("bq.q"), col("bq.band"))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    a.join(b, col("a.q") === col("b.q") && col("a.band") === col("b.band") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .dropDuplicates("id1", "id2")
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  * All pure Column expressions (codegen'd, no UDFs) so they run inside
+  * whole-stage codegen and scale linearly with no shuffle of their own.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empties dropped. */
+  def wsTokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(wsTokens(text)).cast("long")
+
+  /** BPE-ish token count: letter runs, single digits, single punctuation —
+    * the shape of GPT-style pre-tokenization, as a pure regex.
+    */
+  val BpePattern = "[a-zA-Z]+|[0-9]|[^\\sa-zA-Z0-9]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long")
+
+  /** Word k-shingles over the token array (w-shingling for near-dup). */
+  def wordShingles(tokens: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(tokens) - (k - 1), lit(1))),
+      i => concat_ws(" ", slice(tokens, i, lit(k))))
+
+  /** Distinct word k-shingles of a text column. */
+  def shingleSet(text: Column, k: Int): Column =
+    array_distinct(wordShingles(wsTokens(lower(text)), k))
+
+  // Minimal stopword lists for the language-ID heuristic. Public knowledge
+  // (most-frequent function words per language).
+  val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+  val StopDe = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu")
+  val StopFr = Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour")
+  val StopEs = Seq("el", "la", "los", "y", "es", "un", "una", "en", "que", "por")
+
+  private def hitCount(tokens: Column, stop: Seq[String]): Column =
+    size(array_intersect(array_distinct(tokens), array(stop.map(lit): _*)))
+
+  /** N-gram/stopword language-ID heuristic: the language whose stopword
+    * set intersects the document's distinct tokens the most; 'und'
+    * (undetermined) when no stopword hits at all. Ties break in fixed
+    * order en > de > fr > es (deterministic).
+    */
+  def langId(text: Column): Column = {
+    val toks = wsTokens(lower(text))
+    val en = hitCount(toks, StopEn); val de = hitCount(toks, StopDe)
+    val fr = hitCount(toks, StopFr); val es = hitCount(toks, StopEs)
+    val m = greatest(en, de, fr, es)
+    when(m === 0, lit("und"))
+      .when(en === m, lit("en"))
+      .when(de === m, lit("de"))
+      .when(fr === m, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Quality score in [0,1]: rewards reasonable length and stopword
+    * density, penalizes punctuation soup. Deterministic arithmetic only
+    * (reproducible across engines).
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = wsTokens(text)
+    val nTok = size(toks).cast("double")
+    val nChar = length(text).cast("double")
+    val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
+    val stopHits = size(filter(wsTokens(lower(text)),
+      t => array_contains(array(StopEn.map(lit): _*), t))).cast("double")
+    val lenScore = least(nTok / 100.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punct / greatest(nChar, lit(1.0)) * 10.0, lit(1.0))
+    val stopScore = least(stopHits / greatest(nTok, lit(1.0)) * 5.0, lit(1.0))
+    round((lenScore + punctScore + stopScore) / 3.0, 6)
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Winnowing-style content fingerprint: the minimum shingle digest —
+    * stable under local edits away from the minimizing shingle.
+    */
+  def minShingleFingerprint(text: Column, k: Int): Column =
+    array_min(transform(shingleSet(text, k), s => md5(s)))
+}
