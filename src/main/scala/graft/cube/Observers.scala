@@ -1,0 +1,91 @@
+package graft.cube
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Slice renderers — the reference's observers (bacon/observers/tables.py,
+  * csv.py, json.py) re-targeted at DataFrames.
+  *
+  * Scale note: renderers materialize ONLY the final aggregated slice
+  * (post-groupBy, small by construction — its size is the product of axis
+  * cardinalities, not the dataset size). Totals/subtotals are computed
+  * distributed via rollup before collection, never by re-scanning.
+  */
+object Observers {
+
+  /** CSV of a slice (header + rows). Escapes quotes/separators RFC-4180
+    * style like the reference's csv observer.
+    */
+  def toCsv(slice: DataFrame, sep: String = ","): String = {
+    def cell(v: Any): String = {
+      val s = if (v == null) "" else String.valueOf(v)
+      if (s.contains(sep) || s.contains("\"") || s.contains("\n"))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    }
+    val header = slice.columns.mkString(sep)
+    val rows = slice.collect().map(r => r.toSeq.map(cell).mkString(sep))
+    (header +: rows).mkString("\n")
+  }
+
+  /** JSON rows (the shape of the reference's json observer payload). */
+  def toJsonRows(slice: DataFrame): String =
+    "[" + slice.toJSON.collect().mkString(",") + "]"
+
+  /** A rendered 2-D pivot table with row and column totals — the
+    * reference's Table2D observer (bacon/observers/tables.py).
+    */
+  final case class PivotTable(
+      rowAxis: String, colAxis: String, measure: String,
+      colKeys: Vector[String],
+      rows: Vector[(String, Vector[Option[Double]], Option[Double])], // label, cells, row total
+      colTotals: Vector[Option[Double]],
+      grandTotal: Option[Double])
+
+  /** Build a 2-D pivot table with totals in ONE distributed pass: a cube
+    * over (rowAxis, colAxis) yields cells, row totals, column totals and
+    * the grand total from the same shuffle (the reference re-walks its
+    * nested dicts per total).
+    */
+  def pivotTable(df: DataFrame, cube: CubeDef, rowAxis: String, colAxis: String,
+                 measure: String, filters: Vector[Filter] = Vector.empty): PivotTable = {
+    val q = CubeQuery(axes = Vector(rowAxis, colAxis),
+      valueDefs = Vector(measure -> true), filters = filters)
+    val cells = Slicer.slice(df, cube, q, totals = Slicer.CubeTotals).collect()
+
+    def key(r: Row, i: Int): Option[String] = Option(r.get(i)).map(String.valueOf)
+    def value(r: Row): Option[Double] =
+      Option(r.get(2)).map(v => String.valueOf(v).toDouble)
+
+    val full = cells.filter(r => key(r, 0).isDefined && key(r, 1).isDefined)
+    val rowTot = cells.filter(r => key(r, 0).isDefined && key(r, 1).isEmpty)
+      .map(r => key(r, 0).get -> value(r)).toMap
+    val colTot = cells.filter(r => key(r, 0).isEmpty && key(r, 1).isDefined)
+      .map(r => key(r, 1).get -> value(r)).toMap
+    val grand = cells.find(r => key(r, 0).isEmpty && key(r, 1).isEmpty).flatMap(value)
+
+    val rowKeys = full.flatMap(r => key(r, 0)).distinct.sorted.toVector
+    val colKeys = full.flatMap(r => key(r, 1)).distinct.sorted.toVector
+    val cellMap = full.map(r => (key(r, 0).get, key(r, 1).get) -> value(r)).toMap
+
+    PivotTable(
+      rowAxis, colAxis, measure, colKeys,
+      rows = rowKeys.map(rk =>
+        (rk, colKeys.map(ck => cellMap.getOrElse((rk, ck), None)), rowTot.getOrElse(rk, None))),
+      colTotals = colKeys.map(ck => colTot.getOrElse(ck, None)),
+      grandTotal = grand)
+  }
+
+  /** Plain-text render of a PivotTable (debug/demo — the reference's HTML
+    * templates are out of scope; the data shape is what matters).
+    */
+  def render(t: PivotTable): String = {
+    val header = (t.rowAxis +: t.colKeys :+ "TOTAL").mkString("\t")
+    def fmt(v: Option[Double]): String = v.map(x => f"$x%.2f").getOrElse("")
+    val body = t.rows.map { case (rk, cells, tot) =>
+      (rk +: cells.map(fmt) :+ fmt(tot)).mkString("\t")
+    }
+    val totals = ("TOTAL" +: t.colTotals.map(fmt) :+ fmt(t.grandTotal)).mkString("\t")
+    (header +: body :+ totals).mkString("\n")
+  }
+}

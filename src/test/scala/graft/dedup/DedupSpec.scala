@@ -1,0 +1,57 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "the  quick brown fox jumps over the lazy dog"),  // ws-variant of 1 (exact dup)
+    (4L, "completely different words entirely here now friends"),
+    (5L, "another unrelated document about spark engines"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups whitespace-normalized duplicates") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out(1L) == 2) // docs 1 and 3 share a fingerprint, canonical id 1
+    assert(out(4L) == 1 && out(5L) == 1)
+  }
+
+  test("ngram jaccard finds the near-dup pair and nothing unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH recovers the exact-jaccard pairs on this corpus") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH verifies candidates with true jaccard -> subset; with 16 bands
+    // of 2 rows recall on ~0.8-sim pairs is ~1 on this tiny corpus.
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((1L, 2L)))
+  }
+
+  test("simhash: identical token bags collide, near-dups are close, different docs far") {
+    val h = docs.select($"doc_id", Dedup.simhash64($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(3L)) // same bag of tokens
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(1L), h(2L)) < hamming(h(1L), h(4L)))
+  }
+
+  test("simhash pairs via banding match brute-force hamming threshold") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.9f, 0.1f, 0.0f)),   // close to 1
+    (3L, Seq(0.0f, 1.0f, 0.0f)),   // orthogonal to 1
+    (4L, Seq(0.0f, 0.95f, 0.05f)), // close to 3
+    (5L, Seq(-1.0f, 0.0f, 0.0f)),  // opposite of 1
+  ).toDF("vec_id", "embedding")
+
+  test("cosine of identical/orthogonal/opposite vectors") {
+    val a = typedLit(Seq(1.0f, 0.0f)); val o = typedLit(Seq(0.0f, 1.0f))
+    val row = spark.range(1).select(
+      Similarity.cosine(a, a).as("same"),
+      Similarity.cosine(a, o).as("orth"),
+      Similarity.cosine(a, transform(a, x => -x)).as("opp")).collect()(0)
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(row.getDouble(1)) < 1e-12)
+    assert(math.abs(row.getDouble(2) + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-1 picks the nearest neighbour") {
+    val top1 = Similarity.cosineTopK(vecs, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1(1L) == 2L && top1(2L) == 1L)
+    assert(top1(3L) == 4L && top1(4L) == 3L)
+  }
+
+  test("cosine dup pairs above threshold only") {
+    val pairs = Similarity.cosineDupPairs(vecs, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("ANN LSH candidates are a subset of brute-force with matching cosines") {
+    val brute = Similarity.cosineTopK(vecs, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = Similarity.annLshTopK(vecs, "vec_id", "embedding", k = 4,
+      numPlanes = 4, numTables = 8).collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(key) && math.abs(brute(key) - r.getDouble(2)) < 1e-9)
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+  import TextFunctions._
+
+  private def one[T](c: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
+    spark.range(1).select(c).collect()(0)
+
+  test("token counts") {
+    val df = Seq("  the quick  brown fox ", "", "hello, world 42!").toDF("t")
+    val out = df.select(tokenCount($"t"), bpeTokenCount($"t")).collect()
+    assert(out(0).getLong(0) == 4)
+    assert(out(1).getLong(0) == 0)
+    assert(out(2).getLong(0) == 3)
+    assert(out(2).getLong(1) == 6) // hello , world 4 2 !
+  }
+
+  test("shingles of k=3") {
+    val r = one(shingleSet(lit("a b c d"), 3))
+    assert(r.getSeq[String](0).toSet == Set("a b c", "b c d"))
+    val short = one(shingleSet(lit("a b"), 3))
+    assert(short.getSeq[String](0) == Seq("a b"))
+  }
+
+  test("langId picks the dominant stopword language") {
+    val df = Seq(
+      "the cat is in the house and it is big",
+      "der hund ist nicht mit der katze",
+      "le chat est dans la maison pour les amis",
+      "zzz qqq www").toDF("t")
+    val out = df.select(langId($"t")).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "de", "fr", "und"))
+  }
+
+  test("quality score is in [0,1] and penalizes punctuation soup") {
+    val df = Seq(
+      "the cat is on the mat and it is a fine day for all of us to see",
+      ".,;:!?.,;:!?.,;:!?").toDF("t")
+    val out = df.select(qualityScore($"t")).collect().map(_.getDouble(0))
+    assert(out.forall(q => q >= 0.0 && q <= 1.0))
+    assert(out(0) > out(1))
+  }
+
+  test("fingerprint is whitespace/case insensitive; min-shingle fp stable under tail edits") {
+    val df = Seq(
+      ("The  quick brown fox", "the quick brown fox"),
+      ).toDF("a", "b")
+    val r = df.select(fingerprint($"a") === fingerprint($"b")).collect()(0)
+    assert(r.getBoolean(0))
+  }
+}
