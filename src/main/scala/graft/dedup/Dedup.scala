@@ -41,12 +41,11 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signature: for seed j, sig(j) = min over shingles of
-    * xxhash64(j || shingle). Pure column expression, no UDF.
+  /** MinHash signature: sig(j) = min over shingles of xxhash64(shingle,
+    * seed=j). Native codegen'd expression (graft.functions.MinHashSig).
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingles, s => xxhash64(concat(j.cast("string"), lit("|"), s)))))
+    graft.functions.VectorFunctions.minhash(shingles, numHashes)
 
   /** MinHash + LSH candidate pairs, verified by true Jaccard.
     *
@@ -86,21 +85,11 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: bit i is the sign of
-    * Σ_tokens (±1 depending on bit i of xxhash64(token)).
-    * Expressed with higher-order functions — still no UDF.
+    * Σ_tokens (±1 depending on bit i of xxhash64(token)). Native codegen'd
+    * expression (graft.functions.SimHash64) — one tight loop per row.
     */
-  def simhash64(text: Column): Column = {
-    val toks = wsTokens(lower(text))
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, i) => {
-        val votes = aggregate(toks, lit(0),
-          (v, t) => v + when(call_function("shiftright", xxhash64(t), i).bitwiseAND(1) === 1, 1)
-            .otherwise(-1))
-        acc.bitwiseOR(when(votes > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
-      })
-  }
+  def simhash64(text: Column): Column =
+    graft.functions.VectorFunctions.simhash64(wsTokens(lower(text)))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming. Buckets on
     * the 4 16-bit quarters of the hash (pigeonhole: any pair with ≤3

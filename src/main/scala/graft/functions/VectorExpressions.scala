@@ -1,0 +1,362 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector/hash hot paths.
+  *
+  * The higher-order-function formulation (`aggregate(zip_with(...))`) is
+  * evaluated interpretively per element — benchmarked ~20× slower on the
+  * embedding workload. These expressions generate a tight Java loop inside
+  * whole-stage codegen instead (spark_guide: custom Expression with
+  * doGenCode beats UDFs beats interpreted HOFs).
+  */
+
+/** dot(a, b) over array<float> or array<double>, result double. */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_dot expects array<float|double>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      def get(v: String, e: Expression): String =
+        if (elemType(e) == FloatType) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $s = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $s += ${get(a, left)} * ${get(b, right)};
+        |}
+        |${ev.value} = $s;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** 64-bit SimHash over array<string> tokens: bit i set iff the sum of
+  * ±1 votes from bit i of xxhash64(token, seed=42) is positive.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_simhash64 expects array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val s = arr.getUTF8String(t)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val votes = ctx.freshName("votes")
+      val n = ctx.freshName("n")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val s = ctx.freshName("s")
+      val out = ctx.freshName("out")
+      s"""
+        |int[] $votes = new int[64];
+        |int $n = $a.numElements();
+        |for (int $t = 0; $t < $n; $t++) {
+        |  if (!$a.isNullAt($t)) {
+        |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($t);
+        |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+        |    for (int $b = 0; $b < 64; $b++) {
+        |      $votes[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
+        |    }
+        |  }
+        |}
+        |long $out = 0L;
+        |for (int $b = 0; $b < 64; $b++) { if ($votes[$b] > 0) $out |= (1L << $b); }
+        |${ev.value} = $out;
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature over array<string> shingles: sig[j] = min over
+  * shingles of xxhash64(shingle, seed=j), j < numHashes. One pass over the
+  * shingles hashing each against every seed — no per-seed string concat,
+  * no interpreted lambdas.
+  */
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_minhash expects array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val s = arr.getUTF8String(t)
+        var j = 0
+        while (j < numHashes) {
+          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, j.toLong)
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val sig = ctx.freshName("sig")
+      val n = ctx.freshName("n")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val s = ctx.freshName("s")
+      s"""
+        |long[] $sig = new long[$numHashes];
+        |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+        |int $n = $a.numElements();
+        |for (int $t = 0; $t < $n; $t++) {
+        |  if (!$a.isNullAt($t)) {
+        |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($t);
+        |    for (int $j = 0; $j < $numHashes; $j++) {
+        |      long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        |        $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), (long) $j);
+        |      if ($h < $sig[$j]) $sig[$j] = $h;
+        |    }
+        |  }
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Word k-shingles over array<string>: ["a","b","c","d"], k=3 →
+  * ["a b c","b c d"]; inputs shorter than k yield one joined shingle.
+  * Native loop replacing the transform(sequence)+slice+concat_ws HOF
+  * pipeline (benchmarked ~2 ms/row interpreted on 50-token docs).
+  */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_shingles expects array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val count = math.max(n - k + 1, 1)
+    val out = new Array[AnyRef](count)
+    var i = 0
+    while (i < count) {
+      val upper = math.min(i + k, n)
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](upper - i)
+      var j = i
+      while (j < upper) { parts(j - i) = arr.getUTF8String(j); j += 1 }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val up = ctx.freshName("up")
+      val parts = ctx.freshName("parts")
+      val u8 = "org.apache.spark.unsafe.types.UTF8String"
+      s"""
+        |int $n = $a.numElements();
+        |int $cnt = java.lang.Math.max($n - ${k - 1}, 1);
+        |Object[] $out = new Object[$cnt];
+        |for (int $i = 0; $i < $cnt; $i++) {
+        |  int $up = java.lang.Math.min($i + $k, $n);
+        |  $u8[] $parts = new $u8[$up - $i];
+        |  for (int $j = $i; $j < $up; $j++) { $parts[$j - $i] = $a.getUTF8String($j); }
+        |  $out[$i] = $u8.concatWs($u8.fromString(" "), $parts);
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Random-hyperplane LSH bucket: `numPlanes` sign bits of projections onto
+  * pseudo-random planes derived from xxhash64(seed, plane, dim) — fully
+  * deterministic, no RNG state. Input array<float|double>, output long.
+  */
+case class HyperplaneBucket(child: Expression, numPlanes: Int, seed: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_bucket"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_hyperplane_bucket expects array<float|double>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var out = 0L
+    var i = 0
+    while (i < numPlanes) {
+      var proj = 0.0
+      var j = 0
+      while (j < n) {
+        val h = XXH64.hashLong(((seed.toLong * 1024 + i) << 20) | j, 42L)
+        val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        proj += x * (h.toDouble / Long.MaxValue.toDouble)
+        j += 1
+      }
+      if (proj > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val proj = ctx.freshName("proj"); val h = ctx.freshName("h")
+      val get = if (isFloat) s"(double) $a.getFloat($j)" else s"$a.getDouble($j)"
+      s"""
+        |int $n = $a.numElements();
+        |long $out = 0L;
+        |for (int $i = 0; $i < $numPlanes; $i++) {
+        |  double $proj = 0.0;
+        |  for (int $j = 0; $j < $n; $j++) {
+        |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
+        |      ((${seed}L * 1024 + $i) << 20) | $j, 42L);
+        |    $proj += $get * ((double) $h / (double) Long.MAX_VALUE);
+        |  }
+        |  if ($proj > 0) $out |= (1L << $i);
+        |}
+        |${ev.value} = $out;
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-level entry points for the native expressions. */
+object VectorFunctions {
+  def dotp(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def normCol(a: Column): Column = org.apache.spark.sql.functions.sqrt(dotp(a, a))
+
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  def minhash(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), numHashes))
+
+  def shingles(tokens: Column, k: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), k))
+
+  def hyperplaneBucket(vec: Column, numPlanes: Int, seed: Int): Column =
+    ColumnBridge.column(HyperplaneBucket(ColumnBridge.expression(vec), numPlanes, seed))
+}

@@ -17,8 +17,10 @@ object Similarity {
   /** Element-wise float→double cast (exact). */
   private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Native codegen'd dot product (graft.functions.DotProduct) — the HOF
+    * formulation aggregate(zip_with(...)) is ~20× slower (interpreted).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dotp(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -31,7 +33,7 @@ object Similarity {
     * Norms are precomputed once; ranking is a window over the query id.
     */
   def cosineTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
     val a = v.alias("a"); val b = v.alias("b")
     val pairs = a.join(b, col("a.id") =!= col("b.id"))
@@ -42,42 +44,25 @@ object Similarity {
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"), col("rk").cast("long").as("rk"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane i, dim j):
-    * a value in [-1, 1) derived from xxhash64 — reproducible with no RNG.
-    */
-  private def planeComponent(i: Column, j: Column): Column =
-    (xxhash64(concat(i.cast("string"), lit(":"), j.cast("string")))
-      .cast("double") / lit(Long.MaxValue.toDouble))
-
   /** Random-hyperplane LSH bucket signature: `numPlanes` sign bits packed
-    * into a long. Vectors in the same bucket are ANN candidates. `seed`
-    * selects an independent plane set (one per LSH table).
+    * into a long — native codegen'd expression
+    * (graft.functions.HyperplaneBucket). `seed` selects an independent
+    * plane set (one per LSH table).
     */
-  def hyperplaneBucket(vec: Column, numPlanes: Int, seed: Column = lit(0)): Column = {
-    val vd = asDouble(vec)
-    aggregate(
-      sequence(lit(0), lit(numPlanes - 1)),
-      lit(0L),
-      (acc, i) => {
-        val proj = aggregate(
-          zip_with(vd, sequence(lit(0), size(vd) - 1),
-            (x, j) => x * planeComponent(seed * 1024 + i, j)),
-          lit(0.0), (s, x) => s + x)
-        acc.bitwiseOR(when(proj > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
-      })
-  }
+  def hyperplaneBucket(vec: Column, numPlanes: Int, seed: Int = 0): Column =
+    graft.functions.VectorFunctions.hyperplaneBucket(vec, numPlanes, seed)
 
   /** ANN via hyperplane LSH: candidates from shared buckets (several
     * independent tables to boost recall), exact cosine rerank, top-k.
     */
   def annLshTopK(df: DataFrame, idCol: String, vecCol: String,
                  k: Int, numPlanes: Int = 12, numTables: Int = 4): DataFrame = {
-    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
     val tabled = v.select(col("id"), col("v"), col("nrm"),
-      explode(transform(sequence(lit(0), lit(numTables - 1)),
-        t => struct(t.as("t"),
-          hyperplaneBucket(col("v"), numPlanes, seed = t).as("bucket")))).as("tb"))
+      explode(array((0 until numTables).map(t =>
+        struct(lit(t).as("t"),
+          hyperplaneBucket(col("v"), numPlanes, seed = t).as("bucket"))): _*)).as("tb"))
       .select(col("id"), col("v"), col("nrm"), col("tb.t"),
         xxhash64(concat_ws(":", col("tb.t"), col("tb.bucket"))).as("bucket"))
     val a = tabled.alias("a"); val b = tabled.alias("b")
@@ -95,7 +80,7 @@ object Similarity {
   /** Embedding near-duplicate pairs: cosine ≥ threshold, exact. */
   def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
     val a = v.alias("a"); val b = v.alias("b")
     a.join(b, col("a.id") < col("b.id"))

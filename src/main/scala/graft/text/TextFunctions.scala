@@ -23,11 +23,11 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long")
 
-  /** Word k-shingles over the token array (w-shingling for near-dup). */
+  /** Word k-shingles over the token array (w-shingling for near-dup).
+    * Native codegen'd expression (graft.functions.WordShingles).
+    */
   def wordShingles(tokens: Column, k: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(tokens) - (k - 1), lit(1))),
-      i => concat_ws(" ", slice(tokens, i, lit(k))))
+    graft.functions.VectorFunctions.shingles(tokens, k)
 
   /** Distinct word k-shingles of a text column. */
   def shingleSet(text: Column, k: Int): Column =
