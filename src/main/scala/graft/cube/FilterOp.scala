@@ -79,10 +79,14 @@ object FilterOp {
   def compile(op: String, col: Column, value: Any): Column = op match {
     case Eq => col <=> valueCol(value)
     case Ne => !(col <=> valueCol(value))
-    case Gt => falseIfNull(col > valueCol(value))
-    case Ge => falseIfNull(col >= valueCol(value))
-    case Lt => falseIfNull(col < valueCol(value))
-    case Le => falseIfNull(col <= valueCol(value))
+    // Plain SQL comparisons: NULL rows drop out (Python would raise on
+    // None < x, so there is no semantic to preserve) and — crucially —
+    // the bare predicate pushes down to the parquet scan for row-group
+    // pruning; a coalesce(...) wrapper would block PushedFilters.
+    case Gt => col > valueCol(value)
+    case Ge => col >= valueCol(value)
+    case Lt => col < valueCol(value)
+    case Le => col <= valueCol(value)
 
     case In | Ni =>
       val vs: Seq[Any] = value match {
@@ -94,12 +98,13 @@ object FilterOp {
       val nonNull = vs.filter(_ != null)
       val base =
         if (nonNull.isEmpty) lit(false)
+        else if (op == In) col.isin(nonNull: _*) // pushdown-friendly
         else falseIfNull(col.isin(nonNull: _*))
       val full = if (hasNull) base || col.isNull else base
       if (op == In) full else !full
 
-    case Match  => falseIfNull(col.rlike(value.toString))
-    case NMatch => !falseIfNull(col.rlike(value.toString))
+    case Match  => col.rlike(value.toString) // NULL drops, like re.search(None) falsy
+    case NMatch => !falseIfNull(col.rlike(value.toString)) // Python: not falsy -> True
 
     // ---- set algebra over ArrayType columns -------------------------
     case HasAll       => setCmp(col, value)((a, b) => size(array_except(b, a)) === 0)
