@@ -592,6 +592,37 @@ object Queries {
         .groupBy("format").agg(count(lit(1)).as("n"), avg(col("width")).as("avg_w"))
     },
 
+    // §2: LabeledAcc — aggregate only when a second label is consistent
+    // across the group (bacon/accumulators.py:299)
+    "q30_labeled_acc" -> oq(
+      """SELECT o_custkey,
+        |CASE WHEN count(DISTINCT o_orderstatus) = 1
+        |      AND count(o_orderstatus) = count(*)
+        |     THEN round(sum(o_totalprice),2) END AS labeled_total,
+        |count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey""") { (s, dir) =>
+      val q = CubeQuery().addAxis("o_custkey").addValue("labeled_total").addValue("n_orders")
+      Slicer.slice(ord(s, dir), Tpch.ordersCube, q)
+        .select(col("o_custkey"), round(col("labeled_total"), 2).as("labeled_total"), col("n_orders"))
+    },
+
+    // §2: HyperLogLog++ distinct estimate — the 100 TB-friendly distinct
+    // (rows-only: HLL estimates differ across engines by design)
+    "q31_approx_distinct" -> nq { (s, dir) =>
+      val q = CubeQuery().addAxis("o_orderpriority").addValue("approx_cust")
+      Slicer.slice(ord(s, dir), Tpch.ordersCube, q)
+    },
+
+    // §2: salted two-phase aggregation for skewed keys — must equal the
+    // plain aggregation (oracle = direct GROUP BY)
+    "q32_salted_agg" -> oq(
+      """SELECT l_returnflag, round(sum(l_quantity),2) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""") { (s, dir) =>
+      graft.ops.Skew.saltedAgg(li(s, dir), Seq("l_returnflag"), salts = 16,
+          Seq(("sum_qty", col("l_quantity"), Agg.Sum), ("n_rows", lit(1), Agg.Count)))
+        .select(col("l_returnflag"), round(col("sum_qty"), 2).as("sum_qty"), col("n_rows"))
+    },
+
     // §2.34: tumbling-window agg (streaming code path run on batch; oracle)
     "q29_window_tumbling" -> oq(
       """SELECT strftime(to_timestamp(floor(epoch(ts)/900)*900), '%Y-%m-%d %H:%M') AS window_start,

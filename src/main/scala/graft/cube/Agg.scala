@@ -92,4 +92,14 @@ object Agg {
       when(d =!= 0, sum(num) / d)
     }
   }
+
+  /** bacon/accumulators.py:299 — LabeledAcc: apply `inner` only if every
+    * record in the group carries the same `label` value; else null
+    * (e.g. summing money only when the whole group shares one currency).
+    */
+  final case class Labeled(label: Column, inner: Agg) extends Agg {
+    def compile(c: Column): Column =
+      when(count_distinct(label) === 1 && count(label) === count(lit(1)),
+        inner.compile(c))
+  }
 }

@@ -66,6 +66,9 @@ object Tpch {
       Measure("n_orders", lit(1), Agg.Count),
       Measure("n_cust", col("o_custkey"), Agg.CountDistinct),
       Measure("grp_status", col("o_orderstatus"), Agg.GroupConsistent),
+      Measure("labeled_total", col("o_totalprice"),
+        Agg.Labeled(col("o_orderstatus"), Agg.Sum)),
+      Measure("approx_cust", col("o_custkey"), Agg.ApproxDistinct()),
     ),
   )
 
