@@ -1,0 +1,79 @@
+package graft.cube
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CuttingBoardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshBoard() = {
+    val df = Seq(
+      ("A", "x", 2020, 1.0), ("A", "y", 2020, 2.0), ("A", "x", 2021, 4.0),
+      ("B", "x", 2020, 8.0), ("B", "y", 2021, 16.0),
+    ).toDF("k", "s", "y", "v")
+    val cube = CubeDef(
+      labels = Seq(Label("k"), Label("s"), Label("y")),
+      measures = Seq(
+        Measure("sum_v", col("v"), Agg.Sum),
+        Measure("n", lit(1), Agg.Count),
+        Measure("avg_v", col("v"), Agg.Avg)))
+    new CuttingBoard(df, cube)
+  }
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.toSeq.init.mkString(",") -> r.toSeq.last).toMap
+
+  test("exact repeat query is a cache hit with identical result") {
+    val board = freshBoard()
+    val q = CubeQuery().addAxis("k").addValue("sum_v")
+    val first = asMap(board.slice(q))
+    val second = asMap(board.slice(q))
+    assert(first == second)
+    assert(board.stats == (1L, 1L)) // one miss, one hit
+  }
+
+  test("coarser query re-aggregates the cached finer slice") {
+    val board = freshBoard()
+    val fine = CubeQuery().addAxis("k").addAxis("s").addValue("sum_v").addValue("n")
+    board.slice(fine).collect()
+    val coarse = CubeQuery().addAxis("k").addValue("sum_v").addValue("n")
+    val got = board.slice(coarse).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(board.stats._1 == 1L) // served from cache
+    assert(got("A") == (7.0, 3L) && got("B") == (24.0, 2L))
+  }
+
+  test("drill-down (eq filter on cached axis + axis removed) is served from cache") {
+    val board = freshBoard()
+    val base = CubeQuery().addAxis("k").addAxis("y").addValue("sum_v")
+    board.slice(base).collect()
+    val drilled = base.addFilter("k", "A").removeAxis("k")
+    val got = board.slice(drilled).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(board.stats._1 == 1L)
+    assert(got(2020) == 3.0 && got(2021) == 4.0)
+  }
+
+  test("non-reaggregatable measure (Avg) falls back to the base data") {
+    val board = freshBoard()
+    board.slice(CubeQuery().addAxis("k").addAxis("s").addValue("avg_v")).collect()
+    val coarse = CubeQuery().addAxis("k").addValue("avg_v")
+    val got = board.slice(coarse).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(board.stats == (0L, 2L)) // no unsound reuse
+    assert(got("A") == 7.0 / 3) // true avg over base rows, not avg-of-avgs
+    board.clear()
+  }
+
+  test("cached result equals direct Slicer result") {
+    val board = freshBoard()
+    val fine = CubeQuery().addAxis("k").addAxis("s").addAxis("y").addValue("sum_v")
+    board.slice(fine).collect()
+    val q = CubeQuery().addAxis("s").addValue("sum_v").addFilter("y", 2020)
+    val viaCache = asMap(board.slice(q))
+    val direct = asMap(Slicer.slice(board.dataset, board.cubedef, q))
+    assert(board.stats._1 == 1L)
+    assert(viaCache == direct)
+    board.clear()
+  }
+}
