@@ -90,6 +90,38 @@ object DateLabels {
   def isoYear(field: String): Label =
     Label(s"${field}_isoyear", expr(s"extract(YEAROFWEEK FROM $field)").cast("int"))
 
+  /** Relative date parsing (bacon/cubedef.py:826,901,949,997 — the
+    * MonthLabel/WeekLabel/DayLabel `parse` of "-6" as "6 periods ago").
+    * `today` is passed explicitly so results are reproducible.
+    */
+  def parseRelative(s: String, unit: String, today: java.time.LocalDate): java.time.LocalDate = {
+    val n = s.toInt
+    unit match {
+      case "day"     => today.plusDays(n)
+      case "week"    => today.minusDays(today.getDayOfWeek.getValue - 1).plusWeeks(n)
+      case "month"   => today.withDayOfMonth(1).plusMonths(n)
+      case "quarter" =>
+        val q0 = today.withDayOfMonth(1).withMonth((today.getMonthValue - 1) / 3 * 3 + 1)
+        q0.plusMonths(3L * n)
+      case "year"    => today.withDayOfYear(1).plusYears(n)
+      case other     => throw new IllegalArgumentException(s"unknown unit: $other")
+    }
+  }
+
+  /** Pretty formatters mirroring the reference's label rendering
+    * (bacon/cubedef.py: MonthLabelMixin "%b %Y", QuarterLabelMixin
+    * "Qn YYYY", WeekLabelMixin "dd Mon..dd Mon YYYY", DayLabelMixin
+    * "Dow YYYY-MM-DD").
+    */
+  def prettyMonth(c: Column): Column = date_format(c, "MMM yyyy")
+  def prettyQuarter(c: Column): Column =
+    concat(lit("Q"), org.apache.spark.sql.functions.quarter(c), lit(" "),
+      org.apache.spark.sql.functions.year(c))
+  def prettyDay(c: Column): Column = date_format(c, "EEE yyyy-MM-dd")
+  def prettyWeek(c: Column): Column =
+    concat(date_format(trunc(c, "week"), "dd MMM"), lit(".."),
+      date_format(date_add(trunc(c, "week"), 6), "dd MMM yyyy"))
+
   /** The full day→month→quarter→year chain plus part labels, wired as one
     * hierarchy dimension (bacon's add_hierarchy DAG).
     */

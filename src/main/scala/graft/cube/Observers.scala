@@ -76,6 +76,22 @@ object Observers {
       grandTotal = grand)
   }
 
+  /** Plot descriptor — the reference's plot observer
+    * (bacon/observers/plot.py): a 1-D slice as (x labels, one series per
+    * measure), ready for any charting frontend.
+    */
+  final case class PlotData(xAxis: String, xs: Vector[String],
+                            series: Vector[(String, Vector[Option[Double]])])
+
+  def plotData(slice: DataFrame, xAxis: String, measures: Seq[String]): PlotData = {
+    val rows = slice.orderBy(col(xAxis).asc_nulls_first).collect()
+    val xs = rows.map(r => Option(r.getAs[Any](xAxis)).map(String.valueOf).getOrElse("")).toVector
+    val series = measures.toVector.map { m =>
+      m -> rows.map(r => Option(r.getAs[Any](m)).map(v => String.valueOf(v).toDouble)).toVector
+    }
+    PlotData(xAxis, xs, series)
+  }
+
   /** Plain-text render of a PivotTable (debug/demo — the reference's HTML
     * templates are out of scope; the data shape is what matters).
     */

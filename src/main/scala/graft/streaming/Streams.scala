@@ -24,6 +24,25 @@ object Streams {
         col("n_events"), col("sum_value"))
   }
 
+  /** Streaming cube slice: the Slicer's filters + axes + measures applied
+    * to a stream, grouped into tumbling windows with a watermark. The
+    * same CubeDef/CubeQuery that drives batch slices drives the stream —
+    * bacon's "cuttingboard over a refreshing dataset" with real
+    * incremental state instead of a re-scan.
+    */
+  def streamingSlice(stream: DataFrame, cube: graft.cube.CubeDef,
+                     q: graft.cube.CubeQuery, tsCol: String,
+                     windowLen: String, watermark: String = "1 hour"): DataFrame = {
+    val filtered = graft.cube.Slicer.filter(stream, cube, q).withWatermark(tsCol, watermark)
+    val axisCols = window(col(tsCol), windowLen).as("window") +:
+      q.axes.map(a => cube.label(a).named)
+    val aggCols = q.values.map(v => cube.measure(v).compiled)
+    filtered.groupBy(axisCols: _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .drop("window")
+  }
+
   /** Session windows with gap timeout — batch/stream symmetric. */
   def sessionAgg(events: DataFrame, tsCol: String, gap: String,
                  watermark: String = "1 hour", streaming: Boolean = false): DataFrame = {
