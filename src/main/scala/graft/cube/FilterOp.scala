@@ -50,8 +50,11 @@ object FilterOp {
   def related(op: String): Set[String] =
     opSets.find(_.contains(op)).getOrElse(Set.empty)
 
-  /** Operators taking a set of values rather than a scalar. */
-  val multiArg: Set[String] = Set(In, Ni) ++ opSets(2)
+  /** Operators taking a set of values rather than a scalar
+    * (bacon/constants.py MULTI_ARG_OPS = HAS_ARGS ∪ SET_ARGS — note
+    * hasonly is multi-arg but not in the related-ops family).
+    */
+  val multiArg: Set[String] = Set(In, Ni, HasOnly) ++ opSets(2)
 
   private def valueCol(v: Any): Column = v match {
     case c: Column => c

@@ -15,9 +15,10 @@ class UrlQueryBuilderSpec extends AnyFunSuite {
   }
 
   test("filter with explicit op and multi-arg op") {
-    val q = parse("f:x:gt:5/f:tags:hasany:a:b:c")
+    val q = parse("f:x:gt:5/f:tags:hasany:a:b:c/f:tags:hasonly:p:q")
     assert(q.filters(0) == Filter("x", "gt", "5"))
     assert(q.filters(1) == Filter("tags", "hasany", Vector("a", "b", "c")))
+    assert(q.filters(2) == Filter("tags", "hasonly", Vector("p", "q")))
   }
 
   test("escaped separators in values") {
