@@ -623,6 +623,44 @@ object Queries {
         .select(col("l_returnflag"), round(col("sum_qty"), 2).as("sum_qty"), col("n_rows"))
     },
 
+    // §2: exact interpolated percentiles (distribution measures)
+    "q33_percentile" -> oq(
+      """SELECT event_type,
+        |round(quantile_cont(value, 0.5), 4) AS p50,
+        |round(quantile_cont(value, 0.95), 4) AS p95
+        |FROM events GROUP BY event_type""") { (s, dir) =>
+      ev(s, dir).groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"))
+    },
+
+    // §2: semi-structured props column (JSON extraction in the scan)
+    "q34_json_props" -> oq(
+      """SELECT event_type,
+        |sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |count(*) AS n
+        |FROM events GROUP BY event_type""") { (s, dir) =>
+      ev(s, dir).groupBy("event_type")
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("n"))
+    },
+
+    // §2: running totals over the month series (window over ordered axis)
+    "q35_running_total" -> oq(
+      """SELECT m AS o_orderdate_month, n_orders,
+        |CAST(sum(n_orders) OVER (ORDER BY m) AS BIGINT) AS cum_orders
+        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |             count(*) AS n_orders
+        |      FROM orders GROUP BY 1)""") { (s, dir) =>
+      val q = CubeQuery().addAxis("o_orderdate_month").addValue("n_orders")
+      val monthly = Slicer.slice(ord(s, dir), Tpch.ordersCube, q)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_orderdate_month"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      monthly.withColumn("cum_orders", sum(col("n_orders")).over(w))
+        .select(col("o_orderdate_month"), col("n_orders"), col("cum_orders"))
+    },
+
     // §2.34: tumbling-window agg (streaming code path run on batch; oracle)
     "q29_window_tumbling" -> oq(
       """SELECT strftime(to_timestamp(floor(epoch(ts)/900)*900), '%Y-%m-%d %H:%M') AS window_start,

