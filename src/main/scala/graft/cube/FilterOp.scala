@@ -70,9 +70,21 @@ object FilterOp {
     case other           => array(lit(other))
   }
 
-  /** make_set (bacon/cutting.py:788): NULL → empty array, drop "". */
-  private def asSet(c: Column): Column =
-    array_distinct(array_remove(coalesce(c, array()), ""))
+  /** make_set (bacon/cutting.py:788): NULL → empty array; the reference
+    * additionally discards empty-STRING elements — only applicable (and
+    * only type-correct) when the filter values are strings.
+    */
+  private def asSet(c: Column, stringElems: Boolean): Column = {
+    val nonNull = coalesce(c, array())
+    array_distinct(if (stringElems) array_remove(nonNull, "") else nonNull)
+  }
+
+  private def valuesAreStrings(value: Any): Boolean = value match {
+    case s: Seq[_] => s.forall(_.isInstanceOf[String])
+    case s: Set[_] => s.forall(_.isInstanceOf[String])
+    case s: String => true
+    case _         => false
+  }
 
   private def falseIfNull(c: Column): Column = coalesce(c, lit(false))
 
@@ -130,6 +142,8 @@ object FilterOp {
   private def setEq(a: Column, b: Column): Column =
     size(array_except(a, b)) === 0 && size(array_except(b, a)) === 0
 
-  private def setCmp(col: Column, value: Any)(f: (Column, Column) => Column): Column =
-    f(asSet(col), asSet(arrayLit(value)))
+  private def setCmp(col: Column, value: Any)(f: (Column, Column) => Column): Column = {
+    val stringy = valuesAreStrings(value)
+    f(asSet(col, stringy), asSet(arrayLit(value), stringy))
+  }
 }

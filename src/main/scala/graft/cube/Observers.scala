@@ -51,22 +51,25 @@ object Observers {
                  measure: String, filters: Vector[Filter] = Vector.empty): PivotTable = {
     val q = CubeQuery(axes = Vector(rowAxis, colAxis),
       valueDefs = Vector(measure -> true), filters = filters)
-    val cells = Slicer.slice(df, cube, q, totals = Slicer.CubeTotals).collect()
+    // grouping_level (grouping_id) distinguishes subtotal rows from rows
+    // whose axis value is genuinely NULL: bit set = axis aggregated away.
+    val cells = Slicer.slice(df, cube, q, totals = Slicer.CubeTotals,
+      withGroupingId = true).collect()
 
     def key(r: Row, i: Int): Option[String] = Option(r.get(i)).map(String.valueOf)
+    def level(r: Row): Long = String.valueOf(r.get(3)).toLong
     def value(r: Row): Option[Double] =
       Option(r.get(2)).map(v => String.valueOf(v).toDouble)
+    def k(r: Row, i: Int): String = key(r, i).getOrElse("(none)")
 
-    val full = cells.filter(r => key(r, 0).isDefined && key(r, 1).isDefined)
-    val rowTot = cells.filter(r => key(r, 0).isDefined && key(r, 1).isEmpty)
-      .map(r => key(r, 0).get -> value(r)).toMap
-    val colTot = cells.filter(r => key(r, 0).isEmpty && key(r, 1).isDefined)
-      .map(r => key(r, 1).get -> value(r)).toMap
-    val grand = cells.find(r => key(r, 0).isEmpty && key(r, 1).isEmpty).flatMap(value)
+    val full = cells.filter(level(_) == 0)
+    val rowTot = cells.filter(level(_) == 1).map(r => k(r, 0) -> value(r)).toMap
+    val colTot = cells.filter(level(_) == 2).map(r => k(r, 1) -> value(r)).toMap
+    val grand = cells.find(level(_) == 3).flatMap(value)
 
-    val rowKeys = full.flatMap(r => key(r, 0)).distinct.sorted.toVector
-    val colKeys = full.flatMap(r => key(r, 1)).distinct.sorted.toVector
-    val cellMap = full.map(r => (key(r, 0).get, key(r, 1).get) -> value(r)).toMap
+    val rowKeys = full.map(k(_, 0)).distinct.sorted.toVector
+    val colKeys = full.map(k(_, 1)).distinct.sorted.toVector
+    val cellMap = full.map(r => (k(r, 0), k(r, 1)) -> value(r)).toMap
 
     PivotTable(
       rowAxis, colAxis, measure, colKeys,

@@ -41,4 +41,15 @@ class ObserversSpec extends SparkSpec {
     assert(t.grandTotal.contains(6.0))
     assert(Observers.render(t).contains("TOTAL"))
   }
+
+  test("pivot table keeps genuinely-NULL axis values distinct from totals rows") {
+    val dfn = Seq(("A", "x", 1.0), ("A", null.asInstanceOf[String], 2.0), ("B", "x", 4.0))
+      .toDF("k", "s", "v")
+    val t = Observers.pivotTable(dfn, cube, "k", "s", "sum_v")
+    assert(t.colKeys == Vector("(none)", "x"))
+    val rowA = t.rows.find(_._1 == "A").get
+    assert(rowA._2 == Vector(Some(2.0), Some(1.0)))
+    assert(rowA._3.contains(3.0)) // row total includes the null-keyed cell
+    assert(t.grandTotal.contains(7.0))
+  }
 }

@@ -65,6 +65,18 @@ class SlicerSpec extends SparkSpec {
     assert(n(FilterOp.DisjointFrom, Seq("p", "q")) == 2) // ("r") and the empty set
   }
 
+  test("set ops work on non-string (int) array labels") {
+    val d2 = Seq((1, Seq(1, 2)), (2, Seq(3)), (3, Seq.empty[Int])).toDF("id", "xs")
+    val c2 = CubeDef(Seq(Label("id"), Label("xs", col("xs"), isSet = true)),
+      Seq(Measure("n", lit(1), Agg.Count)))
+    def n(op: String, v: Seq[Int]): Long =
+      Slicer.slice(d2, c2, CubeQuery().addValue("n").addFilter("xs", v, op))
+        .collect()(0).getLong(0)
+    assert(n(FilterOp.HasAny, Seq(1, 3)) == 2)
+    assert(n(FilterOp.HasAll, Seq(1, 2)) == 1)
+    assert(n(FilterOp.DisjointFrom, Seq(1)) == 2)
+  }
+
   test("pivot produces one column per pivot value") {
     val q = CubeQuery().addAxis("k").addValue("sum_v").setPivot("s")
     val out = Slicer.slice(df, cube, q, pivotValues = Seq("x", "y"))
