@@ -85,7 +85,14 @@ object Slicer {
   private def applyOrder(df: DataFrame, q: CubeQuery): DataFrame = {
     if (q.order.isEmpty) return df
     val cols = q.order.map { o =>
-      val c = col(o.name)
+      // bacon/cubequery.py:278 — with a pivot key the sort targets that
+      // pivoted column (named after the pivot value(s)) rather than the
+      // measure-totals column.
+      val name =
+        if (o.pivotKey.nonEmpty && df.columns.contains(o.pivotKey.mkString("/")))
+          o.pivotKey.mkString("/")
+        else o.name
+      val c = col(name)
       if (o.ascending) c.asc_nulls_first else c.desc_nulls_last
     }
     // stable tiebreak on the row axes that exist in the output

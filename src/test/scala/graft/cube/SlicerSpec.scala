@@ -86,6 +86,13 @@ class SlicerSpec extends SparkSpec {
     assert(m("B").getDouble(1) == 7.0 && m("B").isNullAt(2))
   }
 
+  test("order by a pivoted column (o:name:pivotval)") {
+    val q = CubeQuery().addAxis("k").addValue("sum_v").setPivot("s")
+      .orderBy("-sum_v", Seq("x"))
+    val out = Slicer.slice(df, cube, q, pivotValues = Seq("x", "y")).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("B", "A")) // by column x: 7 > 1
+  }
+
   test("rollup adds the grand-total row") {
     val out = Slicer.slice(df, cube, CubeQuery().addAxis("k").addValue("sum_v"),
       totals = Slicer.RollupTotals).collect()
