@@ -584,6 +584,20 @@ object Queries {
         minShingleFingerprint(col("text"), 3).as("min_shingle_fp"))
     },
 
+    // §2: heavy-hitters sketch (TypedImperativeAggregate, space-saving) —
+    // exact here because capacity exceeds the corpus vocabulary
+    "d12_heavy_hitters" -> oq(
+      """SELECT w AS value, count(*) AS count
+        |FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |             t -> len(t) > 0)) AS w FROM documents)
+        |GROUP BY w ORDER BY count DESC, w LIMIT 10""") { (s, dir) =>
+      import graft.functions.HeavyHitters.heavyHitters
+      docs(s, dir)
+        .select(explode(graft.text.TextFunctions.wsTokens(lower(col("text")))).as("w"))
+        .agg(heavyHitters(col("w"), 10, capacity = 4096).as("hh"))
+        .selectExpr("inline(hh)")
+    },
+
     // §2.47: multimodal binary plumbing (rows-only; decode is a marked fake)
     "m01_multimodal" -> nq { (s, dir) =>
       import graft.multimodal.Multimodal._

@@ -45,9 +45,12 @@ object Sources {
       .write.partitionBy("p_date").mode("overwrite").parquet(path)
 
   /** Bucketed table sink: pre-shuffles once on the join/agg key so every
-    * later join or groupBy on that key is shuffle-free (co-located).
+    * later join or groupBy on that key is shuffle-free (co-located) — the
+    * bucketed scan reports HashPartitioning(key, buckets) and Catalyst
+    * drops the Exchange.
     */
-  def writeBucketed(df: DataFrame, key: String, buckets: Int, table: String): Unit =
+  def writeBucketed(df: DataFrame, key: String, buckets: Int, table: String,
+                    path: String): Unit =
     df.write.bucketBy(buckets, key).sortBy(key).mode("overwrite")
-      .option("path", s"spark-warehouse/$table").saveAsTable(table)
+      .option("path", path).saveAsTable(table)
 }

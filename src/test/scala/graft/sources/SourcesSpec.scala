@@ -33,6 +33,18 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("p_date"), plan)
   }
 
+  test("bucketed table aggregation runs without a shuffle exchange") {
+    val dir = Files.createTempDirectory("graftbucket").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_test")
+    val df = Seq.tabulate(100)(i => (i % 7L, i.toDouble)).toDF("k", "v")
+    Sources.writeBucketed(df, "k", 4, "graft_bucket_test", dir)
+    val agg = spark.table("graft_bucket_test").groupBy("k").agg(sum("v").as("s"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan) // bucketing pre-partitioned the scan
+    assert(agg.collect().length == 7)
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_test")
+  }
+
   test("parquet streaming source yields a streaming frame with the batch schema") {
     val dir = Files.createTempDirectory("graftstream").toString + "/t"
     val df = Seq((1L, "a")).toDF("id", "s")
