@@ -79,6 +79,42 @@ object Observers {
       grandTotal = grand)
   }
 
+  /** Excel export (the reference's excel observer,
+    * bacon/observers/excel.py) as SpreadsheetML 2003 XML — opens in
+    * Excel/LibreOffice, zero external dependencies. Numeric columns
+    * become typed Number cells so spreadsheet aggregation works.
+    */
+  def toExcelXml(slice: DataFrame, sheetName: String = "slice"): String = {
+    def esc(s: String): String = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+    val numeric = slice.schema.fields.map(f => f.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    })
+    val sb = new StringBuilder
+    sb ++= """<?xml version="1.0"?>""" + "\n"
+    sb ++= """<Workbook xmlns="urn:schemas-microsoft-com:office:spreadsheet"""" +
+      """ xmlns:ss="urn:schemas-microsoft-com:office:spreadsheet">""" + "\n"
+    sb ++= s"""<Worksheet ss:Name="${esc(sheetName)}"><Table>""" + "\n"
+    sb ++= slice.columns.map(c =>
+      s"""<Cell><Data ss:Type="String">${esc(c)}</Data></Cell>""")
+      .mkString("<Row>", "", "</Row>\n")
+    slice.collect().foreach { r =>
+      sb ++= "<Row>"
+      r.toSeq.zipWithIndex.foreach { case (v, i) =>
+        if (v == null) sb ++= "<Cell/>"
+        else if (numeric(i))
+          sb ++= s"""<Cell><Data ss:Type="Number">${String.valueOf(v)}</Data></Cell>"""
+        else
+          sb ++= s"""<Cell><Data ss:Type="String">${esc(String.valueOf(v))}</Data></Cell>"""
+      }
+      sb ++= "</Row>\n"
+    }
+    sb ++= "</Table></Worksheet></Workbook>\n"
+    sb.result()
+  }
+
   /** Plot descriptor — the reference's plot observer
     * (bacon/observers/plot.py): a 1-D slice as (x labels, one series per
     * measure), ready for any charting frontend.

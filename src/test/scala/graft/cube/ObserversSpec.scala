@@ -42,6 +42,19 @@ class ObserversSpec extends SparkSpec {
     assert(Observers.render(t).contains("TOTAL"))
   }
 
+  test("excel XML export is well-formed with typed cells") {
+    val slice = Slicer.slice(df, cube,
+      CubeQuery().addAxis("k").addValue("sum_v").orderBy("k"))
+    val xml = Observers.toExcelXml(slice.withColumnRenamed("k", "k<&>"))
+    // well-formedness via the JDK parser
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    val doc = f.newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+    assert(doc.getElementsByTagName("Row").getLength == 3) // header + 2 rows
+    assert(xml.contains("""ss:Type="Number">3.0"""))
+    assert(xml.contains("k&lt;&amp;&gt;"))
+  }
+
   test("pivot table keeps genuinely-NULL axis values distinct from totals rows") {
     val dfn = Seq(("A", "x", 1.0), ("A", null.asInstanceOf[String], 2.0), ("B", "x", 4.0))
       .toDF("k", "s", "v")
