@@ -27,9 +27,27 @@ object Dedup {
     * per-pair match count, |A∪B| from the per-doc shingle counts.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingleSet(col(textCol), k).as("shingles"))
+                        k: Int = 3, threshold: Double = 0.5,
+                        stopShingleFraction: Double = 1.0): DataFrame = {
+    val sh0 = df.select(col(idCol).as("id"), shingleSet(col(textCol), k).as("shingles"))
       .select(col("id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
+    // Optional web-scale stop-shingle cut: shingles occurring in more
+    // than `stopShingleFraction` of docs generate quadratic join fanout
+    // while carrying almost no near-dup signal (standard w-shingling
+    // practice). 1.0 = off (exact |A∩B| counts, the oracle default).
+    val sh =
+      if (stopShingleFraction >= 1.0) sh0
+      else {
+        val nDocs = df.count()
+        val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+          .where(col("df") > lit(stopShingleFraction * nDocs))
+          .select(col("sh").as("hot_sh"))
+        val kept = sh0.join(broadcast(hot), col("sh") === col("hot_sh"), "left_anti")
+        // jaccard is then computed over the REDUCED shingle universe, so
+        // |A| and |B| must be the post-cut counts too
+        val sz2 = kept.groupBy("id").agg(count(lit(1)).as("sz2"))
+        kept.drop("sz").join(sz2, "id").withColumnRenamed("sz2", "sz")
+      }
     val a = sh.alias("a"); val b = sh.alias("b")
     a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),

@@ -29,6 +29,17 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("stop-shingle cut drops ubiquitous shingles but keeps true near-dups") {
+    // 'the quick brown' etc. appear in docs 1,2,3 (60% of corpus); with a
+    // 0.5 cutoff those shingles stop generating pairs, yet docs 1 and 3
+    // (identical content) still pair via their remaining shared shingles.
+    val cut = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.3, stopShingleFraction = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cut.contains((1L, 3L)))
+    assert(!cut.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("minhash LSH recovers the exact-jaccard pairs on this corpus") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
