@@ -99,13 +99,17 @@ object Queries {
         .select(col("l_returnflag"), round(col("margin_ratio"), 6).as("margin_ratio"))
     },
 
-    // §2.8: Union accumulator over a set-valued measure
+    // §2.8: Union accumulator over a set-valued measure. The set is emitted
+    // in canonical space-joined string form on both sides: the driver's
+    // pandas-side compare cannot sort/hash array cells.
     "q06_union_acc" -> oq(
-      """SELECT p_brand, list(DISTINCT w ORDER BY w) AS type_word_set
+      """SELECT p_brand,
+        |array_to_string(list_sort(list(DISTINCT w)), ' ') AS type_word_set
         |FROM (SELECT p_brand, unnest(string_split(p_type, ' ')) AS w FROM part)
         |GROUP BY p_brand""") { (s, dir) =>
       val q = CubeQuery().addAxis("p_brand").addValue("type_word_set")
       Slicer.slice(part(s, dir), Tpch.partCube, q)
+        .select(col("p_brand"), array_join(col("type_word_set"), " ").as("type_word_set"))
     },
 
     // §2.10: 0-dimensional slice (grand total)
@@ -549,11 +553,13 @@ object Queries {
         .agg(round(avg(col("quality")), 4).as("avg_quality"), count(lit(1)).as("n_docs"))
     },
 
-    // §2.45: token counting (whitespace + BPE-ish regex)
+    // §2.45: token counting (whitespace + BPE-ish regex). Outer CASTs:
+    // DuckDB sum(BIGINT) is HUGEINT → float64 under the driver's pandas
+    // compare; cast back to BIGINT to match Spark's int64.
     "d10_tokens" -> oq(
       """SELECT source,
-        |sum(CAST(len(list_filter(string_split_regex(trim(text),'\s+'), t -> len(t)>0)) AS BIGINT)) AS ws_tokens,
-        |sum(CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]', 0)) AS BIGINT)) AS bpe_tokens,
+        |CAST(sum(CAST(len(list_filter(string_split_regex(trim(text),'\s+'), t -> len(t)>0)) AS BIGINT)) AS BIGINT) AS ws_tokens,
+        |CAST(sum(CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]', 0)) AS BIGINT)) AS BIGINT) AS bpe_tokens,
         |count(*) AS n_docs
         |FROM documents GROUP BY source""") { (s, dir) =>
       import graft.text.TextFunctions._
@@ -648,10 +654,12 @@ object Queries {
           round(expr("percentile(value, 0.95)"), 4).as("p95"))
     },
 
-    // §2: semi-structured props column (JSON extraction in the scan)
+    // §2: semi-structured props column (JSON extraction in the scan).
+    // Outer CAST: DuckDB sum(BIGINT) yields HUGEINT, which the driver's
+    // pandas compare renders as float64 and hash-mismatches Spark's int64.
     "q34_json_props" -> oq(
       """SELECT event_type,
-        |sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |count(*) AS n
         |FROM events GROUP BY event_type""") { (s, dir) =>
       ev(s, dir).groupBy("event_type")

@@ -77,6 +77,10 @@ final class CuttingBoard(
     }
 
   private def reuse(q: CubeQuery): Option[DataFrame] = {
+    // Pivot queries produce a wide shape the cached (long) slices cannot
+    // serve — a pivot query can otherwise match Strategy 1/2 on its axes
+    // and be answered in the wrong shape.
+    if (q.pivot.nonEmpty) return None
     // Strategy 1: exact slice (axes + filters match, values covered)
     val exact = cache.indexWhere { case (cq, _) =>
       cq.axes == q.axes &&

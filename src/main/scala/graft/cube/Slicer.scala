@@ -47,7 +47,12 @@ object Slicer {
       withGroupingId: Boolean = false,
   ): DataFrame = {
     val filtered = filter(df, cube, q)
-    val aggCols = q.values.map(v => cube.measure(v).compiled)
+    // Aggregate everything the query keeps in the slice — including
+    // values added with visible=false ("accumulated, not shown"), which
+    // the CuttingBoard relies on for cache coverage. A query with no
+    // values at all still yields a row count (the reference's default).
+    val aggCols0 = q.valuesInSlice.map(v => cube.measure(v).compiled)
+    val aggCols = if (aggCols0.nonEmpty) aggCols0 else Seq(count(lit(1)).as("count"))
 
     val result =
       if (q.pivot.nonEmpty) {
@@ -70,8 +75,7 @@ object Slicer {
         val out =
           if (withGroupingId && totals != NoTotals) aggCols :+ grouping_id().as("grouping_level")
           else aggCols
-        if (q.axes.isEmpty && out.isEmpty) filtered.agg(count(lit(1)).as("count"))
-        else grouped.agg(out.head, out.tail: _*)
+        grouped.agg(out.head, out.tail: _*)
       }
 
     val ordered = applyOrder(result, q)

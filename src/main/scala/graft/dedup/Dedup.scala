@@ -80,22 +80,31 @@ object Dedup {
     val withSig = df.select(col(idCol).as("id"), shingleSet(col(textCol), k).as("shingles"))
       .withColumn("sig", minhashSignature(col("shingles"), numHashes))
 
+    // The band explode carries ONLY (id, band, bucket) into the bucket
+    // join — shingle arrays must not ride through it, or every doc's full
+    // shingle set is duplicated `bands`× into the shuffle. Candidates are
+    // id pairs; the exact-Jaccard verify joins shingles back by id, so
+    // each shingle set crosses the wire at most once per side.
     val banded = withSig.select(
-      col("id"), col("shingles"),
+      col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))).as("bucket")))).as("bb"))
-      .select(col("id"), col("shingles"), col("bb.band"), col("bb.bucket"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
 
     val a = banded.alias("a"); val b = banded.alias("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.shingles").as("sh1"), col("b.shingles").as("sh2"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .dropDuplicates("id1", "id2")
 
+    val sh = withSig.select(col("id"), col("shingles"))
     candidates
+      .join(sh.as("s1"), col("id1") === col("s1.id"))
+      .join(sh.as("s2"), col("id2") === col("s2.id"))
+      .select(col("id1"), col("id2"),
+        col("s1.shingles").as("sh1"), col("s2.shingles").as("sh2"))
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
       .withColumn("jaccard", col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
       .where(col("jaccard") >= threshold)
@@ -116,6 +125,10 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    // Pigeonhole over 4 bands is only complete for ≤3 differing bits; a
+    // larger radius would silently drop pairs spread across all quarters.
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhashPairs supports maxHamming in [0,3] (4-band pigeonhole), got $maxHamming")
     val hashed = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
     val banded = hashed.select(col("id"), col("sh"),
       explode(transform(sequence(lit(0), lit(3)),

@@ -10,13 +10,22 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  /** Star-schema join: fact joined to each (small) dimension with an
-    * explicit broadcast hint so the fact table never shuffles. The
-    * reference assumes records arrive pre-joined (bacon works on a single
-    * iterable); at 100 TB the join must be explicit and broadcast-side.
+  /** Star-schema join: fact joined to each dimension, broadcast-hinted
+    * ONLY when the dimension's estimated size is under `broadcastThreshold`
+    * bytes. Unbounded "dims" (e.g. an orders table that scales with the
+    * fact) would OOM the executors if force-broadcast at 100 TB, so they
+    * join without a hint and AQE picks SMJ / shuffled-hash / runtime
+    * broadcast from actual stats. The reference assumes records arrive
+    * pre-joined (bacon works on a single iterable); at scale the join must
+    * be explicit, with broadcast reserved for genuinely bounded tables.
     */
-  def starJoin(fact: DataFrame, dims: Seq[(DataFrame, Column)]): DataFrame =
-    dims.foldLeft(fact) { case (acc, (dim, on)) => acc.join(broadcast(dim), on) }
+  def starJoin(fact: DataFrame, dims: Seq[(DataFrame, Column)],
+               broadcastThreshold: Long = 64L << 20): DataFrame =
+    dims.foldLeft(fact) { case (acc, (dim, on)) =>
+      val estBytes = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (estBytes <= broadcastThreshold) acc.join(broadcast(dim), on)
+      else acc.join(dim, on)
+    }
 
   /** Top-k rows per group — one shuffle on the partition keys, rank
     * computed in-partition. `order` must be deterministic (include a

@@ -52,6 +52,37 @@ object Similarity {
   def hyperplaneBucket(vec: Column, numPlanes: Int, seed: Int = 0): Column =
     graft.functions.VectorFunctions.hyperplaneBucket(vec, numPlanes, seed)
 
+  /** Candidate id pairs from shared hyperplane buckets: `numTables`
+    * independent plane sets; the band explode carries ONLY
+    * (id, table, bucket) — vectors never ride through the bucket shuffle.
+    * `keepSelf=false` emits each unordered pair once (id1 < id2).
+    */
+  private def lshCandidatePairs(v: DataFrame, numPlanes: Int, numTables: Int,
+                                ordered: Boolean): DataFrame = {
+    val tabled = v.select(col("id"),
+      explode(array((0 until numTables).map(t =>
+        struct(lit(t).as("t"),
+          hyperplaneBucket(col("v"), numPlanes, seed = t).as("bucket"))): _*)).as("tb"))
+      .select(col("id"), col("tb.t"),
+        xxhash64(concat_ws(":", col("tb.t"), col("tb.bucket"))).as("bucket"))
+    val a = tabled.alias("a"); val b = tabled.alias("b")
+    val idCond =
+      if (ordered) col("a.id") =!= col("b.id") else col("a.id") < col("b.id")
+    a.join(b, col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") && idCond)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .dropDuplicates("id1", "id2")
+  }
+
+  /** Exact cosine for candidate id pairs, joining vectors back by id — each
+    * vector crosses the wire once per side (equi-join, AQE-plannable).
+    */
+  private def rerank(cands: DataFrame, v: DataFrame): DataFrame =
+    cands
+      .join(v.as("x"), col("id1") === col("x.id"))
+      .join(v.as("y"), col("id2") === col("y.id"))
+      .select(col("id1"), col("id2"),
+        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
+
   /** ANN via hyperplane LSH: candidates from shared buckets (several
     * independent tables to boost recall), exact cosine rerank, top-k.
     */
@@ -59,33 +90,34 @@ object Similarity {
                  k: Int, numPlanes: Int = 12, numTables: Int = 4): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val tabled = v.select(col("id"), col("v"), col("nrm"),
-      explode(array((0 until numTables).map(t =>
-        struct(lit(t).as("t"),
-          hyperplaneBucket(col("v"), numPlanes, seed = t).as("bucket"))): _*)).as("tb"))
-      .select(col("id"), col("v"), col("nrm"), col("tb.t"),
-        xxhash64(concat_ws(":", col("tb.t"), col("tb.bucket"))).as("bucket"))
-    val a = tabled.alias("a"); val b = tabled.alias("b")
-    val cands = a.join(b,
-        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
-      .dropDuplicates("id1", "id2")
+    val cands = lshCandidatePairs(v, numPlanes, numTables, ordered = true)
     val w = Window.partitionBy(col("id1")).orderBy(col("cos").desc, col("id2").asc)
-    cands.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+    rerank(cands, v)
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold, exact. */
+  /** Embedding near-duplicate pairs: cosine ≥ threshold.
+    *
+    * Scale path (default): hyperplane-LSH bucket candidates + exact rerank
+    * — equi-joins only, no O(n²) BroadcastNestedLoopJoin. The default
+    * 8 planes × 16 tables make the per-pair miss probability at cos=0.9
+    * ≈ (1-(1-acos(0.9)/π)^8)^16 < 1e-3, and far smaller for the
+    * closer-than-threshold pairs dedup actually targets; pass
+    * numTables=0 for the exact all-pairs fallback on small inputs.
+    */
   def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double): DataFrame = {
+                     threshold: Double, numPlanes: Int = 8,
+                     numTables: Int = 16): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val a = v.alias("a"); val b = v.alias("b")
-    a.join(b, col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+    val cands =
+      if (numTables <= 0) { // exact all-pairs (test/recall-baseline mode)
+        val a = v.alias("a"); val b = v.alias("b")
+        a.join(b, col("a.id") < col("b.id"))
+          .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      } else lshCandidatePairs(v, numPlanes, numTables, ordered = false)
+    rerank(cands, v)
       .where(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
   }

@@ -19,7 +19,9 @@ object Tpch {
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // Integer `div`, not `/`: epoch-nanos exceed double's 2^53 exact
+      // range, so float division can land in the wrong microsecond.
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None    => df
     }
   }

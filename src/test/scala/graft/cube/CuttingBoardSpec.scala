@@ -65,6 +65,31 @@ class CuttingBoardSpec extends SparkSpec {
     board.clear()
   }
 
+  test("pivot query is never served from a cached long slice") {
+    val board = freshBoard()
+    val long = CubeQuery().addAxis("k").addAxis("s").addValue("sum_v")
+    board.slice(long).collect()
+    val piv = long.setPivot("s") // same axes vector — would match Strategy 1
+    val out = board.slice(piv)
+    assert(board.stats._1 == 0L) // must NOT be a cache hit
+    assert(out.columns.toSet == Set("k", "x", "y")) // wide pivoted shape
+    board.clear()
+  }
+
+  test("invisible value is accumulated in the slice and reusable from cache") {
+    val board = freshBoard()
+    val probe = CubeQuery().addAxis("k").addValue("sum_v", visible = false).addValue("n")
+    val first = board.slice(probe)
+    assert(first.columns.contains("sum_v")) // accumulated though invisible
+    // a later query wanting sum_v visibly is covered by the cached slice
+    val visible = CubeQuery().addAxis("k").addValue("sum_v").addValue("n")
+    val got = board.slice(visible).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(board.stats._1 == 1L)
+    assert(got("A") == 7.0 && got("B") == 24.0)
+    board.clear()
+  }
+
   test("cached result equals direct Slicer result") {
     val board = freshBoard()
     val fine = CubeQuery().addAxis("k").addAxis("s").addAxis("y").addValue("sum_v")

@@ -52,6 +52,23 @@ class DedupSpec extends SparkSpec {
     assert(lsh.contains((1L, 2L)))
   }
 
+  test("minhash band exchange carries only ids and bucket keys, not shingle payloads") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, threshold = 0.5).queryExecution.sparkPlan
+    val bad = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.output.exists(_.name == "band") && e.output.exists(_.name == "shingles") => e
+    }
+    assert(bad.isEmpty, s"shingle arrays ride the band shuffle:\n$plan")
+  }
+
+  test("simhashPairs rejects maxHamming beyond the 4-band pigeonhole guarantee") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 4)
+    }
+  }
+
   test("simhash: identical token bags collide, near-dups are close, different docs far") {
     val h = docs.select($"doc_id", Dedup.simhash64($"text").as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

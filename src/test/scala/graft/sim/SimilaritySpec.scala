@@ -38,6 +38,17 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (3L, 4L)))
   }
 
+  test("bucketed dup pairs equal the exact all-pairs result, via equi-joins only") {
+    val exact = Similarity.cosineDupPairs(vecs, "vec_id", "embedding", 0.95, numTables = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Similarity.cosineDupPairs(vecs, "vec_id", "embedding", 0.95)
+    val got = bucketed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact && exact == Set((1L, 2L), (3L, 4L)))
+    // the scale contract: no O(n²) nested-loop join in the default plan
+    val plan = bucketed.queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("ANN LSH candidates are a subset of brute-force with matching cosines") {
     val brute = Similarity.cosineTopK(vecs, "vec_id", "embedding", k = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -41,6 +41,18 @@ def main(sf_dir, out_dir):
             print(f"ERROR   {name}: {e}"); n_bad += 1; continue
         if sorted(sp_cols) != sorted(du_cols):
             print(f"SCHEMA  {name}: spark={sorted(sp_cols)} duck={sorted(du_cols)}"); n_bad += 1; continue
+        # The real driver compares through pandas: DuckDB HUGEINT becomes
+        # float64 (hash-mismatches Spark int64) and LIST cells are
+        # unsortable/unhashable. Flag both as failures even though the
+        # fetchall() compare below would paper over them.
+        du_types = [d[1] for d in du.description]
+        bad_types = [(c, t) for c, t in zip(du_cols, du_types)
+                     if str(t) in ("HUGEINT", "INT128") or str(t).endswith("[]") or "LIST" in str(t).upper()]
+        sp_types = [d[1] for d in sp.description]
+        bad_types += [(c, t) for c, t in zip(sp_cols, sp_types)
+                      if str(t).endswith("[]") or "LIST" in str(t).upper()]
+        if bad_types:
+            print(f"DTYPE   {name}: driver-pandas-unsafe columns {bad_types}"); n_bad += 1; continue
         sc, sr = norm(sp_rows, sp_cols)
         dc, dr = norm(du_rows, du_cols)
         if sr == dr:
