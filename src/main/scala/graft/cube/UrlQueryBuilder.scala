@@ -30,11 +30,24 @@ object UrlQueryBuilder {
   def bsescape(s: String, unsafe: String): String =
     s.flatMap(c => if (unsafe.contains(c) || c == '\\') s"\\$c" else c.toString)
 
-  /** Parse a query string into a CubeQuery. Values stay Strings; the
-    * CubeDef's label expressions compare against string literals (Spark
-    * casts as needed), matching the reference's parse-on-label behavior.
+  /** Parse a query string into a CubeQuery. Values stay Strings (Spark
+    * casts literals as needed); use the CubeDef overload for typed parsing.
     */
-  def parse(s: String): CubeQuery = {
+  def parse(s: String): CubeQuery = parseWith(s, (_, raw) => raw)
+
+  /** Typed parse: every filter token runs through its label's ValueCodec
+    * — the reference's `label.parse(value)` on each URL token
+    * (bacon/builders/url.py:114). This is what makes relative-date
+    * filters (`f:o_orderdate_month:-6` = six months ago) slice correctly
+    * instead of string-comparing "-6" against a DATE column. Labels not
+    * in the cubedef, or without a codec, stay raw strings.
+    */
+  def parse(s: String, cubedef: CubeDef,
+            today: java.time.LocalDate = java.time.LocalDate.now): CubeQuery =
+    parseWith(s, (name, raw) =>
+      if (cubedef.hasLabel(name)) cubedef.label(name).parseValue(raw, today) else raw)
+
+  private def parseWith(s: String, parseValue: (String, String) => Any): CubeQuery = {
     var q = CubeQuery()
     for (chunk <- bssplit(s, '/') if chunk.nonEmpty) {
       val tokens = bssplit(chunk, ':')
@@ -52,11 +65,11 @@ object UrlQueryBuilder {
           case _            => q
         }
         case "f" => args match {
-          case Vector(name, value) => q = q.addFilter(name, value, FilterOp.Eq)
+          case Vector(name, value) => q = q.addFilter(name, parseValue(name, value), FilterOp.Eq)
           case Vector(name, op, value) if !FilterOp.multiArg.contains(op) =>
-            q = q.addFilter(name, value, op)
+            q = q.addFilter(name, parseValue(name, value), op)
           case name +: op +: values if FilterOp.multiArg.contains(op) =>
-            q = q.addFilter(name, values, op)
+            q = q.addFilter(name, values.map(parseValue(name, _)), op)
           case _ => throw new IllegalArgumentException(s"bad filter: '$chunk'")
         }
         case other => throw new IllegalArgumentException(s"unknown command: '$other'")
@@ -68,13 +81,26 @@ object UrlQueryBuilder {
   private def enc(s: String): String = bsescape(s, "/:")
 
   /** Serialize a CubeQuery back to the URL syntax (round-trips parse). */
-  def toUrlString(q: CubeQuery): String = {
+  def toUrlString(q: CubeQuery): String =
+    toUrlStringWith(q, (_, v) => String.valueOf(v))
+
+  /** Typed serialize: filter values run through their label's ValueCodec
+    * unparse — the reference's `label.unparse(v)` on render
+    * (bacon/builders/url.py:184). Round-trips `parse(s, cubedef)` for
+    * absolute values (relative tokens intentionally resolve to the
+    * concrete period on parse, as in the reference).
+    */
+  def toUrlString(q: CubeQuery, cubedef: CubeDef): String =
+    toUrlStringWith(q, (name, v) =>
+      if (cubedef.hasLabel(name)) cubedef.label(name).unparseValue(v) else String.valueOf(v))
+
+  private def toUrlStringWith(q: CubeQuery, unparse: (String, Any) => String): String = {
     val parts = Vector.newBuilder[String]
     for (f <- q.filters) {
       val v = f.value match {
-        case vs: Seq[_] => vs.map(x => enc(String.valueOf(x))).mkString(":")
+        case vs: Seq[_] => vs.map(x => enc(unparse(f.name, x))).mkString(":")
         case null       => ""
-        case x          => enc(String.valueOf(x))
+        case x          => enc(unparse(f.name, x))
       }
       if (f.op == FilterOp.Eq) parts += s"f:${f.name}:$v"
       else parts += s"f:${f.name}:${f.op}:$v"

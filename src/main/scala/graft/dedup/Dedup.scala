@@ -59,6 +59,18 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Web-scale entry point for n-gram Jaccard near-dup: identical
+    * operator, but the stop-shingle cut is ON by default. At corpus scale
+    * a shingle shared by a large fraction of documents produces quadratic
+    * join fanout while carrying no near-dup signal — one hot shingle in
+    * 1% of 10⁹ docs is 10¹⁴ candidate pairs. The exact variant
+    * (ngramJaccardPairs, cut off) remains the oracle/test mode.
+    */
+  def ngramJaccardPairsAtScale(df: DataFrame, idCol: String, textCol: String,
+                               k: Int = 3, threshold: Double = 0.5,
+                               stopShingleFraction: Double = 0.1): DataFrame =
+    ngramJaccardPairs(df, idCol, textCol, k, threshold, stopShingleFraction)
+
   /** MinHash signature: sig(j) = min over shingles of xxhash64(shingle,
     * seed=j). Native codegen'd expression (graft.functions.MinHashSig).
     */

@@ -115,6 +115,18 @@ class SlicerSpec extends SparkSpec {
     assert(re("A") == (3.0, 2L) && re("B") == (12.0, 3L))
   }
 
+  test("URL-parsed relative date filter slices correctly (typed codec path)") {
+    val d2 = Seq(("2026-02-03", 1.0), ("2026-02-20", 2.0), ("2026-03-05", 4.0))
+      .toDF("dt", "v").withColumn("dt", to_date($"dt"))
+    val c2 = CubeDef(
+      labels = DateLabels.hierarchy("dt", dim = "t"),
+      measures = Seq(Measure("sum_v", col("v"), Agg.Sum)))
+    val today = java.time.LocalDate.of(2026, 8, 12)
+    val q = UrlQueryBuilder.parse("a:dt_month/v:sum_v/f:dt_month:-6", c2, today)
+    val out = Slicer.slice(d2, c2, q).collect()
+    assert(out.length == 1 && out(0).getDouble(1) == 3.0) // Feb only
+  }
+
   test("filters push down to the scan (PushedFilters in the plan)") {
     val tmp = java.nio.file.Files.createTempDirectory("graftpq").toString
     df.write.mode("overwrite").parquet(tmp)

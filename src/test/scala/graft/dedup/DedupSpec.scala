@@ -52,6 +52,14 @@ class DedupSpec extends SparkSpec {
     assert(lsh.contains((1L, 2L)))
   }
 
+  test("scale entry point applies the stop-shingle cut by default") {
+    val atScale = Dedup.ngramJaccardPairsAtScale(docs, "doc_id", "text",
+      k = 3, threshold = 0.3)
+    val explicit = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.3, stopShingleFraction = 0.1)
+    assert(atScale.collect().toSet == explicit.collect().toSet)
+  }
+
   test("minhash band exchange carries only ids and bucket keys, not shingle payloads") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val plan = Dedup.minhashLshPairs(docs, "doc_id", "text",
