@@ -131,6 +131,108 @@ object Observers {
     PlotData(xAxis, xs, series)
   }
 
+  /** Paginated table math — the reference's PaginatedViewer
+    * (bacon/observers/tables.py:16-131): page count, the Prev/1 2 … n/Next
+    * link row with ellipsis runs, and the query for a given page.
+    */
+  object Pagination {
+    /** One navigation entry: (label, target page if clickable, is-current). */
+    final case class PageLink(label: String, page: Option[Int], current: Boolean)
+
+    /** tables.py:104 num_pages (pageSize 0 = everything on one page). */
+    def numPages(nrows: Long, pageSize: Int): Int =
+      if (pageSize <= 0) 1 else math.ceil(nrows.toDouble / pageSize).toInt
+
+    /** tables.py:112 pages: Prev · pages before (elided to 2+…+2 when the
+      * run exceeds 7) · current (static) · pages after · Next. Empty when
+      * everything fits one page.
+      */
+    def pages(nrows: Long, pageSize: Int, curPage: Int): Vector[PageLink] = {
+      val n = numPages(nrows, pageSize)
+      if (n <= 1) return Vector.empty
+      def link(p: Int) = PageLink((p + 1).toString, Some(p), current = false)
+      def run(start: Int, end: Int): Vector[PageLink] =
+        if (end - start < 7) (start until end).map(link).toVector
+        else ((start until start + 2).map(link).toVector :+ PageLink("...", None, current = false)) ++
+          (end - 2 until end).map(link)
+      (PageLink("« Prev", if (curPage > 0) Some(curPage - 1) else None, current = false) +:
+        run(0, curPage)) ++
+        (PageLink((curPage + 1).toString, None, current = true) +:
+          run(curPage + 1, n)) :+
+        PageLink("Next »", if (curPage < n - 1) Some(curPage + 1) else None, current = false)
+    }
+
+    /** The query showing page `p` (0-based) — tables.py:126 to_string_page
+      * re-expressed as limit/offset on the CubeQuery.
+      */
+    def pageQuery(q: CubeQuery, pageSize: Int, p: Int): CubeQuery =
+      q.setLimit(pageSize).setOffset(p * pageSize)
+  }
+
+  // ---- JSON nav payload (bacon/observers/json.py render_nav_json) ----
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"; case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+  private def jobj(fields: Seq[(String, String)]): String =
+    fields.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+  private def jarr(items: Seq[String]): String = items.mkString("[", ",", "]")
+
+  /** The structured payload a frontend binds its navigation UI to —
+    * axes grouped by dimension with expansion URLs, active filters with
+    * drop/invert/related URLs, hidden values with show URLs
+    * (bacon/observers/json.py:13 render_nav_json). URLs come from the
+    * typed UrlQueryBuilder so date filters survive the round-trip.
+    */
+  def navJson(nav: Navigator, urlPrefix: String = ""): String = {
+    def url(q: CubeQuery): String =
+      jstr(urlPrefix + UrlQueryBuilder.toUrlString(q, nav.cubedef))
+
+    val byDim = nav.expansions
+      .groupBy { case (l, _) => l.dimension.getOrElse("Other axes") }
+    val axes = nav.expansions.map(_._1.dimension.getOrElse("Other axes"))
+      .distinct.map { dim =>
+        jobj(Seq(
+          "dimension" -> jstr(dim),
+          "axes" -> jarr(byDim(dim).map { case (l, q) =>
+            jobj(Seq(
+              "label" -> jstr(l.prettyTitle),
+              "url" -> q.fold("null")(url)))
+          })))
+      }
+
+    val filters = nav.filters.map { f =>
+      val pv = f.value match {
+        case vs: Seq[_] => vs.map(String.valueOf).sorted.mkString(", ")
+        case v          => String.valueOf(v)
+      }
+      val pn = if (nav.cubedef.hasLabel(f.name)) nav.cubedef.label(f.name).prettyTitle else f.name
+      jobj(Seq(
+        "label" -> jstr(s"$pn ${nav.prettyOp.getOrElse(f.op, f.op)} $pv"),
+        "drop_url" -> url(f.queryWithout),
+        "invert_url" -> url(f.queryInvert),
+        "related_urls" -> jobj(f.queryRelated.toSeq.sortBy(_._1).map { case (op, q) =>
+          nav.prettyOp.getOrElse(op, op) -> url(q)
+        })))
+    }
+
+    val values = nav.hiddenValues.map { case (m, q) =>
+      jobj(Seq(
+        "label" -> jstr(m.title.getOrElse(m.name)),
+        "show_url" -> url(q)))
+    }
+
+    jobj(
+      (if (axes.nonEmpty) Seq("axes" -> jarr(axes)) else Nil) ++
+        (if (filters.nonEmpty) Seq("filters" -> jarr(filters)) else Nil) ++
+        (if (values.nonEmpty) Seq("values" -> jarr(values)) else Nil))
+  }
+
   /** Plain-text render of a PivotTable (debug/demo — the reference's HTML
     * templates are out of scope; the data shape is what matters).
     */

@@ -65,4 +65,65 @@ class ObserversSpec extends SparkSpec {
     assert(rowA._3.contains(3.0)) // row total includes the null-keyed cell
     assert(t.grandTotal.contains(7.0))
   }
+
+  test("pagination math: page count, link row with ellipsis, page query") {
+    import Observers.Pagination._
+    assert(numPages(95, 10) == 10 && numPages(100, 10) == 10 && numPages(101, 10) == 11)
+    assert(numPages(5, 0) == 1)
+    assert(pages(5, 10, 0).isEmpty) // one page -> no nav row
+
+    // 10 pages, current = 5: Prev · 1 2 3 4 5 · [6] · 7 8 9 10 · Next
+    val p = pages(100, 10, 5)
+    assert(p.head.label == "« Prev" && p.head.page.contains(4))
+    assert(p.last.label == "Next »" && p.last.page.contains(6))
+    assert(p.count(_.current) == 1 && p.find(_.current).get.label == "6")
+
+    // 30 pages, current = 15: runs longer than 7 elide to 2 + "..." + 2
+    val big = pages(300, 10, 15)
+    assert(big.count(_.label == "...") == 2)
+    val labels = big.map(_.label)
+    assert(labels.containsSlice(Seq("1", "2", "...", "14", "15")))
+    assert(labels.containsSlice(Seq("17", "18", "...", "29", "30")))
+
+    // Prev disabled on first page, Next disabled on last
+    assert(pages(100, 10, 0).head.page.isEmpty)
+    assert(pages(100, 10, 9).last.page.isEmpty)
+
+    val q = pageQuery(CubeQuery().addAxis("k"), 25, 3)
+    assert(q.limit.contains(25) && q.offset.contains(75))
+  }
+
+  test("commas formatting mirrors the reference recipe") {
+    assert(Format.withCommas("%.4f", 1234567.5678) == "1,234,567.5678")
+    assert(Format.withCommas("$%.4f", -1234567.5678) == "$-1,234,567.5678")
+    assert(Format.withCommas("%d", 1000000L) == "1,000,000")
+    assert(Format.withCommas("%d", -100L) == "-100")
+    assert(Format.withCommas("%.4f", 0.1234) == "0.1234")
+    assert(Format.int(1000) == "1,000")
+  }
+
+  test("navJson payload carries dimensioned axes, filter actions and hidden values") {
+    val c = CubeDef(
+      labels = Seq(
+        Label("year", col("d"), dimension = Some("time")),
+        Label("month", col("d"), childOf = Seq("year"), dimension = Some("time")),
+        Label("flag", col("f"))),
+      measures = Seq(
+        Measure("n", lit(1), Agg.Count),
+        Measure("extra", col("e"), Agg.Sum, showByDefault = false)))
+    val nav = new Navigator(c,
+      CubeQuery().addAxis("year").addValue("n").addFilter("flag", "x", FilterOp.Eq))
+    val json = Observers.navJson(nav, urlPrefix = "/cube/")
+
+    assert(json.contains("\"dimension\":\"time\"") && json.contains("\"Other axes\""))
+    assert(json.contains("\"label\":\"Month\""))           // expandable
+    assert(json.contains("\"url\":null") || !json.contains("\"Year\",\"url\":\"")) // year used
+    assert(json.contains("\"label\":\"Flag = x\""))
+    assert(json.contains("\"drop_url\":\"/cube/a:year/v:n\""))
+    assert(json.contains("\"invert_url\":\"/cube/f:flag:ne:x/a:year/v:n\""))
+    assert(json.contains("\"show_url\"") && json.contains("\"extra\""))
+    // valid JSON (parseable by the JVM's own nashorn-free check: braces balance)
+    assert(json.count(_ == '{') == json.count(_ == '}'))
+    assert(json.count(_ == '[') == json.count(_ == ']'))
+  }
 }
