@@ -29,16 +29,39 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
+    // Stable fingerprint of a physical plan: expression ids (#123), plan
+    // ids and temp paths churn run-to-run, so they are stripped before
+    // hashing. Diffing these across rounds catches plan regressions (a
+    // lost broadcast, a new exchange) that wall-clock noise can hide.
+    def planHash(df: org.apache.spark.sql.DataFrame): String = {
+      val canon = df.queryExecution.executedPlan.toString
+        .replaceAll("#\\d+[L]?", "#")
+        .replaceAll("plan_id=\\d+", "plan_id=")
+        .replaceAll("/tmp/[^\\s,)\\]]+", "/tmp/_")
+        .replaceAll("file:[^\\s,)\\]]+", "file:_")
+      val d = java.security.MessageDigest.getInstance("MD5").digest(canon.getBytes("UTF-8"))
+      d.take(6).map(b => f"$b%02x").mkString
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val plan =
+        try {
+          val df = fn(spark, sfDir)
+          df.write.format("noop").mode("overwrite").save()
+          planHash(df)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); "err"
+        }
+      (name, (System.nanoTime() - t0) / 1e9, plan)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val plans = results.map { case (k, _, p) => "\"" + k + "\":\"" + p + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"plans":$plans,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a file: the stdout line can drown in sbt/Spark log
     // noise, and the driver needs a deterministic artifact to parse.
