@@ -604,6 +604,87 @@ object Queries {
         .selectExpr("inline(hh)")
     },
 
+    // §2.36b: materialized deduplicated corpus — keep the minimum-id doc
+    // per content fingerprint (what a training pipeline actually reads)
+    "d13_dedup_corpus" -> oq(
+      """SELECT doc_id, source FROM documents
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |  ORDER BY doc_id) = 1""") { (s, dir) =>
+      graft.dedup.Dedup.keepCanonical(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("source"))
+    },
+
+    // §2.44b: quality-threshold corpus filter (keep docs scoring ≥ 0.5)
+    "d14_quality_filter" -> oq(
+      """WITH q AS (
+        |  SELECT source,
+        |    round((
+        |      least(CAST(len(list_filter(string_split_regex(trim(text),'\s+'), t -> len(t)>0)) AS DOUBLE)/100.0, 1.0)
+        |      + (1.0 - least(CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |                     / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0))
+        |      + least(CAST(len(list_filter(string_split_regex(lower(trim(text)),'\s+'),
+        |          t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE)
+        |          / greatest(CAST(len(list_filter(string_split_regex(trim(text),'\s+'), t -> len(t)>0)) AS DOUBLE), 1.0) * 5.0, 1.0)
+        |    ) / 3.0, 6) AS quality
+        |  FROM documents
+        |)
+        |SELECT source, count(*) AS n_kept
+        |FROM q WHERE quality >= 0.5 GROUP BY source""") { (s, dir) =>
+      docs(s, dir)
+        .select(col("source"), graft.text.TextFunctions.qualityScore(col("text")).as("quality"))
+        .where(col("quality") >= 0.5)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    },
+
+    // §2.37b: duplicate clusters — connected components over the near-dup
+    // pair graph (min-label propagation; oracle = recursive closure)
+    "d15_dup_clusters" -> oq(
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 1)),
+        |      i -> array_to_string(list_slice(tk, i, i+2), ' '))) AS sset
+        |  FROM toks
+        |), ex AS (
+        |  SELECT doc_id, len(sset) AS sz, unnest(sset) AS s FROM sh
+        |), pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |  HAVING CAST(count(*) AS DOUBLE)/(a.sz + b.sz - count(*)) >= 0.5
+        |), edges AS (
+        |  SELECT id1 AS src, id2 AS dst FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs
+        |), closure AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT c.id, e.dst FROM closure c JOIN edges e ON c.r = e.src
+        |)
+        |SELECT id, least(id, min(r)) AS cluster_id
+        |FROM closure GROUP BY id""") { (s, dir) =>
+      val pairs = graft.dedup.Dedup.ngramJaccardPairs(
+        docs(s, dir), "doc_id", "text", k = 3, threshold = 0.5)
+      graft.dedup.Dedup.duplicateClusters(pairs)
+    },
+
+    // §2.40b: per-label embedding centroids (element-wise mean), emitted
+    // as (label, dim, value) scalars for the oracle compare
+    "e01_centroid" -> oq(
+      """SELECT label, CAST(i AS BIGINT) AS dim, round(avg(CAST(e AS DOUBLE)), 4) AS c
+        |FROM (SELECT label, unnest(embedding) AS e,
+        |             generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings)
+        |GROUP BY 1, 2""") { (s, dir) =>
+      graft.sim.Similarity.centroids(emb(s, dir), "label", "embedding")
+        .select(col("grp").as("label"), posexplode(col("centroid")).as(Seq("pos", "c")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+          round(col("c"), 4).as("c"))
+    },
+
     // §2.47: multimodal binary plumbing (rows-only; decode is a marked fake)
     "m01_multimodal" -> nq { (s, dir) =>
       import graft.multimodal.Multimodal._

@@ -59,6 +59,61 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Materialize the deduplicated corpus: keep exactly one row (the
+    * minimum-id document) per distinct content fingerprint, preserving
+    * all original columns. One shuffle on the digest — the `exact`
+    * operator's group view turned into the dataset a training pipeline
+    * actually consumes.
+    */
+  def keepCanonical(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(col(idCol).asc)
+    df.withColumn("__fp", fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  /** Duplicate clusters from near-dup pairs: every id is labeled with the
+    * minimum id reachable through the pair graph (connected components).
+    * Iterative min-label propagation — each round is one join + one
+    * aggregation shuffle; rounds needed = graph diameter, which for
+    * near-dup clusters is tiny (pairs come from a similarity threshold,
+    * so clusters are dense). Intermediate frames are persisted and the
+    * loop stops as soon as a round changes nothing.
+    */
+  def duplicateClusters(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
+                        maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(id1).as("src"), col(id2).as("dst"))
+      .union(pairs.select(col(id2).as("src"), col(id1).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).persist()
+    labels.count()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // min component label among each node's neighbours
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
+        .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
+      val next = labels
+        .join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          (coalesce(col("nbr_comp"), col("comp")) < col("comp")).as("__chg"))
+        .persist()
+      converged = next.where(col("__chg")).isEmpty
+      val prev = labels
+      labels = next.select("id", "comp").persist()
+      labels.count()
+      prev.unpersist(); next.unpersist()
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("comp", "cluster_id")
+  }
+
   /** Web-scale entry point for n-gram Jaccard near-dup: identical
     * operator, but the stop-shingle cut is ON by default. At corpus scale
     * a shingle shared by a large fraction of documents produces quadratic

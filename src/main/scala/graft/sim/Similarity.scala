@@ -97,6 +97,20 @@ object Similarity {
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Per-group element-wise mean of an embedding column (cluster
+    * centroids, per-source average embeddings). Distributed shape:
+    * posexplode to (group, dim, value) rows, partial-aggregated avg per
+    * (group, dim), then the per-group vector is reassembled ordered by
+    * dim — no vector ever sits on the driver.
+    */
+  def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"), posexplode(col(vecCol)).as(Seq("dim", "e")))
+      .groupBy(col("grp"), col("dim"))
+      .agg(avg(col("e").cast("double")).as("c"))
+      .groupBy(col("grp"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold.
     *
     * Scale path (default): hyperplane-LSH bucket candidates + exact rerank

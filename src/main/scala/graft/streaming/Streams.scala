@@ -78,6 +78,22 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup: drop documents whose content fingerprint was
+    * already seen within the watermark horizon — the streaming form of
+    * Dedup.keepCanonical for an ingest pipeline. State is keyed by the
+    * 128-bit digest only (not the text) and expires with the watermark,
+    * so memory stays bounded at any throughput. On a batch frame the same
+    * code degrades to dropDuplicates for oracle comparison.
+    */
+  def streamingDedup(docs: DataFrame, tsCol: String, textCol: String,
+                     watermark: String = "1 hour", streaming: Boolean = true): DataFrame = {
+    val withFp = docs.withColumn("__fp", graft.text.TextFunctions.fingerprint(col(textCol)))
+    val deduped =
+      if (streaming) withFp.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark("__fp")
+      else withFp.dropDuplicates("__fp")
+    deduped.drop("__fp")
+  }
+
   /** Session windows with gap timeout — batch/stream symmetric. */
   def sessionAgg(events: DataFrame, tsCol: String, gap: String,
                  watermark: String = "1 hour", streaming: Boolean = false): DataFrame = {

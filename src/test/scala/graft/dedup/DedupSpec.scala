@@ -52,6 +52,20 @@ class DedupSpec extends SparkSpec {
     assert(lsh.contains((1L, 2L)))
   }
 
+  test("keepCanonical keeps one row per content with all original columns") {
+    val kept = Dedup.keepCanonical(docs, "doc_id", "text").collect()
+    assert(kept.map(_.getLong(0)).toSet == Set(1L, 2L, 4L, 5L)) // 3 is a dup of 1
+    assert(kept.head.schema.fieldNames.toSeq == Seq("doc_id", "text"))
+  }
+
+  test("duplicateClusters labels components with their minimum id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (3L, 7L)).toDF("id1", "id2")
+    val comp = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L && comp(7L) == 1L)
+    assert(comp(5L) == 5L && comp(6L) == 5L)
+  }
+
   test("scale entry point applies the stop-shingle cut by default") {
     val atScale = Dedup.ngramJaccardPairsAtScale(docs, "doc_id", "text",
       k = 3, threshold = 0.3)

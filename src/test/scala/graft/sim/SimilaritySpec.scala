@@ -49,6 +49,17 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("centroids compute the element-wise per-group mean, reassembled in order") {
+    val grouped = Seq(
+      (1, Seq(1.0f, 0.0f, 3.0f)), (1, Seq(3.0f, 2.0f, 5.0f)),
+      (2, Seq(10.0f, 20.0f, 30.0f)),
+    ).toDF("label", "embedding")
+    val c = Similarity.centroids(grouped, "label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(c(1) == Seq(2.0, 1.0, 4.0))
+    assert(c(2) == Seq(10.0, 20.0, 30.0))
+  }
+
   test("ANN LSH candidates are a subset of brute-force with matching cosines") {
     val brute = Similarity.cosineTopK(vecs, "vec_id", "embedding", k = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

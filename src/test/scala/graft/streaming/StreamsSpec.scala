@@ -45,6 +45,37 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == expected)
   }
 
+  test("streaming dedup drops repeated content within the watermark, matching batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val sdf = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.streamingDedup(sdf, "ts", "text")
+      .writeStream.format("memory").queryName("s_dedup").outputMode("append").start()
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "the quick brown fox"),
+      (ts("2024-01-01 10:01:00"), 2L, "the  quick brown fox"), // ws-variant dup
+      (ts("2024-01-01 10:02:00"), 3L, "something else entirely"))
+    q.processAllAvailable()
+    mem.addData(
+      (ts("2024-01-01 10:10:00"), 4L, "THE QUICK BROWN FOX"),  // case-variant dup
+      (ts("2024-01-01 10:11:00"), 5L, "a genuinely new document"))
+    q.processAllAvailable()
+    val streamed = spark.table("s_dedup").collect().map(_.getAs[Long]("doc_id")).toSet
+    q.stop()
+    assert(streamed == Set(1L, 3L, 5L))
+    // batch mode of the same transform agrees
+    val batchDocs = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "the quick brown fox"),
+      (ts("2024-01-01 10:01:00"), 2L, "the  quick brown fox"),
+      (ts("2024-01-01 10:02:00"), 3L, "something else entirely"),
+      (ts("2024-01-01 10:10:00"), 4L, "THE QUICK BROWN FOX"),
+      (ts("2024-01-01 10:11:00"), 5L, "a genuinely new document"),
+    ).toDF("ts", "doc_id", "text")
+    val batchKept = Streams.streamingDedup(batchDocs, "ts", "text", streaming = false)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(batchKept.size == 3 && batchKept.contains(3L) && batchKept.contains(5L))
+  }
+
   test("flatMapGroupsWithState keeps per-user running stats across batches") {
     implicit val sqlCtx = spark.sqlContext
     import Streams.{UserEvent, UserStats}
