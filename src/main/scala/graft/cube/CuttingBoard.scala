@@ -76,6 +76,31 @@ final class CuttingBoard(
       case _ => false
     }
 
+  private def truncExpr(unit: String, c: org.apache.spark.sql.Column) = unit match {
+    case "day" => to_date(c)
+    case u     => trunc(c, u)
+  }
+
+  /** Resolve a wanted label to a Column over a cached slice's axes:
+    * either the axis itself, or — hierarchy widening — a date label
+    * derived by truncating a FINER cached date axis (month from a
+    * day-grained slice). This is the classic materialized-view rewrite
+    * along the time dimension: at 100 TB the day-grained slice is maybe
+    * 10⁶ rows, so every coarser period query after the first scan costs
+    * one tiny re-aggregation instead of a base-table pass.
+    */
+  private def overSlice(name: String, cachedAxes: Vector[String]): Option[org.apache.spark.sql.Column] = {
+    if (cachedAxes.contains(name)) return Some(col(name))
+    if (!cubedef.hasLabel(name)) return None
+    cubedef.label(name).codec.collect { case ValueCodec.DateUnitCodec(u) => u }
+      .flatMap { unit =>
+        cachedAxes.find { a =>
+          cubedef.hasLabel(a) && cubedef.ancestors(a).contains(name) &&
+            cubedef.label(a).codec.exists(_.isInstanceOf[ValueCodec.DateUnitCodec])
+        }.map(a => truncExpr(unit, col(a)))
+      }
+  }
+
   private def reuse(q: CubeQuery): Option[DataFrame] = {
     // Pivot queries produce a wide shape the cached (long) slices cannot
     // serve — a pivot query can otherwise match Strategy 1/2 on its axes
@@ -94,14 +119,16 @@ final class CuttingBoard(
     }
 
     // Strategy 2: re-aggregate a finer cached slice. Conditions mirror
-    // ManipulateSlice.is_compatible (bacon/cutting.py:346): cached axes ⊇
-    // wanted axes; cached filters ⊆ wanted filters; every extra filter
-    // targets a cached axis (so it can run on the materialized rows);
-    // every wanted value is present and algebraically mergeable.
+    // ManipulateSlice.is_compatible (bacon/cutting.py:346), widened along
+    // date hierarchies: every wanted axis and every extra filter must be
+    // resolvable over the cached axes — directly, or derived by
+    // truncating a finer cached date axis (overSlice); cached filters ⊆
+    // wanted filters; every wanted value present and mergeable.
     val finer = cache.indexWhere { case (cq, _) =>
-      q.axes.toSet.subsetOf(cq.axes.toSet) &&
+      q.valuesInSlice.nonEmpty &&
+        q.axes.forall(a => overSlice(a, cq.axes).isDefined) &&
         cq.filters.toSet.subsetOf(q.filters.toSet) &&
-        (q.filters.toSet -- cq.filters.toSet).forall(f => cq.axes.contains(f.name)) &&
+        (q.filters.toSet -- cq.filters.toSet).forall(f => overSlice(f.name, cq.axes).isDefined) &&
         q.valuesInSlice.toSet.subsetOf(cq.valuesInSlice.toSet) &&
         q.valuesInSlice.forall(reaggregatable)
     }
@@ -109,15 +136,20 @@ final class CuttingBoard(
       promote(finer)
       val (cq, df) = cache.head
       val extraFilters = q.filters.toSet -- cq.filters.toSet
-      // Extra filters evaluate against the slice's AXIS COLUMNS (already
-      // computed values), not the base expressions.
+      // Extra filters evaluate against the slice's axis columns (already
+      // computed values) or their hierarchy-derived truncations, never
+      // the base expressions.
       val filtered = extraFilters.foldLeft(df) { (acc, f) =>
-        acc.where(FilterOp.compile(f.op, col(f.name), f.value))
+        acc.where(FilterOp.compile(f.op, overSlice(f.name, cq.axes).get, f.value))
       }
-      val merged = Slicer.Reagg.from(
-        filtered.select((cq.axes ++ q.valuesInSlice).map(col): _*),
-        q.axes,
-        q.valuesInSlice.map(v => v -> cubedef.measure(v).agg))
+      val axisCols = q.axes.map(a => overSlice(a, cq.axes).get.as(a))
+      val aggs = q.valuesInSlice.map { v =>
+        (cubedef.measure(v).agg match {
+          case Agg.Count => sum(col(v)) // counts add up
+          case other     => other.compile(col(v))
+        }).as(v)
+      }
+      val merged = filtered.groupBy(axisCols: _*).agg(aggs.head, aggs.tail: _*)
       return Some(finish(merged.select((q.axes ++ q.values).map(col): _*), q))
     }
 

@@ -90,6 +90,42 @@ class CuttingBoardSpec extends SparkSpec {
     board.clear()
   }
 
+  test("hierarchy widening: month axis + month filter served from a day-grained cache") {
+    val df = Seq(
+      ("2024-01-03", 1.0), ("2024-01-20", 2.0), ("2024-02-03", 4.0),
+      ("2024-02-29", 8.0), ("2024-03-01", 16.0),
+    ).toDF("d", "v").withColumn("d", to_date(col("d")))
+    val cube = CubeDef(
+      labels = DateLabels.hierarchy("d", dim = "t"),
+      measures = Seq(Measure("sum_v", col("v"), Agg.Sum), Measure("n", lit(1), Agg.Count)))
+    val board = new CuttingBoard(df, cube)
+
+    val fine = CubeQuery().addAxis("d_day").addValue("sum_v").addValue("n")
+    board.slice(fine).collect() // warm the day-grained cache
+
+    // month axis is NOT a cached axis — it derives by truncating d_day
+    val monthly = CubeQuery().addAxis("d_month").addValue("sum_v").addValue("n")
+    val got = board.slice(monthly).collect()
+      .map(r => r.getDate(0).toString -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(board.stats._1 == 1L, "expected a widening cache hit")
+    assert(got("2024-01-01") == (3.0, 2L))
+    assert(got("2024-02-01") == (12.0, 2L))
+    assert(got("2024-03-01") == (16.0, 1L))
+
+    // month FILTER from the same day-grained cache, quarter axis derived
+    val q1feb = CubeQuery().addAxis("d_quarter").addValue("sum_v")
+      .addFilter("d_month", java.sql.Date.valueOf("2024-02-01"))
+    val feb = board.slice(q1feb).collect()
+    assert(board.stats._1 == 2L)
+    assert(feb.length == 1 && feb(0).getDouble(1) == 12.0)
+
+    // equals the direct computation
+    val direct = Slicer.slice(df, cube, monthly).collect()
+      .map(r => r.getDate(0).toString -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got == direct)
+    board.clear()
+  }
+
   test("cached result equals direct Slicer result") {
     val board = freshBoard()
     val fine = CubeQuery().addAxis("k").addAxis("s").addAxis("y").addValue("sum_v")
