@@ -8,13 +8,17 @@ import org.apache.spark.sql.types._
   * columns plus a typed metadata struct, processed in partition-sized
   * batches.
   *
-  * The container has no image/audio codecs, so `decode` is a
-  * deterministic FAKE (clearly marked) — but everything Spark-side is
-  * real and tested: the schema (BinaryType payload + metadata struct),
-  * the batch shape (mapPartitions over iterator, one decoder init per
-  * partition — the same contract as mapInPandas/mapInArrow batches), and
-  * the partitioning (media ops repartition by id so decode parallelism
-  * is independent of upstream file layout).
+  * What is REAL here: the schema (BinaryType payload + metadata struct),
+  * the batch shape (mapPartitions over an iterator, one decoder init per
+  * partition — the same contract as mapInPandas/mapInArrow batches), the
+  * partitioning (media ops repartition by id so decode parallelism is
+  * independent of upstream file layout), and the metadata decode itself —
+  * `ImageHeaderDecoder` parses genuine PNG/JPEG/GIF/BMP header structure
+  * from the bytes (magic numbers, IHDR, SOF markers), no codec library
+  * needed. The synthetic payloads are real minimal PNG/GIF/BMP headers.
+  *
+  * What is STUBBED (no codecs in this container, loudly marked): pixel
+  * decode, resize of actual pixel data, video frame extraction.
   */
 object Multimodal {
 
@@ -27,47 +31,63 @@ object Multimodal {
   ))
 
   /** Attach a deterministic synthetic payload to each row — stands in for
-    * reading real media bytes from object storage.
+    * reading real media bytes from object storage. The bytes ARE valid
+    * image-format headers (PNG/GIF/BMP rotating by id, dimensions derived
+    * from the id), so the downstream decode exercises real parsing.
     */
-  def withFakeMedia(df: DataFrame, idCol: String, kind: String): DataFrame =
-    df.select(
-      col(idCol).cast("long").as("media_id"),
-      lit(kind).as("kind"),
-      // payload: id-seeded bytes via repeated sha2 — deterministic, binary
-      sha2(concat(lit("payload:"), col(idCol).cast("string")), 256).cast("binary").as("payload"))
-      .withColumn("meta", struct(lit("synthetic").as("source"),
-        length(col("payload")).cast("long").as("n_bytes")))
-
-  /** FAKE image decode: derives (width, height, format) deterministically
-    * from the payload bytes. Real implementation would replace
-    * `fakeDecode` with an actual codec call; the batching contract —
-    * iterator-in/iterator-out per partition, decoder state initialized
-    * once per partition — is exactly what a JNI/codec integration needs.
-    */
-  def decodeImageMeta(df: DataFrame): DataFrame = {
+  def withFakeMedia(df: DataFrame, idCol: String, kind: String): DataFrame = {
     val spark = df.sparkSession
-    val outSchema = StructType(df.schema.fields ++ Seq(
-      StructField("width", IntegerType), StructField("height", IntegerType),
-      StructField("format", StringType)))
-    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
-      // per-partition decoder init happens HERE (once, not per row)
-      val decoder = new FakeImageDecoder
+    val src = df.select(col(idCol).cast("long").as("media_id"))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    src.mapPartitions { rows =>
       rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        val (w, h, f) = decoder.decode(payload)
-        Row.fromSeq(r.toSeq ++ Seq(w, h, f))
+        val id = r.getLong(0)
+        val w = 64 + (id % 16).toInt * 64
+        val h = 64 + ((id / 16) % 16).toInt * 64
+        val payload = (id % 3) match {
+          case 0 => ImageHeaders.pngBytes(w, h)
+          case 1 => ImageHeaders.gifBytes(w, h)
+          case _ => ImageHeaders.bmpBytes(w, h)
+        }
+        Row(id, kind, payload, Row("synthetic", payload.length.toLong))
       }
     }(encoder)
   }
 
-  /** FAKE resize: keeps the binary contract; a real impl transforms bytes. */
+  /** Image metadata decode: parses format + dimensions from the payload's
+    * real header bytes. Batching contract: iterator-in/iterator-out per
+    * partition, decoder state initialized once per partition — exactly
+    * what a JNI/codec integration needs for full pixel decode.
+    */
+  def decodeImageMeta(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("format", StringType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    // resolve by index up front: rows inside a fused pipeline may be
+    // schema-less GenericRows where name lookup is unsupported
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      // per-partition decoder init happens HERE (once, not per row)
+      val decoder = new ImageHeaderDecoder
+      rows.map { r =>
+        val payload = r.get(payloadIdx).asInstanceOf[Array[Byte]]
+        val (w, h, f) = decoder.decode(payload)
+        Row.fromSeq(r.toSeq ++ Seq(w.map(Int.box).orNull, h.map(Int.box).orNull, f))
+      }
+    }(encoder)
+  }
+
+  /** STUB resize: clamps the metadata dimensions only — a real impl
+    * transforms pixel bytes (needs a codec, absent in this container).
+    */
   def resize(df: DataFrame, maxDim: Int): DataFrame =
     df.withColumn("width", least(col("width"), lit(maxDim)))
       .withColumn("height", least(col("height"), lit(maxDim)))
 
-  /** FAKE frame sampling for video payloads: emits `n` frame rows per
-    * media row (explode — the real shape of frame extraction output).
+  /** STUB frame sampling for video payloads: emits `n` frame rows per
+    * media row (explode — the real shape of frame extraction output; the
+    * frame bytes are synthetic pending a video codec).
     */
   def sampleFrames(df: DataFrame, n: Int): DataFrame =
     df.select(col("media_id"), col("kind"),
@@ -76,16 +96,98 @@ object Multimodal {
             .cast("binary"))).as(Seq("frame_idx", "frame_payload")))
 }
 
-/** Deterministic stand-in for a native image decoder (no codecs in this
-  * container). Stateful to mirror the cost profile of real decoder init.
+/** Real image header construction + parsing — pure byte work on genuine
+  * format structure (PNG sig+IHDR, JPEG SOF markers, GIF/BMP headers),
+  * zero codec dependencies.
   */
-final class FakeImageDecoder extends Serializable {
-  def decode(payload: Array[Byte]): (Int, Int, String) = {
-    val b0 = java.lang.Byte.toUnsignedInt(payload(0))
-    val b1 = java.lang.Byte.toUnsignedInt(payload(1 % payload.length))
-    val w = 64 + (b0 % 16) * 64
-    val h = 64 + (b1 % 16) * 64
-    val fmt = if (b0 % 2 == 0) "png" else "jpeg"
-    (w, h, fmt)
+object ImageHeaders {
+
+  /** PNG signature + IHDR chunk (width/height big-endian at 16/20). */
+  def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(33)
+    out.put(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    out.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    out.putInt(w).putInt(h)
+    out.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    out.putInt(0) // CRC not validated by header parsers
+    out.array()
+  }
+
+  /** GIF89a header (width/height little-endian u16 at 6/8). */
+  def gifBytes(w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GIF89a".getBytes("US-ASCII"))
+    out.putShort(w.toShort).putShort(h.toShort)
+    out.put(0.toByte).put(0.toByte).put(0.toByte)
+    out.array()
+  }
+
+  /** BMP file header + BITMAPINFOHEADER (width/height LE i32 at 18/22). */
+  def bmpBytes(w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte)
+    out.putInt(54).putShort(0).putShort(0).putInt(54) // size, reserved, pixel offset
+    out.putInt(40).putInt(w).putInt(h)                 // DIB header
+    out.putShort(1).putShort(24)
+    out.array()
+  }
+
+  /** Minimal JPEG: SOI + SOF0 with dimensions (height/width BE at +5/+7). */
+  def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(2 + 19)
+    out.put(0xFF.toByte).put(0xD8.toByte)                  // SOI
+    out.put(0xFF.toByte).put(0xC0.toByte).putShort(17)     // SOF0, length
+    out.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+    out.put(3.toByte) // components
+    out.put(Array.fill(9)(0.toByte))
+    out.array()
+  }
+}
+
+/** Image header parser (the real part of the decode path). Stateful class
+  * to mirror the init-once-per-partition cost profile of real decoders.
+  */
+final class ImageHeaderDecoder extends Serializable {
+
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+      ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+  private def leInt(b: Array[Byte], off: Int): Int =
+    ((b(off + 3) & 0xFF) << 24) | ((b(off + 2) & 0xFF) << 16) |
+      ((b(off + 1) & 0xFF) << 8) | (b(off) & 0xFF)
+  private def beShort(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+  private def leShort(b: Array[Byte], off: Int): Int =
+    ((b(off + 1) & 0xFF) << 8) | (b(off) & 0xFF)
+
+  private val PngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** (width, height, format); (None, None, "unknown") when unrecognized. */
+  def decode(b: Array[Byte]): (Option[Int], Option[Int], String) = {
+    if (b.length >= 24 && b.take(8).sameElements(PngSig))
+      (Some(beInt(b, 16)), Some(beInt(b, 20)), "png")
+    else if (b.length >= 10 && b.startsWith("GIF8".getBytes("US-ASCII")))
+      (Some(leShort(b, 6)), Some(leShort(b, 8)), "gif")
+    else if (b.length >= 26 && b(0) == 'B'.toByte && b(1) == 'M'.toByte)
+      (Some(leInt(b, 18)), Some(leInt(b, 22)), "bmp")
+    else if (b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8)
+      decodeJpeg(b)
+    else (None, None, "unknown")
+  }
+
+  /** Walk JPEG markers to the first SOF0/1/2 frame header. */
+  private def decodeJpeg(b: Array[Byte]): (Option[Int], Option[Int], String) = {
+    var i = 2
+    while (i + 3 < b.length && (b(i) & 0xFF) == 0xFF) {
+      val marker = b(i + 1) & 0xFF
+      if (marker == 0xC0 || marker == 0xC1 || marker == 0xC2) {
+        if (i + 8 < b.length)
+          return (Some(beShort(b, i + 7)), Some(beShort(b, i + 5)), "jpeg")
+        return (None, None, "jpeg")
+      }
+      if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) i += 2
+      else i += 2 + beShort(b, i + 2)
+    }
+    (None, None, "jpeg")
   }
 }

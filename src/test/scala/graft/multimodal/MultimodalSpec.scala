@@ -17,14 +17,28 @@ class MultimodalSpec extends SparkSpec {
     assert(r.length == 3 && r.forall(_.getAs[Array[Byte]]("payload").nonEmpty))
   }
 
-  test("decode is deterministic and batch-shaped") {
+  test("header decoder parses real PNG/JPEG/GIF/BMP structure") {
+    val d = new ImageHeaderDecoder
+    assert(d.decode(ImageHeaders.pngBytes(640, 480)) == (Some(640), Some(480), "png"))
+    assert(d.decode(ImageHeaders.jpegBytes(800, 600)) == (Some(800), Some(600), "jpeg"))
+    assert(d.decode(ImageHeaders.gifBytes(320, 200)) == (Some(320), Some(200), "gif"))
+    assert(d.decode(ImageHeaders.bmpBytes(1024, 768)) == (Some(1024), Some(768), "bmp"))
+    assert(d.decode("not an image at all".getBytes) == (None, None, "unknown"))
+  }
+
+  test("decode parses the synthetic payloads' genuine headers, batch-shaped") {
     val m = Multimodal.withFakeMedia(base, "doc_id", "image").repartition(2)
     val d1 = Multimodal.decodeImageMeta(m).collect()
-      .map(r => r.getAs[Long]("media_id") -> (r.getAs[Int]("width"), r.getAs[String]("format"))).toMap
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[String]("format"))).toMap
     val d2 = Multimodal.decodeImageMeta(m).collect()
-      .map(r => r.getAs[Long]("media_id") -> (r.getAs[Int]("width"), r.getAs[String]("format"))).toMap
-    assert(d1 == d2)
-    assert(d1.values.forall { case (w, f) => w >= 64 && (f == "png" || f == "jpeg") })
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[String]("format"))).toMap
+    assert(d1 == d2) // deterministic
+    // dimensions round-trip the id formula through real format headers
+    assert(d1(1L) == (128, 64, "gif"))  // id%3==1 -> gif
+    assert(d1(2L) == (192, 64, "bmp"))  // id%3==2 -> bmp
+    assert(d1(3L) == (256, 64, "png"))  // id%3==0 -> png
   }
 
   test("resize clamps dimensions") {
