@@ -748,6 +748,17 @@ object Queries {
           count(lit(1)).as("n"))
     },
 
+    // §2: approx_percentile — the 100 TB path for q33's exact percentiles
+    // (mergeable sketch, partial-aggregatable; rows-only: DuckDB's
+    // approx_quantile uses a different sketch so values differ by design).
+    // The spec asserts approx ≈ exact within the accuracy bound.
+    "q36_approx_percentile" -> nq { (s, dir) =>
+      ev(s, dir).groupBy("event_type")
+        .agg(expr("approx_percentile(value, 0.5, 10000)").as("p50_approx"),
+          expr("approx_percentile(value, 0.95, 10000)").as("p95_approx"),
+          count(lit(1)).as("n"))
+    },
+
     // §2: running totals over the month series (window over ordered axis)
     "q35_running_total" -> oq(
       """SELECT m AS o_orderdate_month, n_orders,

@@ -132,6 +132,23 @@ object ImageHeaders {
     out.array()
   }
 
+  /** WAV (RIFF) header: sample rate / channels / bits at fixed offsets in
+    * the fmt chunk — the audio modality's metadata, parseable with zero
+    * codec dependencies like the image headers.
+    */
+  def wavBytes(sampleRate: Int, channels: Int, bitsPerSample: Int, nSamples: Int): Array[Byte] = {
+    val dataLen = nSamples * channels * (bitsPerSample / 8)
+    val out = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(1) // PCM
+    out.putShort(channels.toShort).putInt(sampleRate)
+    out.putInt(sampleRate * channels * (bitsPerSample / 8))
+    out.putShort((channels * (bitsPerSample / 8)).toShort).putShort(bitsPerSample.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    out.array()
+  }
+
   /** Minimal JPEG: SOI + SOF0 with dimensions (height/width BE at +5/+7). */
   def jpegBytes(w: Int, h: Int): Array[Byte] = {
     val out = java.nio.ByteBuffer.allocate(2 + 19)
@@ -161,6 +178,20 @@ final class ImageHeaderDecoder extends Serializable {
     ((b(off + 1) & 0xFF) << 8) | (b(off) & 0xFF)
 
   private val PngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** WAV audio metadata: (sampleRate, channels, bitsPerSample, seconds). */
+  def decodeWav(b: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+    if (b.length < 44 || !b.startsWith("RIFF".getBytes("US-ASCII")) ||
+      !java.util.Arrays.equals(java.util.Arrays.copyOfRange(b, 8, 12), "WAVE".getBytes("US-ASCII")))
+      return None
+    val channels = leShort(b, 22)
+    val rate = leInt(b, 24)
+    val bits = leShort(b, 34)
+    val dataLen = leInt(b, 40)
+    val bytesPerSec = rate * channels * (bits / 8)
+    val secs = if (bytesPerSec > 0) dataLen.toDouble / bytesPerSec else 0.0
+    Some((rate, channels, bits, secs))
+  }
 
   /** (width, height, format); (None, None, "unknown") when unrecognized. */
   def decode(b: Array[Byte]): (Option[Int], Option[Int], String) = {

@@ -41,6 +41,15 @@ class MultimodalSpec extends SparkSpec {
     assert(d1(3L) == (256, 64, "png"))  // id%3==0 -> png
   }
 
+  test("WAV header round-trips audio metadata") {
+    val d = new ImageHeaderDecoder
+    val wav = ImageHeaders.wavBytes(sampleRate = 44100, channels = 2,
+      bitsPerSample = 16, nSamples = 44100 * 3)
+    val Some((rate, ch, bits, secs)) = d.decodeWav(wav)
+    assert(rate == 44100 && ch == 2 && bits == 16 && math.abs(secs - 3.0) < 1e-9)
+    assert(d.decodeWav("RIFFnope".getBytes).isEmpty)
+  }
+
   test("resize clamps dimensions") {
     val m = Multimodal.decodeImageMeta(Multimodal.withFakeMedia(base, "doc_id", "image"))
     val r = Multimodal.resize(m, 128).collect()
