@@ -112,6 +112,24 @@ object Queries {
         .select(col("p_brand"), array_join(col("type_word_set"), " ").as("type_word_set"))
     },
 
+    // §2.8b: Union.get's included_empty companion flag
+    // (bacon/accumulators.py:54-76): per group, the union of red/blue
+    // name-words AND whether any record contributed an empty set.
+    "q06b_union_empty" -> oq(
+      """SELECT p_brand,
+        |array_to_string(list_sort(list_distinct(flatten(
+        |  list(list_intersect(string_split(p_name,' '), ['red','blue']))))), ' ') AS rb_word_set,
+        |CAST(max(CASE WHEN len(list_intersect(string_split(p_name,' '), ['red','blue'])) = 0
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS included_empty
+        |FROM part GROUP BY p_brand""") { (s, dir) =>
+      val q = CubeQuery().addAxis("p_brand")
+        .addValue("rb_word_set").addValue("rb_included_empty")
+      Slicer.slice(part(s, dir), Tpch.partCube, q)
+        .select(col("p_brand"),
+          array_join(col("rb_word_set"), " ").as("rb_word_set"),
+          col("rb_included_empty").cast("long").as("included_empty"))
+    },
+
     // §2.10: 0-dimensional slice (grand total)
     "q07_grand_total" -> oq(
       """SELECT round(sum(l_extendedprice),2) AS sum_price, count(*) AS n_rows
@@ -464,8 +482,29 @@ object Queries {
       graft.dedup.Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.5)
     },
 
-    // §2.38: MinHash+LSH near-dup (rows-only: xxhash64 not in DuckDB)
-    "d03_minhash_lsh" -> nq { (s, dir) =>
+    // §2.38: MinHash+LSH near-dup. Oracle-checked: the output is the set
+    // of exact-Jaccard-verified pairs ≥ θ among LSH candidates, which at
+    // test scale equals the full exact answer (DedupSpec asserts LSH
+    // recall = 1.0 on the corpus), so d02's exact-pair SQL is a valid
+    // oracle even though DuckDB cannot reproduce the xxhash64 banding.
+    "d03_minhash_lsh" -> oq(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 1)),
+        |      i -> array_to_string(list_slice(tk, i, i+2), ' '))) AS sset
+        |  FROM toks
+        |), ex AS (
+        |  SELECT doc_id, len(sset) AS sz, unnest(sset) AS s FROM sh
+        |)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  round(CAST(count(*) AS DOUBLE)/(a.sz + b.sz - count(*)), 6) AS jaccard
+        |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |HAVING CAST(count(*) AS DOUBLE)/(a.sz + b.sz - count(*)) >= 0.5""") { (s, dir) =>
       graft.dedup.Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
         k = 3, numHashes = 32, bands = 8, threshold = 0.5)
     },
@@ -475,15 +514,29 @@ object Queries {
       graft.dedup.Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
     },
 
-    // §2.40: embedding cosine near-dup pairs
+    // §2.40: embedding cosine near-dup pairs. numTables=0 = exact
+    // all-pairs mode so the oracle validates values, and θ=0.45 sits
+    // inside the synthetic embeddings' cosine range (max ≈ 0.51 at
+    // sf0.01) so the check is NON-vacuous — the r2 θ=0.9 returned 0 rows
+    // on both sides and validated nothing. d16 is the LSH scale path.
     "d05_embed_dup" -> oq(
       """SELECT a.vec_id AS id1, b.vec_id AS id2,
         |round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])), 6) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                             CAST(b.embedding AS DOUBLE[])) >= 0.9""") { (s, dir) =>
-      graft.sim.Similarity.cosineDupPairs(emb(s, dir), "vec_id", "embedding", threshold = 0.9)
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.45""") { (s, dir) =>
+      graft.sim.Similarity.cosineDupPairs(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.45, numTables = 0)
+    },
+
+    // §2.40 scale path: the same near-dup operator through hyperplane-LSH
+    // buckets + exact rerank (rows-only: candidate recall at θ=0.45 is
+    // probabilistic by design; SimilaritySpec measures it and asserts the
+    // result is a subset of the exact answer with cos ≥ θ).
+    "d16_embed_dup_lsh" -> nq { (s, dir) =>
+      graft.sim.Similarity.cosineDupPairs(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.45, numPlanes = 4, numTables = 16)
     },
 
     // §2.41: brute-force cosine top-k ANN baseline
@@ -685,12 +738,25 @@ object Queries {
           round(col("c"), 4).as("c"))
     },
 
-    // §2.47: multimodal binary plumbing (rows-only; decode is a marked fake)
+    // §2.47: multimodal binary plumbing (rows-only; header decode is real
+    // byte parsing, pixel ops are the marked stubs)
     "m01_multimodal" -> nq { (s, dir) =>
       import graft.multimodal.Multimodal._
       val media = withFakeMedia(docs(s, dir), "doc_id", "image")
       decodeImageMeta(media.repartition(col("media_id")))
         .groupBy("format").agg(count(lit(1)).as("n"), avg(col("width")).as("avg_w"))
+    },
+
+    // §2.47b: audio modality end-to-end — synthesized RIFF/WAV payloads,
+    // real header parse (sample rate / channels / duration), grouped by
+    // sample rate (rows-only: payload synthesis is engine-side)
+    "a01_audio_meta" -> nq { (s, dir) =>
+      import graft.multimodal.Multimodal._
+      val media = withFakeMedia(docs(s, dir), "doc_id", "audio")
+      decodeAudioMeta(media.repartition(col("media_id")))
+        .groupBy("sample_rate")
+        .agg(count(lit(1)).as("n"), round(avg(col("seconds")), 4).as("avg_secs"),
+          max(col("channels")).as("max_channels"))
     },
 
     // §2: LabeledAcc — aggregate only when a second label is consistent

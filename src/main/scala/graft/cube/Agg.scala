@@ -83,6 +83,17 @@ object Agg {
       array_sort(array_distinct(flatten(collect_list(c))))
   }
 
+  /** bacon/accumulators.py:54-76 — Union.get returns `(set,
+    * included_empty)`; this is the companion flag as its own measure:
+    * true iff any record in the group contributed an empty (or null) set.
+    * Lets a renderer distinguish "∅ because empty sets were present" from
+    * "no such rows". Pair it with UnionSet over the same expression.
+    */
+  case object UnionIncludedEmpty extends Agg {
+    def compile(c: Column): Column =
+      max(size(coalesce(c, array())) === 0)
+  }
+
   /** bacon/accumulators.py:355 — RatioSum: sum(num)/sum(den), null when
     * the denominator sums to 0 or null.
     */

@@ -24,17 +24,31 @@ import org.apache.spark.storage.StorageLevel
   * exactly as a correct materialized-view rewriter must.
   */
 final class CuttingBoard(
-    val dataset: DataFrame,
+    initialDataset: DataFrame,
     val cubedef: CubeDef,
     maxSlices: Int = 20,
     storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
 ) {
+  /** A cached slice: its query, the persisted frame, and its exact row
+    * count (known because slices are materialized eagerly on insert) —
+    * the cost input for cheapest-slice selection, mirroring the
+    * reference's estimate_cost scoring (bacon/cutting.py:216,262,313).
+    */
+  private final case class Cached(q: CubeQuery, df: DataFrame, rows: Long)
+
   /** MRU cache: most recently used first (bacon keeps a deque of 20). */
-  private var cache: Vector[(CubeQuery, DataFrame)] = Vector.empty
+  private var cache: Vector[Cached] = Vector.empty
+  private var current: DataFrame = initialDataset
   private var hitCount = 0L
   private var missCount = 0L
 
+  def dataset: DataFrame = current
   def stats: (Long, Long) = (hitCount, missCount)
+
+  /** The query of the cached slice that served the last reuse hit —
+    * observable cost-based-selection evidence for specs/diagnostics.
+    */
+  @volatile var lastServedFrom: Option[CubeQuery] = None
 
   /** Execute a query, reusing a cached slice when possible. */
   def slice(q: CubeQuery): DataFrame = synchronized {
@@ -44,21 +58,35 @@ final class CuttingBoard(
         df
       case None =>
         missCount += 1
-        val computed = Slicer.slice(dataset, cubedef, q)
+        lastServedFrom = None
+        val computed = Slicer.slice(current, cubedef, q)
         if (cacheable(q)) {
           val persisted = computed.persist(storageLevel)
+          // Materialize eagerly: the caller's next action reads the cache
+          // instead of re-firing the base scan, and the row count becomes
+          // the cost estimate for later cheapest-slice selection.
+          val rows = persisted.count()
           if (cache.length >= maxSlices) {
-            cache.last._2.unpersist()
+            cache.last.df.unpersist()
             cache = cache.dropRight(1)
           }
-          cache = (q -> persisted) +: cache
+          cache = Cached(q, persisted, rows) +: cache
           persisted
         } else computed
     }
   }
 
+  /** Swap in a refreshed dataset (the reference's dataset is a callable
+    * re-checked per slice, bacon/cutting.py:122): every cached slice is
+    * stale by definition, so the cache is dropped and unpersisted.
+    */
+  def refresh(newDataset: DataFrame): Unit = synchronized {
+    clear()
+    current = newDataset
+  }
+
   /** The un-aggregated filtered dataset (bacon CuttingBoard.filter). */
-  def filter(q: CubeQuery): DataFrame = Slicer.filter(dataset, cubedef, q)
+  def filter(q: CubeQuery): DataFrame = Slicer.filter(current, cubedef, q)
 
   /** Pivot/limit/ordered queries are served but not cached (their shape
     * is presentation-specific; the underlying groupBy IS cacheable when
@@ -88,6 +116,13 @@ final class CuttingBoard(
     * along the time dimension: at 100 TB the day-grained slice is maybe
     * 10⁶ rows, so every coarser period query after the first scan costs
     * one tiny re-aggregation instead of a base-table pass.
+    *
+    * Widening requires TRUE period containment (day ⊂ month ⊂ quarter ⊂
+    * year). A week-grained cached axis is never a valid source for a
+    * coarser period: ISO weeks straddle year boundaries (the week of
+    * 2019-12-30 contains 2020 days), so trunc(week_start, 'year') would
+    * silently aggregate boundary weeks into the wrong year even though
+    * week is childOf year in the hierarchy DAG.
     */
   private def overSlice(name: String, cachedAxes: Vector[String]): Option[org.apache.spark.sql.Column] = {
     if (cachedAxes.contains(name)) return Some(col(name))
@@ -96,7 +131,10 @@ final class CuttingBoard(
       .flatMap { unit =>
         cachedAxes.find { a =>
           cubedef.hasLabel(a) && cubedef.ancestors(a).contains(name) &&
-            cubedef.label(a).codec.exists(_.isInstanceOf[ValueCodec.DateUnitCodec])
+            cubedef.label(a).codec.exists {
+              case ValueCodec.DateUnitCodec(srcUnit) => srcUnit != "week" || unit == "week"
+              case _ => false
+            }
         }.map(a => truncExpr(unit, col(a)))
       }
   }
@@ -106,16 +144,19 @@ final class CuttingBoard(
     // serve — a pivot query can otherwise match Strategy 1/2 on its axes
     // and be answered in the wrong shape.
     if (q.pivot.nonEmpty) return None
-    // Strategy 1: exact slice (axes + filters match, values covered)
-    val exact = cache.indexWhere { case (cq, _) =>
-      cq.axes == q.axes &&
-        cq.filters.toSet == q.filters.toSet &&
-        q.valuesInSlice.toSet.subsetOf(cq.valuesInSlice.toSet)
+    // Strategy 1: exact slice (axes + filters match, values covered).
+    // All exact matches answer with zero re-aggregation, so cost ties —
+    // take the most recently used.
+    val exact = cache.indexWhere { c =>
+      c.q.axes == q.axes &&
+        c.q.filters.toSet == q.filters.toSet &&
+        q.valuesInSlice.toSet.subsetOf(c.q.valuesInSlice.toSet)
     }
     if (exact >= 0) {
       promote(exact)
-      val (_, df) = cache.head
-      return Some(finish(df.select((q.axes ++ q.values).map(col): _*), q))
+      val c = cache.head
+      lastServedFrom = Some(c.q)
+      return Some(finish(c.df.select((q.axes ++ q.values).map(col): _*), q))
     }
 
     // Strategy 2: re-aggregate a finer cached slice. Conditions mirror
@@ -124,7 +165,15 @@ final class CuttingBoard(
     // resolvable over the cached axes — directly, or derived by
     // truncating a finer cached date axis (overSlice); cached filters ⊆
     // wanted filters; every wanted value present and mergeable.
-    val finer = cache.indexWhere { case (cq, _) =>
+    //
+    // ALL compatible slices are scored and the cheapest wins — the
+    // reference scores every strategy × cached slice with estimate_cost
+    // and takes the min (bacon/cutting.py:216,262,313,378). Cost here is
+    // the slice's exact row count (rows the re-aggregation must read): a
+    // tiny exact-grain slice beats a huge finer one regardless of MRU
+    // position.
+    val finerIdx = cache.indices.filter { i =>
+      val cq = cache(i).q
       q.valuesInSlice.nonEmpty &&
         q.axes.forall(a => overSlice(a, cq.axes).isDefined) &&
         cq.filters.toSet.subsetOf(q.filters.toSet) &&
@@ -132,9 +181,11 @@ final class CuttingBoard(
         q.valuesInSlice.toSet.subsetOf(cq.valuesInSlice.toSet) &&
         q.valuesInSlice.forall(reaggregatable)
     }
-    if (finer >= 0) {
-      promote(finer)
-      val (cq, df) = cache.head
+    if (finerIdx.nonEmpty) {
+      val best = finerIdx.minBy(i => (cache(i).rows, i))
+      promote(best)
+      val Cached(cq, df, _) = cache.head
+      lastServedFrom = Some(cq)
       val extraFilters = q.filters.toSet -- cq.filters.toSet
       // Extra filters evaluate against the slice's axis columns (already
       // computed values) or their hierarchy-derived truncations, never
@@ -171,7 +222,8 @@ final class CuttingBoard(
 
   /** Unpersist everything (end of session). */
   def clear(): Unit = synchronized {
-    cache.foreach(_._2.unpersist())
+    cache.foreach(_.df.unpersist())
     cache = Vector.empty
+    lastServedFrom = None
   }
 }

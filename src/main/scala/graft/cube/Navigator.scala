@@ -123,10 +123,14 @@ final class Navigator(val cubedef: CubeDef, val query: CubeQuery) {
   def hideLabeledValue(name: String, value: Any): CubeQuery =
     query.filters.find(f => f.name == name && f.op == FilterOp.Ni) match {
       case Some(f) =>
-        val merged = (f.value match {
-          case vs: Seq[_] => vs :+ value
-          case v          => Seq(v, value)
-        }).distinct
+        // Normalize any collection-valued filter (Seq from URL parsing,
+        // but Set/other Iterables from hand-built queries) before merging
+        // so a Set value doesn't nest inside the new Seq.
+        val existing = f.value match {
+          case vs: Iterable[_] => vs.toSeq
+          case v               => Seq(v)
+        }
+        val merged = (existing :+ value).distinct
         query.removeFilterExact(f.name, f.op, f.value)
           .addFilter(name, merged, FilterOp.Ni)
       case None => query.addFilter(name, Seq(value), FilterOp.Ni)

@@ -233,6 +233,99 @@ object Observers {
         (if (values.nonEmpty) Seq("values" -> jarr(values)) else Nil))
   }
 
+  /** Paginated raw-record listing — the reference's TableDetails observer
+    * (bacon/observers/tables.py:195): the un-aggregated records behind one
+    * rendered row (query built by Navigator.rowFilter), paged with the
+    * same Pagination math as the slice tables.
+    *
+    * Scale note: only the requested page is collected; the filter runs
+    * distributed with full predicate pushdown (Slicer.filter), and the
+    * count is a column-pruned aggregate.
+    */
+  final case class RecordListing(
+      columns: Vector[String],
+      rows: Vector[Vector[String]], // rendered cells, "" for null
+      totalRows: Long, page: Int, pageSize: Int,
+      pageLinks: Vector[Pagination.PageLink])
+
+  def recordListing(dataset: DataFrame, cube: CubeDef, q: CubeQuery,
+                    columns: Seq[String], orderBy: Seq[String],
+                    pageSize: Int, page: Int = 0): RecordListing = {
+    val filtered = Slicer.filter(dataset, cube, q)
+    // columns may be label names (computed expressions) or raw dataset
+    // columns — labels resolve through the cubedef like everywhere else
+    val selected = filtered.select(columns.map(c =>
+      if (cube.hasLabel(c)) cube.label(c).named else col(c)): _*)
+    val total = selected.count()
+    val ordered =
+      if (orderBy.nonEmpty) selected.orderBy(orderBy.map(col(_).asc): _*) else selected
+    val pageRows =
+      (if (pageSize > 0) ordered.offset(page * pageSize).limit(pageSize) else ordered).collect()
+    RecordListing(
+      columns.toVector,
+      pageRows.toVector.map(_.toSeq.toVector.map(v =>
+        Option(v).map(String.valueOf).getOrElse(""))),
+      total, page, pageSize,
+      Pagination.pages(total, pageSize, page))
+  }
+
+  /** The linked table payload — the reference's render_table_json
+    * (bacon/observers/json.py:140-353): the rendered pivot table where
+    * every header, row label, cell and page is an action URL (LinkMap),
+    * assembled from PivotTable + UrlMaker + Pagination.
+    */
+  def tableJson(t: PivotTable, nav: Navigator, urlPrefix: String = "",
+                pageSize: Int = 0, curPage: Int = 0): String = {
+    val um = new UrlMaker(nav, urlPrefix)
+    def jnum(v: Option[Double]): String = v.map(_.toString).getOrElse("null")
+    def jopt(v: Option[String]): String = v.map(jstr).getOrElse("null")
+
+    val columns = t.colKeys.map { ck =>
+      jobj(Seq(
+        "key" -> jstr(ck),
+        // filter to this pivot value (keeps the row axis)
+        "filter_url" -> jstr(um.filterUrl2(t.colAxis, ck)),
+        // order by this pivoted measure column (None when already so)
+        "order_url" -> jopt(um.orderUrl(t.measure, Seq(ck)))))
+    }
+
+    val rows = t.rows.map { case (rk, cells, rowTotal) =>
+      jobj(Seq(
+        "key" -> jstr(rk),
+        "filter_url" -> jstr(um.filterUrl(t.rowAxis, rk)),
+        "hide_url" -> jstr(um.hideLabeledValueUrl(t.rowAxis, rk)),
+        "details_url" -> jstr(um.rowFilterUrl(Seq(t.rowAxis -> rk))),
+        "cells" -> jarr(t.colKeys.zip(cells).map { case (ck, v) =>
+          jobj(Seq(
+            "value" -> jnum(v),
+            "url" -> jstr(um.rowFilterUrl(Seq(t.rowAxis -> rk, t.colAxis -> ck)))))
+        }),
+        "total" -> jnum(rowTotal)))
+    }
+
+    val pages = Pagination.pages(t.rows.length.toLong, pageSize, curPage).map { pl =>
+      jobj(Seq(
+        "label" -> jstr(pl.label),
+        "url" -> jopt(pl.page.map(p => urlPrefix +
+          UrlQueryBuilder.toUrlString(Pagination.pageQuery(nav.query, pageSize, p), nav.cubedef))),
+        "current" -> pl.current.toString))
+    }
+
+    jobj(Seq(
+      "row_axis" -> jstr(t.rowAxis),
+      "col_axis" -> jstr(t.colAxis),
+      "measure" -> jstr(t.measure),
+      "row_axis_links" -> jobj(Seq(
+        "drop_url" -> jstr(um.dropAxisUrl(t.rowAxis)),
+        "pivot_url" -> jstr(um.pivotUrl(t.colAxis)),
+        "order_reset_url" -> jopt(um.resetOrderUrl))),
+      "columns" -> jarr(columns),
+      "rows" -> jarr(rows),
+      "col_totals" -> jarr(t.colTotals.map(jnum)),
+      "grand_total" -> jnum(t.grandTotal)) ++
+      (if (pages.nonEmpty) Seq("pages" -> jarr(pages)) else Nil))
+  }
+
   /** Plain-text render of a PivotTable (debug/demo — the reference's HTML
     * templates are out of scope; the data shape is what matters).
     */

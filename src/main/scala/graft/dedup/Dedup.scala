@@ -38,7 +38,7 @@ object Dedup {
     val sh =
       if (stopShingleFraction >= 1.0) sh0
       else {
-        val nDocs = df.count()
+        val nDocs = approxRowCount(df)
         val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
           .where(col("df") > lit(stopShingleFraction * nDocs))
           .select(col("sh").as("hot_sh"))
@@ -76,42 +76,90 @@ object Dedup {
 
   /** Duplicate clusters from near-dup pairs: every id is labeled with the
     * minimum id reachable through the pair graph (connected components).
-    * Iterative min-label propagation — each round is one join + one
-    * aggregation shuffle; rounds needed = graph diameter, which for
-    * near-dup clusters is tiny (pairs come from a similarity threshold,
-    * so clusters are dense). Intermediate frames are persisted and the
-    * loop stops as soon as a round changes nothing.
+    * Iterative min-label propagation — rounds needed = graph diameter,
+    * which for near-dup clusters is tiny (pairs come from a similarity
+    * threshold, so clusters are dense).
+    *
+    * Scale/perf design:
+    *  - The (often expensive) upstream pair computation is evaluated
+    *    exactly once: both edge directions come from one explode, not a
+    *    self-union that re-runs the plan per branch.
+    *  - The seed already folds in propagation round 1
+    *    (comp₀ = min(id, min(neighbours))), saving one full round.
+    *  - ONE Spark action per round: the convergence flag is folded into
+    *    the aggregate that materializes the persisted frame
+    *    (`max(__chg)`), instead of a separate isEmpty + count pair.
+    *  - Lineage is truncated with localCheckpoint every 5 rounds so
+    *    planning cost stays constant on high-diameter graphs.
     */
   def duplicateClusters(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
                         maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(id1).as("src"), col(id2).as("dst"))
-      .union(pairs.select(col(id2).as("src"), col(id1).as("dst")))
+    val edges = pairs.select(explode(array(
+        struct(col(id1).as("src"), col(id2).as("dst")),
+        struct(col(id2).as("src"), col(id1).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).persist()
-    labels.count()
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      // min component label among each node's neighbours
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
-        .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
+    // Seed = round 1: every node takes the min of itself and its direct
+    // neighbours (all nodes appear as src because edges are symmetric).
+    var labels: DataFrame = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("comp"))
+      .select(col("src").as("id"), col("comp"))
+      .persist()
+    var iter = 1
+    var changed = true
+    while (changed && iter < maxIter) {
+      val nbr = labels.select(col("id").as("nid"), col("comp").as("ncomp"))
+      val nbrMin = edges.join(nbr, col("dst") === col("nid"))
+        .groupBy(col("src")).agg(min(col("ncomp")).as("nbr_comp"))
       val next = labels
         .join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
           (coalesce(col("nbr_comp"), col("comp")) < col("comp")).as("__chg"))
         .persist()
-      converged = next.where(col("__chg")).isEmpty
+      // Single action: materializes `next` into the cache AND answers
+      // whether this round changed anything.
+      changed = next.agg(coalesce(max(col("__chg")), lit(false)))
+        .first().getBoolean(0)
       val prev = labels
-      labels = next.select("id", "comp").persist()
-      labels.count()
-      prev.unpersist(); next.unpersist()
+      labels =
+        if (iter % 5 == 0) {
+          val lc = next.select("id", "comp").localCheckpoint(true)
+          next.unpersist()
+          lc
+        } else next
+      prev.unpersist()
       iter += 1
     }
+    if (changed) {
+      // Callers must not silently receive partial labels (ADVICE r2).
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge within maxIter=$maxIter rounds " +
+          "(pair-graph diameter too large); raise maxIter")
+    }
     edges.unpersist()
-    labels.withColumnRenamed("comp", "cluster_id")
+    labels.select(col("id"), col("comp").as("cluster_id"))
+  }
+
+  /** Approximate row count for sizing heuristics (the stop-shingle cut),
+    * WITHOUT a full corpus pass. Preference order: optimizer statistics
+    * (free — parquet row-count metadata / CBO stats when available), else
+    * a seeded 1% sample counted over a zero-column projection (the scan
+    * reads only page row counts, never the text payload). The cut is a
+    * heuristic, so ±20% error on the threshold is immaterial — what
+    * matters at 100 TB is not adding another pass over the documents.
+    */
+  private[dedup] def approxRowCount(df: DataFrame): Long = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount.map(_.toLong).getOrElse {
+      val f = 0.01
+      val ones = df.select(lit(1).as("one"))
+      val sampled = ones.sample(withReplacement = false, f, seed = 42).count()
+      // A 0-row sample means the input is tiny — the exact zero-column
+      // count is then itself cheap and the only meaningful answer.
+      if (sampled == 0) math.max(ones.count(), 1L)
+      else (sampled / f).toLong
+    }
   }
 
   /** Web-scale entry point for n-gram Jaccard near-dup: identical

@@ -32,8 +32,9 @@ object Multimodal {
 
   /** Attach a deterministic synthetic payload to each row — stands in for
     * reading real media bytes from object storage. The bytes ARE valid
-    * image-format headers (PNG/GIF/BMP rotating by id, dimensions derived
-    * from the id), so the downstream decode exercises real parsing.
+    * format headers (kind "audio": RIFF/WAV with rotating sample rates;
+    * otherwise PNG/GIF/BMP/JPEG rotating by id, dimensions derived from
+    * the id), so the downstream decode exercises real byte parsing.
     */
   def withFakeMedia(df: DataFrame, idCol: String, kind: String): DataFrame = {
     val spark = df.sparkSession
@@ -42,13 +43,21 @@ object Multimodal {
     src.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        val w = 64 + (id % 16).toInt * 64
-        val h = 64 + ((id / 16) % 16).toInt * 64
-        val payload = (id % 3) match {
-          case 0 => ImageHeaders.pngBytes(w, h)
-          case 1 => ImageHeaders.gifBytes(w, h)
-          case _ => ImageHeaders.bmpBytes(w, h)
-        }
+        val payload =
+          if (kind == "audio") {
+            val rates = Array(8000, 16000, 44100, 48000)
+            ImageHeaders.wavBytes(rates((id % 4).toInt), 1 + (id % 2).toInt, 16,
+              nSamples = 1000 + (id % 100).toInt * 100)
+          } else {
+            val w = 64 + (id % 16).toInt * 64
+            val h = 64 + ((id / 16) % 16).toInt * 64
+            (id % 4) match {
+              case 0 => ImageHeaders.pngBytes(w, h)
+              case 1 => ImageHeaders.gifBytes(w, h)
+              case 2 => ImageHeaders.bmpBytes(w, h)
+              case _ => ImageHeaders.jpegBytes(w, h)
+            }
+          }
         Row(id, kind, payload, Row("synthetic", payload.length.toLong))
       }
     }(encoder)
@@ -74,6 +83,30 @@ object Multimodal {
         val payload = r.get(payloadIdx).asInstanceOf[Array[Byte]]
         val (w, h, f) = decoder.decode(payload)
         Row.fromSeq(r.toSeq ++ Seq(w.map(Int.box).orNull, h.map(Int.box).orNull, f))
+      }
+    }(encoder)
+  }
+
+  /** Audio (WAV/RIFF) metadata decode — same per-partition batch contract
+    * as decodeImageMeta; the header parsing is real byte work
+    * (ImageHeaderDecoder.decodeWav), no codec library involved.
+    */
+  def decodeAudioMeta(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("sample_rate", IntegerType), StructField("channels", IntegerType),
+      StructField("bits", IntegerType), StructField("seconds", DoubleType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      val decoder = new ImageHeaderDecoder
+      rows.map { r =>
+        val payload = r.get(payloadIdx).asInstanceOf[Array[Byte]]
+        val extra = decoder.decodeWav(payload) match {
+          case Some((rate, ch, bits, secs)) =>
+            Seq(Int.box(rate), Int.box(ch), Int.box(bits), Double.box(secs))
+          case None => Seq(null, null, null, null)
+        }
+        Row.fromSeq(r.toSeq ++ extra)
       }
     }(encoder)
   }

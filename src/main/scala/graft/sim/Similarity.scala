@@ -116,9 +116,11 @@ object Similarity {
     * Scale path (default): hyperplane-LSH bucket candidates + exact rerank
     * — equi-joins only, no O(n²) BroadcastNestedLoopJoin. The default
     * 8 planes × 16 tables make the per-pair miss probability at cos=0.9
-    * ≈ (1-(1-acos(0.9)/π)^8)^16 < 1e-3, and far smaller for the
-    * closer-than-threshold pairs dedup actually targets; pass
-    * numTables=0 for the exact all-pairs fallback on small inputs.
+    * ≈ (1-(1-acos(0.9)/π)^8)^16 ≈ 4.2e-3 (per-table collision
+    * (1-0.1436)^8 ≈ 0.29), and far smaller for the closer-than-threshold
+    * pairs dedup actually targets — at cos=0.99 the miss probability is
+    * ≈ 2e-9; pass numTables=0 for the exact all-pairs fallback on small
+    * inputs (or when the oracle demands exactness).
     */
   def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, numPlanes: Int = 8,

@@ -91,6 +91,12 @@ object Tpch {
       Measure("sum_retail", col("p_retailprice"), Agg.Sum),
       Measure("n_parts", lit(1), Agg.Count),
       Measure("type_word_set", split(col("p_type"), " "), Agg.UnionSet),
+      // Union's included_empty companion over the red/blue name words —
+      // some parts have neither word, so the flag is exercised both ways.
+      Measure("rb_word_set", array_intersect(split(col("p_name"), " "),
+        array(lit("red"), lit("blue"))), Agg.UnionSet),
+      Measure("rb_included_empty", array_intersect(split(col("p_name"), " "),
+        array(lit("red"), lit("blue"))), Agg.UnionIncludedEmpty),
     ),
   )
 

@@ -126,6 +126,71 @@ class CuttingBoardSpec extends SparkSpec {
     board.clear()
   }
 
+  test("week-grained cache is NEVER widened to coarser periods (ISO weeks straddle years)") {
+    // The ISO week starting 2019-12-30 contains 2020-01-02: serving a
+    // yearly query from a weekly slice via trunc(week,'year') would put
+    // that row's value in 2019. The widening must refuse week sources.
+    val df = Seq(
+      ("2019-12-30", 1.0), ("2020-01-02", 2.0), ("2020-06-15", 4.0),
+    ).toDF("d", "v").withColumn("d", to_date(col("d")))
+    val cube = CubeDef(
+      labels = DateLabels.hierarchy("d", dim = "t"),
+      measures = Seq(Measure("sum_v", col("v"), Agg.Sum)))
+    val board = new CuttingBoard(df, cube)
+
+    val weekly = CubeQuery().addAxis("d_week").addValue("sum_v")
+    board.slice(weekly).collect() // warm a week-grained cache
+
+    val yearly = CubeQuery().addAxis("d_year").addValue("sum_v")
+    val got = board.slice(yearly).collect()
+      .map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
+    assert(board.stats._1 == 0L, "yearly query must NOT be served from the weekly slice")
+    assert(got("2019-01-01") == 1.0 && got("2020-01-01") == 6.0)
+
+    // an exact week-for-week repeat is still a legitimate hit
+    board.slice(weekly).collect()
+    assert(board.stats._1 == 1L)
+    board.clear()
+  }
+
+  test("cost-based reuse picks the cheapest compatible slice, not the most recent") {
+    val df = Seq(
+      ("2024-01-03", 1.0), ("2024-01-20", 2.0), ("2024-02-03", 4.0),
+      ("2024-05-29", 8.0), ("2024-11-01", 16.0),
+    ).toDF("d", "v").withColumn("d", to_date(col("d")))
+    val cube = CubeDef(
+      labels = DateLabels.hierarchy("d", dim = "t"),
+      measures = Seq(Measure("sum_v", col("v"), Agg.Sum)))
+    val board = new CuttingBoard(df, cube)
+
+    val monthly = CubeQuery().addAxis("d_month").addValue("sum_v")
+    val daily = CubeQuery().addAxis("d_day").addValue("sum_v")
+    board.slice(monthly).collect() // 4 rows — the cheap source
+    board.slice(daily).collect()   // 5 rows — finer, AND most recently used
+
+    val yearly = CubeQuery().addAxis("d_year").addValue("sum_v")
+    val got = board.slice(yearly).collect().map(r => r.getDouble(1))
+    assert(board.stats._1 == 1L)
+    // first-match MRU would serve from the daily slice; cost-based must
+    // pick the smaller monthly one (bacon estimate_cost analogue)
+    assert(board.lastServedFrom.map(_.axes) == Some(Vector("d_month")))
+    assert(got.toSeq == Seq(31.0))
+    board.clear()
+  }
+
+  test("refresh() drops the cache and serves the new dataset") {
+    val board = freshBoard()
+    val q = CubeQuery().addAxis("k").addValue("sum_v")
+    val before = asMap(board.slice(q))
+    assert(before("A") == 7.0)
+    val df2 = Seq(("A", "x", 2020, 100.0)).toDF("k", "s", "y", "v")
+    board.refresh(df2)
+    val after = asMap(board.slice(q))
+    assert(after("A") == 100.0, "post-refresh slice must reflect the new data")
+    assert(board.stats == (0L, 2L), "refresh invalidates the cache (no stale hit)")
+    board.clear()
+  }
+
   test("cached result equals direct Slicer result") {
     val board = freshBoard()
     val fine = CubeQuery().addAxis("k").addAxis("s").addAxis("y").addValue("sum_v")

@@ -90,6 +90,12 @@ class NavigatorSpec extends AnyFunSuite {
     // re-hiding the same value does not duplicate it
     val q3 = new Navigator(cube, q2).hideLabeledValue("flag", "x")
     assert(q3.filters.head.value.asInstanceOf[Seq[_]].toSet == Set("x", "y"))
+    // a hand-built ni filter with a Set value merges flat, never nests
+    val qSet = CubeQuery().addAxis("flag").addFilter("flag", Set("x", "y"), FilterOp.Ni)
+    val q4 = new Navigator(cube, qSet).hideLabeledValue("flag", "z")
+    val merged = q4.filters.head.value.asInstanceOf[Seq[_]]
+    assert(merged.toSet == Set("x", "y", "z"))
+    assert(merged.forall(!_.isInstanceOf[Iterable[_]]), "Set value must not nest")
   }
 
   test("rowFilter carries the row's cells as eq filters plus current filters") {

@@ -102,6 +102,46 @@ class ObserversSpec extends SparkSpec {
     assert(Format.int(1000) == "1,000")
   }
 
+  test("record listing pages the raw records behind a rendered row") {
+    val data = Seq(
+      ("A", "x", 1.0), ("A", "x", 2.0), ("A", "y", 3.0), ("B", "x", 4.0),
+      ("A", "x", 5.0), ("A", "x", 6.0), ("A", "x", 7.0),
+    ).toDF("k", "s", "v")
+    val nav = new Navigator(cube, CubeQuery().addAxis("k").addAxis("s").addValue("sum_v"))
+    // the TableDetails click-through: the records behind rendered cell (A, x)
+    val q = nav.rowFilter(Seq("k" -> "A", "s" -> "x"))
+    val listing = Observers.recordListing(data, cube, q,
+      columns = Seq("k", "s", "v"), orderBy = Seq("v"), pageSize = 2, page = 1)
+    assert(listing.totalRows == 5)
+    assert(listing.rows == Vector(Vector("A", "x", "5.0"), Vector("A", "x", "6.0")))
+    assert(listing.pageLinks.nonEmpty && listing.pageLinks.count(_.current) == 1)
+    assert(listing.pageLinks.find(_.current).get.label == "2")
+    // page 0 sees the first records, same total
+    val p0 = Observers.recordListing(data, cube, q,
+      columns = Seq("k", "s", "v"), orderBy = Seq("v"), pageSize = 2, page = 0)
+    assert(p0.rows == Vector(Vector("A", "x", "1.0"), Vector("A", "x", "2.0")))
+  }
+
+  test("linked table JSON carries per-cell, header, row and page action URLs") {
+    val t = Observers.pivotTable(df, cube, "k", "s", "sum_v")
+    val nav = new Navigator(cube, CubeQuery().addAxis("k").addValue("sum_v").setPivot("s"))
+    val json = Observers.tableJson(t, nav, urlPrefix = "/cube/", pageSize = 1, curPage = 0)
+    assert(json.contains("\"row_axis\":\"k\"") && json.contains("\"col_axis\":\"s\""))
+    // column headers: filter to the pivot value + order by the pivoted measure
+    assert(json.contains("\"filter_url\"") && json.contains("\"order_url\""))
+    // cells: the row-filter URL carries BOTH axis eq-filters
+    assert(json.contains("f:k:A") && json.contains("f:s:x"))
+    // row actions: hide (ni merge) and raw-record details
+    assert(json.contains("\"hide_url\"") && json.contains("f:k:ni:A"))
+    assert(json.contains("\"details_url\""))
+    // header actions on the row axis
+    assert(json.contains("\"drop_url\"") && json.contains("\"pivot_url\""))
+    // pagination: 2 rows at pageSize 1 → a pages row with a real page-2 link
+    assert(json.contains("\"pages\"") && json.contains("l:1:1"))
+    assert(json.count(_ == '{') == json.count(_ == '}'))
+    assert(json.count(_ == '[') == json.count(_ == ']'))
+  }
+
   test("navJson payload carries dimensioned axes, filter actions and hidden values") {
     val c = CubeDef(
       labels = Seq(

@@ -49,6 +49,23 @@ class SlicerSpec extends SparkSpec {
     assert(single.getString(1) == "y")
   }
 
+  test("UnionSet + UnionIncludedEmpty mirror Union.get's (set, included_empty) pair") {
+    val c2 = cube.withMeasures(Seq(
+      Measure("tag_set", col("tags"), Agg.UnionSet),
+      Measure("tag_empty", col("tags"), Agg.UnionIncludedEmpty)))
+    val m = Slicer.slice(df, c2,
+        CubeQuery().addAxis("k").addValue("tag_set").addValue("tag_empty"))
+      .collect().map(r => r.getString(0) -> ((r.getSeq[String](1), r.getBoolean(2)))).toMap
+    assert(m("A") == ((Seq("p", "q"), false)))
+    assert(m("B") == ((Seq("p", "r"), true))) // the empty-tags row sets the flag
+    // null sets count as empty too (reference: make_set(None) = ∅)
+    val withNull = Seq(("C", null.asInstanceOf[Seq[String]])).toDF("k", "tags")
+    val c3 = CubeDef(Seq(Label("k")),
+      Seq(Measure("tag_empty", col("tags"), Agg.UnionIncludedEmpty)))
+    val r = Slicer.slice(withNull, c3, CubeQuery().addAxis("k").addValue("tag_empty")).collect()(0)
+    assert(r.getBoolean(1))
+  }
+
   test("null-safe ne filter keeps null rows (Python semantics)") {
     val q = CubeQuery().addAxis("k").addValue("n").addFilter("s", "x", FilterOp.Ne)
     val m = rows(q)

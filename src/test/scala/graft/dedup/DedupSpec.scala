@@ -52,6 +52,18 @@ class DedupSpec extends SparkSpec {
     assert(lsh.contains((1L, 2L)))
   }
 
+  test("minhash LSH at the d03 query parameters has full recall (oracle validity)") {
+    // d03_minhash_lsh is oracle-compared against the EXACT pair SQL; that
+    // is only sound while LSH recall is 1.0 at test scale — asserted here
+    // at the exact d03 parameters (32 hashes, 8 bands of 4 rows).
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact, "LSH must verify to the exact pair set (values included)")
+  }
+
   test("keepCanonical keeps one row per content with all original columns") {
     val kept = Dedup.keepCanonical(docs, "doc_id", "text").collect()
     assert(kept.map(_.getLong(0)).toSet == Set(1L, 2L, 4L, 5L)) // 3 is a dup of 1
@@ -64,6 +76,29 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L && comp(7L) == 1L)
     assert(comp(5L) == 5L && comp(6L) == 5L)
+  }
+
+  test("duplicateClusters throws instead of returning partial labels at maxIter") {
+    // a path graph 0-1-2-...-9 needs ~8 propagation rounds to pull the
+    // far end down to label 0; maxIter=3 must fail loudly, not silently
+    val path = (0L until 9L).map(i => (i, i + 1)).toDF("id1", "id2")
+    intercept[IllegalStateException] {
+      Dedup.duplicateClusters(path, maxIter = 3)
+    }
+    // and with enough rounds the same graph fully converges to one label
+    val ok = Dedup.duplicateClusters(path, maxIter = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet == Set(0L) && ok.size == 10)
+  }
+
+  test("approxRowCount estimates without a full corpus pass, exact-count fallback on tiny input") {
+    // tiny input: the 1% sample is empty, so the zero-column exact count
+    // answers — and the stop-shingle cut keeps behaving as with count()
+    assert(Dedup.approxRowCount(docs) == 5L)
+    val viaEstimate = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.3, stopShingleFraction = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaEstimate.contains((1L, 3L)))
   }
 
   test("scale entry point applies the stop-shingle cut by default") {

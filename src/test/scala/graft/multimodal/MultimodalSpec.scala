@@ -36,9 +36,25 @@ class MultimodalSpec extends SparkSpec {
         (r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[String]("format"))).toMap
     assert(d1 == d2) // deterministic
     // dimensions round-trip the id formula through real format headers
-    assert(d1(1L) == (128, 64, "gif"))  // id%3==1 -> gif
-    assert(d1(2L) == (192, 64, "bmp"))  // id%3==2 -> bmp
-    assert(d1(3L) == (256, 64, "png"))  // id%3==0 -> png
+    assert(d1(1L) == (128, 64, "gif"))  // id%4==1 -> gif
+    assert(d1(2L) == (192, 64, "bmp"))  // id%4==2 -> bmp
+    assert(d1(3L) == (256, 64, "jpeg")) // id%4==3 -> jpeg
+  }
+
+  test("audio modality end-to-end: WAV payloads decode sample rate/channels/duration") {
+    val m = Multimodal.withFakeMedia(base, "doc_id", "audio").repartition(2)
+    val got = Multimodal.decodeAudioMeta(m).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Int]("sample_rate"), r.getAs[Int]("channels"), r.getAs[Double]("seconds"))).toMap
+    // id formula: rate = rates(id%4), channels = 1 + id%2, nSamples = 1000 + (id%100)*100
+    assert(got(1L)._1 == 16000 && got(1L)._2 == 2)
+    assert(got(2L)._1 == 44100 && got(2L)._2 == 1)
+    assert(got(3L)._1 == 48000 && got(3L)._2 == 2)
+    // duration = nSamples / rate, independent of channel count
+    assert(math.abs(got(2L)._3 - 1200.0 / 44100) < 1e-6)
+    // image payloads are not WAVs: audio decode yields nulls, not garbage
+    val img = Multimodal.withFakeMedia(base, "doc_id", "image")
+    assert(Multimodal.decodeAudioMeta(img).where(col("sample_rate").isNotNull).count() == 0)
   }
 
   test("WAV header round-trips audio metadata") {

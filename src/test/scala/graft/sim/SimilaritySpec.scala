@@ -49,6 +49,21 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("LSH dup pairs at the d16 parameters: subset of exact, all above threshold") {
+    val exact = Similarity.cosineDupPairs(vecs, "vec_id", "embedding", 0.95, numTables = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.cosineDupPairs(vecs, "vec_id", "embedding", 0.95,
+      numPlanes = 4, numTables = 16).collect()
+    // rerank guarantees subset-with-identical-cosines; 4 planes × 16
+    // tables make the miss probability at cos≥0.95 ≈ 3.5e-8, so on this
+    // corpus the sets are equal
+    assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSet == exact.keySet)
+    lsh.foreach { r =>
+      assert(r.getDouble(2) >= 0.95)
+      assert(math.abs(exact((r.getLong(0), r.getLong(1))) - r.getDouble(2)) < 1e-9)
+    }
+  }
+
   test("centroids compute the element-wise per-group mean, reassembled in order") {
     val grouped = Seq(
       (1, Seq(1.0f, 0.0f, 3.0f)), (1, Seq(3.0f, 2.0f, 5.0f)),
