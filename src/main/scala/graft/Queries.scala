@@ -719,8 +719,13 @@ object Queries {
         |)
         |SELECT id, least(id, min(r)) AS cluster_id
         |FROM closure GROUP BY id""") { (s, dir) =>
-      val pairs = graft.dedup.Dedup.ngramJaccardPairs(
-        docs(s, dir), "doc_id", "text", k = 3, threshold = 0.5)
+      // Pairs come from the MinHash-LSH path — the one you would run at
+      // 100 TB — whose exact-Jaccard-verified output equals the exact
+      // all-pairs answer here (recall 1.0 measured at sf0.01 AND sf0.1;
+      // DedupSpec asserts it at these parameters), so the recursive-CTE
+      // oracle over exact pairs still validates the cluster labels.
+      val pairs = graft.dedup.Dedup.minhashLshPairs(
+        docs(s, dir), "doc_id", "text", k = 3, numHashes = 32, bands = 8, threshold = 0.5)
       graft.dedup.Dedup.duplicateClusters(pairs)
     },
 

@@ -29,8 +29,14 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.5,
                         stopShingleFraction: Double = 1.0): DataFrame = {
+    // The inverted-index join key is the 64-bit hash of the shingle, not
+    // the string: the exchange then shuffles 8-byte longs instead of
+    // ~10s-of-bytes text, and key comparison is integer equality. Counts
+    // are unchanged (shingleSet is per-doc distinct; a cross-doc hash
+    // collision would need ~2^32 distinct shingles to become likely).
     val sh0 = df.select(col(idCol).as("id"), shingleSet(col(textCol), k).as("shingles"))
-      .select(col("id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
+      .select(col("id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh0"))
+      .select(col("id"), col("sz"), xxhash64(col("sh0")).as("sh"))
     // Optional web-scale stop-shingle cut: shingles occurring in more
     // than `stopShingleFraction` of docs generate quadratic join fanout
     // while carrying almost no near-dup signal (standard w-shingling
