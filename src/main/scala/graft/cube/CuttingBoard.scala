@@ -100,7 +100,8 @@ final class CuttingBoard(
 
   private def reaggregatable(name: String): Boolean =
     cubedef.measure(name).agg match {
-      case Agg.Sum | Agg.Min | Agg.Max | Agg.Count | Agg.UnionSet => true
+      case Agg.Sum | Agg.Min | Agg.Max | Agg.Count | Agg.UnionSet |
+           Agg.UnionIncludedEmpty => true
       case _ => false
     }
 
@@ -197,7 +198,10 @@ final class CuttingBoard(
       val aggs = q.valuesInSlice.map { v =>
         (cubedef.measure(v).agg match {
           case Agg.Count => sum(col(v)) // counts add up
-          case other     => other.compile(col(v))
+          // merging cached flags is any-true, NOT the base-expression
+          // size test (the cached column is already boolean)
+          case Agg.UnionIncludedEmpty => max(col(v))
+          case other                  => other.compile(col(v))
         }).as(v)
       }
       val merged = filtered.groupBy(axisCols: _*).agg(aggs.head, aggs.tail: _*)

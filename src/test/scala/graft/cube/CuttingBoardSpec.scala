@@ -126,6 +126,28 @@ class CuttingBoardSpec extends SparkSpec {
     board.clear()
   }
 
+  test("UnionSet + UnionIncludedEmpty re-aggregate correctly from a cached finer slice") {
+    val df = Seq(
+      ("A", "x", Seq("p", "q")), ("A", "y", Seq.empty[String]),
+      ("B", "x", Seq("r")), ("B", "y", Seq("p")),
+    ).toDF("k", "s", "tags")
+    val cube = CubeDef(
+      labels = Seq(Label("k"), Label("s")),
+      measures = Seq(
+        Measure("tag_set", col("tags"), Agg.UnionSet),
+        Measure("tag_empty", col("tags"), Agg.UnionIncludedEmpty)))
+    val board = new CuttingBoard(df, cube)
+    val fine = CubeQuery().addAxis("k").addAxis("s").addValue("tag_set").addValue("tag_empty")
+    board.slice(fine).collect()
+    val coarse = CubeQuery().addAxis("k").addValue("tag_set").addValue("tag_empty")
+    val got = board.slice(coarse).collect()
+      .map(r => r.getString(0) -> ((r.getSeq[String](1), r.getBoolean(2)))).toMap
+    assert(board.stats._1 == 1L, "expected a re-agg cache hit")
+    assert(got("A") == ((Seq("p", "q"), true)))  // empty-set row propagates the flag
+    assert(got("B") == ((Seq("p", "r"), false)))
+    board.clear()
+  }
+
   test("week-grained cache is NEVER widened to coarser periods (ISO weeks straddle years)") {
     // The ISO week starting 2019-12-30 contains 2020-01-02: serving a
     // yearly query from a weekly slice via trunc(week,'year') would put
