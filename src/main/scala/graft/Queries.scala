@@ -558,6 +558,14 @@ object Queries {
         k = 5, numPlanes = 10, numTables = 4)
     },
 
+    // §2.42b: IVF ANN — k-means coarse quantizer + posting-list probe
+    // (rows-only: Lloyd refit is FP-order-sensitive in distributed avg;
+    // SimilaritySpec asserts exact-equality at full probe width)
+    "e02_ann_ivf" -> nq { (s, dir) =>
+      graft.sim.Similarity.annIvfTopK(emb(s, dir), "vec_id", "embedding",
+        k = 5, numCentroids = 16, nProbe = 4, iters = 2)
+    },
+
     // §2.43: language-ID heuristic
     "d08_langid" -> oq(
       """WITH t AS (

@@ -97,6 +97,72 @@ object Similarity {
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Rank centroids per vector by cosine: (id, cid) rows for each
+    * vector's `n` nearest centroids. The centroid table is tiny
+    * (numCentroids rows) and broadcast, so this is a map-side pass over
+    * the vectors — no data×data join.
+    */
+  private def rankCentroids(v: DataFrame, cents: DataFrame, n: Int): DataFrame = {
+    // codegen'd float dot product + precomputed norms on both sides —
+    // no interpreted array-cast HOFs in this per-(vector × centroid) path
+    val w = Window.partitionBy(col("id")).orderBy(col("__ccos").desc, col("cid").asc)
+    v.crossJoin(broadcast(cents))
+      .withColumn("__ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("__crk", row_number().over(w))
+      .where(col("__crk") <= n)
+      .select(col("id"), col("cid"))
+  }
+
+  /** IVF (inverted-file) ANN — the second scale path next to hyperplane
+    * LSH (annLshTopK): a k-means coarse quantizer learned with a few
+    * distributed Lloyd iterations, then per-centroid posting lists.
+    *
+    * Distributed shape: centroids live in a numCentroids-row broadcast
+    * table (assignment is a map-side pass, never a data×data join);
+    * centroid refit reuses the posexplode/per-dim-average machinery of
+    * `centroids`; the candidate join is an equi-join on the centroid id
+    * (each query probes its `nProbe` nearest cells and meets only the
+    * vectors assigned there); the exact rerank joins vectors back by id.
+    * With nProbe = numCentroids the candidate set covers every pair and
+    * the result equals the brute-force top-k (asserted in spec).
+    */
+  def annIvfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                 numCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    require(numCentroids > 0 && nProbe > 0 && nProbe <= numCentroids)
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    // deterministic init: the numCentroids lowest-id vectors. The
+    // centroid table carries float vectors + a precomputed norm so the
+    // assignment pass is pure codegen'd arithmetic.
+    var cents = v.orderBy(col("id")).limit(numCentroids)
+      .select(row_number().over(Window.orderBy(col("id"))).as("cid"),
+        col("v").as("cv"), col("nrm").as("cnrm"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = rankCentroids(v, cents, 1)
+      // the centroid table is numCentroids rows — eagerly checkpoint each
+      // refit so the next iteration (and the final probe plan) reads a
+      // materialized table instead of re-evaluating the whole Lloyd
+      // lineage multiple times. The double→float cast runs over
+      // numCentroids rows only.
+      cents = centroids(assigned.join(v.select(col("id"), col("v")), "id"), "cid", "v")
+        .select(col("grp").as("cid"),
+          transform(col("centroid"), x => x.cast("float")).as("cv"))
+        .withColumn("cnrm", norm(col("cv")))
+        .localCheckpoint(true)
+    }
+    val assigned = rankCentroids(v, cents, 1)
+    val probes = rankCentroids(v, cents, nProbe)
+    val cands = probes.as("p")
+      .join(assigned.as("b"), col("p.cid") === col("b.cid") && col("p.id") =!= col("b.id"))
+      .select(col("p.id").as("id1"), col("b.id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    val w = Window.partitionBy(col("id1")).orderBy(col("cos").desc, col("id2").asc)
+    rerank(cands, v)
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Per-group element-wise mean of an embedding column (cluster
     * centroids, per-source average embeddings). Distributed shape:
     * posexplode to (group, dim, value) rows, partial-aggregated avg per

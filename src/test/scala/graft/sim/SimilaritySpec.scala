@@ -75,6 +75,27 @@ class SimilaritySpec extends SparkSpec {
     assert(c(2) == Seq(10.0, 20.0, 30.0))
   }
 
+  test("IVF ANN at full probe width equals brute-force top-k; narrow probes are a subset") {
+    val brute = Similarity.cosineTopK(vecs, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // nProbe = numCentroids → every pair is a candidate → exact answer
+    val full = Similarity.annIvfTopK(vecs, "vec_id", "embedding", k = 2,
+      numCentroids = 3, nProbe = 3, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(full == brute)
+    // narrow probe: pairs carry true cosines (checked against the full
+    // all-pairs ranking — a narrow probe's #2 need not be the global #2)
+    val allPairs = Similarity.cosineTopK(vecs, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val narrow = Similarity.annIvfTopK(vecs, "vec_id", "embedding", k = 2,
+      numCentroids = 3, nProbe = 1, iters = 2).collect()
+    assert(narrow.nonEmpty)
+    narrow.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(allPairs.contains(key) && math.abs(allPairs(key) - r.getDouble(2)) < 1e-9)
+    }
+  }
+
   test("ANN LSH candidates are a subset of brute-force with matching cosines") {
     val brute = Similarity.cosineTopK(vecs, "vec_id", "embedding", k = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
