@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
@@ -74,6 +75,44 @@ class StreamsSpec extends SparkSpec {
     val batchKept = Streams.streamingDedup(batchDocs, "ts", "text", streaming = false)
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(batchKept.size == 3 && batchKept.contains(3L) && batchKept.contains(5L))
+  }
+
+  test("CuttingBoard.refresh in foreachBatch keeps slices current (callable-dataset parity)") {
+    // The reference's dataset is a callable re-checked per slice
+    // (bacon/cutting.py:122): each stream micro-batch refreshes the
+    // board, so later slices see the grown dataset and never a stale
+    // cached aggregate.
+    import graft.cube._
+    implicit val sqlCtx = spark.sqlContext
+    val cube = CubeDef(
+      labels = Seq(Label("event_type")),
+      measures = Seq(Measure("sum_value", col("value"), Agg.Sum), Measure("n", lit(1), Agg.Count)))
+    val board = new CuttingBoard(batch.limit(0), cube)
+    val q0 = CubeQuery().addAxis("event_type").addValue("sum_value").addValue("n")
+
+    var seen = Vector.empty[DataFrame] // accumulated micro-batches
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val sq = mem.toDF().toDF("ts", "event_type", "user_id", "value")
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        seen = seen :+ b
+        board.refresh(seen.reduce(_ unionAll _))
+        ()
+      }.start()
+
+    mem.addData((ts("2024-01-01 10:01:00"), "click", 1L, 1.0),
+      (ts("2024-01-01 10:05:00"), "click", 1L, 2.0))
+    sq.processAllAvailable()
+    val first = board.slice(q0).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(first("click") == 3.0)
+
+    mem.addData((ts("2024-01-01 10:20:00"), "view", 2L, 3.0),
+      (ts("2024-01-01 11:05:00"), "click", 1L, 4.0))
+    sq.processAllAvailable()
+    sq.stop()
+    // same query after refresh: no stale cache hit, new rows visible
+    val second = board.slice(q0).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(second("click") == 7.0 && second("view") == 3.0)
+    board.clear()
   }
 
   test("flatMapGroupsWithState keeps per-user running stats across batches") {
