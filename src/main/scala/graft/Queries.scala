@@ -751,25 +751,58 @@ object Queries {
           round(col("c"), 4).as("c"))
     },
 
-    // §2.47: multimodal binary plumbing (rows-only; header decode is real
-    // byte parsing, pixel ops are the marked stubs)
+    // §2.47: multimodal image pipeline, REAL pixel path — complete encoded
+    // PNG/GIF/BMP/JPEG payloads, full javax.imageio decode in mapPartitions
+    // batches. `dims_agree` counts rows whose raster dims independently
+    // confirm the byte-parsed header dims; luma stats come from the actual
+    // pixels (rows-only: payload synthesis is engine-side)
     "m01_multimodal" -> nq { (s, dir) =>
       import graft.multimodal.Multimodal._
-      val media = withFakeMedia(docs(s, dir), "doc_id", "image")
-      decodeImageMeta(media.repartition(col("media_id")))
-        .groupBy("format").agg(count(lit(1)).as("n"), avg(col("width")).as("avg_w"))
+      val media = withFakeMediaPixels(docs(s, dir), "doc_id", "image")
+      decodeImage(media.repartition(col("media_id")))
+        .groupBy("format")
+        .agg(count(lit(1)).as("n"), avg(col("width")).as("avg_w"),
+          sum(when(col("px_width") === col("width") &&
+            col("px_height") === col("height"), 1L).otherwise(0L)).as("dims_agree"),
+          round(avg(col("mean_luma")), 2).as("avg_luma"))
     },
 
-    // §2.47b: audio modality end-to-end — synthesized RIFF/WAV payloads,
-    // real header parse (sample rate / channels / duration), grouped by
-    // sample rate (rows-only: payload synthesis is engine-side)
+    // §2.47 (cont): REAL thumbnail generation — decode → bilinear
+    // aspect-preserving downscale → PNG re-encode, then a second decode of
+    // the thumbnails proves the output bytes are genuine images
+    "m02_resize" -> nq { (s, dir) =>
+      import graft.multimodal.Multimodal._
+      val media = withFakeMediaPixels(docs(s, dir), "doc_id", "image")
+      decodeImage(resize(media.repartition(col("media_id")), 16))
+        .groupBy("format")
+        .agg(count(lit(1)).as("n"), max(col("px_width")).as("max_w"),
+          max(col("px_height")).as("max_h"),
+          sum(when(col("px_width") === col("width") &&
+            col("px_height") === col("height"), 1L).otherwise(0L)).as("dims_agree"))
+    },
+
+    // §2.47 (cont): REAL video frame extraction — multi-frame animated-GIF
+    // payloads, JDK GIF reader pulls evenly-spaced frames, each re-encoded
+    // as a standalone PNG (a training pipeline's frame-sampling stage)
+    "v01_frames" -> nq { (s, dir) =>
+      import graft.multimodal.Multimodal._
+      val media = withFakeMediaPixels(docs(s, dir), "doc_id", "video")
+      sampleFrames(media.repartition(col("media_id")), 3)
+        .groupBy("frame_idx")
+        .agg(count(lit(1)).as("n"), avg(col("frame_width")).as("avg_w"),
+          avg(col("n_frames")).as("avg_total_frames"))
+    },
+
+    // §2.47b: audio modality end-to-end, REAL PCM — WAV payloads carry
+    // actual sine samples; header parse gives rate/channels/duration and
+    // `rms` is computed from the sample bytes (≈ amplitude/√2)
     "a01_audio_meta" -> nq { (s, dir) =>
       import graft.multimodal.Multimodal._
-      val media = withFakeMedia(docs(s, dir), "doc_id", "audio")
+      val media = withFakeMediaPixels(docs(s, dir), "doc_id", "audio")
       decodeAudioMeta(media.repartition(col("media_id")))
         .groupBy("sample_rate")
         .agg(count(lit(1)).as("n"), round(avg(col("seconds")), 4).as("avg_secs"),
-          max(col("channels")).as("max_channels"))
+          max(col("channels")).as("max_channels"), round(avg(col("rms")), 4).as("avg_rms"))
     },
 
     // §2: LabeledAcc — aggregate only when a second label is consistent

@@ -8,17 +8,22 @@ import org.apache.spark.sql.types._
   * columns plus a typed metadata struct, processed in partition-sized
   * batches.
   *
-  * What is REAL here: the schema (BinaryType payload + metadata struct),
-  * the batch shape (mapPartitions over an iterator, one decoder init per
-  * partition — the same contract as mapInPandas/mapInArrow batches), the
-  * partitioning (media ops repartition by id so decode parallelism is
-  * independent of upstream file layout), and the metadata decode itself —
-  * `ImageHeaderDecoder` parses genuine PNG/JPEG/GIF/BMP header structure
-  * from the bytes (magic numbers, IHDR, SOF markers), no codec library
-  * needed. The synthetic payloads are real minimal PNG/GIF/BMP headers.
+  * Two payload tiers, both REAL:
+  *  - header tier (`withFakeMedia`): payloads are genuine format headers
+  *    (PNG sig+IHDR, JPEG SOF, GIF/BMP/RIFF) parsed by
+  *    [[ImageHeaderDecoder]] with zero codec involvement — the cheap
+  *    metadata-only scan a 100 TB pipeline runs first.
+  *  - pixel tier (`withFakeMediaPixels` + [[Multimodal.decodeImage]] /
+  *    [[Multimodal.resize]] / [[Multimodal.sampleFrames]]): payloads are
+  *    complete encoded files (PNG/GIF/BMP/JPEG via `javax.imageio`,
+  *    animated GIF for video, PCM WAV for audio) and the operators do the
+  *    full decode — pixels, stats, thumbnail re-encode, frame extraction —
+  *    inside `mapPartitions` batches with one decoder init per partition
+  *    (the same contract a JNI codec integration needs).
   *
-  * What is STUBBED (no codecs in this container, loudly marked): pixel
-  * decode, resize of actual pixel data, video frame extraction.
+  * Reference analogue: the media columns bacon's observers render
+  * (bacon/observers/table.py renders cell payloads; the engine treats them
+  * as opaque bytes + metadata, which is exactly the schema here).
   */
 object Multimodal {
 
@@ -35,9 +40,9 @@ object Multimodal {
     * format headers (kind "audio": RIFF/WAV with rotating sample rates;
     * otherwise PNG/GIF/BMP/JPEG rotating by id, dimensions derived from
     * the id), so the downstream decode exercises real byte parsing.
+    * Header-only: cheap enough to fan out over the whole corpus.
     */
   def withFakeMedia(df: DataFrame, idCol: String, kind: String): DataFrame = {
-    val spark = df.sparkSession
     val src = df.select(col(idCol).cast("long").as("media_id"))
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
     src.mapPartitions { rows =>
@@ -63,12 +68,51 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Pixel-tier payloads: COMPLETE encoded media files, deterministic from
+    * the id. kind "image" → full PNG/GIF/BMP/JPEG (rotating by id) of a
+    * deterministic RGB pattern; "video" → multi-frame animated GIF;
+    * "audio" → PCM WAV with real sine-wave samples. Everything downstream
+    * of this is a genuine decode (ImageIO / PCM math), not a stub.
+    */
+  def withFakeMediaPixels(df: DataFrame, idCol: String, kind: String): DataFrame = {
+    val src = df.select(col(idCol).cast("long").as("media_id"))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = kind match {
+          case "audio" =>
+            val rates = Array(8000, 16000, 44100, 48000)
+            ImageHeaders.wavBytesPcm(rates((id % 4).toInt), 1 + (id % 2).toInt,
+              nSamples = 1000 + (id % 100).toInt * 100, freqHz = 220.0 + (id % 8) * 110.0,
+              amplitude = 0.5)
+          case "video" =>
+            val w = 32 + (id % 8).toInt * 8
+            val h = 24 + ((id / 8) % 8).toInt * 8
+            ImagePixels.animatedGif(w, h, nFrames = 4 + (id % 3).toInt, seed = id)
+          case _ =>
+            val w = 16 + (id % 16).toInt * 4
+            val h = 16 + ((id / 16) % 16).toInt * 4
+            val img = ImagePixels.pattern(w, h, seed = id)
+            (id % 4) match {
+              case 0 => ImagePixels.encode(img, "png")
+              case 1 => ImagePixels.encode(img, "gif")
+              case 2 => ImagePixels.encode(img, "bmp")
+              case _ => ImagePixels.encode(img, "jpg")
+            }
+        }
+        Row(id, kind, payload, Row("synthetic", payload.length.toLong))
+      }
+    }(encoder)
+  }
+
   /** Image metadata decode: parses format + dimensions from the payload's
     * real header bytes. Batching contract: iterator-in/iterator-out per
     * partition, decoder state initialized once per partition — exactly
     * what a JNI/codec integration needs for full pixel decode.
     */
-  def decodeImageMeta(df: DataFrame): DataFrame = {
+  def decodeImageMeta(df0: DataFrame): DataFrame = {
+    val df = df0.drop("width", "height", "format")
     val outSchema = StructType(df.schema.fields ++ Seq(
       StructField("width", IntegerType), StructField("height", IntegerType),
       StructField("format", StringType)))
@@ -87,14 +131,122 @@ object Multimodal {
     }(encoder)
   }
 
-  /** Audio (WAV/RIFF) metadata decode — same per-partition batch contract
-    * as decodeImageMeta; the header parsing is real byte work
-    * (ImageHeaderDecoder.decodeWav), no codec library involved.
+  /** FULL image decode: header parse (width/height/format, byte-level) PLUS
+    * a real pixel decode via `javax.imageio` — decoded dimensions
+    * (px_width/px_height, independently derived from the pixel raster) and
+    * first-pass luma statistics (mean_luma/std_luma over BT.601 luma).
+    * Undecodable payloads (e.g. header-tier bytes with no pixel data)
+    * yield null pixel columns, never an exception — at 100 TB some share
+    * of any media corpus is always corrupt.
     */
-  def decodeAudioMeta(df: DataFrame): DataFrame = {
+  def decodeImage(df0: DataFrame): DataFrame = {
+    val df = df0.drop("width", "height", "format", "px_width", "px_height",
+      "mean_luma", "std_luma")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("format", StringType),
+      StructField("px_width", IntegerType), StructField("px_height", IntegerType),
+      StructField("mean_luma", DoubleType), StructField("std_luma", DoubleType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      val headerDecoder = new ImageHeaderDecoder
+      rows.map { r =>
+        val payload = r.get(payloadIdx).asInstanceOf[Array[Byte]]
+        val (w, h, f) = headerDecoder.decode(payload)
+        val pixelCols = ImagePixels.decode(payload) match {
+          case Some(img) =>
+            val (mean, std) = ImagePixels.lumaStats(img)
+            Seq(Int.box(img.getWidth), Int.box(img.getHeight),
+              Double.box(mean), Double.box(std))
+          case None => Seq(null, null, null, null)
+        }
+        Row.fromSeq(r.toSeq ++ Seq(w.map(Int.box).orNull, h.map(Int.box).orNull, f) ++ pixelCols)
+      }
+    }(encoder)
+  }
+
+  /** REAL resize: decodes the payload, scales it to fit within
+    * `maxDim`×`maxDim` (aspect-preserving, bilinear, never upscales), and
+    * re-encodes the thumbnail as PNG. Output replaces `payload` with the
+    * thumbnail bytes and carries the new pixel dimensions; undecodable
+    * payloads pass through with null thumbnail columns.
+    */
+  def resize(df: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+    val keep = df.schema.fields.filterNot(f => Set("payload", "width", "height", "format")(f.name))
+    val outSchema = StructType(keep ++ Seq(
+      StructField("payload", BinaryType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("format", StringType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val keepIdx = keep.map(f => df.schema.fieldIndex(f.name))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val kept = keepIdx.map(r.get).toSeq
+        val outCols = ImagePixels.decode(r.get(payloadIdx).asInstanceOf[Array[Byte]]) match {
+          case Some(img) =>
+            val thumb = ImagePixels.scaleToFit(img, maxDim)
+            Seq(ImagePixels.encode(thumb, "png"),
+              Int.box(thumb.getWidth), Int.box(thumb.getHeight), "png")
+          case None => Seq(null, null, null, null)
+        }
+        Row.fromSeq(kept ++ outCols)
+      }
+    }(encoder)
+  }
+
+  /** REAL frame sampling: reads the animated-GIF video payload with the
+    * JDK's multi-frame GIF reader, picks up to `n` evenly-spaced frames,
+    * and re-encodes each sampled frame as a standalone PNG with its true
+    * dimensions. Non-video / undecodable payloads contribute zero rows.
+    */
+  def sampleFrames(df: DataFrame, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("kind", StringType),
+      StructField("n_frames", IntegerType), StructField("frame_idx", IntegerType),
+      StructField("frame_payload", BinaryType),
+      StructField("frame_width", IntegerType), StructField("frame_height", IntegerType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex("media_id")
+    val kindIdx = df.schema.fieldIndex("kind")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val kind = r.getString(kindIdx)
+        val payload = r.get(payloadIdx).asInstanceOf[Array[Byte]]
+        val frames = ImagePixels.readGifFrames(payload)
+        if (frames.isEmpty) Iterator.empty
+        else {
+          val total = frames.length
+          // evenly-spaced sample indices over [0, total)
+          val picks =
+            if (total <= n) 0 until total
+            else (0 until n).map(i => (i.toLong * total / n).toInt)
+          picks.iterator.map { idx =>
+            val img = frames(idx)
+            Row(id, kind, total, idx, ImagePixels.encode(img, "png"),
+              img.getWidth, img.getHeight)
+          }
+        }
+      }
+    }(encoder)
+  }
+
+  /** Audio (WAV/RIFF) metadata decode + real sample analysis — per-
+    * partition batch contract as decodeImageMeta. Header fields come from
+    * byte parsing; `rms` is computed from the actual 16-bit PCM samples in
+    * the data chunk (null when the payload carries no sample data).
+    */
+  def decodeAudioMeta(df0: DataFrame): DataFrame = {
+    val df = df0.drop("sample_rate", "channels", "bits", "seconds", "rms")
     val outSchema = StructType(df.schema.fields ++ Seq(
       StructField("sample_rate", IntegerType), StructField("channels", IntegerType),
-      StructField("bits", IntegerType), StructField("seconds", DoubleType)))
+      StructField("bits", IntegerType), StructField("seconds", DoubleType),
+      StructField("rms", DoubleType)))
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     val payloadIdx = df.schema.fieldIndex("payload")
     df.mapPartitions { rows =>
@@ -103,30 +255,15 @@ object Multimodal {
         val payload = r.get(payloadIdx).asInstanceOf[Array[Byte]]
         val extra = decoder.decodeWav(payload) match {
           case Some((rate, ch, bits, secs)) =>
-            Seq(Int.box(rate), Int.box(ch), Int.box(bits), Double.box(secs))
-          case None => Seq(null, null, null, null)
+            val rms = decoder.pcmRms(payload, bits)
+            Seq(Int.box(rate), Int.box(ch), Int.box(bits), Double.box(secs),
+              rms.map(Double.box).orNull)
+          case None => Seq(null, null, null, null, null)
         }
         Row.fromSeq(r.toSeq ++ extra)
       }
     }(encoder)
   }
-
-  /** STUB resize: clamps the metadata dimensions only — a real impl
-    * transforms pixel bytes (needs a codec, absent in this container).
-    */
-  def resize(df: DataFrame, maxDim: Int): DataFrame =
-    df.withColumn("width", least(col("width"), lit(maxDim)))
-      .withColumn("height", least(col("height"), lit(maxDim)))
-
-  /** STUB frame sampling for video payloads: emits `n` frame rows per
-    * media row (explode — the real shape of frame extraction output; the
-    * frame bytes are synthetic pending a video codec).
-    */
-  def sampleFrames(df: DataFrame, n: Int): DataFrame =
-    df.select(col("media_id"), col("kind"),
-        posexplode(transform(sequence(lit(0), lit(n - 1)),
-          i => sha2(concat(col("media_id").cast("string"), lit("#"), i.cast("string")), 256)
-            .cast("binary"))).as(Seq("frame_idx", "frame_payload")))
 }
 
 /** Real image header construction + parsing — pure byte work on genuine
@@ -167,7 +304,8 @@ object ImageHeaders {
 
   /** WAV (RIFF) header: sample rate / channels / bits at fixed offsets in
     * the fmt chunk — the audio modality's metadata, parseable with zero
-    * codec dependencies like the image headers.
+    * codec dependencies like the image headers. Header-only (declared data
+    * length, no sample bytes) — see [[wavBytesPcm]] for the real-PCM tier.
     */
   def wavBytes(sampleRate: Int, channels: Int, bitsPerSample: Int, nSamples: Int): Array[Byte] = {
     val dataLen = nSamples * channels * (bitsPerSample / 8)
@@ -182,6 +320,28 @@ object ImageHeaders {
     out.array()
   }
 
+  /** Complete 16-bit PCM WAV: the [[wavBytes]] header followed by REAL
+    * sine-wave samples (`amplitude` in [0,1] of full scale, identical
+    * across channels). RMS of the payload is amplitude/√2 — asserted in
+    * the spec, so the sample synthesis and the decode check each other.
+    */
+  def wavBytesPcm(sampleRate: Int, channels: Int, nSamples: Int,
+                  freqHz: Double, amplitude: Double): Array[Byte] = {
+    val header = wavBytes(sampleRate, channels, 16, nSamples)
+    val out = java.nio.ByteBuffer.allocate(44 + nSamples * channels * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(header)
+    val scale = amplitude * Short.MaxValue
+    var i = 0
+    while (i < nSamples) {
+      val s = (math.sin(2.0 * math.Pi * freqHz * i / sampleRate) * scale).toInt.toShort
+      var c = 0
+      while (c < channels) { out.putShort(s); c += 1 }
+      i += 1
+    }
+    out.array()
+  }
+
   /** Minimal JPEG: SOI + SOF0 with dimensions (height/width BE at +5/+7). */
   def jpegBytes(w: Int, h: Int): Array[Byte] = {
     val out = java.nio.ByteBuffer.allocate(2 + 19)
@@ -191,6 +351,139 @@ object ImageHeaders {
     out.put(3.toByte) // components
     out.put(Array.fill(9)(0.toByte))
     out.array()
+  }
+}
+
+/** Real pixel codec work via the JDK's `javax.imageio` — no external
+  * dependencies. Encodes/decodes complete PNG/GIF/BMP/JPEG files, writes
+  * and reads multi-frame animated GIFs (the video stand-in), scales
+  * rasters, and computes first-pass pixel statistics.
+  */
+object ImagePixels {
+  // ImageIO raster work needs no display; make that explicit for executors
+  System.setProperty("java.awt.headless", "true")
+
+  import java.awt.image.BufferedImage
+  import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+  import javax.imageio.ImageIO
+
+  /** Deterministic RGB test pattern — every pixel a pure function of
+    * (x, y, seed), so any decoded raster can be verified exactly.
+    */
+  def pattern(w: Int, h: Int, seed: Long): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((x * 31 + y * 7 + seed) % 256).toInt & 0xFF
+        val g = ((x * 13 + y * 29 + seed * 3) % 256).toInt & 0xFF
+        val b = ((x * 5 + y * 11 + seed * 7) % 256).toInt & 0xFF
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Encode via ImageIO ("png" | "gif" | "bmp" | "jpg"). */
+  def encode(img: BufferedImage, format: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val ok = ImageIO.write(img, format, bos)
+    require(ok, s"no ImageIO writer for format '$format'")
+    bos.toByteArray
+  }
+
+  /** Full pixel decode; None when no installed reader accepts the bytes
+    * (e.g. header-only payloads, corrupt files).
+    */
+  def decode(b: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(b)))
+    catch { case _: java.io.IOException => None }
+
+  /** Mean and (population) std-dev of BT.601 luma over the raster. */
+  def lumaStats(img: BufferedImage): (Double, Double) = {
+    var sum = 0.0; var sumSq = 0.0
+    val w = img.getWidth; val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.114 * (rgb & 0xFF)
+        sum += luma; sumSq += luma * luma
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    val mean = sum / n
+    (mean, math.sqrt(math.max(0.0, sumSq / n - mean * mean)))
+  }
+
+  /** Aspect-preserving bilinear downscale to fit maxDim×maxDim (no
+    * upscaling, min output dimension 1px).
+    */
+  def scaleToFit(img: BufferedImage, maxDim: Int): BufferedImage = {
+    val scale = math.min(1.0, maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+    if (scale >= 1.0) img
+    else {
+      val nw = math.max(1, math.round(img.getWidth * scale).toInt)
+      val nh = math.max(1, math.round(img.getHeight * scale).toInt)
+      val out = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, nw, nh, null)
+      g.dispose()
+      out
+    }
+  }
+
+  /** Multi-frame animated GIF — the video stand-in. Frame f's pattern seed
+    * is `seed + f`, so frames are distinct and each is independently
+    * verifiable.
+    */
+  def animatedGif(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(pattern(w, h, seed + f), null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** All frames of a (possibly animated) GIF; empty for non-GIF bytes. */
+  def readGifFrames(b: Array[Byte]): IndexedSeq[BufferedImage] = {
+    if (b.length < 6 || !b.startsWith("GIF8".getBytes("US-ASCII"))) return IndexedSeq.empty
+    val readers = ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) return IndexedSeq.empty
+    val reader = readers.next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(b))
+    try {
+      reader.setInput(iis, false)
+      val n = reader.getNumImages(true)
+      (0 until n).map(reader.read(_))
+    } catch {
+      case _: java.io.IOException => IndexedSeq.empty
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
   }
 }
 
@@ -224,6 +517,25 @@ final class ImageHeaderDecoder extends Serializable {
     val bytesPerSec = rate * channels * (bits / 8)
     val secs = if (bytesPerSec > 0) dataLen.toDouble / bytesPerSec else 0.0
     Some((rate, channels, bits, secs))
+  }
+
+  /** RMS (fraction of full scale) over the 16-bit PCM samples actually
+    * present after the 44-byte header; None when the payload is
+    * header-only or not 16-bit.
+    */
+  def pcmRms(b: Array[Byte], bits: Int): Option[Double] = {
+    if (bits != 16 || b.length <= 44) return None
+    val nSamples = (b.length - 44) / 2
+    if (nSamples == 0) return None
+    var sumSq = 0.0
+    var i = 0
+    while (i < nSamples) {
+      val off = 44 + i * 2
+      val s = (((b(off + 1) & 0xFF) << 8) | (b(off) & 0xFF)).toShort.toDouble / Short.MaxValue
+      sumSq += s * s
+      i += 1
+    }
+    Some(math.sqrt(sumSq / nSamples))
   }
 
   /** (width, height, format); (None, None, "unknown") when unrecognized. */

@@ -66,16 +66,99 @@ class MultimodalSpec extends SparkSpec {
     assert(d.decodeWav("RIFFnope".getBytes).isEmpty)
   }
 
-  test("resize clamps dimensions") {
-    val m = Multimodal.decodeImageMeta(Multimodal.withFakeMedia(base, "doc_id", "image"))
-    val r = Multimodal.resize(m, 128).collect()
-    assert(r.forall(row => row.getAs[Int]("width") <= 128 && row.getAs[Int]("height") <= 128))
+  test("pixel tier: full decode agrees with header parse on all four formats") {
+    // ids 0..3 rotate png/gif/bmp/jpeg in withFakeMediaPixels
+    val four = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+    val m = Multimodal.withFakeMediaPixels(four, "doc_id", "image").repartition(2)
+    val got = Multimodal.decodeImage(m).collect()
+      .map(r => r.getAs[String]("format") -> r).toMap
+    assert(got.keySet == Set("png", "gif", "bmp", "jpeg"))
+    got.values.foreach { r =>
+      // decoded raster dims independently equal the byte-parsed header dims
+      assert(r.getAs[Int]("px_width") == r.getAs[Int]("width"))
+      assert(r.getAs[Int]("px_height") == r.getAs[Int]("height"))
+      val mean = r.getAs[Double]("mean_luma")
+      assert(mean > 0.0 && mean < 255.0 && !r.isNullAt(r.fieldIndex("std_luma")))
+    }
+    // lossless formats reproduce the deterministic pattern's exact stats
+    Seq("png", "bmp").foreach { f =>
+      val r = got(f)
+      val id = r.getAs[Long]("media_id")
+      val img = ImagePixels.pattern(r.getAs[Int]("width"), r.getAs[Int]("height"), id)
+      val (mean, std) = ImagePixels.lumaStats(img)
+      assert(math.abs(r.getAs[Double]("mean_luma") - mean) < 1e-9, f)
+      assert(math.abs(r.getAs[Double]("std_luma") - std) < 1e-9, f)
+    }
+    // header-tier payloads (no pixel data) decode to null pixel columns, no throw
+    val headerOnly = Multimodal.decodeImage(Multimodal.withFakeMedia(four, "doc_id", "image"))
+    assert(headerOnly.where(col("px_width").isNotNull).count() == 0)
+    assert(headerOnly.where(col("width").isNotNull).count() == 4)
   }
 
-  test("frame sampling explodes n frames per media row") {
-    val m = Multimodal.withFakeMedia(base, "doc_id", "video")
-    val f = Multimodal.sampleFrames(m, 4)
-    assert(f.count() == 12)
-    assert(f.columns.contains("frame_idx") && f.columns.contains("frame_payload"))
+  test("resize produces a real re-encoded thumbnail, aspect preserved") {
+    // id 49: w = 16 + (49%16)*4 = 16+4 = 20... use ids with distinct aspect
+    val ids = Seq(17L, 33L, 2L).toDF("doc_id")
+    val m = Multimodal.withFakeMediaPixels(ids, "doc_id", "image")
+    val before = Multimodal.decodeImage(m).collect()
+      .map(r => r.getAs[Long]("media_id") -> (r.getAs[Int]("width"), r.getAs[Int]("height"))).toMap
+    val out = Multimodal.decodeImage(Multimodal.resize(m, 16)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val (w0, h0) = before(id)
+      // thumbnail payload is a genuine PNG: ImageIO round-trips it and the
+      // raster dims equal the recorded width/height
+      assert(r.getAs[String]("format") == "png")
+      assert(r.getAs[Int]("px_width") == r.getAs[Int]("width"))
+      assert(r.getAs[Int]("px_height") == r.getAs[Int]("height"))
+      assert(r.getAs[Int]("width") <= 16 && r.getAs[Int]("height") <= 16)
+      val expScale = 16.0 / math.max(w0, h0)
+      assert(r.getAs[Int]("width") == math.max(1, math.round(w0 * expScale).toInt))
+      assert(r.getAs[Int]("height") == math.max(1, math.round(h0 * expScale).toInt))
+    }
+    // no upscale: a tiny image passes through at original size
+    val tiny = Multimodal.decodeImage(Multimodal.resize(m, 4096)).collect()
+    tiny.foreach { r =>
+      val (w0, h0) = before(r.getAs[Long]("media_id"))
+      assert((r.getAs[Int]("width"), r.getAs[Int]("height")) == (w0 -> h0))
+    }
+  }
+
+  test("video frame sampling extracts real frames from an animated GIF") {
+    // id 1: nFrames = 4 + 1%3 = 5, w = 32+8 = 40, h = 24
+    val m = Multimodal.withFakeMediaPixels(Seq(1L).toDF("doc_id"), "doc_id", "video")
+    val all = Multimodal.sampleFrames(m, 10).collect().sortBy(_.getAs[Int]("frame_idx"))
+    assert(all.length == 5 && all.forall(_.getAs[Int]("n_frames") == 5))
+    assert(all.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 2, 3, 4))
+    // each sampled frame is a standalone decodable PNG with the video's dims,
+    // and carries the frame's own deterministic pattern (seed = id + idx)
+    all.foreach { r =>
+      val img = ImagePixels.decode(r.getAs[Array[Byte]]("frame_payload")).get
+      assert(img.getWidth == 40 && img.getHeight == 24)
+      assert(r.getAs[Int]("frame_width") == 40 && r.getAs[Int]("frame_height") == 24)
+    }
+    // distinct frames have distinct content
+    val lumas = all.map(r =>
+      ImagePixels.lumaStats(ImagePixels.decode(r.getAs[Array[Byte]]("frame_payload")).get)._1)
+    assert(lumas.distinct.length == lumas.length)
+    // evenly-spaced subsample when n < total
+    val three = Multimodal.sampleFrames(m, 3).collect().map(_.getAs[Int]("frame_idx")).sorted
+    assert(three.toSeq == Seq(0, 1, 3))
+    // non-video payloads contribute zero rows
+    val img = Multimodal.withFakeMediaPixels(Seq(4L).toDF("doc_id"), "doc_id", "image")
+    assert(Multimodal.sampleFrames(img, 3).count() == 0) // id 4 → png, not gif
+  }
+
+  test("pixel-tier audio: PCM samples are real and RMS matches the sine amplitude") {
+    val m = Multimodal.withFakeMediaPixels(base, "doc_id", "audio").repartition(2)
+    val got = Multimodal.decodeAudioMeta(m).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Int]("sample_rate"), r.getAs[Int]("channels"), r.getAs[Double]("rms"))).toMap
+    // amplitude 0.5 sine → rms ≈ 0.5/√2 ≈ 0.3536 (quantization + partial cycles)
+    got.values.foreach { case (_, _, rms) => assert(math.abs(rms - 0.5 / math.sqrt(2)) < 0.01) }
+    // header-tier WAV (no data bytes) keeps metadata but yields null rms
+    val headerOnly = Multimodal.decodeAudioMeta(Multimodal.withFakeMedia(base, "doc_id", "audio"))
+    assert(headerOnly.where(col("sample_rate").isNotNull).count() == 3)
+    assert(headerOnly.where(col("rms").isNotNull).count() == 0)
   }
 }
