@@ -42,7 +42,13 @@ object Bench {
       val d = java.security.MessageDigest.getInstance("MD5").digest(canon.getBytes("UTF-8"))
       d.take(6).map(b => f"$b%02x").mkString
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // d06 is the intentionally-O(n²) exact recall baseline — it exists to
+    // measure the ANN paths (SimilaritySpec's recall@5 harness), not as a
+    // headline operator, so it stays out of the default bench set. It
+    // remains in SparkEntry.queries for the correctness gate.
+    val benchExclude = Set("d06_cosine_topk")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => benchExclude(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val plan =
         try {

@@ -552,18 +552,22 @@ object Queries {
       graft.sim.Similarity.cosineTopK(emb(s, dir), "vec_id", "embedding", k = 5)
     },
 
-    // §2.42: LSH-bucketed ANN — the 100 TB path (rows-only)
+    // §2.42: LSH-bucketed ANN — the 100 TB path (rows-only). 10 planes ×
+    // 8 tables: recall@5 ≥ 0.95 vs the exact baseline, asserted at these
+    // exact parameters in SimilaritySpec's recall harness
     "d07_ann_lsh" -> nq { (s, dir) =>
       graft.sim.Similarity.annLshTopK(emb(s, dir), "vec_id", "embedding",
-        k = 5, numPlanes = 10, numTables = 4)
+        k = 5, numPlanes = 10, numTables = 8)
     },
 
     // §2.42b: IVF ANN — k-means coarse quantizer + posting-list probe
     // (rows-only: Lloyd refit is FP-order-sensitive in distributed avg;
-    // SimilaritySpec asserts exact-equality at full probe width)
+    // SimilaritySpec asserts exact-equality at full probe width and
+    // recall@5 ≥ 0.95 at these parameters). trainCap bounds Lloyd to a
+    // seeded sample so training never scans the full corpus per iteration
     "e02_ann_ivf" -> nq { (s, dir) =>
       graft.sim.Similarity.annIvfTopK(emb(s, dir), "vec_id", "embedding",
-        k = 5, numCentroids = 16, nProbe = 4, iters = 2)
+        k = 5, numCentroids = 16, nProbe = 4, iters = 2, trainCap = 2000)
     },
 
     // §2.43: language-ID heuristic

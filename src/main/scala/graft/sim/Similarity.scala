@@ -14,6 +14,29 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Cap for the intentionally-O(n²) exact paths (cosineTopK, exact-mode
+    * cosineDupPairs). Same philosophy as starJoin's broadcast threshold
+    * (Relational.scala): brute force is acceptable exactly when the whole
+    * table is broadcast-small. Past this, the quadratic pair join is a
+    * scale-killer and the call refuses with a pointer to the bucketed
+    * paths (annLshTopK / annIvfTopK / LSH-mode cosineDupPairs).
+    */
+  val ExactPathMaxBytes: Long = 64L << 20
+
+  /** Stats-based refusal for the exact O(n²) paths — checked against the
+    * optimizer's size estimate, so a parquet-backed table is judged by
+    * its actual bytes, not by running an action.
+    */
+  private def guardQuadratic(df: DataFrame, op: String, maxBytes: Long): Unit = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est > maxBytes)
+      throw new IllegalStateException(
+        s"$op is an exact O(n²) baseline: input estimated at $est bytes exceeds " +
+          s"maxExactBytes=$maxBytes. Use the bucketed scale paths instead " +
+          "(annLshTopK / annIvfTopK for top-k, cosineDupPairs with numTables>0 " +
+          "for near-dup), or raise maxExactBytes deliberately for a bounded sample.")
+  }
+
   /** Element-wise float→double cast (exact). */
   private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
@@ -31,8 +54,13 @@ object Similarity {
 
   /** Exact brute-force cosine top-k neighbours for every vector.
     * Norms are precomputed once; ranking is a window over the query id.
+    * Refuses inputs whose optimizer-estimated size exceeds
+    * `maxExactBytes` — this is the recall baseline for the ANN paths,
+    * not a scale operator.
     */
-  def cosineTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                 maxExactBytes: Long = ExactPathMaxBytes): DataFrame = {
+    guardQuadratic(df, "cosineTopK", maxExactBytes)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
     val a = v.alias("a"); val b = v.alias("b")
@@ -127,25 +155,40 @@ object Similarity {
     * the result equals the brute-force top-k (asserted in spec).
     */
   def annIvfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                 numCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+                 numCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3,
+                 trainCap: Long = 1000000L): DataFrame = {
     require(numCentroids > 0 && nProbe > 0 && nProbe <= numCentroids)
+    require(trainCap >= numCentroids, s"trainCap=$trainCap < numCentroids=$numCentroids")
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
-    // deterministic init: the numCentroids lowest-id vectors. The
+    // Lloyd training reads a BOUNDED seeded sample, not the corpus: at
+    // 100 TB the quantizer needs ~1M representative vectors, not `iters`
+    // full scans. The sample is materialized once (localCheckpoint) so
+    // every Lloyd iteration re-reads the bounded table; the full corpus
+    // is scanned exactly once afterwards, for the real assignment pass.
+    val trainV = {
+      val stats = v.queryExecution.optimizedPlan.stats
+      val estRows = stats.rowCount.map(_.toLong).getOrElse(v.count())
+      if (estRows <= trainCap) v
+      else v.sample(withReplacement = false,
+          math.min(1.0, trainCap.toDouble / estRows), seed = 42L)
+        .localCheckpoint(true)
+    }
+    // deterministic init: the numCentroids lowest-id training vectors. The
     // centroid table carries float vectors + a precomputed norm so the
     // assignment pass is pure codegen'd arithmetic.
-    var cents = v.orderBy(col("id")).limit(numCentroids)
+    var cents = trainV.orderBy(col("id")).limit(numCentroids)
       .select(row_number().over(Window.orderBy(col("id"))).as("cid"),
         col("v").as("cv"), col("nrm").as("cnrm"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val assigned = rankCentroids(v, cents, 1)
+      val assigned = rankCentroids(trainV, cents, 1)
       // the centroid table is numCentroids rows — eagerly checkpoint each
       // refit so the next iteration (and the final probe plan) reads a
       // materialized table instead of re-evaluating the whole Lloyd
       // lineage multiple times. The double→float cast runs over
       // numCentroids rows only.
-      cents = centroids(assigned.join(v.select(col("id"), col("v")), "id"), "cid", "v")
+      cents = centroids(assigned.join(trainV.select(col("id"), col("v")), "id"), "cid", "v")
         .select(col("grp").as("cid"),
           transform(col("centroid"), x => x.cast("float")).as("cv"))
         .withColumn("cnrm", norm(col("cv")))
@@ -190,7 +233,9 @@ object Similarity {
     */
   def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, numPlanes: Int = 8,
-                     numTables: Int = 16): DataFrame = {
+                     numTables: Int = 16,
+                     maxExactBytes: Long = ExactPathMaxBytes): DataFrame = {
+    if (numTables <= 0) guardQuadratic(df, "cosineDupPairs(numTables=0)", maxExactBytes)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
     val cands =

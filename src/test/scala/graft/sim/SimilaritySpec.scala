@@ -96,6 +96,81 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  // Deterministic planted-cluster corpus — the data shape ANN exists for
+  // (real near-neighbour structure): 20 clusters × 12 members in 16 dims,
+  // members = unit(center + N(0, 0.05)) so in-cluster cosines sit ≈
+  // 0.96-0.99 and cross-cluster cosines are the random-vector background.
+  private lazy val clustered = {
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    def unit(v: Array[Double]) = { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    val rows = for {
+      c <- 0 until 20
+      center = unit(Array.fill(dim)(rnd.nextGaussian()))
+      m <- 0 until 12
+    } yield {
+      val noisy = unit(center.zip(Array.fill(dim)(rnd.nextGaussian() * 0.05))
+        .map { case (a, b) => a + b })
+      ((c * 12 + m).toLong, noisy.map(_.toFloat).toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def top5Map(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.collect().groupBy(_.getLong(0)).map { case (q, rs) =>
+      q -> rs.sortBy(r => (-r.getDouble(2), r.getLong(1))).map(_.getLong(1)).take(5).toSeq
+    }
+
+  private def recallAt5(exact: Map[Long, Seq[Long]], got: Map[Long, Seq[Long]]): Double = {
+    val per = exact.toSeq.map { case (q, e) =>
+      val g = got.getOrElse(q, Nil).toSet
+      e.count(g).toDouble / e.size
+    }
+    per.sum / per.size
+  }
+
+  test("recall@5 harness: shipped d07/e02 parameters reach >= 0.95 vs the exact baseline") {
+    // This is what the brute-force baseline is FOR: measuring the shipped
+    // approximate paths. Numbers recorded in SURVEY §5.
+    val exact = top5Map(Similarity.cosineTopK(clustered, "vec_id", "embedding", k = 5))
+    val lsh = top5Map(Similarity.annLshTopK(clustered, "vec_id", "embedding", k = 5,
+      numPlanes = 10, numTables = 8)) // = d07 shipped parameters
+    val ivf = top5Map(Similarity.annIvfTopK(clustered, "vec_id", "embedding", k = 5,
+      numCentroids = 16, nProbe = 4, iters = 2)) // = e02 shipped parameters
+    val rLsh = recallAt5(exact, lsh)
+    val rIvf = recallAt5(exact, ivf)
+    info(f"recall@5: lsh=$rLsh%.4f ivf=$rIvf%.4f (240 queries)")
+    assert(rLsh >= 0.95, f"LSH recall@5 = $rLsh%.4f at shipped parameters")
+    assert(rIvf >= 0.95, f"IVF recall@5 = $rIvf%.4f at shipped parameters")
+  }
+
+  test("exact O(n2) paths refuse oversized inputs (stats-based guard)") {
+    val e = intercept[IllegalStateException] {
+      Similarity.cosineTopK(vecs, "vec_id", "embedding", k = 1, maxExactBytes = 1L)
+    }
+    assert(e.getMessage.contains("annLshTopK"))
+    intercept[IllegalStateException] {
+      Similarity.cosineDupPairs(vecs, "vec_id", "embedding", 0.9,
+        numTables = 0, maxExactBytes = 1L)
+    }
+    // the LSH mode is the scale path — never guarded
+    Similarity.cosineDupPairs(vecs, "vec_id", "embedding", 0.9, maxExactBytes = 1L).collect()
+    // and the default cap admits broadcast-small tables
+    assert(Similarity.cosineTopK(vecs, "vec_id", "embedding", k = 1).count() > 0)
+  }
+
+  test("IVF sample-trained quantizer: full probe width still equals brute force") {
+    val brute = Similarity.cosineTopK(clustered, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // trainCap 60 << 240 rows forces the sampled training path; with
+    // nProbe = numCentroids every pair is still a candidate, so the
+    // result is exact regardless of where the sampled Lloyd converged
+    val sampled = Similarity.annIvfTopK(clustered, "vec_id", "embedding", k = 2,
+      numCentroids = 8, nProbe = 8, iters = 2, trainCap = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sampled == brute)
+  }
+
   test("ANN LSH candidates are a subset of brute-force with matching cosines") {
     val brute = Similarity.cosineTopK(vecs, "vec_id", "embedding", k = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
