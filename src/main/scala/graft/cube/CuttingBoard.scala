@@ -22,12 +22,29 @@ import org.apache.spark.storage.StorageLevel
   * UnionSet) can be served from a coarser-than-cached query; others
   * (Avg/StdDev/CountDistinct/Ratio/Group) fall through to the base scan,
   * exactly as a correct materialized-view rewriter must.
+  *
+  * Persistence: with `warehouseDir` set, every cached slice is ALSO
+  * written as a parquet table named by a fingerprint of its query (plus a
+  * tiny manifest holding the query's URL string, row count and creation
+  * stamp). A later board over the same warehouse reloads those tables, so
+  * materializations survive the driver — the real 100 TB materialized-
+  * view story, where in-memory persist() dies with the session.
+  *
+  * Staleness: `maxAgeMillis` mirrors the reference's TTL'd dataset cache
+  * (bacon/utils/cache.py:1-127 re-checks a callable dataset per slice):
+  * once the board's data is older than the TTL, the next slice() first
+  * refreshes — re-invoking `datasetSource` when given — and drops every
+  * cached slice (memory and warehouse). `clock` is injectable for tests.
   */
 final class CuttingBoard(
     initialDataset: DataFrame,
     val cubedef: CubeDef,
     maxSlices: Int = 20,
     storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    warehouseDir: Option[String] = None,
+    maxAgeMillis: Option[Long] = None,
+    datasetSource: Option[() => DataFrame] = None,
+    clock: () => Long = () => System.currentTimeMillis(),
 ) {
   /** A cached slice: its query, the persisted frame, and its exact row
     * count (known because slices are materialized eagerly on insert) —
@@ -41,6 +58,35 @@ final class CuttingBoard(
   private var current: DataFrame = initialDataset
   private var hitCount = 0L
   private var missCount = 0L
+  private var lastRefreshMillis: Long = clock()
+
+  // Reload persisted slices: materialized views written by an earlier
+  // board over the same warehouse. Unreadable or TTL-expired entries are
+  // skipped (recompute is always sound). Filter values round-trip through
+  // the labels' ValueCodecs (typed URL parse); codec-less non-string
+  // values reload as strings and simply miss the cache — never wrong.
+  warehouseDir.foreach { dir =>
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    val manifests = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("slice_") && f.getName.endsWith(".manifest"))
+      .sortBy(-_.lastModified())
+    manifests.take(maxSlices).foreach { mf =>
+      try {
+        val lines = java.nio.file.Files.readAllLines(mf.toPath)
+        val url = lines.get(0)
+        val rows = lines.get(1).toLong
+        val created = lines.get(2).toLong
+        val pq = new java.io.File(dir, mf.getName.stripSuffix(".manifest"))
+        if (maxAgeMillis.forall(a => clock() - created <= a) && pq.exists()) {
+          val q = UrlQueryBuilder.parse(url, cubedef)
+          val df = initialDataset.sparkSession.read
+            .parquet(pq.getAbsolutePath).persist(storageLevel)
+          cache = cache :+ Cached(q, df, rows)
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 
   def dataset: DataFrame = current
   def stats: (Long, Long) = (hitCount, missCount)
@@ -52,6 +98,7 @@ final class CuttingBoard(
 
   /** Execute a query, reusing a cached slice when possible. */
   def slice(q: CubeQuery): DataFrame = synchronized {
+    maybeAutoRefresh()
     reuse(q) match {
       case Some(df) =>
         hitCount += 1
@@ -61,12 +108,29 @@ final class CuttingBoard(
         lastServedFrom = None
         val computed = Slicer.slice(current, cubedef, q)
         if (cacheable(q)) {
-          val persisted = computed.persist(storageLevel)
           // Materialize eagerly: the caller's next action reads the cache
           // instead of re-firing the base scan, and the row count becomes
-          // the cost estimate for later cheapest-slice selection.
-          val rows = persisted.count()
+          // the cost estimate for later cheapest-slice selection. With a
+          // warehouse, materialization IS the parquet write; the cached
+          // frame reads the table back so even post-eviction the bytes
+          // survive for a future board.
+          val (persisted, rows) = warehouseDir match {
+            case Some(dir) =>
+              val fp = fingerprint(q)
+              val path = new java.io.File(dir, s"slice_$fp").getAbsolutePath
+              computed.write.mode("overwrite").parquet(path)
+              val reread = current.sparkSession.read.parquet(path).persist(storageLevel)
+              val n = reread.count()
+              java.nio.file.Files.writeString(
+                java.nio.file.Paths.get(dir, s"slice_$fp.manifest"),
+                s"${UrlQueryBuilder.toUrlString(q, cubedef)}\n$n\n${clock()}\n")
+              (reread, n)
+            case None =>
+              val p = computed.persist(storageLevel)
+              (p, p.count())
+          }
           if (cache.length >= maxSlices) {
+            // drop the in-memory handle; the parquet table (if any) stays
             cache.last.df.unpersist()
             cache = cache.dropRight(1)
           }
@@ -76,13 +140,45 @@ final class CuttingBoard(
     }
   }
 
+  /** Stable filesystem-safe name for a query's materialization. */
+  private def fingerprint(q: CubeQuery): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(UrlQueryBuilder.toUrlString(q, cubedef).getBytes("UTF-8"))
+    d.take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** TTL check (bacon/utils/cache.py analogue): an expired board
+    * refreshes itself before serving — from `datasetSource` when
+    * configured, else just dropping every (stale) cached slice.
+    */
+  private def maybeAutoRefresh(): Unit =
+    maxAgeMillis.foreach { maxAge =>
+      if (clock() - lastRefreshMillis > maxAge)
+        refresh(datasetSource.map(_()).getOrElse(current))
+    }
+
   /** Swap in a refreshed dataset (the reference's dataset is a callable
     * re-checked per slice, bacon/cutting.py:122): every cached slice is
-    * stale by definition, so the cache is dropped and unpersisted.
+    * stale by definition, so the cache is dropped and unpersisted — and
+    * with a warehouse, the persisted slice tables are deleted too.
     */
   def refresh(newDataset: DataFrame): Unit = synchronized {
     clear()
+    purgePersisted()
     current = newDataset
+    lastRefreshMillis = clock()
+  }
+
+  /** Delete every persisted slice table + manifest in the warehouse. */
+  private def purgePersisted(): Unit = warehouseDir.foreach { dir =>
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith("slice_"))
+      .foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRecursively)
+    f.delete(); ()
   }
 
   /** The un-aggregated filtered dataset (bacon CuttingBoard.filter). */

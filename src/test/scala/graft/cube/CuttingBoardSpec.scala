@@ -213,6 +213,69 @@ class CuttingBoardSpec extends SparkSpec {
     board.clear()
   }
 
+  test("persisted slices survive into a fresh board (parquet warehouse)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    val df = Seq(
+      ("A", "x", 2020, 1.0), ("A", "y", 2020, 2.0), ("A", "x", 2021, 4.0),
+      ("B", "x", 2020, 8.0), ("B", "y", 2021, 16.0),
+    ).toDF("k", "s", "y", "v")
+    val cube = CubeDef(
+      labels = Seq(Label("k"), Label("s"), Label("y")),
+      measures = Seq(Measure("sum_v", col("v"), Agg.Sum), Measure("n", lit(1), Agg.Count)))
+    val q = CubeQuery().addAxis("k").addAxis("s").addValue("sum_v").addValue("n")
+
+    val b1 = new CuttingBoard(df, cube, warehouseDir = Some(dir))
+    val first = asMap(b1.slice(q).select("k", "s", "sum_v"))
+    assert(b1.stats == (0L, 1L))
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("slice_")),
+      "materialization must exist on disk")
+
+    // a brand-new board over the same warehouse — the in-memory persist()
+    // of b1 is irrelevant; the slice reloads from its parquet table
+    val b2 = new CuttingBoard(df, cube, warehouseDir = Some(dir))
+    val second = asMap(b2.slice(q).select("k", "s", "sum_v"))
+    assert(b2.stats == (1L, 0L), "must be served from the persisted slice, not recomputed")
+    assert(second == first)
+
+    // strategy 2 works over the RELOADED slice: coarser re-aggregation
+    val coarse = CubeQuery().addAxis("k").addValue("sum_v").addValue("n")
+    val got = b2.slice(coarse).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(b2.stats._1 == 2L)
+    assert(got("A") == (7.0, 3L) && got("B") == (24.0, 2L))
+
+    // refresh purges the warehouse: a third board starts cold
+    b2.refresh(df)
+    val b3 = new CuttingBoard(df, cube, warehouseDir = Some(dir))
+    b3.slice(q).collect()
+    assert(b3.stats == (0L, 1L), "refresh must invalidate persisted slices")
+    b1.clear(); b2.clear(); b3.clear()
+  }
+
+  test("TTL: an expired board auto-refreshes from its dataset source on the next slice") {
+    var now = 1000L
+    var source = Seq(("A", "x", 2020, 1.0), ("B", "x", 2020, 2.0)).toDF("k", "s", "y", "v")
+    val cube = CubeDef(
+      labels = Seq(Label("k"), Label("s"), Label("y")),
+      measures = Seq(Measure("sum_v", col("v"), Agg.Sum)))
+    val board = new CuttingBoard(source, cube, maxAgeMillis = Some(60000L),
+      datasetSource = Some(() => source), clock = () => now)
+    val q = CubeQuery().addAxis("k").addValue("sum_v")
+    assert(asMap(board.slice(q))("A") == 1.0)
+    now += 30000L
+    board.slice(q).collect()
+    assert(board.stats._1 == 1L, "inside the TTL the cache serves")
+
+    // the dataset moves on; the board is past its max age → next slice
+    // re-pulls the source and must NOT serve the stale cached value
+    source = Seq(("A", "x", 2020, 100.0)).toDF("k", "s", "y", "v")
+    now += 61000L
+    val after = asMap(board.slice(q))
+    assert(after("A") == 100.0, "expired board must re-check its dataset source")
+    assert(board.stats == (1L, 2L), "post-expiry slice is a miss, not a stale hit")
+    board.clear()
+  }
+
   test("cached result equals direct Slicer result") {
     val board = freshBoard()
     val fine = CubeQuery().addAxis("k").addAxis("s").addAxis("y").addValue("sum_v")
