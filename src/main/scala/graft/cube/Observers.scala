@@ -131,6 +131,94 @@ object Observers {
     PlotData(xAxis, xs, series)
   }
 
+  /** One plot series: stable key, human label, y per x position. */
+  final case class PlotSeries(key: String, label: String, ys: Vector[Option[Double]])
+
+  /** Full plot descriptor — parity with the reference's plot observer
+    * surface (bacon/observers/plot.py:1-70: TimePlotData sorts the 1-D
+    * slice on the axis value, exposes one value array per measure, a
+    * figure size and the query URL), plus what its frontends derive from
+    * the controller: human series labels from measure titles, an x-axis
+    * format hint from the label's codec, and pivot-aware series — with a
+    * pivoted second axis, one series per (measure × pivot value), the
+    * plotted twin of the pivoted table's columns.
+    */
+  final case class PlotDescriptor(
+      xAxis: String, xTitle: String, xFormat: String,
+      xs: Vector[String],
+      series: Vector[PlotSeries],
+      width: Int, height: Int, url: String)
+
+  def plotDescriptor(dataset: DataFrame, cube: CubeDef, q: CubeQuery,
+                     urlPrefix: String = "",
+                     size: (Int, Int) = (640, 480)): PlotDescriptor = {
+    require(q.rowAxes.length == 1,
+      s"plot needs exactly one row axis, got ${q.rowAxes.mkString(",")}")
+    require(q.values.nonEmpty, "plot needs at least one visible measure")
+    val xAxis = q.rowAxes.head
+    val pivotAxis = q.pivot.headOption
+    // compute in LONG shape, ordered by the x value in its native type
+    // (string-sorting dates/numbers on the driver would misorder them)
+    val longQ = q.copy(pivots = Set.empty, order = Vector.empty, limit = None, offset = None)
+    val slice = Slicer.slice(dataset, cube, longQ)
+    val rows = slice.orderBy(col(xAxis).asc_nulls_first).collect()
+
+    def str(v: Any): String = Option(v).map(String.valueOf).getOrElse("")
+    def num(r: Row, m: String): Option[Double] =
+      Option(r.getAs[Any](m)).map(v => String.valueOf(v).toDouble)
+    def mTitle(m: String): String = cube.measure(m).title.getOrElse(m)
+
+    val xs = rows.map(r => str(r.getAs[Any](xAxis))).distinct.toVector
+    val series: Vector[PlotSeries] = pivotAxis match {
+      case None =>
+        q.values.map(m => PlotSeries(m, mTitle(m), rows.toVector.map(num(_, m))))
+      case Some(p) =>
+        val pKeys = rows.map(r => str(r.getAs[Any](p))).distinct.sorted.toVector
+        val cell = rows.map(r => (str(r.getAs[Any](xAxis)), str(r.getAs[Any](p))) -> r).toMap
+        for { m <- q.values; pk <- pKeys } yield PlotSeries(
+          s"$m:$pk", s"${mTitle(m)} · $pk",
+          xs.map(x => cell.get((x, pk)).flatMap(num(_, m))))
+    }
+
+    val xFormat = {
+      val fromCodec =
+        if (cube.hasLabel(xAxis))
+          cube.label(xAxis).codec.collect { case ValueCodec.DateUnitCodec(u) => s"date:$u" }
+        else None
+      fromCodec.getOrElse(slice.schema(xAxis).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => "number"
+        case org.apache.spark.sql.types.DateType => "date:day"
+        case _: org.apache.spark.sql.types.TimestampType => "datetime"
+        case _ => "category"
+      })
+    }
+    val xTitle = if (cube.hasLabel(xAxis)) cube.label(xAxis).prettyTitle else xAxis
+
+    PlotDescriptor(xAxis, xTitle, xFormat, xs, series,
+      size._1, size._2, urlPrefix + UrlQueryBuilder.toUrlString(q, cube))
+  }
+
+  /** JSON render of a PlotDescriptor (the payload a charting frontend
+    * binds to — the reference hands matplotlib a Figure; the engine-side
+    * contract is this descriptor).
+    */
+  def plotJson(d: PlotDescriptor): String = {
+    def jnum(v: Option[Double]): String = v.map(_.toString).getOrElse("null")
+    jobj(Seq(
+      "x_axis" -> jstr(d.xAxis),
+      "x_title" -> jstr(d.xTitle),
+      "x_format" -> jstr(d.xFormat),
+      "xs" -> jarr(d.xs.map(jstr)),
+      "series" -> jarr(d.series.map(s =>
+        jobj(Seq(
+          "key" -> jstr(s.key),
+          "label" -> jstr(s.label),
+          "ys" -> jarr(s.ys.map(jnum)))))),
+      "width" -> d.width.toString,
+      "height" -> d.height.toString,
+      "url" -> jstr(d.url)))
+  }
+
   /** Paginated table math — the reference's PaginatedViewer
     * (bacon/observers/tables.py:16-131): page count, the Prev/1 2 … n/Next
     * link row with ellipsis runs, and the query for a given page.

@@ -1,0 +1,92 @@
+package graft.cube
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CubeServiceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    ("A", "x", 1.0), ("A", "y", 2.0), ("B", "x", 3.0),
+  ).toDF("k", "s", "v")
+
+  private val cube = CubeDef(
+    labels = Seq(Label("k"), Label("s")),
+    measures = Seq(Measure("sum_v", col("v"), Agg.Sum)))
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val conn = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = scala.io.Source.fromInputStream(is, "UTF-8").mkString
+    conn.disconnect()
+    (code, body)
+  }
+
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+
+  test("GET serves the observers end-to-end: json equals the direct render") {
+    val board = new CuttingBoard(df, cube)
+    val svc = new CubeService(Map("demo" -> board))
+    val port = svc.start()
+    try {
+      val qs = "a:k/v:sum_v/o:k"
+      // rows: HTTP payload equals Observers.toJsonRows over the same board
+      val (c1, rows) = get(port, s"/cube/demo/rows?q=${enc(qs)}")
+      assert(c1 == 200)
+      val direct = Observers.toJsonRows(
+        board.slice(UrlQueryBuilder.parse(qs, cube)))
+      assert(rows == direct)
+      assert(rows.contains("\"sum_v\""))
+
+      // csv
+      val (c2, csv) = get(port, s"/cube/demo/csv?q=${enc(qs)}")
+      assert(c2 == 200 && csv.startsWith("k,sum_v"))
+
+      // linked table json: equals the direct tableJson for the same query
+      val (c3, tj) = get(port, s"/cube/demo/table?q=${enc("a:k/a:s/v:sum_v")}&row=k&col=s&m=sum_v")
+      assert(c3 == 200)
+      val t = Observers.pivotTable(df, cube, "k", "s", "sum_v")
+      val expected = Observers.tableJson(t,
+        new Navigator(cube, UrlQueryBuilder.parse("a:k/a:s/v:sum_v", cube)))
+      assert(tj == expected)
+
+      // nav + plot respond with the frontend payloads
+      val (c4, nav) = get(port, s"/cube/demo/nav?q=${enc("a:k/v:sum_v/f:s:x")}")
+      assert(c4 == 200 && nav.contains("\"filters\""))
+      val (c5, plot) = get(port, s"/cube/demo/plot?q=${enc("a:k/v:sum_v")}")
+      assert(c5 == 200 && plot.contains("\"series\""))
+
+      // excel is well-formed XML
+      val (c6, xml) = get(port, s"/cube/demo/excel?q=${enc(qs)}")
+      assert(c6 == 200)
+      javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+        .parse(new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+
+      // unknown cube → 404; bad query string → 400; missing param → 400
+      assert(get(port, s"/cube/nope/rows?q=${enc(qs)}")._1 == 404)
+      assert(get(port, s"/cube/demo/rows?q=${enc("zz:bad")}")._1 == 400)
+      assert(get(port, s"/cube/demo/table?q=${enc(qs)}")._1 == 400)
+    } finally {
+      svc.stop()
+      board.clear()
+    }
+  }
+
+  test("served slices hit the board's cache on repeat requests") {
+    val board = new CuttingBoard(df, cube)
+    val svc = new CubeService(Map("demo" -> board))
+    val port = svc.start()
+    try {
+      val path = s"/cube/demo/rows?q=${enc("a:k/v:sum_v")}"
+      val first = get(port, path)._2
+      val second = get(port, path)._2
+      assert(first == second)
+      assert(board.stats == (1L, 1L), "second GET must be a slice-cache hit")
+    } finally {
+      svc.stop()
+      board.clear()
+    }
+  }
+}

@@ -55,6 +55,43 @@ class ObserversSpec extends SparkSpec {
     assert(xml.contains("k&lt;&amp;&gt;"))
   }
 
+  test("plot descriptor: pivot-aware series, measure-title labels, axis format") {
+    val dfd = Seq(
+      ("2024-01-01", "x", 1.0), ("2024-01-01", "y", 2.0),
+      ("2024-02-01", "x", 4.0), ("2024-03-01", "y", 8.0),
+    ).toDF("d", "s", "v").withColumn("d", to_date(col("d")))
+    val c = CubeDef(
+      labels = DateLabels.hierarchy("d", dim = "t") :+ Label("s"),
+      measures = Seq(Measure("sum_v", col("v"), Agg.Sum, title = Some("Total V"))))
+
+    // pivoted second axis → one series per (measure × pivot value)
+    val q = CubeQuery().addAxis("d_month").addAxis("s").setPivot("s").addValue("sum_v")
+    val d = Observers.plotDescriptor(dfd, c, q)
+    assert(d.xAxis == "d_month" && d.xFormat == "date:month")
+    assert(d.xs == Vector("2024-01-01", "2024-02-01", "2024-03-01"))
+    assert(d.series.map(_.key) == Vector("sum_v:x", "sum_v:y"))
+    assert(d.series.map(_.label) == Vector("Total V · x", "Total V · y"))
+    val byKey = d.series.map(s => s.key -> s.ys).toMap
+    assert(byKey("sum_v:x") == Vector(Some(1.0), Some(4.0), None)) // gaps stay gaps
+    assert(byKey("sum_v:y") == Vector(Some(2.0), None, Some(8.0)))
+    assert(d.url == UrlQueryBuilder.toUrlString(q, c))
+    val json = Observers.plotJson(d)
+    assert(json.contains("\"x_format\":\"date:month\"") && json.contains("Total V · x"))
+    assert(json.contains("\"width\":640"))
+
+    // plain 1-D query: one series per measure, same values as the slice
+    val q1 = CubeQuery().addAxis("d_month").addValue("sum_v")
+    val d1 = Observers.plotDescriptor(dfd, c, q1)
+    assert(d1.series.map(_.key) == Vector("sum_v"))
+    assert(d1.series.head.ys == Vector(Some(3.0), Some(4.0), Some(8.0)))
+    assert(d1.xTitle == "D Month")
+
+    // a 2-D query with no pivot is not plottable
+    intercept[IllegalArgumentException] {
+      Observers.plotDescriptor(dfd, c, CubeQuery().addAxis("d_month").addAxis("s").addValue("sum_v"))
+    }
+  }
+
   test("pivot table keeps genuinely-NULL axis values distinct from totals rows") {
     val dfn = Seq(("A", "x", 1.0), ("A", null.asInstanceOf[String], 2.0), ("B", "x", 4.0))
       .toDF("k", "s", "v")
