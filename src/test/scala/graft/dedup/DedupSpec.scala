@@ -78,6 +78,19 @@ class DedupSpec extends SparkSpec {
     assert(comp(5L) == 5L && comp(6L) == 5L)
   }
 
+  test("duplicateClusters converges in O(log diameter) rounds on a chain graph") {
+    // worst case for plain label propagation: a 64-node path needs ~62
+    // rounds without pointer jumping. With path halving the collapsed
+    // distance doubles per round, so 2*log2(64) = 12 rounds must suffice
+    // (maxIter = 14 would throw under the old linear behaviour).
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val comp = Dedup.duplicateClusters(path, maxIter = 14).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 64 && comp.values.forall(_ == 0L))
+    assert(Dedup.lastConvergenceRounds <= 12,
+      s"expected <= 2*log2(64) rounds, used ${Dedup.lastConvergenceRounds}")
+  }
+
   test("duplicateClusters throws instead of returning partial labels at maxIter") {
     // a path graph 0-1-2-...-9 needs ~8 propagation rounds to pull the
     // far end down to label 0; maxIter=3 must fail loudly, not silently
