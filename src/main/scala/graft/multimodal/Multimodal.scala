@@ -93,12 +93,13 @@ object Multimodal {
           case _ =>
             val w = 16 + (id % 16).toInt * 4
             val h = 16 + ((id / 16) % 16).toInt * 4
-            val img = ImagePixels.pattern(w, h, seed = id)
             (id % 4) match {
-              case 0 => ImagePixels.encode(img, "png")
-              case 1 => ImagePixels.encode(img, "gif")
-              case 2 => ImagePixels.encode(img, "bmp")
-              case _ => ImagePixels.encode(img, "jpg")
+              case 0 => ImagePixels.encode(ImagePixels.pattern(w, h, id), "png")
+              // indexed source: the GIF writer streams the raster instead
+              // of running per-image palette quantization
+              case 1 => ImagePixels.encode(ImagePixels.patternIndexed(w, h, id), "gif")
+              case 2 => ImagePixels.encode(ImagePixels.pattern(w, h, id), "bmp")
+              case _ => ImagePixels.encode(ImagePixels.pattern(w, h, id), "jpg")
             }
         }
         Row(id, kind, payload, Row("synthetic", payload.length.toLong))
@@ -442,6 +443,48 @@ object ImagePixels {
     }
   }
 
+  /** Fixed 216-color (6×6×6 cube) palette. Rendering GIF frames as
+    * TYPE_BYTE_INDEXED against a fixed palette lets the JDK GIF writer
+    * stream the raster directly — its per-frame median-cut quantization
+    * of RGB input costs ~100ms/frame and dominated the video pipeline.
+    */
+  private lazy val gifPalette: java.awt.image.IndexColorModel = {
+    val r = new Array[Byte](216); val g = new Array[Byte](216); val b = new Array[Byte](216)
+    var i = 0
+    var ri = 0
+    while (ri < 6) {
+      var gi = 0
+      while (gi < 6) {
+        var bi = 0
+        while (bi < 6) {
+          r(i) = (ri * 51).toByte; g(i) = (gi * 51).toByte; b(i) = (bi * 51).toByte
+          i += 1; bi += 1
+        }
+        gi += 1
+      }
+      ri += 1
+    }
+    new java.awt.image.IndexColorModel(8, 216, r, g, b)
+  }
+
+  /** Deterministic indexed-color pattern (for GIF/video frames): every
+    * pixel's palette index is a pure function of (x, y, seed).
+    */
+  def patternIndexed(w: Int, h: Int, seed: Long): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, gifPalette)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((x * 31 + y * 17 + seed * 7) % 216).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
   /** Multi-frame animated GIF — the video stand-in. Frame f's pattern seed
     * is `seed + f`, so frames are distinct and each is independently
     * verifiable.
@@ -456,7 +499,7 @@ object ImagePixels {
       var f = 0
       while (f < nFrames) {
         writer.writeToSequence(
-          new javax.imageio.IIOImage(pattern(w, h, seed + f), null, null), null)
+          new javax.imageio.IIOImage(patternIndexed(w, h, seed + f), null, null), null)
         f += 1
       }
       writer.endWriteSequence()
