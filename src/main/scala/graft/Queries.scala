@@ -27,6 +27,18 @@ object Queries {
   /** Rows-only query (no SQL-expressible oracle). */
   private def nq(f: Q): (Q, Option[String]) = (f, None)
 
+  /** s01: cube query compiled to portable SQL text (SqlCompiler) — the
+    * identical string is executed by Spark (query side) and DuckDB
+    * (oracle side).
+    */
+  private[graft] val s01Sql: String = SqlCompiler.compile(
+    Tpch.ordersCube,
+    CubeQuery()
+      .addAxis("o_orderstatus").addAxis("o_orderdate_month")
+      .addValue("n_orders").addValue("sum_total").addValue("n_cust")
+      .addFilter("o_orderpriority", Seq("1-URGENT", "2-HIGH"), FilterOp.In),
+    table = "orders", roundDp = Map("sum_total" -> 2))
+
   val cube: Map[String, (Q, Option[String])] = Map(
     // §2.1-2, 9: Sum + Count accumulators over a 2-axis slice
     "q01_agg_basic" -> oq(
@@ -753,6 +765,15 @@ object Queries {
         .select(col("grp").as("label"), posexplode(col("centroid")).as(Seq("pos", "c")))
         .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
           round(col("c"), 4).as("c"))
+    },
+
+    // §2.25b: SQL-text compilation for an external store (bacon/sql.py
+    // renders cube queries as Postgres SQL). The SAME generated string
+    // runs on Spark here AND on DuckDB as the oracle — hash-identical
+    // results prove the emitted text is genuinely portable SQL.
+    "s01_sql_pushdown" -> oq(s01Sql) { (s, dir) =>
+      ord(s, dir).createOrReplaceTempView("orders")
+      s.sql(s01Sql)
     },
 
     // §2.47: multimodal image pipeline, REAL pixel path — complete encoded

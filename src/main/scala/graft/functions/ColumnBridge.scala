@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Fully-converted Catalyst tree (ExpressionUtils.expression returns a
+    * lazy ColumnNodeExpression wrapper for node-backed Columns, which
+    * hides the real children from tree traversals — the converter
+    * resolves the ColumnNode into genuine Catalyst expressions).
+    */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

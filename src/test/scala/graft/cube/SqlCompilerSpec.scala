@@ -1,0 +1,88 @@
+package graft.cube
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SqlCompilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    ("A", Option("x"), "2024-01-03", 1.0),
+    ("A", Option.empty[String], "2024-01-20", 2.0),
+    ("B", Option("x"), "2024-02-03", 4.0),
+    ("B", Option("y"), "2024-03-01", 8.0),
+  ).toDF("k", "s", "d", "v").withColumn("d", to_date(col("d")))
+
+  private val cube = CubeDef(
+    labels = Seq(Label("k"), Label("s"),
+      Label("v_band", (floor(col("v") / 4) * 4).cast("long"))) ++
+      DateLabels.hierarchy("d", dim = "t"),
+    measures = Seq(
+      Measure("sum_v", col("v"), Agg.Sum),
+      Measure("n", lit(1), Agg.Count),
+      Measure("avg_v", col("v"), Agg.Avg),
+      Measure("n_s", col("s"), Agg.CountDistinct)))
+
+  private def viaSql(q: CubeQuery) = {
+    df.createOrReplaceTempView("t")
+    spark.sql(SqlCompiler.compile(cube, q, "t")).collect().map(_.toSeq).toSet
+  }
+  private def viaSlicer(q: CubeQuery) =
+    Slicer.slice(df, cube, q).collect().map(_.toSeq).toSet
+
+  test("generated SQL equals the Catalyst path across query shapes") {
+    val shapes = Seq(
+      CubeQuery().addAxis("k").addValue("sum_v").addValue("n"),
+      CubeQuery().addAxis("k").addAxis("s").addValue("n").addValue("n_s"),
+      CubeQuery().addValue("sum_v").addValue("avg_v"), // 0-dim grand total
+      CubeQuery().addAxis("d_month").addValue("sum_v"), // date-trunc axis
+      CubeQuery().addAxis("v_band").addValue("n"), // arithmetic label
+      CubeQuery().addAxis("k").addValue("sum_v").addFilter("s", "x"), // null-safe eq
+      CubeQuery().addAxis("k").addValue("n").addFilter("s", null), // eq NULL → IS NULL
+      CubeQuery().addAxis("k").addValue("n").addFilter("s", "x", FilterOp.Ne), // ne keeps NULLs
+      CubeQuery().addAxis("k").addValue("n").addFilter("k", Seq("A", "B"), FilterOp.In),
+      CubeQuery().addAxis("k").addValue("n").addFilter("s", Seq("x"), FilterOp.Ni),
+      CubeQuery().addAxis("d_month").addValue("sum_v")
+        .addFilter("d_month", java.sql.Date.valueOf("2024-01-01")),
+      CubeQuery().addAxis("k").addValue("sum_v").addFilter("v_band", 4L, FilterOp.Ge),
+    )
+    shapes.foreach { q =>
+      assert(viaSql(q) == viaSlicer(q), "\n" + SqlCompiler.compile(cube, q, "t"))
+    }
+  }
+
+  test("ordering/limit render with the Slicer's explicit null placement") {
+    val q = CubeQuery().addAxis("s").addValue("sum_v")
+      .copy(order = Vector(Order("+", "s")), limit = Some(2))
+    df.createOrReplaceTempView("t")
+    val sql = SqlCompiler.compile(cube, q, "t")
+    assert(sql.contains("ASC NULLS FIRST") && sql.contains("LIMIT 2"))
+    val got = spark.sql(sql).collect().map(_.toSeq).toList
+    val want = Slicer.slice(df, cube, q).collect().map(_.toSeq).toList
+    assert(got == want) // ordered compare: null-first row included both ways
+  }
+
+  test("unsupported pieces throw so callers fall back to the Catalyst path") {
+    intercept[IllegalArgumentException] {
+      SqlCompiler.compile(cube,
+        CubeQuery().addAxis("k").addValue("n").addFilter("k", "A.*", FilterOp.Match), "t")
+    }
+    intercept[IllegalArgumentException] {
+      SqlCompiler.compile(cube,
+        CubeQuery().addAxis("k").addAxis("s").setPivot("s").addValue("n"), "t")
+    }
+    intercept[IllegalArgumentException] { // weekday is a part codec, not a trunc
+      SqlCompiler.compile(cube, CubeQuery().addAxis("d_weekday").addValue("n"), "t")
+    }
+  }
+
+  test("the s01 gate string is stable, portable SQL") {
+    val sql = graft.Queries.s01Sql
+    assert(sql.contains("CAST(date_trunc('month', o_orderdate) AS DATE) AS o_orderdate_month"))
+    assert(sql.contains("count(*) AS n_orders"))
+    assert(sql.contains("round(sum(o_totalprice), 2) AS sum_total"))
+    assert(sql.contains("count(DISTINCT o_custkey) AS n_cust"))
+    assert(sql.contains("o_orderpriority IN ('1-URGENT', '2-HIGH')"))
+    assert(!sql.contains("`")) // no Spark-only quoting leaks into the text
+  }
+}
