@@ -83,6 +83,14 @@ final class CubeService(boards: Map[String, CuttingBoard],
             need("row"), need("col"), need("m"), q.filters)
           respond(ex, 200, "application/json",
             Observers.tableJson(t, new Navigator(board.cubedef, q)))
+        case "details" => // raw records behind a rendered row (TableDetails)
+          val cols = need("cols").split(',').toSeq.filter(_.nonEmpty)
+          val order = p.getOrElse("order", "").split(',').toSeq.filter(_.nonEmpty)
+          respond(ex, 200, "application/json",
+            Observers.recordListingJson(Observers.recordListing(
+              board.dataset, board.cubedef, q, cols, order,
+              pageSize = p.getOrElse("size", "50").toInt,
+              page = p.getOrElse("page", "0").toInt)))
         case other =>
           respond(ex, 404, "text/plain", s"unknown view '$other'")
       }

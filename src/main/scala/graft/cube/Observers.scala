@@ -357,6 +357,21 @@ object Observers {
       Pagination.pages(total, pageSize, page))
   }
 
+  /** JSON render of a RecordListing (the TableDetails payload a frontend
+    * binds to — columns, rendered page rows, pagination links).
+    */
+  def recordListingJson(rl: RecordListing): String =
+    jobj(Seq(
+      "columns" -> jarr(rl.columns.map(jstr)),
+      "rows" -> jarr(rl.rows.map(r => jarr(r.map(jstr)))),
+      "total_rows" -> rl.totalRows.toString,
+      "page" -> rl.page.toString,
+      "page_size" -> rl.pageSize.toString,
+      "pages" -> jarr(rl.pageLinks.map(pl => jobj(Seq(
+        "label" -> jstr(pl.label),
+        "page" -> pl.page.map(_.toString).getOrElse("null"),
+        "current" -> pl.current.toString))))))
+
   /** The linked table payload — the reference's render_table_json
     * (bacon/observers/json.py:140-353): the rendered pivot table where
     * every header, row label, cell and page is an action URL (LinkMap),

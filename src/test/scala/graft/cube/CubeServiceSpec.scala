@@ -64,6 +64,16 @@ class CubeServiceSpec extends SparkSpec {
       javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
         .parse(new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
 
+      // details: the raw records behind a filtered row, paged
+      val (c7, det) = get(port,
+        s"/cube/demo/details?q=${enc("f:k:A")}&cols=k,s,v&order=s&size=10")
+      assert(c7 == 200)
+      val expectedDet = Observers.recordListingJson(Observers.recordListing(
+        df, cube, UrlQueryBuilder.parse("f:k:A", cube), Seq("k", "s", "v"), Seq("s"),
+        pageSize = 10, page = 0))
+      assert(det == expectedDet)
+      assert(det.contains("\"total_rows\":2"))
+
       // unknown cube → 404; bad query string → 400; missing param → 400
       assert(get(port, s"/cube/nope/rows?q=${enc(qs)}")._1 == 404)
       assert(get(port, s"/cube/demo/rows?q=${enc("zz:bad")}")._1 == 400)
