@@ -767,6 +767,18 @@ object Queries {
           round(col("c"), 4).as("c"))
     },
 
+    // §2.42c: PERSISTENT IVF index — the FAISS-style train/add/search
+    // split: build + parquet write once, load a fresh handle, search
+    // from the stored tables alone (rows-only; spec proves full-probe
+    // equality with brute force through the parquet round-trip)
+    "e03_ann_index" -> nq { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      graft.sim.IvfIndex.build(emb(s, dir), "vec_id", "embedding",
+        numCentroids = 16, iters = 2, trainCap = 2000).write(tmp)
+      graft.sim.IvfIndex.load(s, tmp).search(emb(s, dir), "vec_id", "embedding",
+        k = 5, nProbe = 4, excludeSelf = true)
+    },
+
     // §2.25b: SQL-text compilation for an external store (bacon/sql.py
     // renders cube queries as Postgres SQL). The SAME generated string
     // runs on Spark here AND on DuckDB as the oracle — hash-identical

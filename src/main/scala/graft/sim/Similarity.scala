@@ -130,7 +130,7 @@ object Similarity {
     * (numCentroids rows) and broadcast, so this is a map-side pass over
     * the vectors — no data×data join.
     */
-  private def rankCentroids(v: DataFrame, cents: DataFrame, n: Int): DataFrame = {
+  private[sim] def rankCentroids(v: DataFrame, cents: DataFrame, n: Int): DataFrame = {
     // codegen'd float dot product + precomputed norms on both sides —
     // no interpreted array-cast HOFs in this per-(vector × centroid) path
     val w = Window.partitionBy(col("id")).orderBy(col("__ccos").desc, col("cid").asc)
@@ -157,15 +157,33 @@ object Similarity {
   def annIvfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
                  numCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3,
                  trainCap: Long = 1000000L): DataFrame = {
-    require(numCentroids > 0 && nProbe > 0 && nProbe <= numCentroids)
-    require(trainCap >= numCentroids, s"trainCap=$trainCap < numCentroids=$numCentroids")
+    require(nProbe > 0 && nProbe <= numCentroids)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
-    // Lloyd training reads a BOUNDED seeded sample, not the corpus: at
-    // 100 TB the quantizer needs ~1M representative vectors, not `iters`
-    // full scans. The sample is materialized once (localCheckpoint) so
-    // every Lloyd iteration re-reads the bounded table; the full corpus
-    // is scanned exactly once afterwards, for the real assignment pass.
+    val cents = trainQuantizer(v, numCentroids, iters, trainCap)
+    val assigned = rankCentroids(v, cents, 1)
+    val probes = rankCentroids(v, cents, nProbe)
+    val cands = probes.as("p")
+      .join(assigned.as("b"), col("p.cid") === col("b.cid") && col("p.id") =!= col("b.id"))
+      .select(col("p.id").as("id1"), col("b.id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    val w = Window.partitionBy(col("id1")).orderBy(col("cos").desc, col("id2").asc)
+    rerank(cands, v)
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Lloyd-train the IVF coarse quantizer over a BOUNDED seeded sample of
+    * `v` (columns id/v/nrm): at 100 TB the quantizer needs ~1M
+    * representative vectors, not `iters` full scans. The sample is
+    * materialized once (localCheckpoint) so every Lloyd iteration re-reads
+    * the bounded table. Returns the (cid, cv, cnrm) centroid table —
+    * numCentroids rows, checkpointed, broadcast-ready.
+    */
+  private[sim] def trainQuantizer(v: DataFrame, numCentroids: Int, iters: Int,
+                                  trainCap: Long): DataFrame = {
+    require(numCentroids > 0)
+    require(trainCap >= numCentroids, s"trainCap=$trainCap < numCentroids=$numCentroids")
     val trainV = {
       val stats = v.queryExecution.optimizedPlan.stats
       val estRows = stats.rowCount.map(_.toLong).getOrElse(v.count())
@@ -194,16 +212,7 @@ object Similarity {
         .withColumn("cnrm", norm(col("cv")))
         .localCheckpoint(true)
     }
-    val assigned = rankCentroids(v, cents, 1)
-    val probes = rankCentroids(v, cents, nProbe)
-    val cands = probes.as("p")
-      .join(assigned.as("b"), col("p.cid") === col("b.cid") && col("p.id") =!= col("b.id"))
-      .select(col("p.id").as("id1"), col("b.id").as("id2"))
-      .dropDuplicates("id1", "id2")
-    val w = Window.partitionBy(col("id1")).orderBy(col("cos").desc, col("id2").asc)
-    rerank(cands, v)
-      .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
-      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+    cents
   }
 
   /** Per-group element-wise mean of an embedding column (cluster

@@ -171,6 +171,28 @@ class SimilaritySpec extends SparkSpec {
     assert(sampled == brute)
   }
 
+  test("persistent IVF index: build -> write -> load -> search survives the session") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(clustered, "vec_id", "embedding",
+      numCentroids = 16, iters = 2, trainCap = 60).write(dir)
+    // a fresh handle over the parquet bytes alone — no corpus, no retraining
+    val idx = IvfIndex.load(spark, dir)
+    val brute = top5Map(Similarity.cosineTopK(clustered, "vec_id", "embedding", k = 5))
+    // full probe width over the loaded index == brute force (e02 contract)
+    val full = top5Map(idx.search(clustered, "vec_id", "embedding", k = 5,
+      nProbe = 16, excludeSelf = true))
+    assert(full == brute)
+    // shipped narrow probe keeps the recall bar
+    val narrow = top5Map(idx.search(clustered, "vec_id", "embedding", k = 5,
+      nProbe = 4, excludeSelf = true))
+    assert(recallAt5(brute, narrow) >= 0.95)
+    // EXTERNAL queries (ids not in the corpus): k results, true cosines
+    val external = Seq((9001L, Seq.fill(16)(0.25f))).toDF("vec_id", "embedding")
+    val got = idx.search(external, "vec_id", "embedding", k = 3, nProbe = 16).collect()
+    assert(got.length == 3 && got.forall(_.getLong(0) == 9001L))
+    assert(got.forall(r => r.getDouble(2) <= 1.0 && r.getDouble(2) >= -1.0))
+  }
+
   test("ANN LSH candidates are a subset of brute-force with matching cosines") {
     val brute = Similarity.cosineTopK(vecs, "vec_id", "embedding", k = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
