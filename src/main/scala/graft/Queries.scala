@@ -755,8 +755,12 @@ object Queries {
 
     // §2.40b: per-label embedding centroids (element-wise mean), emitted
     // as (label, dim, value) scalars for the oracle compare
+    // `+ 0.0` on both sides normalizes IEEE negative zero: Spark's round
+    // (BigDecimal) yields +0.0 for tiny negatives while DuckDB's keeps
+    // -0.0, and the hash compare is string-based (shows up at sf0.1)
     "e01_centroid" -> oq(
-      """SELECT label, CAST(i AS BIGINT) AS dim, round(avg(CAST(e AS DOUBLE)), 4) AS c
+      """SELECT label, CAST(i AS BIGINT) AS dim,
+        |round(avg(CAST(e AS DOUBLE)), 4) + 0.0 AS c
         |FROM (SELECT label, unnest(embedding) AS e,
         |             generate_subscripts(embedding, 1) AS i
         |      FROM embeddings)
@@ -764,7 +768,7 @@ object Queries {
       graft.sim.Similarity.centroids(emb(s, dir), "label", "embedding")
         .select(col("grp").as("label"), posexplode(col("centroid")).as(Seq("pos", "c")))
         .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
-          round(col("c"), 4).as("c"))
+          (round(col("c"), 4) + lit(0.0)).as("c"))
     },
 
     // §2.42c: PERSISTENT IVF index — the FAISS-style train/add/search
