@@ -1,5 +1,7 @@
 package graft
 
+import java.util.regex.Matcher
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query against
@@ -39,14 +41,21 @@ object Bench {
         .replaceAll("plan_id=\\d+", "plan_id=")
         .replaceAll("/tmp/[^\\s,)\\]]+", "/tmp/_")
         .replaceAll("file:[^\\s,)\\]]+", "file:_")
+        // mapPartitions/Invoke nodes print their closure's JVM identity —
+        // a Lambda class counter + hashCode that churns run-to-run even at
+        // the same commit. Strip both so plan diffs mean plan changes.
+        .replaceAll("\\$\\$Lambda[$/][\\w./]+", Matcher.quoteReplacement("$$Lambda"))
+        .replaceAll("@[0-9a-fA-F]{1,16}\\b", "@")
       val d = java.security.MessageDigest.getInstance("MD5").digest(canon.getBytes("UTF-8"))
       d.take(6).map(b => f"$b%02x").mkString
     }
-    // d06 is the intentionally-O(n²) exact recall baseline — it exists to
-    // measure the ANN paths (SimilaritySpec's recall@5 harness), not as a
-    // headline operator, so it stays out of the default bench set. It
-    // remains in SparkEntry.queries for the correctness gate.
-    val benchExclude = Set("d06_cosine_topk")
+    // Exact baselines exist to validate the scale paths, not to headline
+    // the bench: d06 is the O(n²) ANN recall baseline (SimilaritySpec's
+    // recall@5 harness measures the LSH/IVF paths against it), and d02 is
+    // the cut-off exact-Jaccard mode whose production counterpart is
+    // d02s_ngram_jaccard_scale (stop-shingle cut ON). Both stay in
+    // SparkEntry.queries for the correctness gate.
+    val benchExclude = Set("d06_cosine_topk", "d02_ngram_jaccard")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => benchExclude(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -121,9 +121,7 @@ final class CuttingBoard(
               computed.write.mode("overwrite").parquet(path)
               val reread = current.sparkSession.read.parquet(path).persist(storageLevel)
               val n = reread.count()
-              java.nio.file.Files.writeString(
-                java.nio.file.Paths.get(dir, s"slice_$fp.manifest"),
-                s"${UrlQueryBuilder.toUrlString(q, cubedef)}\n$n\n${clock()}\n")
+              writeManifest(dir, fp, s"${UrlQueryBuilder.toUrlString(q, cubedef)}\n$n\n${clock()}\n")
               (reread, n)
             case None =>
               val p = computed.persist(storageLevel)
@@ -138,6 +136,23 @@ final class CuttingBoard(
           persisted
         } else computed
     }
+  }
+
+  /** Atomic manifest write: temp name + rename, so a writer crashing
+    * mid-write can never leave a torn `slice_*.manifest` that silently
+    * skips a valid slice table on reload (the reload's NonFatal catch
+    * would eat the parse error). The `.manifest` name only ever appears
+    * with complete contents; the rename is atomic on POSIX and HDFS-style
+    * stores alike.
+    */
+  private def writeManifest(dir: String, fp: String, contents: String): Unit = {
+    val tmp = java.nio.file.Paths.get(dir, s".slice_$fp.manifest.tmp")
+    val dst = java.nio.file.Paths.get(dir, s"slice_$fp.manifest")
+    java.nio.file.Files.writeString(tmp, contents)
+    java.nio.file.Files.move(tmp, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
   }
 
   /** Stable filesystem-safe name for a query's materialization. */
@@ -172,7 +187,7 @@ final class CuttingBoard(
   /** Delete every persisted slice table + manifest in the warehouse. */
   private def purgePersisted(): Unit = warehouseDir.foreach { dir =>
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.startsWith("slice_"))
+      .filter(f => f.getName.startsWith("slice_") || f.getName.startsWith(".slice_"))
       .foreach(deleteRecursively)
   }
 

@@ -8,24 +8,64 @@ package graft.cube
   * the data lives there and shipping it to Spark would be the bottleneck.
   *
   * The emitted text is deliberately restricted to the dialect
-  * intersection of Spark SQL and DuckDB/Postgres (date_trunc + CAST,
-  * null-safe predicates spelled with IS NULL instead of `<=>`, explicit
+  * intersection of Spark SQL and DuckDB (date_trunc + CAST, null-safe
+  * predicates spelled with IS NULL instead of `<=>`, explicit
   * NULLS FIRST/LAST, LIMIT/OFFSET), and the correctness gate runs the
   * SAME generated string on both engines (s01_sql_pushdown: Spark
   * executes it via spark.sql, DuckDB executes it as the oracle — a
   * hash-identical result proves the text is genuinely portable).
+  * Postgres parses most of this surface but is NOT in the tested
+  * intersection (e.g. the STRING cast alias is Spark/DuckDB-only) —
+  * target it via a dedicated dialect before trusting the text.
   *
   * Supported surface: plain-column and arithmetic labels, date-trunc
   * hierarchy labels (via DateUnitCodec), scalar filter ops
   * (eq/ne/gt/ge/lt/le/in/ni with the reference's Python null semantics),
   * Sum/Min/Max/Count/CountDistinct/Avg measures, ordering with the
-  * Slicer's null placement, limit/offset. Anything else —
-  * regex/set-label filters, pivots, sketch accumulators — throws
+  * Slicer's null placement, limit/offset. match/nmatch compile only for
+  * a `dialect` with a regex spelling (no spelling is shared: Spark has
+  * regexp_like, DuckDB has regexp_matches, and Postgres `~` is POSIX —
+  * different regex semantics — so it stays unsupported). Anything else —
+  * set-label filters, pivots, sketch accumulators — throws
   * `IllegalArgumentException`; callers fall back to the Catalyst path,
   * exactly as the reference falls back from its SQL strategy to the
   * Python one when a piece is not SQL-expressible.
   */
 object SqlCompiler {
+
+  /** Target-dialect hooks for the (few) spots where no shared spelling
+    * exists — the analogue of the reference's per-label `to_sql`
+    * specialization (bacon/cubedef.py). `Portable` is the default: the
+    * Spark∩DuckDB intersection, which has NO regex predicate, so
+    * match/nmatch throw and the caller falls back to Catalyst.
+    */
+  sealed abstract class Dialect(val name: String) {
+    /** Partial-match regex predicate (Python `re.search` semantics: true
+      * when the pattern matches anywhere), or None when this dialect has
+      * no spelling with those semantics.
+      */
+    def regexMatch(e: String, patternLit: String): Option[String]
+  }
+  object Dialect {
+    case object Portable extends Dialect("portable") {
+      def regexMatch(e: String, p: String): Option[String] = None
+    }
+    case object SparkSql extends Dialect("spark") {
+      def regexMatch(e: String, p: String): Option[String] =
+        Some(s"regexp_like($e, $p)") // Java regex, find-anywhere
+    }
+    case object DuckDb extends Dialect("duckdb") {
+      def regexMatch(e: String, p: String): Option[String] =
+        Some(s"regexp_matches($e, $p)") // RE2, find-anywhere
+    }
+    /** Postgres `~` is POSIX ERE — classes like \d and lazy quantifiers
+      * behave differently from the Java/RE2 patterns graft queries carry,
+      * so regex filters refuse rather than silently change meaning.
+      */
+    case object Postgres extends Dialect("postgres") {
+      def regexMatch(e: String, p: String): Option[String] = None
+    }
+  }
 
   /** Render `q` over `table`. `roundDp` optionally wraps a measure in
     * round(_, dp) — floating-point sums differ across engines in the
@@ -33,14 +73,15 @@ object SqlCompiler {
     * same as every float-valued oracle in the gate.
     */
   def compile(cube: CubeDef, q: CubeQuery, table: String,
-              roundDp: Map[String, Int] = Map.empty): String = {
+              roundDp: Map[String, Int] = Map.empty,
+              dialect: Dialect = Dialect.Portable): String = {
     require(q.pivot.isEmpty, "pivot queries are not SQL-compilable here (use Slicer)")
     val axes = q.axes.map(a => s"${labelSql(cube, a)} AS $a")
     val aggs = q.values.map { m => s"${measureSql(cube, m, roundDp.get(m))} AS $m" }
     require(axes.nonEmpty || aggs.nonEmpty, "empty query")
 
     val select = (axes ++ aggs).mkString(",\n       ")
-    val where = q.filters.map(filterSql(cube, _)) match {
+    val where = q.filters.map(filterSql(cube, _, dialect)) match {
       case Vector() => ""
       case fs       => "\nWHERE " + fs.mkString("\n  AND ")
     }
@@ -107,9 +148,17 @@ object SqlCompiler {
     * comparisons drop them (which plain SQL predicates already do).
     * Spelled with IS NULL / OR instead of `<=>` so both engines parse it.
     */
-  private def filterSql(cube: CubeDef, f: Filter): String = {
+  private def filterSql(cube: CubeDef, f: Filter, dialect: Dialect): String = {
     val e = labelSql(cube, f.name)
+    def regex: String = dialect.regexMatch(e, lit(f.value.toString)).getOrElse(
+      throw new IllegalArgumentException(
+        s"filter op '${f.op}' has no regex spelling in dialect '${dialect.name}' " +
+          "(use Dialect.SparkSql / Dialect.DuckDb, or fall back to Catalyst)"))
     f.op match {
+      // match: NULL drops (a positive predicate, like re.search on None);
+      // nmatch keeps NULL rows, mirroring FilterOp's Python semantics
+      case FilterOp.Match  => regex
+      case FilterOp.NMatch => s"(NOT $regex OR $e IS NULL)"
       case FilterOp.Eq => if (f.value == null) s"$e IS NULL" else s"$e = ${lit(f.value)}"
       case FilterOp.Ne =>
         if (f.value == null) s"$e IS NOT NULL"

@@ -219,19 +219,12 @@ object Multimodal {
         val id = r.getLong(idIdx)
         val kind = r.getString(kindIdx)
         val payload = r.get(payloadIdx).asInstanceOf[Array[Byte]]
-        val frames = ImagePixels.readGifFrames(payload)
-        if (frames.isEmpty) Iterator.empty
-        else {
-          val total = frames.length
-          // evenly-spaced sample indices over [0, total)
-          val picks =
-            if (total <= n) 0 until total
-            else (0 until n).map(i => (i.toLong * total / n).toInt)
-          picks.iterator.map { idx =>
-            val img = frames(idx)
-            Row(id, kind, total, idx, ImagePixels.encode(img, "png"),
-              img.getWidth, img.getHeight)
-          }
+        // bounded decode: sequential (GIF delta frames) but stops at the
+        // last sampled index, not the end of the clip
+        val (total, sampled) = ImagePixels.sampleGifFrames(payload, n)
+        sampled.iterator.map { case (idx, img) =>
+          Row(id, kind, total, idx, ImagePixels.encode(img, "png"),
+            img.getWidth, img.getHeight)
         }
       }
     }(encoder)
@@ -367,6 +360,12 @@ object ImagePixels {
   import java.awt.image.BufferedImage
   import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
   import javax.imageio.ImageIO
+
+  // ImageIO defaults to a disk-backed stream cache: every read/write on a
+  // non-File stream spools through a temp file on executor-local disk — a
+  // create/write/delete cycle PER ROW in the pixel hot path. Our payloads
+  // are in-memory byte arrays; cache in memory instead.
+  ImageIO.setUseCache(false)
 
   /** Deterministic RGB test pattern — every pixel a pure function of
     * (x, y, seed), so any decoded raster can be verified exactly.
@@ -508,6 +507,47 @@ object ImagePixels {
       ios.close()
     }
     bos.toByteArray
+  }
+
+  /** Up to `n` evenly-spaced frames of a (possibly animated) GIF, plus the
+    * total frame count: `(total, Seq((frameIdx, frame)))`. GIF frames may
+    * be delta-coded against earlier ones, so decoding is sequential — but
+    * it STOPS at the last picked index instead of running to
+    * `getNumImages`: for a long clip sampled at small `n` the tail
+    * (total − 1 − lastPick ≈ total/n frames) is never decoded.
+    * `(0, empty)` for non-GIF / undecodable bytes.
+    */
+  def sampleGifFrames(b: Array[Byte], n: Int): (Int, IndexedSeq[(Int, BufferedImage)]) = {
+    require(n > 0, s"n must be positive, got $n")
+    if (b.length < 6 || !b.startsWith("GIF8".getBytes("US-ASCII")))
+      return (0, IndexedSeq.empty)
+    val readers = ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) return (0, IndexedSeq.empty)
+    val reader = readers.next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(b))
+    try {
+      reader.setInput(iis, false)
+      val total = reader.getNumImages(true)
+      if (total <= 0) return (0, IndexedSeq.empty)
+      val picks =
+        if (total <= n) 0 until total
+        else (0 until n).map(i => (i.toLong * total / n).toInt)
+      val pickSet = picks.toSet
+      val out = IndexedSeq.newBuilder[(Int, BufferedImage)]
+      var i = 0
+      val last = picks.last
+      while (i <= last) {
+        val img = reader.read(i)
+        if (pickSet(i)) out += (i -> img)
+        i += 1
+      }
+      (total, out.result())
+    } catch {
+      case _: java.io.IOException => (0, IndexedSeq.empty)
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
   }
 
   /** All frames of a (possibly animated) GIF; empty for non-GIF bytes. */

@@ -57,11 +57,23 @@ final class IvfIndex private (val centroids: DataFrame, val postings: DataFrame)
   }
 
   /** Persist both tables; a later `load` serves searches from these
-    * bytes alone.
+    * bytes alone. The postings — the one big artifact, and the probe
+    * join's build side on every search — are written BUCKETED by `cid`
+    * (Sources.writeBucketed): the loaded scan reports
+    * HashPartitioning(cid, buckets), so repeat searches skip the
+    * postings-side exchange entirely (asserted in IvfIndexSpec).
     */
-  def write(dir: String): Unit = {
+  def write(dir: String, buckets: Int = IvfIndex.DefaultBuckets): Unit = {
+    val spark = postings.sparkSession
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-    postings.write.mode("overwrite").parquet(s"$dir/postings")
+    graft.sources.Sources.writeBucketed(
+      postings, "cid", buckets, IvfIndex.postingsTable(dir), s"$dir/postings")
+    // bucket count for a FRESH session's load (which must re-register the
+    // external bucketed table) — written through Spark IO so the index
+    // stays FS-agnostic (local disk in tests, object store at scale)
+    import spark.implicits._
+    Seq(buckets).toDF("buckets").coalesce(1)
+      .write.mode("overwrite").json(s"$dir/meta")
   }
 }
 
@@ -83,8 +95,43 @@ object IvfIndex {
     new IvfIndex(cents, postings)
   }
 
-  def load(spark: SparkSession, dir: String): IvfIndex =
-    new IvfIndex(
-      spark.read.parquet(s"$dir/centroids"),
-      spark.read.parquet(s"$dir/postings"))
+  val DefaultBuckets = 16
+
+  /** Catalog name for the bucketed postings table — deterministic from the
+    * index location so any session over the same dir resolves the same
+    * table.
+    */
+  private[sim] def postingsTable(dir: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(dir.getBytes("UTF-8"))
+    "graft_ivf_postings_" + d.take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Load a written index. Bucketing metadata lives in the session
+    * catalog, not the parquet files, so a fresh session re-registers the
+    * external bucketed table over the written layout (CLUSTERED BY cid,
+    * bucket count from the index's meta file) before reading it; an index
+    * written by an older (unbucketed) `write` — no meta file — falls back
+    * to the plain parquet scan, never a mis-declared bucketing.
+    */
+  def load(spark: SparkSession, dir: String): IvfIndex = {
+    val tbl = postingsTable(dir)
+    val postings =
+      if (spark.catalog.tableExists(tbl)) spark.table(tbl)
+      else {
+        val bucketCount =
+          try Some(spark.read.json(s"$dir/meta").head().getAs[Long]("buckets").toInt)
+          catch { case scala.util.control.NonFatal(_) => None }
+        bucketCount match {
+          case Some(b) =>
+            val schema = spark.read.parquet(s"$dir/postings").schema.toDDL
+            spark.sql(
+              s"""CREATE TABLE $tbl ($schema) USING parquet
+                 |CLUSTERED BY (cid) SORTED BY (cid) INTO $b BUCKETS
+                 |LOCATION '$dir/postings'""".stripMargin)
+            spark.table(tbl)
+          case None => spark.read.parquet(s"$dir/postings")
+        }
+      }
+    new IvfIndex(spark.read.parquet(s"$dir/centroids"), postings)
+  }
 }

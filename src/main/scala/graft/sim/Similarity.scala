@@ -128,17 +128,29 @@ object Similarity {
   /** Rank centroids per vector by cosine: (id, cid) rows for each
     * vector's `n` nearest centroids. The centroid table is tiny
     * (numCentroids rows) and broadcast, so this is a map-side pass over
-    * the vectors — no data×data join.
+    * the vectors — no data×data join. Ranking is a partial-aggregating
+    * groupBy (map-side `max_by` / top-n array), NOT a window: the
+    * n×numCentroids scored rows reduce to n rows before the exchange and
+    * nothing is sorted. Ties break toward the lower cid (same order the
+    * previous window formulation used).
     */
   private[sim] def rankCentroids(v: DataFrame, cents: DataFrame, n: Int): DataFrame = {
     // codegen'd float dot product + precomputed norms on both sides —
     // no interpreted array-cast HOFs in this per-(vector × centroid) path
-    val w = Window.partitionBy(col("id")).orderBy(col("__ccos").desc, col("cid").asc)
-    v.crossJoin(broadcast(cents))
+    val scored = v.crossJoin(broadcast(cents))
       .withColumn("__ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("__crk", row_number().over(w))
-      .where(col("__crk") <= n)
-      .select(col("id"), col("cid"))
+    if (n == 1)
+      // assignment: declarative max_by keeps ONE (score, cid) per id in the
+      // partial buffer — only n rows shuffle
+      scored.groupBy(col("id"))
+        .agg(max_by(col("cid"), struct(col("__ccos"), -col("cid"))).as("cid"))
+    else
+      // probes: per-id top-n via sorted collect over the numCentroids
+      // scores (bounded, tiny) — still partial-aggregated, still no Sort
+      scored.groupBy(col("id"))
+        .agg(slice(array_sort(collect_list(
+          struct((-col("__ccos")).as("nc"), col("cid").as("cid")))), 1, n).as("top"))
+        .select(col("id"), explode(col("top.cid")).as("cid"))
   }
 
   /** IVF (inverted-file) ANN — the second scale path next to hyperplane

@@ -252,6 +252,30 @@ class CuttingBoardSpec extends SparkSpec {
     b1.clear(); b2.clear(); b3.clear()
   }
 
+  test("a torn manifest never hides valid persisted slices (atomic manifest write)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wh-torn").toString
+    val df = Seq(("A", "x", 2020, 1.0), ("B", "x", 2020, 2.0)).toDF("k", "s", "y", "v")
+    val cube = CubeDef(
+      labels = Seq(Label("k"), Label("s"), Label("y")),
+      measures = Seq(Measure("sum_v", col("v"), Agg.Sum)))
+    val q = CubeQuery().addAxis("k").addValue("sum_v")
+
+    val b1 = new CuttingBoard(df, cube, warehouseDir = Some(dir))
+    val first = asMap(b1.slice(q))
+    // the manifest reached its final name via rename — no temp debris
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".tmp")),
+      "manifest temp file must not survive a successful write")
+
+    // a crashed writer's torn manifest (truncated mid-line): reload must
+    // skip it and still serve the valid slice next to it
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "slice_deadbeef.manifest"), "axes=k&values=su")
+    val b2 = new CuttingBoard(df, cube, warehouseDir = Some(dir))
+    assert(asMap(b2.slice(q)) == first)
+    assert(b2.stats == (1L, 0L), "valid slice must load despite the garbage manifest")
+    b1.clear(); b2.clear()
+  }
+
   test("TTL: an expired board auto-refreshes from its dataset source on the next slice") {
     var now = 1000L
     var source = Seq(("A", "x", 2020, 1.0), ("B", "x", 2020, 2.0)).toDF("k", "s", "y", "v")

@@ -76,6 +76,30 @@ class SqlCompilerSpec extends SparkSpec {
     }
   }
 
+  test("regex filters compile per-dialect; dialects without a spelling still throw") {
+    val m = CubeQuery().addAxis("k").addValue("n")
+      .addFilter("k", "A", FilterOp.Match)
+    val nm = CubeQuery().addAxis("k").addValue("n")
+      .addFilter("s", "x", FilterOp.NMatch) // s nullable → null-keep observable
+    // the Spark rendering equals the Catalyst path, null semantics included
+    df.createOrReplaceTempView("t")
+    for (q <- Seq(m, nm)) {
+      val sql = SqlCompiler.compile(cube, q, "t", dialect = SqlCompiler.Dialect.SparkSql)
+      assert(spark.sql(sql).collect().map(_.toSeq).toSet == viaSlicer(q), "\n" + sql)
+    }
+    // the DuckDB rendering differs only in the predicate spelling
+    val duck = SqlCompiler.compile(cube, nm, "t", dialect = SqlCompiler.Dialect.DuckDb)
+    assert(duck.contains("(NOT regexp_matches(s, 'x') OR s IS NULL)"), "\n" + duck)
+    assert(SqlCompiler.compile(cube, m, "t", dialect = SqlCompiler.Dialect.SparkSql)
+      .contains("regexp_like(k, 'A')"))
+    // portable/Postgres have no partial-match spelling → throw, so the
+    // caller falls back to Catalyst instead of silently changing meaning
+    for (d <- Seq(SqlCompiler.Dialect.Portable, SqlCompiler.Dialect.Postgres))
+      intercept[IllegalArgumentException] {
+        SqlCompiler.compile(cube, m, "t", dialect = d)
+      }
+  }
+
   test("the s01 gate string is stable, portable SQL") {
     val sql = graft.Queries.s01Sql
     assert(sql.contains("CAST(date_trunc('month', o_orderdate) AS DATE) AS o_orderdate_month"))

@@ -149,6 +149,27 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(img, 3).count() == 0) // id 4 → png, not gif
   }
 
+  test("bounded GIF sampling stops at the last pick yet matches a full decode") {
+    // a clip much longer than the sample size: 40 frames, n = 5 picks
+    // {0,8,16,24,32} — the bounded path never decodes frames 33..39
+    val clip = ImagePixels.animatedGif(24, 16, nFrames = 40, seed = 7L)
+    val (total, sampled) = ImagePixels.sampleGifFrames(clip, 5)
+    assert(total == 40)
+    assert(sampled.map(_._1) == IndexedSeq(0, 8, 16, 24, 32))
+    // identical pixels to the decode-everything-then-pick formulation
+    val full = ImagePixels.readGifFrames(clip)
+    assert(full.length == 40)
+    sampled.foreach { case (idx, img) =>
+      assert(ImagePixels.lumaStats(img) == ImagePixels.lumaStats(full(idx)),
+        s"frame $idx content must match the full decode")
+    }
+    // n >= total degenerates to every frame, in order
+    val (t2, all) = ImagePixels.sampleGifFrames(clip, 64)
+    assert(t2 == 40 && all.map(_._1) == (0 until 40))
+    // non-GIF bytes: empty, not an exception
+    assert(ImagePixels.sampleGifFrames(Array[Byte](1, 2, 3), 4) == ((0, IndexedSeq.empty)))
+  }
+
   test("pixel-tier audio: PCM samples are real and RMS matches the sine amplitude") {
     val m = Multimodal.withFakeMediaPixels(base, "doc_id", "audio").repartition(2)
     val got = Multimodal.decodeAudioMeta(m).collect()

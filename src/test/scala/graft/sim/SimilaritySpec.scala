@@ -171,6 +171,22 @@ class SimilaritySpec extends SparkSpec {
     assert(sampled == brute)
   }
 
+  test("centroid ranking is a partial aggregation — no Window, no sort of the scored rows") {
+    val v = clustered.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val cents = Similarity.trainQuantizer(v, numCentroids = 8, iters = 1, trainCap = 60)
+    for (n <- Seq(1, 4)) {
+      val ranked = Similarity.rankCentroids(v, cents, n)
+      val plan = ranked.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), plan)
+      assert(plan.contains("partial_"), plan) // map-side combine before the exchange
+      assert(ranked.count() == 240L * n, s"n=$n must emit n probes per vector")
+    }
+    // assignment tie-break parity with the old window order (cos desc,
+    // cid asc): every id gets exactly one cell
+    assert(Similarity.rankCentroids(v, cents, 1).select("id").distinct().count() == 240L)
+  }
+
   test("persistent IVF index: build -> write -> load -> search survives the session") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     IvfIndex.build(clustered, "vec_id", "embedding",
@@ -191,6 +207,35 @@ class SimilaritySpec extends SparkSpec {
     val got = idx.search(external, "vec_id", "embedding", k = 3, nProbe = 16).collect()
     assert(got.length == 3 && got.forall(_.getLong(0) == 9001L))
     assert(got.forall(r => r.getDouble(2) <= 1.0 && r.getDouble(2) >= -1.0))
+  }
+
+  test("loaded IVF index reads cid-bucketed postings: no postings-side exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-bkt").toString
+    IvfIndex.build(clustered, "vec_id", "embedding",
+      numCentroids = 16, iters = 2, trainCap = 60).write(dir, buckets = 8)
+    // force the fresh-session path: the catalog entry dies with the
+    // session, so load must re-register the external bucketed table from
+    // the index's meta file
+    spark.sql(s"DROP TABLE IF EXISTS ${IvfIndex.postingsTable(dir)}")
+    val idx = IvfIndex.load(spark, dir)
+
+    // the direct proof (SourcesSpec style): a cid aggregation over the
+    // loaded postings needs no Exchange — the scan is pre-partitioned
+    val agg = idx.postings.groupBy("cid").agg(count(lit(1)).as("n"))
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Exchange"), aggPlan)
+    assert(agg.collect().map(_.getLong(1)).sum == 240L)
+
+    // and a real search exploits the bucket layout on the probe join
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val res = idx.search(clustered, "vec_id", "embedding", k = 5,
+        nProbe = 4, excludeSelf = true)
+      res.collect() // materialize so AQE's final plan is the one inspected
+      val plan = res.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
   test("ANN LSH candidates are a subset of brute-force with matching cosines") {
