@@ -46,6 +46,10 @@ object Bench {
         // the same commit. Strip both so plan diffs mean plan changes.
         .replaceAll("\\$\\$Lambda[$/][\\w./]+", Matcher.quoteReplacement("$$Lambda"))
         .replaceAll("@[0-9a-fA-F]{1,16}\\b", "@")
+        // IvfIndex registers its bucketed postings table under a name
+        // derived from the index directory; e03 builds into a fresh temp
+        // dir per run, so the name (not the plan shape) would churn.
+        .replaceAll("graft_ivf_postings_[0-9a-f]+", "graft_ivf_postings_")
       val d = java.security.MessageDigest.getInstance("MD5").digest(canon.getBytes("UTF-8"))
       d.take(6).map(b => f"$b%02x").mkString
     }

@@ -45,14 +45,22 @@ object Dedup {
       if (stopShingleFraction >= 1.0) sh0
       else {
         val nDocs = approxRowCount(df)
-        val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+        // Materialize the hashed inverted index ONCE: it is consumed four
+        // times below (hot-shingle count, per-doc size recompute, both
+        // sides of the pair self-join), and without the checkpoint each
+        // consumer re-runs scan + tokenize + shingle + hash from the raw
+        // text — ~5 evaluations of the expensive pipeline instead of 1.
+        // The stored rows are (id, 8-byte shingle hash): a fraction of
+        // the source text, so storing beats recomputing at any scale.
+        val sh0c = sh0.drop("sz").localCheckpoint(true)
+        val hot = sh0c.groupBy("sh").agg(count(lit(1)).as("df"))
           .where(col("df") > lit(stopShingleFraction * nDocs))
           .select(col("sh").as("hot_sh"))
-        val kept = sh0.join(broadcast(hot), col("sh") === col("hot_sh"), "left_anti")
+        val kept = sh0c.join(broadcast(hot), col("sh") === col("hot_sh"), "left_anti")
         // jaccard is then computed over the REDUCED shingle universe, so
         // |A| and |B| must be the post-cut counts too
         val sz2 = kept.groupBy("id").agg(count(lit(1)).as("sz2"))
-        kept.drop("sz").join(sz2, "id").withColumnRenamed("sz2", "sz")
+        kept.join(sz2, "id").withColumnRenamed("sz2", "sz")
       }
     val a = sh.alias("a"); val b = sh.alias("b")
     a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
