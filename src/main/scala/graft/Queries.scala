@@ -54,6 +54,31 @@ object Queries {
       .addFilter("o_orderstatus", "F", FilterOp.NMatch),
     table = "orders", roundDp = Map("sum_total" -> 2), dialect = dialect)
 
+  /** s03: membership set-ops (array_contains chains — shared predicate
+    * spelling; only the `split` set-label constructor is per-dialect).
+    */
+  private[graft] def s03Sql(dialect: SqlCompiler.Dialect): String = SqlCompiler.compile(
+    Tpch.partCube,
+    CubeQuery()
+      .addAxis("p_brand")
+      .addValue("n_parts").addValue("sum_retail")
+      .addFilter("name_words", Seq("red", "blue"), FilterOp.HasAny)
+      .addFilter("name_words", Seq("small"), FilterOp.HasNone),
+    table = "part", roundDp = Map("sum_retail" -> 2), dialect = dialect)
+
+  /** s04: universally-quantified set-op (subsetof) — exercises the
+    * per-dialect `listForall` lambda spelling.
+    */
+  private[graft] def s04Sql(dialect: SqlCompiler.Dialect): String = SqlCompiler.compile(
+    Tpch.partCube,
+    CubeQuery()
+      .addAxis("p_brand")
+      .addValue("n_parts")
+      .addFilter("name_words",
+        Seq("small", "hot", "widget", "gear", "plate", "red", "blue", "bolt"),
+        FilterOp.SubsetOf),
+    table = "part", dialect = dialect)
+
   val cube: Map[String, (Q, Option[String])] = Map(
     // §2.1-2, 9: Sum + Count accumulators over a 2-axis slice
     "q01_agg_basic" -> oq(
@@ -823,6 +848,19 @@ object Queries {
     "s02_sql_regex" -> oq(s02Sql(SqlCompiler.Dialect.DuckDb)) { (s, dir) =>
       ord(s, dir).createOrReplaceTempView("orders")
       s.sql(s02Sql(SqlCompiler.Dialect.SparkSql))
+    },
+
+    // §2.25b (cont): the set-label filter algebra through the SQL backend
+    // (bacon's SetLabel to_sql). s03 = membership ops (hasany + hasnone),
+    // s04 = the universally-quantified subsetof; both compiled per-dialect
+    // because the set-label constructor (split) has no shared spelling.
+    "s03_sql_setops" -> oq(s03Sql(SqlCompiler.Dialect.DuckDb)) { (s, dir) =>
+      part(s, dir).createOrReplaceTempView("part")
+      s.sql(s03Sql(SqlCompiler.Dialect.SparkSql))
+    },
+    "s04_sql_forall" -> oq(s04Sql(SqlCompiler.Dialect.DuckDb)) { (s, dir) =>
+      part(s, dir).createOrReplaceTempView("part")
+      s.sql(s04Sql(SqlCompiler.Dialect.SparkSql))
     },
 
     // §2.47: multimodal image pipeline, REAL pixel path — complete encoded

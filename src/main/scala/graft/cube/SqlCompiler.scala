@@ -21,12 +21,15 @@ package graft.cube
   * Supported surface: plain-column and arithmetic labels, date-trunc
   * hierarchy labels (via DateUnitCodec), scalar filter ops
   * (eq/ne/gt/ge/lt/le/in/ni with the reference's Python null semantics),
+  * the full set-label algebra (hasall…notequals — membership chains use
+  * the shared `array_contains` spelling; the universally-quantified ops
+  * and the `split` set-label constructor are per-dialect, see Dialect),
   * Sum/Min/Max/Count/CountDistinct/Avg measures, ordering with the
   * Slicer's null placement, limit/offset. match/nmatch compile only for
   * a `dialect` with a regex spelling (no spelling is shared: Spark has
   * regexp_like, DuckDB has regexp_matches, and Postgres `~` is POSIX —
-  * different regex semantics — so it stays unsupported). Anything else —
-  * set-label filters, pivots, sketch accumulators — throws
+  * different regex semantics — so it stays unsupported there). Anything
+  * else — set labels as axes, pivots, sketch accumulators — throws
   * `IllegalArgumentException`; callers fall back to the Catalyst path,
   * exactly as the reference falls back from its SQL strategy to the
   * Python one when a piece is not SQL-expressible.
@@ -45,25 +48,53 @@ object SqlCompiler {
       * no spelling with those semantics.
       */
     def regexMatch(e: String, patternLit: String): Option[String]
+    /** Universal quantification over an array: SQL that is TRUE iff
+      * `pred` (with `x` as the element variable) holds for EVERY element,
+      * quantifying vacuously TRUE over empty AND NULL arrays (the
+      * reference's make_set turns NULL into the empty set). None when the
+      * dialect has no lambda spelling.
+      */
+    def listForall(arr: String, pred: String): Option[String]
+    /** Regex split to array — the one function set labels are built from
+      * (`split(col, re)`). Spark's `split` is Java-regex; DuckDB's is
+      * `regexp_split_to_array` (RE2); no spelling is shared.
+      */
+    def splitRegex(e: String, patternLit: String): Option[String]
   }
   object Dialect {
     case object Portable extends Dialect("portable") {
       def regexMatch(e: String, p: String): Option[String] = None
+      def listForall(arr: String, pred: String): Option[String] = None
+      def splitRegex(e: String, p: String): Option[String] = None
     }
     case object SparkSql extends Dialect("spark") {
       def regexMatch(e: String, p: String): Option[String] =
         Some(s"regexp_like($e, $p)") // Java regex, find-anywhere
+      def listForall(arr: String, pred: String): Option[String] =
+        // forall(NULL, ...) is NULL -> coalesce TRUE (make_set(NULL) = ∅)
+        Some(s"coalesce(forall($arr, x -> $pred), TRUE)")
+      def splitRegex(e: String, p: String): Option[String] =
+        Some(s"split($e, $p)")
     }
     case object DuckDb extends Dialect("duckdb") {
       def regexMatch(e: String, p: String): Option[String] =
         Some(s"regexp_matches($e, $p)") // RE2, find-anywhere
+      def listForall(arr: String, pred: String): Option[String] =
+        // bool_and of an empty transform is NULL -> coalesce TRUE, same
+        // vacuous-truth contract as the Spark spelling
+        Some(s"coalesce(list_aggregate(list_transform($arr, x -> $pred), 'bool_and'), TRUE)")
+      def splitRegex(e: String, p: String): Option[String] =
+        Some(s"regexp_split_to_array($e, $p)")
     }
     /** Postgres `~` is POSIX ERE — classes like \d and lazy quantifiers
       * behave differently from the Java/RE2 patterns graft queries carry,
-      * so regex filters refuse rather than silently change meaning.
+      * so regex filters refuse rather than silently change meaning; it
+      * also has no tested lambda/split spelling here.
       */
     case object Postgres extends Dialect("postgres") {
       def regexMatch(e: String, p: String): Option[String] = None
+      def listForall(arr: String, pred: String): Option[String] = None
+      def splitRegex(e: String, p: String): Option[String] = None
     }
   }
 
@@ -76,8 +107,13 @@ object SqlCompiler {
               roundDp: Map[String, Int] = Map.empty,
               dialect: Dialect = Dialect.Portable): String = {
     require(q.pivot.isEmpty, "pivot queries are not SQL-compilable here (use Slicer)")
-    val axes = q.axes.map(a => s"${labelSql(cube, a)} AS $a")
-    val aggs = q.values.map { m => s"${measureSql(cube, m, roundDp.get(m))} AS $m" }
+    // a set label as an AXIS means per-element row multiplication
+    // (Slicer explodes) — not expressible as a plain GROUP BY
+    q.axes.foreach { a =>
+      require(!cube.label(a).isSet, s"set label '$a' as an axis is not SQL-compilable (Slicer explodes it)")
+    }
+    val axes = q.axes.map(a => s"${labelSql(cube, a, dialect)} AS $a")
+    val aggs = q.values.map { m => s"${measureSql(cube, m, roundDp.get(m), dialect)} AS $m" }
     require(axes.nonEmpty || aggs.nonEmpty, "empty query")
 
     val select = (axes ++ aggs).mkString(",\n       ")
@@ -87,7 +123,7 @@ object SqlCompiler {
     }
     val groupBy =
       if (q.axes.isEmpty) ""
-      else "\nGROUP BY " + q.axes.map(labelSql(cube, _)).mkString(", ")
+      else "\nGROUP BY " + q.axes.map(labelSql(cube, _, dialect)).mkString(", ")
     val orderBy =
       if (q.order.isEmpty) ""
       else "\nORDER BY " + q.order.map { o =>
@@ -105,7 +141,7 @@ object SqlCompiler {
     * plain/arithmetic labels render their Catalyst expression, which for
     * column refs and arithmetic is already dialect-neutral.
     */
-  private def labelSql(cube: CubeDef, name: String): String = {
+  private def labelSql(cube: CubeDef, name: String, dialect: Dialect): String = {
     require(cube.hasLabel(name), s"unknown label '$name'")
     val label = cube.label(name)
     label.codec.collect { case ValueCodec.DateUnitCodec(u) => u } match {
@@ -122,13 +158,14 @@ object SqlCompiler {
       case Some(_) =>
         throw new IllegalArgumentException(
           s"label '$name' has a date codec but a non-conventional name; not SQL-compilable")
-      case None => exprSql(label.expr)
+      case None => exprSql(label.expr, dialect)
     }
   }
 
-  private def measureSql(cube: CubeDef, name: String, dp: Option[Int]): String = {
+  private def measureSql(cube: CubeDef, name: String, dp: Option[Int],
+                         dialect: Dialect): String = {
     val m = cube.measure(name)
-    val e = exprSql(m.expr)
+    val e = exprSql(m.expr, dialect)
     val raw = m.agg match {
       case Agg.Sum           => s"sum($e)"
       case Agg.Min           => s"min($e)"
@@ -149,7 +186,7 @@ object SqlCompiler {
     * Spelled with IS NULL / OR instead of `<=>` so both engines parse it.
     */
   private def filterSql(cube: CubeDef, f: Filter, dialect: Dialect): String = {
-    val e = labelSql(cube, f.name)
+    val e = labelSql(cube, f.name, dialect)
     def regex: String = dialect.regexMatch(e, lit(f.value.toString)).getOrElse(
       throw new IllegalArgumentException(
         s"filter op '${f.op}' has no regex spelling in dialect '${dialect.name}' " +
@@ -171,8 +208,65 @@ object SqlCompiler {
         s"$e IN (${seqValues(f.value).map(lit).mkString(", ")})"
       case FilterOp.Ni =>
         s"($e NOT IN (${seqValues(f.value).map(lit).mkString(", ")}) OR $e IS NULL)"
+      case op if setOps(op) => setFilterSql(e, op, f.value, dialect)
       case other =>
         throw new IllegalArgumentException(s"filter op '$other' is not SQL-compilable")
+    }
+  }
+
+  private val setOps: Set[String] = FilterOp.multiArg -- Set(FilterOp.In, FilterOp.Ni)
+
+  /** The set-label algebra (FilterOp's Catalyst formulation, rendered as
+    * SQL with identical null semantics): make_set turns a NULL column
+    * into the empty set and — for string sets — discards empty-string
+    * elements; every leaf predicate below is coalesced to a non-NULL
+    * boolean, so NOT compositions stay two-valued.
+    *
+    * Membership tests render as `array_contains` chains (a spelling
+    * shared by Spark and DuckDB, where it aliases list_contains); only
+    * the universally-quantified ops (subsetof/equals/hasonly and their
+    * negations) need the per-dialect `listForall` lambda. A NULL element
+    * in the FILTER SET throws — the reference's make_set never produces
+    * one from a URL, and cross-engine NULL-in-array equality is exactly
+    * the kind of edge this compiler refuses rather than approximates.
+    */
+  private def setFilterSql(arr: String, op: String, value: Any, dialect: Dialect): String = {
+    import FilterOp._
+    val raw = seqValues(value)
+    require(!raw.contains(null), s"set filter '$op' with a NULL element is not SQL-compilable")
+    val stringy = raw.forall(_.isInstanceOf[String])
+    val vs = raw.distinct.filterNot(v => stringy && v == "")
+    // array_contains(NULL, v) is NULL in both engines; make_set(NULL) = ∅
+    // must not contain anything -> coalesce FALSE
+    def contains(v: Any) = s"coalesce(array_contains($arr, ${lit(v)}), FALSE)"
+    def hasAll = if (vs.isEmpty) "TRUE" else vs.map(contains).mkString("(", " AND ", ")")
+    def hasAny = if (vs.isEmpty) "FALSE" else vs.map(contains).mkString("(", " OR ", ")")
+    // col ⊆ S: every element is in S — with a NULL element never matching
+    // (array_except keeps it on the Catalyst path, failing the subset) and
+    // '' ignored for string sets (make_set discards it from the col side)
+    def subsetOf = {
+      val memb =
+        if (vs.isEmpty) { if (stringy) "x = ''" else "FALSE" }
+        else {
+          val in = s"x IN (${vs.map(lit).mkString(", ")})"
+          if (stringy) s"($in OR x = '')" else in
+        }
+      dialect.listForall(arr, s"x IS NOT NULL AND $memb").getOrElse(
+        throw new IllegalArgumentException(
+          s"filter op '$op' needs an array-forall spelling; dialect '${dialect.name}' has " +
+            "none (use Dialect.SparkSql / Dialect.DuckDb, or fall back to Catalyst)"))
+    }
+    op match {
+      case HasAll | SupersetOf       => hasAll
+      case HasNotAll | NotSupersetOf => s"(NOT $hasAll)"
+      case HasAny | Intersects       => hasAny
+      case HasNone | DisjointFrom    => s"(NOT $hasAny)"
+      case SubsetOf                  => subsetOf
+      case NotSubsetOf               => s"(NOT $subsetOf)"
+      case Equals | HasOnly          => s"($hasAll AND $subsetOf)"
+      case NotEquals                 => s"(NOT ($hasAll AND $subsetOf))"
+      case other =>
+        throw new IllegalArgumentException(s"set filter op '$other' is not SQL-compilable")
     }
   }
 
@@ -201,33 +295,46 @@ object SqlCompiler {
     * Expression.sql spells node-converted operators as `` `*`(a, b) ``,
     * which no target dialect parses.)
     */
-  private def exprSql(c: org.apache.spark.sql.Column): String =
-    renderExpr(org.apache.spark.sql.graft.ColumnBridge.catalystExpression(c))
+  private def exprSql(c: org.apache.spark.sql.Column, dialect: Dialect): String =
+    renderExpr(org.apache.spark.sql.graft.ColumnBridge.catalystExpression(c), dialect)
 
   private val portableFns = Set("floor", "ceil", "ceiling", "abs", "round")
   private val infixOps = Set("+", "-", "*", "/", "%")
 
-  private def renderExpr(e: org.apache.spark.sql.catalyst.expressions.Expression): String = {
+  private def renderExpr(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                         dialect: Dialect): String = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
     e match {
       case a: AttributeReference => a.name
       case a: UnresolvedAttribute => a.nameParts.mkString(".")
       case l: Literal => literalSql(l)
-      case c: Cast => s"CAST(${renderExpr(c.child)} AS ${castTypeSql(c.dataType)})"
+      case c: Cast => s"CAST(${renderExpr(c.child, dialect)} AS ${castTypeSql(c.dataType)})"
       case f: UnresolvedFunction =>
         val name = f.nameParts.last
-        val args = f.arguments.map(renderExpr)
-        if (infixOps(name) && args.length == 2) s"(${args(0)} $name ${args(1)})"
+        lazy val args = f.arguments.map(renderExpr(_, dialect))
+        // split(col, re[, -1]): THE set-label constructor. No shared
+        // spelling (Spark split is Java-regex, DuckDB regexp_split_to_array
+        // is RE2) -> per-dialect; an explicit non-default limit is not
+        // portable at all.
+        if (name == "split" &&
+            (f.arguments.length == 2 ||
+             (f.arguments.length == 3 && (f.arguments(2) match {
+               case Literal(-1, _) => true; case _ => false }))))
+          dialect.splitRegex(args(0), args(1)).getOrElse(
+            throw new IllegalArgumentException(
+              s"split() has no spelling in dialect '${dialect.name}' " +
+                "(use Dialect.SparkSql / Dialect.DuckDb, or fall back to Catalyst)"))
+        else if (infixOps(name) && args.length == 2) s"(${args(0)} $name ${args(1)})"
         else if (portableFns(name.toLowerCase)) s"${name.toLowerCase}(${args.mkString(", ")})"
         else throw new IllegalArgumentException(
           s"function '$name' is not portable-SQL-compilable")
       // resolved arithmetic shapes (Columns built straight from expressions)
       case b: BinaryArithmetic if infixOps(b.symbol) =>
-        s"(${renderExpr(b.left)} ${b.symbol} ${renderExpr(b.right)})"
-      case fl: Floor => s"floor(${renderExpr(fl.child)})"
-      case ce: Ceil => s"ceil(${renderExpr(ce.child)})"
-      case ab: Abs => s"abs(${renderExpr(ab.child)})"
+        s"(${renderExpr(b.left, dialect)} ${b.symbol} ${renderExpr(b.right, dialect)})"
+      case fl: Floor => s"floor(${renderExpr(fl.child, dialect)})"
+      case ce: Ceil => s"ceil(${renderExpr(ce.child, dialect)})"
+      case ab: Abs => s"abs(${renderExpr(ab.child, dialect)})"
       case other => throw new IllegalArgumentException(
         s"expression node ${other.getClass.getSimpleName} is not portable-SQL-compilable")
     }

@@ -7,15 +7,18 @@ class SqlCompilerSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val df = Seq(
-    ("A", Option("x"), "2024-01-03", 1.0),
-    ("A", Option.empty[String], "2024-01-20", 2.0),
-    ("B", Option("x"), "2024-02-03", 4.0),
-    ("B", Option("y"), "2024-03-01", 8.0),
-  ).toDF("k", "s", "d", "v").withColumn("d", to_date(col("d")))
+    // tg exercises make_set's edges: a double space (empty-string element),
+    // a NULL array, and overlapping word sets
+    ("A", Option("x"), "2024-01-03", 1.0, Option("red blue")),
+    ("A", Option.empty[String], "2024-01-20", 2.0, Option("red  green")),
+    ("B", Option("x"), "2024-02-03", 4.0, Option.empty[String]),
+    ("B", Option("y"), "2024-03-01", 8.0, Option("blue")),
+  ).toDF("k", "s", "d", "v", "tg").withColumn("d", to_date(col("d")))
 
   private val cube = CubeDef(
     labels = Seq(Label("k"), Label("s"),
-      Label("v_band", (floor(col("v") / 4) * 4).cast("long"))) ++
+      Label("v_band", (floor(col("v") / 4) * 4).cast("long")),
+      Label("tags", split(col("tg"), " "), isSet = true)) ++
       DateLabels.hierarchy("d", dim = "t"),
     measures = Seq(
       Measure("sum_v", col("v"), Agg.Sum),
@@ -98,6 +101,67 @@ class SqlCompilerSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         SqlCompiler.compile(cube, m, "t", dialect = d)
       }
+  }
+
+  test("set-label filters match the Catalyst path across the whole algebra") {
+    // every set op over a corpus with a NULL array (make_set -> ∅), an
+    // empty-string element (discarded for string sets) and duplicates
+    val ops = Seq(
+      FilterOp.HasAll -> Seq("red"),
+      FilterOp.HasNotAll -> Seq("red"),
+      FilterOp.HasAny -> Seq("red", "green"),
+      FilterOp.HasNone -> Seq("red", "green"),
+      FilterOp.Intersects -> Seq("blue"),
+      FilterOp.DisjointFrom -> Seq("blue"),
+      FilterOp.SupersetOf -> Seq("red", "blue"),
+      FilterOp.NotSupersetOf -> Seq("red", "blue"),
+      FilterOp.SubsetOf -> Seq("red", "blue"),
+      FilterOp.NotSubsetOf -> Seq("red", "blue"),
+      FilterOp.SubsetOf -> Seq("red", "green"),
+      FilterOp.Equals -> Seq("red", "blue"),
+      FilterOp.NotEquals -> Seq("red", "blue"),
+      FilterOp.HasOnly -> Seq("blue"),
+      FilterOp.Equals -> Seq("red", "green"), // '' in col must not break equality
+    )
+    df.createOrReplaceTempView("t")
+    ops.foreach { case (op, set) =>
+      val q = CubeQuery().addAxis("k").addValue("n").addFilter("tags", set, op)
+      val sql = SqlCompiler.compile(cube, q, "t", dialect = SqlCompiler.Dialect.SparkSql)
+      assert(spark.sql(sql).collect().map(_.toSeq).toSet == viaSlicer(q),
+        s"\nop=$op set=$set\n$sql")
+    }
+  }
+
+  test("set-label rendering: shared contains spelling, per-dialect split/forall") {
+    val member = CubeQuery().addAxis("k").addValue("n")
+      .addFilter("tags", Seq("red"), FilterOp.HasAll)
+    val forall = CubeQuery().addAxis("k").addValue("n")
+      .addFilter("tags", Seq("red", "blue"), FilterOp.SubsetOf)
+    val spark_ = SqlCompiler.compile(cube, member, "t", dialect = SqlCompiler.Dialect.SparkSql)
+    val duck = SqlCompiler.compile(cube, member, "t", dialect = SqlCompiler.Dialect.DuckDb)
+    // the predicate spelling is shared; only the split constructor differs
+    assert(spark_.contains("coalesce(array_contains(split(tg, ' '), 'red'), FALSE)"), "\n" + spark_)
+    assert(duck.contains("coalesce(array_contains(regexp_split_to_array(tg, ' '), 'red'), FALSE)"), "\n" + duck)
+    val duckForall = SqlCompiler.compile(cube, forall, "t", dialect = SqlCompiler.Dialect.DuckDb)
+    assert(duckForall.contains("list_aggregate(list_transform(") &&
+      duckForall.contains("'bool_and'"), "\n" + duckForall)
+    // no spelling in the portable intersection -> throw, Catalyst fallback
+    intercept[IllegalArgumentException] {
+      SqlCompiler.compile(cube, member, "t", dialect = SqlCompiler.Dialect.Portable)
+    }
+    // a set label as an axis is never SQL-compilable (Slicer explodes it)
+    intercept[IllegalArgumentException] {
+      SqlCompiler.compile(cube,
+        CubeQuery().addAxis("tags").addValue("n"), "t",
+        dialect = SqlCompiler.Dialect.SparkSql)
+    }
+    // NULL elements in the filter set refuse rather than approximate
+    intercept[IllegalArgumentException] {
+      SqlCompiler.compile(cube,
+        CubeQuery().addAxis("k").addValue("n")
+          .addFilter("tags", Seq("red", null), FilterOp.HasAny), "t",
+        dialect = SqlCompiler.Dialect.SparkSql)
+    }
   }
 
   test("the s01 gate string is stable, portable SQL") {
