@@ -16,6 +16,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   *   /cube/<name>/excel?q=…                    SpreadsheetML workbook
   *   /cube/<name>/nav?q=…                      navigation JSON (navJson)
   *   /cube/<name>/table?q=…&row=a&col=b&m=v    linked pivot-table JSON
+  *   /cube/<name>/html?q=…[&row=&col=&m=]      rendered HTML table (1-D, or
+  *                                             pivot when row/col/m given)
   *   /cube/<name>/plot?q=…                     plot descriptor JSON
   *
   * Scale note: every route goes through the CuttingBoard (slice cache +
@@ -83,6 +85,25 @@ final class CubeService(boards: Map[String, CuttingBoard],
             need("row"), need("col"), need("m"), q.filters)
           respond(ex, 200, "application/json",
             Observers.tableJson(t, new Navigator(board.cubedef, q)))
+        case "html" => // the reference's rendered-template path (bacon_tags.table)
+          val nav = new Navigator(board.cubedef, q)
+          val pageSize = p.getOrElse("size", "0").toInt
+          val page = p.getOrElse("page", "0").toInt
+          val html =
+            if (p.contains("row") && p.contains("col") && p.contains("m")) {
+              val t = Observers.pivotTable(board.dataset, board.cubedef,
+                need("row"), need("col"), need("m"), q.filters)
+              Observers.htmlTablePivot(t, nav, pageSize = pageSize, curPage = page)
+            } else {
+              // grand-total footer from the 0-dim slice of the same query —
+              // another board hit, so repeats serve from the cache
+              val totalsQ = q.copy(axes = Vector.empty, pivots = Set.empty,
+                order = Vector.empty, limit = None, offset = None)
+              Observers.htmlTable1d(board.slice(q), nav,
+                pageSize = pageSize, curPage = page,
+                totals = if (q.values.nonEmpty) Some(board.slice(totalsQ)) else None)
+            }
+          respond(ex, 200, "text/html", html)
         case "details" => // raw records behind a rendered row (TableDetails)
           val cols = need("cols").split(',').toSeq.filter(_.nonEmpty)
           val order = p.getOrElse("order", "").split(',').toSeq.filter(_.nonEmpty)

@@ -429,8 +429,213 @@ object Observers {
       (if (pages.nonEmpty) Seq("pages" -> jarr(pages)) else Nil))
   }
 
-  /** Plain-text render of a PivotTable (debug/demo — the reference's HTML
-    * templates are out of scope; the data shape is what matters).
+  // ---- HTML table render (bacon/django/templates/bacon/_table_1d.tmpl,
+  //      _table_pivot.tmpl, _table_pager.tmpl re-expressed) -------------
+
+  private def esc(s: String): String = s
+    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    .replace("\"", "&quot;")
+
+  /** Table-cell formatting: integers with thousand separators, floats at
+    * 2 dp with separators (Format = the reference's commas recipe),
+    * NULL as a non-breaking space like the templates' `default:"&#160;"`.
+    */
+  private def prettyCell(v: Any): String = v match {
+    case null => "&#160;"
+    case n: java.lang.Long => esc(Format.int(n))
+    case n: java.lang.Integer => esc(Format.int(n.toLong))
+    case n: java.lang.Short => esc(Format.int(n.toLong))
+    case n: java.lang.Double => esc(Format.withCommas("%.2f", n))
+    case n: java.lang.Float => esc(Format.withCommas("%.2f", n.toDouble))
+    case n: java.math.BigDecimal => esc(Format.withCommas(n.toPlainString))
+    case other => esc(String.valueOf(other))
+  }
+
+  private def navButton(title: String, glyph: String, href: String): String =
+    s"""<a class="nav button" title="${esc(title)}" href="${esc(href)}"><span>$glyph</span></a>"""
+  private def navButtonOpt(title: String, glyph: String, href: Option[String]): String =
+    href.fold("")(navButton(title, glyph, _))
+
+  /** The ∧/∨ order affordances of _order_buttons.tmpl (desc is the
+    * primary "Order" like the reference; a None URL means the table is
+    * already ordered that way and the button is omitted).
+    */
+  private def orderButtons(um: UrlMaker, measure: String, pivotKey: Seq[String] = Nil): String =
+    navButtonOpt("Order", "&#8743;", um.orderUrl(measure, pivotKey)) +
+      navButtonOpt("Order ascending", "&#8744;", um.orderAscUrl(measure, pivotKey))
+
+  /** The Prev/1 2 … n/Next link row (_table_pager.tmpl over the
+    * Pagination math); empty string when everything fits one page.
+    */
+  private def pagerHtml(nav: Navigator, urlPrefix: String,
+                        nrows: Long, pageSize: Int, curPage: Int): String = {
+    val links = Pagination.pages(nrows, pageSize, curPage)
+    if (links.isEmpty) return ""
+    val items = links.map { pl =>
+      val label = esc(pl.label)
+      pl.page match {
+        case Some(p) =>
+          val u = urlPrefix + UrlQueryBuilder.toUrlString(
+            Pagination.pageQuery(nav.query, pageSize, p), nav.cubedef)
+          s"""<a class="page" href="${esc(u)}">$label</a>"""
+        case None if pl.current => s"""<span class="page current">$label</span>"""
+        case None => s"""<span class="page">$label</span>"""
+      }
+    }
+    items.mkString("""<div class="bacon-pager">""", "", "</div>")
+  }
+
+  /** HTML render of a 1-D (non-pivot) slice — the reference's
+    * `{% table %}` tag with Table1D + _table_1d.tmpl: a
+    * `table.bacon.bacon-values` whose header carries the nav affordances
+    * (pivot &#8599;, drop/hide &#10005;, order &#8743;/&#8744;, reset) and whose label
+    * cells are filter links, all URLs from the typed UrlMaker. The output
+    * is well-formed XML (numeric entities only) so a frontend can embed
+    * or post-process it.
+    *
+    * Scale note: renders the POST-AGGREGATION slice only; with no
+    * explicit ordering the collected rows sort by label text so the
+    * render is deterministic.
+    */
+  def htmlTable1d(slice: DataFrame, nav: Navigator, urlPrefix: String = "",
+                  pageSize: Int = 0, curPage: Int = 0,
+                  totals: Option[DataFrame] = None): String = {
+    val q = nav.query
+    require(q.pivot.isEmpty, "pivot query: use htmlTablePivot")
+    val cube = nav.cubedef
+    val um = new UrlMaker(nav, urlPrefix)
+    val labels = q.rowAxes
+    val values = q.values
+
+    val collected0 = slice.collect().toVector
+    val collected =
+      if (q.order.nonEmpty) collected0
+      else collected0.sortBy(r => labels.map(l =>
+        Option(r.getAs[Any](l)).map(String.valueOf).getOrElse("")).mkString(" "))
+    val page =
+      if (pageSize > 0) collected.slice(curPage * pageSize, (curPage + 1) * pageSize)
+      else collected
+
+    val sb = new StringBuilder
+    sb ++= """<table class="bacon bacon-values">"""
+    // titles row
+    sb ++= """<tr class="titles">"""
+    if (labels.isEmpty) sb ++= """<td class="empty-table">Click on an axis to filter</td>"""
+    labels.zipWithIndex.foreach { case (l, i) =>
+      sb ++= """<th class="label">"""
+      if (i == 0) sb ++= navButtonOpt("Reset order", "&#8634;", um.resetOrderUrl)
+      sb ++= navButton("Pivot on axis", "&#8599;", um.pivotUrl(l))
+      sb ++= s"""<span class="label">${esc(cube.label(l).prettyTitle)}</span>"""
+      sb ++= navButton("Drop axis", "&#10005;", um.dropAxisUrl(l))
+      sb ++= "</th>"
+    }
+    values.foreach { m =>
+      sb ++= """<th class="value">"""
+      sb ++= orderButtons(um, m)
+      sb ++= s"""<span class="label">${esc(cube.measure(m).title.getOrElse(m))}</span>"""
+      sb ++= navButton("Hide value", "&#10005;", um.hideValueUrl(m))
+      sb ++= "</th>"
+    }
+    sb ++= "</tr>"
+    // value rows: every label cell is a filter link
+    page.foreach { r =>
+      sb ++= """<tr class="values">"""
+      labels.foreach { l =>
+        val v = r.getAs[Any](l)
+        sb ++= """<td class="label">"""
+        if (v == null) sb ++= "&#160;"
+        else sb ++= s"""<a class="nav" title="Filter by value" href="${esc(um.filterUrl(l, v))}">${esc(String.valueOf(v))}</a>"""
+        sb ++= "</td>"
+      }
+      values.foreach(m => sb ++= s"""<td class="value">${prettyCell(r.getAs[Any](m))}</td>""")
+      sb ++= "</tr>"
+    }
+    // totals row (the template's {% if table.totals %})
+    totals.flatMap(_.collect().headOption).foreach { t =>
+      sb ++= """<tr class="totals">"""
+      labels.foreach(_ => sb ++= """<td class="label">&#160;</td>""")
+      values.foreach(m => sb ++= s"""<td class="value">${prettyCell(t.getAs[Any](m))}</td>""")
+      sb ++= "</tr>"
+    }
+    sb ++= "</table>"
+    sb ++= pagerHtml(nav, urlPrefix, collected.length.toLong, pageSize, curPage)
+    sb.result()
+  }
+
+  /** HTML render of a pivoted slice — _table_pivot.tmpl over the same
+    * one-pass PivotTable that backs tableJson: a pivot header row
+    * (un-pivot &#8601;, per-column filter + hide links, the Total column),
+    * a titles row with per-pivot-column order buttons, body rows with
+    * row totals, and the column-totals/grand-total footer.
+    */
+  def htmlTablePivot(t: PivotTable, nav: Navigator, urlPrefix: String = "",
+                     pageSize: Int = 0, curPage: Int = 0): String = {
+    val cube = nav.cubedef
+    val um = new UrlMaker(nav, urlPrefix)
+    val mTitle = cube.measure(t.measure).title.getOrElse(t.measure)
+
+    val rows =
+      if (pageSize > 0) t.rows.slice(curPage * pageSize, (curPage + 1) * pageSize)
+      else t.rows
+
+    val sb = new StringBuilder
+    sb ++= """<table class="bacon bacon-pivot">"""
+    // pivot header row: the pivoted axis with per-value filter/hide links
+    sb ++= """<tr class="pivot">"""
+    sb ++= """<th class="button">"""
+    sb ++= navButton("Pivot on axis", "&#8601;", um.pivotUrl(t.colAxis))
+    sb ++= s"""<span class="label">${esc(cube.label(t.colAxis).prettyTitle)}</span>"""
+    sb ++= navButton("Drop axis", "&#10005;", um.dropAxisUrl(t.colAxis))
+    sb ++= "</th>"
+    t.colKeys.foreach { ck =>
+      sb ++= """<th class="value">"""
+      sb ++= s"""<a class="nav" title="Filter by value" href="${esc(um.filterUrl2(t.colAxis, ck))}"><span class="label">${esc(ck)}</span></a>"""
+      sb ++= navButton("Hide value", "&#10005;", um.hideLabeledValueUrl(t.colAxis, ck))
+      sb ++= "</th>"
+    }
+    sb ++= """<th class="value">Total</th>"""
+    sb ++= "</tr>"
+    // titles row: the row axis + one measure title per pivot column
+    sb ++= """<tr class="titles">"""
+    sb ++= """<th class="label">"""
+    sb ++= navButtonOpt("Reset order", "&#8634;", um.resetOrderUrl)
+    sb ++= navButton("Pivot on axis", "&#8599;", um.pivotUrl(t.rowAxis))
+    sb ++= s"""<span class="label">${esc(cube.label(t.rowAxis).prettyTitle)}</span>"""
+    sb ++= navButton("Drop axis", "&#10005;", um.dropAxisUrl(t.rowAxis))
+    sb ++= "</th>"
+    t.colKeys.foreach { ck =>
+      sb ++= """<th class="value">"""
+      sb ++= orderButtons(um, t.measure, Seq(ck))
+      sb ++= s"""<span class="label">${esc(mTitle)}</span>"""
+      sb ++= "</th>"
+    }
+    sb ++= s"""<th class="value">${orderButtons(um, t.measure)}<span class="label">${esc(mTitle)}</span>"""
+    sb ++= navButton("Hide value", "&#10005;", um.hideValueUrl(t.measure))
+    sb ++= "</th>"
+    sb ++= "</tr>"
+    // body rows with row totals
+    def cell(v: Option[Double]): String =
+      v.map(x => prettyCell(java.lang.Double.valueOf(x))).getOrElse("&#160;")
+    rows.foreach { case (rk, cells, rowTotal) =>
+      sb ++= """<tr class="values">"""
+      sb ++= s"""<td class="label"><a class="nav" title="Filter by value" href="${esc(um.filterUrl(t.rowAxis, rk))}"><span>${esc(rk)}</span></a></td>"""
+      cells.foreach(v => sb ++= s"""<td class="value">${cell(v)}</td>""")
+      sb ++= s"""<td class="total">${cell(rowTotal)}</td>"""
+      sb ++= "</tr>"
+    }
+    // column totals + grand total
+    sb ++= """<tr class="totals">"""
+    sb ++= """<td class="label">&#160;</td>"""
+    t.colTotals.foreach(v => sb ++= s"""<td class="value">${cell(v)}</td>""")
+    sb ++= s"""<td class="total">${cell(t.grandTotal)}</td>"""
+    sb ++= "</tr>"
+    sb ++= "</table>"
+    sb ++= pagerHtml(nav, urlPrefix, t.rows.length.toLong, pageSize, curPage)
+    sb.result()
+  }
+
+  /** Plain-text render of a PivotTable (debug/demo — the HTML twin is
+    * htmlTablePivot; this one stays for terminal output).
     */
   def render(t: PivotTable): String = {
     val header = (t.rowAxis +: t.colKeys :+ "TOTAL").mkString("\t")

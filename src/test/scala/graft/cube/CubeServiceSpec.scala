@@ -74,6 +74,18 @@ class CubeServiceSpec extends SparkSpec {
       assert(det == expectedDet)
       assert(det.contains("\"total_rows\":2"))
 
+      // html: the rendered-template path — well-formed, has the nav
+      // affordances, and the grand-total footer from the 0-dim slice
+      val (c8, html) = get(port, s"/cube/demo/html?q=${enc("a:k/v:sum_v")}")
+      assert(c8 == 200)
+      assert(html.contains("""<table class="bacon bacon-values">"""))
+      assert(html.contains("""<tr class="totals">""") && html.contains("6.00"))
+      javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+        .parse(new java.io.ByteArrayInputStream(s"<root>$html</root>".getBytes("UTF-8")))
+      val (c9, phtml) = get(port,
+        s"/cube/demo/html?q=${enc("a:k/a:s/v:sum_v")}&row=k&col=s&m=sum_v")
+      assert(c9 == 200 && phtml.contains("""<table class="bacon bacon-pivot">"""))
+
       // unknown cube → 404; bad query string → 400; missing param → 400
       assert(get(port, s"/cube/nope/rows?q=${enc(qs)}")._1 == 404)
       assert(get(port, s"/cube/demo/rows?q=${enc("zz:bad")}")._1 == 400)

@@ -55,6 +55,70 @@ class ObserversSpec extends SparkSpec {
     assert(xml.contains("k&lt;&amp;&gt;"))
   }
 
+  private def parseXml(s: String): org.w3c.dom.Document =
+    javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(s"<root>$s</root>".getBytes("UTF-8")))
+
+  test("1-D HTML table: well-formed, filter links round-trip, totals and pager") {
+    val q = CubeQuery().addAxis("k").addValue("sum_v")
+    val nav = new Navigator(cube, q)
+    val slice = Slicer.slice(df, cube, q)
+    val totals = Slicer.slice(df, cube, CubeQuery().addValue("sum_v"))
+    val html = Observers.htmlTable1d(slice, nav, totals = Some(totals))
+
+    val doc = parseXml(html) // well-formed XML, numeric entities only
+    assert(doc.getElementsByTagName("table").getLength == 1)
+    // titles + 2 value rows + totals
+    assert(doc.getElementsByTagName("tr").getLength == 4)
+    assert(html.contains("""<table class="bacon bacon-values">"""))
+    assert(html.contains("""<tr class="totals">""") && html.contains("6"))
+
+    // every label cell is a filter link whose URL parses back to the
+    // original query plus the eq filter (the template's filter_url)
+    val as = doc.getElementsByTagName("a")
+    val hrefs = (0 until as.getLength).map(i =>
+      as.item(i).getAttributes.getNamedItem("href").getNodeValue)
+    val filterHref = hrefs.find(h => h.contains("f:k") || h.contains("f%3Ak")).getOrElse(
+      fail(s"no filter link in: $hrefs"))
+    val parsed = UrlQueryBuilder.parse(filterHref, cube)
+    assert(parsed.filters.exists(f => f.name == "k" && f.op == FilterOp.Eq))
+
+    // pagination: pageSize 1 → pager appears, page links carry limit/offset
+    val paged = Observers.htmlTable1d(slice, nav, pageSize = 1, curPage = 0)
+    assert(paged.contains("""<div class="bacon-pager">"""))
+    assert(paged.contains("Next"))
+    val pagedDoc = parseXml(paged)
+    assert(pagedDoc.getElementsByTagName("tr").getLength == 2) // titles + 1 row
+
+    // escaping: a value with markup-significant chars survives parsing
+    val trickyDf = Seq(("<a&b>", 1.0)).toDF("k", "v")
+    val trickySlice = Slicer.slice(trickyDf, cube, q)
+    val trickyHtml = Observers.htmlTable1d(trickySlice, new Navigator(cube, q))
+    assert(parseXml(trickyHtml).getElementsByTagName("td").getLength >= 2)
+    assert(trickyHtml.contains("&lt;a&amp;b&gt;"))
+  }
+
+  test("pivot HTML table mirrors the one-pass PivotTable with nav links") {
+    val q = CubeQuery().addAxis("k").addAxis("s").setPivot("s").addValue("sum_v")
+    val nav = new Navigator(cube, q)
+    val t = Observers.pivotTable(df, cube, "k", "s", "sum_v")
+    val html = Observers.htmlTablePivot(t, nav)
+
+    val doc = parseXml(html)
+    assert(html.contains("""<table class="bacon bacon-pivot">"""))
+    // pivot header + titles + 2 body rows + totals
+    assert(doc.getElementsByTagName("tr").getLength == 5)
+    // pivot header: one filter link per pivot value (x, y)
+    assert(html.contains("""<tr class="pivot">"""))
+    t.colKeys.foreach(ck => assert(html.contains(s"""<span class="label">$ck</span>""")))
+    // row totals column and the grand total render (doubles at 2 dp)
+    assert(html.contains("""<td class="total">3.00</td>"""))
+    assert(html.contains("""<td class="total">6.00</td>"""))
+    // cells format through the commas recipe (doubles at 2 dp would be
+    // "1.00" — integers collapse is not applied to Double cells)
+    assert(html.contains("1.00") && html.contains("4.00"))
+  }
+
   test("plot descriptor: pivot-aware series, measure-title labels, axis format") {
     val dfd = Seq(
       ("2024-01-01", "x", 1.0), ("2024-01-01", "y", 2.0),
