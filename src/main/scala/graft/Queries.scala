@@ -502,6 +502,9 @@ object Queries {
   private def docs(s: SparkSession, dir: String) = Tpch.table(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tpch.table(s, dir, "embeddings")
 
+  /** t01's split weights — shared by the Spark column and the SQL oracle. */
+  private val corpusSplits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
   /** Exact n-gram-Jaccard pair SQL (word 3-shingles, θ=0.5) — the shared
     * oracle for d02 (exact mode), d02s (the stop-shingle cut is provably
     * inert at gate scale, see that entry) and d03 (LSH recall is 1.0 at
@@ -848,6 +851,69 @@ object Queries {
     "s02_sql_regex" -> oq(s02Sql(SqlCompiler.Dialect.DuckDb)) { (s, dir) =>
       ord(s, dir).createOrReplaceTempView("orders")
       s.sql(s02Sql(SqlCompiler.Dialect.SparkSql))
+    },
+
+    // §2.49: reproducible train/val/test split — the assignment is a pure
+    // function of the id (md5-fraction vs cumulative weight thresholds),
+    // so rows never migrate between splits across re-runs, partitionings
+    // or engines. The oracle runs the SAME rule (CorpusOps.splitSql) in
+    // DuckDB.
+    "t01_split" -> oq(
+      s"""SELECT ${graft.text.CorpusOps.splitSql("doc_id", corpusSplits)} AS split,
+         |count(*) AS n_docs,
+         |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY 1""") { (s, dir) =>
+      docs(s, dir)
+        .withColumn("split", graft.text.CorpusOps.splitColumn(col("doc_id"), corpusSplits))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    },
+
+    // §2.50: token-budget shard assignment — per-source deterministic-order
+    // cumulative token count, shard = floor(tokens-before / budget); the
+    // layout a sequence-packing loader consumes. Oracle replicates the
+    // window math (and d10's token-count SQL) in DuckDB.
+    "t02_shard" -> oq(
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(trim(text),'\s+'), t -> len(t)>0)) AS BIGINT) AS tokens
+        |  FROM documents
+        |), cum AS (
+        |  SELECT source, tokens,
+        |    sum(tokens) OVER (PARTITION BY source ORDER BY doc_id) AS c
+        |  FROM tok
+        |)
+        |SELECT source, CAST(floor((c - tokens) / 256) AS BIGINT) AS shard,
+        |count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS sum_tokens
+        |FROM cum GROUP BY 1, 2""") { (s, dir) =>
+      graft.text.CorpusOps.shardByTokenBudget(docs(s, dir), "doc_id", "text", "source", 256)
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("sum_tokens"))
+    },
+
+    // §2.51: PII redaction — emails/IPv4/long digit runs replaced as a
+    // pure column expression over the RE2∩Java regex intersection. The
+    // corpus itself has no digits, so BOTH sides append deterministic
+    // id-derived fake PII first; the per-document md5 of the redacted
+    // text then proves the exact replacement behaviour matches DuckDB's.
+    "t03_redact" -> oq({
+      val in = "text || ' contact: user' || CAST(doc_id AS VARCHAR) ||" +
+        " '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||" +
+        " '.1 acct ' || CAST(doc_id % 1000 + 123456789 AS VARCHAR)"
+      val c = graft.text.CorpusOps
+      s"""SELECT doc_id,
+         |md5(regexp_replace(regexp_replace(regexp_replace($in,
+         |  '${c.EmailRe}', '[EMAIL]', 'g'),
+         |  '${c.Ipv4Re}', '[IP]', 'g'),
+         |  '${c.LongNumRe}', '[NUM]', 'g')) AS red_fp
+         |FROM documents"""
+    }) { (s, dir) =>
+      val in = concat(
+        col("text"), lit(" contact: user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".1 acct "), (col("doc_id") % 1000 + 123456789L).cast("string"))
+      docs(s, dir).select(col("doc_id"),
+        md5(graft.text.CorpusOps.redactPii(in)).as("red_fp"))
     },
 
     // §2.25b (cont): the set-label filter algebra through the SQL backend

@@ -1,0 +1,105 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus assembly operators — the steps between "deduplicated
+  * documents" and "data a trainer can consume": reproducible train/val/
+  * test splitting, token-budget shard assignment, and PII redaction.
+  * These extend the reference's pipeline surface (it stops at the
+  * cube/report layer) with the operations a large-scale LLM data
+  * pipeline runs after dedup/quality filtering.
+  *
+  * Scale design: everything here is either a pure column expression
+  * (split, redact — no shuffle, no RNG state, embarrassingly parallel)
+  * or a per-group window (sharding — one shuffle on the group key,
+  * standard two-phase cumulative sum). Nothing touches the driver.
+  */
+object CorpusOps {
+
+  /** Deterministic split assignment ("train"/"val"/"test"…): md5 of the
+    * id's decimal string maps each row to [0, 1) via its first 8 hex
+    * chars; cumulative weight thresholds — rendered as zero-padded hex
+    * strings compared lexicographically — pick the bucket.
+    *
+    * Why this and not `rand()`/`sample()`: the assignment is a pure
+    * function of the ID — stable across partitioning, retries, cluster
+    * size and engine (the gate replicates the exact rule in DuckDB), so
+    * a document never migrates between train and test when the pipeline
+    * is re-run or backfilled. That property is what makes held-out sets
+    * trustworthy at 100 TB, where "re-sample on every run" silently
+    * leaks.
+    */
+  def splitColumn(idCol: Column, weights: Seq[(String, Double)]): Column = {
+    require(weights.nonEmpty, "at least one split")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
+    val hex = substring(md5(idCol.cast("string")), 1, 8)
+    // cumulative upper bounds as lexicographic hex literals; the last
+    // bucket is the CASE default so hash = ffffffff still lands somewhere
+    val cum = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+    val named = weights.map(_._1).zip(cum.map(c =>
+      f"${math.min((c * 4294967296.0).toLong, 4294967295L)}%08x"))
+    named.init.foldRight(lit(named.last._1): Column) { case ((name, bound), els) =>
+      when(hex < lit(bound), lit(name)).otherwise(els)
+    }
+  }
+
+  /** Equivalent SQL text for the same split rule, in the Spark∩DuckDB
+    * dialect intersection (STRING cast alias, substr, md5) — the
+    * correctness gate runs it on DuckDB against `splitColumn` on Spark,
+    * and the same text parses on Spark too.
+    */
+  def splitSql(idExpr: String, weights: Seq[(String, Double)]): String = {
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
+    val cum = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+    val named = weights.map(_._1).zip(cum.map(c =>
+      f"${math.min((c * 4294967296.0).toLong, 4294967295L)}%08x"))
+    val h = s"substr(md5(CAST($idExpr AS STRING)), 1, 8)"
+    val whens = named.init.map { case (n, b) => s"WHEN $h < '$b' THEN '$n'" }
+    s"CASE ${whens.mkString(" ")} ELSE '${named.last._1}' END"
+  }
+
+  /** Assign documents to fixed-token-budget shards within each group
+    * (source, language, …): deterministic id order, exclusive cumulative
+    * token count, `shard = floor(cum_before / maxTokens)` — the shard
+    * layout a sequence-packing loader consumes. A document whose tokens
+    * straddle a boundary belongs to the shard it STARTS in (budgets are
+    * fill targets, not hard caps — standard packing practice).
+    *
+    * Output adds `tokens` (whitespace token count) and `shard` (0-based
+    * per group). One shuffle on the group key; the per-group window is
+    * the two-phase distributed cumulative sum, so shards scale with the
+    * number of groups, not corpus size.
+    */
+  def shardByTokenBudget(df: DataFrame, idCol: String, textCol: String,
+                         groupCol: String, maxTokens: Long): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol).asc)
+    df.withColumn("tokens", TextFunctions.tokenCount(col(textCol)))
+      .withColumn("__cum", sum(col("tokens")).over(w))
+      .withColumn("shard",
+        floor((col("__cum") - col("tokens")) / lit(maxTokens)).cast("long"))
+      .drop("__cum")
+  }
+
+  /** Conservative PII redaction as a pure codegen'd column expression:
+    * emails → [EMAIL], dotted IPv4 quads → [IP], then 9+-digit runs
+    * (account/phone/SSN-shaped numbers) → [NUM], applied in that order
+    * so an address is captured whole before its digit runs are. The
+    * patterns sit in the RE2 ∩ Java-regex dialect intersection, so the
+    * exact rule replays on any engine (the gate runs it on DuckDB) —
+    * and they are deliberately conservative: redaction must be
+    * deterministic and auditable, not clever.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val LongNumRe = "\\d{9,}"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      LongNumRe, "[NUM]")
+}

@@ -1,0 +1,74 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  test("deterministic split: weights respected, assignment stable across partitioning") {
+    val ids = (0L until 2000L).toDF("id")
+    val assigned = ids.withColumn("split", CorpusOps.splitColumn(col("id"), splits))
+    val counts = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every row lands in exactly one split
+    assert(counts.values.sum == 2000L)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // md5 is uniform: 2000 draws stay within ±4 sigma of the weights
+    assert(math.abs(counts("train") - 1600L) < 72, counts.toString)
+    assert(math.abs(counts("val") - 200L) < 54, counts.toString)
+    assert(math.abs(counts("test") - 200L) < 54, counts.toString)
+
+    // pure function of the id: a different partitioning/order changes nothing
+    val reshuffled = ids.repartition(7, col("id"))
+      .withColumn("split", CorpusOps.splitColumn(col("id"), splits))
+    assert(reshuffled.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      assigned.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+
+    // the SQL rendering of the rule (the oracle side) agrees exactly
+    ids.createOrReplaceTempView("ids")
+    val viaSql = spark.sql(
+      s"SELECT id, ${CorpusOps.splitSql("id", splits)} AS split FROM ids")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaSql == assigned.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+  }
+
+  test("token-budget sharding: id-ordered cumulative fill per group") {
+    // tokens: a=3, b=2, c=4, d=1 (whitespace words); budget 5
+    val docs = Seq(
+      (1L, "g1", "one two three"),
+      (2L, "g1", "four five"),
+      (3L, "g1", "six seven eight nine"),
+      (4L, "g1", "ten"),
+      (5L, "g2", "a b c d e f"),
+    ).toDF("id", "grp", "text")
+    val sharded = CorpusOps.shardByTokenBudget(docs, "id", "text", "grp", maxTokens = 5)
+      .select("id", "tokens", "shard").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // cumulative-before: id1 starts at 0 -> shard 0; id2 at 3 -> 0;
+    // id3 at 5 -> shard 1; id4 at 9 -> shard 1; g2 restarts at 0
+    assert(sharded(1L) == ((3L, 0L)))
+    assert(sharded(2L) == ((2L, 0L)))
+    assert(sharded(3L) == ((4L, 1L)))
+    assert(sharded(4L) == ((1L, 1L)))
+    assert(sharded(5L) == ((6L, 0L)))
+  }
+
+  test("PII redaction replaces emails, IPv4s and long digit runs — and only those") {
+    val got = Seq(
+      "mail me at jane.doe+x@sub.example.org today",
+      "server 192.168.100.7 rebooted",
+      "acct 123456789012 and pin 1234",
+      "plain text with no pii at all",
+      "combo a@b.co from 10.0.0.1 ref 999999999",
+    ).toDF("t").select(CorpusOps.redactPii(col("t")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got(0) == "mail me at [EMAIL] today")
+    assert(got(1) == "server [IP] rebooted")
+    assert(got(2) == "acct [NUM] and pin 1234") // short digit runs survive
+    assert(got(3) == "plain text with no pii at all")
+    assert(got(4) == "combo [EMAIL] from [IP] ref [NUM]")
+  }
+}
