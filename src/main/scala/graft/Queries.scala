@@ -505,6 +505,11 @@ object Queries {
   /** t01's split weights — shared by the Spark column and the SQL oracle. */
   private val corpusSplits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
+  /** t04's per-source keep-rates (sources not listed keep everything);
+    * src0 drops out entirely — the rate-0 edge.
+    */
+  private val mixtureRates = Seq("src0" -> 0.0, "src1" -> 0.5, "src2" -> 0.25)
+
   /** Exact n-gram-Jaccard pair SQL (word 3-shingles, θ=0.5) — the shared
     * oracle for d02 (exact mode), d02s (the stop-shingle cut is provably
     * inert at gate scale, see that entry) and d03 (LSH recall is 1.0 at
@@ -889,6 +894,22 @@ object Queries {
       graft.text.CorpusOps.shardByTokenBudget(docs(s, dir), "doc_id", "text", "source", 256)
         .groupBy("source", "shard")
         .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("sum_tokens"))
+    },
+
+    // §2.52: deterministic mixture sampling — per-source keep-rates
+    // decided by an id-hash fraction (seeded independently of t01's
+    // split), so the mixed corpus is reproducible row-for-row. Oracle
+    // runs the SAME predicate (CorpusOps.mixtureSql) in DuckDB.
+    "t04_mixture" -> oq(
+      s"""SELECT source, count(*) AS n_docs,
+         |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents
+         |WHERE ${graft.text.CorpusOps.mixtureSql("doc_id", "source", mixtureRates)}
+         |GROUP BY source""") { (s, dir) =>
+      docs(s, dir)
+        .where(graft.text.CorpusOps.mixtureFilter(col("doc_id"), col("source"), mixtureRates))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     },
 
     // §2.51: PII redaction — emails/IPv4/long digit runs replaced as a

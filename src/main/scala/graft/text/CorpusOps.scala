@@ -83,6 +83,48 @@ object CorpusOps {
       .drop("__cum")
   }
 
+  /** Deterministic mixture sampling — the corpus-mixing step: keep each
+    * document with its source's sampling rate, decided by the SAME
+    * md5-fraction as `splitColumn` (seeded differently via a prefix so
+    * mixture and split decisions are independent). Sources absent from
+    * `rates` keep everything (rate 1.0). Like the split, the decision is
+    * a pure function of the id: re-runs, repartitions and backfills
+    * keep exactly the same rows, and the rule replays in any engine
+    * with md5.
+    */
+  def mixtureFilter(idCol: Column, sourceCol: Column,
+                    rates: Seq[(String, Double)]): Column = {
+    require(rates.forall { case (_, r) => r >= 0.0 && r <= 1.0 },
+      "rates must be in [0, 1]")
+    val hex = substring(md5(concat(lit("mix:"), idCol.cast("string"))), 1, 8)
+    val bound = rates.reverse.foldLeft(lit("ffffffff"): Column) {
+      case (els, (src, r)) =>
+        when(sourceCol === lit(src), lit(rateBoundHex(r))).otherwise(els)
+    }
+    // rate 1.0 keeps hash ffffffff too: <= against the inclusive bound
+    hex <= bound
+  }
+
+  /** Equivalent SQL predicate (Spark∩DuckDB dialect) for the gate. */
+  def mixtureSql(idExpr: String, sourceExpr: String,
+                 rates: Seq[(String, Double)]): String = {
+    val h = s"substr(md5('mix:' || CAST($idExpr AS STRING)), 1, 8)"
+    val whens = rates.map { case (src, r) =>
+      s"WHEN $sourceExpr = '$src' THEN '${rateBoundHex(r)}'"
+    }
+    s"$h <= CASE ${whens.mkString(" ")} ELSE 'ffffffff' END"
+  }
+
+  /** Inclusive upper bound for a keep-rate: the largest 8-hex value kept.
+    * rate 0 keeps nothing (bound below the smallest hash is impossible in
+    * unsigned hex space, so 0 renders as a sentinel that nothing sorts
+    * ≤ except — handled by an empty-string bound, which no hex string
+    * sorts ≤).
+    */
+  private def rateBoundHex(r: Double): String =
+    if (r <= 0.0) "" // no hex string is <= "" lexicographically except ""
+    else f"${math.min((r * 4294967296.0).toLong - 1, 4294967295L)}%08x"
+
   /** Conservative PII redaction as a pure codegen'd column expression:
     * emails → [EMAIL], dotted IPv4 quads → [IP], then 9+-digit runs
     * (account/phone/SSN-shaped numbers) → [NUM], applied in that order

@@ -56,6 +56,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(sharded(5L) == ((6L, 0L)))
   }
 
+  test("mixture sampling: per-source rates, rate-0 drop, deterministic, SQL-equivalent") {
+    val docs = (0L until 3000L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
+    val rates = Seq("src0" -> 0.0, "src1" -> 0.5, "src2" -> 1.0)
+    val kept = docs.where(CorpusOps.mixtureFilter(col("id"), col("src"), rates))
+    val bySrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("src0"), "rate 0 must drop the source entirely")
+    assert(bySrc("src2") == 1000L, "rate 1.0 keeps every row")
+    assert(math.abs(bySrc("src1") - 500L) < 60, bySrc.toString) // ±4σ
+    // a source with no configured rate keeps everything
+    val defaulted = docs.where(CorpusOps.mixtureFilter(col("id"), col("src"),
+      Seq("src0" -> 0.5))).groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(defaulted("src1") == 1000L && defaulted("src2") == 1000L)
+
+    // deterministic: same kept ids under a different partitioning
+    val ids1 = kept.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = docs.repartition(11, col("id"))
+      .where(CorpusOps.mixtureFilter(col("id"), col("src"), rates))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+
+    // independent of the split decision: among kept src1 rows the split
+    // proportions still hold (a shared hash would correlate them)
+    val both = docs.where(CorpusOps.mixtureFilter(col("id"), col("src"), rates))
+      .withColumn("split", CorpusOps.splitColumn(col("id"), splits))
+      .where(col("src") === "src1").groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(both.getOrElse("train", 0L) > 330L, both.toString) // ~0.8 of ~500
+
+    // the SQL rendering of the predicate selects the same rows on Spark
+    docs.createOrReplaceTempView("mix")
+    val viaSql = spark.sql(
+      s"SELECT id FROM mix WHERE ${CorpusOps.mixtureSql("id", "src", rates)}")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaSql == ids1)
+  }
+
   test("PII redaction replaces emails, IPv4s and long digit runs — and only those") {
     val got = Seq(
       "mail me at jane.doe+x@sub.example.org today",
