@@ -838,6 +838,33 @@ object Queries {
         k = 5, nProbe = 4, excludeSelf = true)
     },
 
+    // §2.42d: int8 embedding quantization — the 4× storage path for the
+    // ANN stack. Double-precision IEEE affine math with half-away-from-
+    // zero rounding replays exactly in DuckDB: the oracle compares every
+    // code of every vector (canonical space-joined string, the q06
+    // array-cell convention).
+    "e04_quantize" -> oq(
+      """WITH b AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    CAST(list_aggregate(CAST(embedding AS DOUBLE[]), 'min') AS DOUBLE) AS vmin,
+        |    CAST(list_aggregate(CAST(embedding AS DOUBLE[]), 'max') AS DOUBLE) AS vmax
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, e, vmin, vmax,
+        |    CASE WHEN vmax > vmin THEN (vmax - vmin) / 255.0 ELSE 1.0 END AS scale
+        |  FROM b
+        |)
+        |SELECT vec_id, round(vmin, 6) AS vmin, round(vmax, 6) AS vmax,
+        |  array_to_string(list_transform(e,
+        |    x -> CAST(CAST(round((x - vmin) / scale) AS BIGINT) - 128 AS VARCHAR)), ' ') AS codes
+        |FROM s""") { (s, dir) =>
+      graft.sim.Similarity.quantizeInt8(emb(s, dir), "vec_id", "embedding")
+        .select(col("id").as("vec_id"),
+          round(col("vmin"), 6).as("vmin"), round(col("vmax"), 6).as("vmax"),
+          concat_ws(" ", transform(col("codes"),
+            c => c.cast("int").cast("string"))).as("codes"))
+    },
+
     // §2.25b: SQL-text compilation for an external store (bacon/sql.py
     // renders cube queries as Postgres SQL). The SAME generated string
     // runs on Spark here AND on DuckDB as the oracle — hash-identical

@@ -269,4 +269,47 @@ object Similarity {
       .where(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
   }
+
+  // ---- int8 embedding quantization (storage scale path) ---------------
+
+  /** Per-vector affine int8 quantization: codes = round((x − min)/scale)
+    * − 128 with scale = (max − min)/255 — 4× smaller embedding storage
+    * with ≤ scale/2 per-element error, which is what a 100 TB embedding
+    * corpus actually ships to disk; search paths rerank on dequantized
+    * vectors (see SimilaritySpec's recall assertion). Output columns:
+    * id, vmin, vmax (double), codes (array<tinyint>).
+    *
+    * The arithmetic is all double-precision IEEE with half-away-from-zero
+    * rounding — semantics shared by every SQL engine, so the exact codes
+    * replay in DuckDB (gate e04). Constant vectors (max == min) take
+    * scale 1 and quantize to all −128, dequantizing exactly.
+    *
+    * Runs through `transform` HOFs: a one-time STORAGE pass over the
+    * corpus, not a per-query hot path — clarity wins over codegen here
+    * (the query-side kernels in VectorExpressions stay codegen'd).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val e = transform(col(vecCol), x => x.cast("double"))
+    df.select(col(idCol).as("id"),
+        array_min(col(vecCol)).cast("double").as("vmin"),
+        array_max(col(vecCol)).cast("double").as("vmax"),
+        e.as("__e"))
+      .withColumn("__scale",
+        when(col("vmax") > col("vmin"), (col("vmax") - col("vmin")) / lit(255.0))
+          .otherwise(lit(1.0)))
+      .withColumn("codes", transform(col("__e"),
+        x => (round((x - col("vmin")) / col("__scale"))
+          .cast("int") - lit(128)).cast("tinyint")))
+      .drop("__e", "__scale")
+  }
+
+  /** Inverse of [[quantizeInt8]]: x' = vmin + (code + 128)·scale, as
+    * float (the storage element type). Max reconstruction error is
+    * scale/2 per element.
+    */
+  def dequantizeInt8(codes: Column, vmin: Column, vmax: Column): Column = {
+    val scale = when(vmax > vmin, (vmax - vmin) / lit(255.0)).otherwise(lit(1.0))
+    transform(codes,
+      c => (vmin + (c.cast("double") + lit(128.0)) * scale).cast("float"))
+  }
 }

@@ -238,6 +238,47 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("int8 quantization: codes in range, error <= scale/2, search survives") {
+    val q = Similarity.quantizeInt8(clustered, "vec_id", "embedding")
+    val joined = q.join(clustered, q("id") === clustered("vec_id"))
+      .select(col("id"), col("vmin"), col("vmax"), col("codes"), col("embedding"))
+      .collect()
+    assert(joined.length == 240)
+    joined.foreach { r =>
+      val vmin = r.getDouble(1); val vmax = r.getDouble(2)
+      val codes = r.getSeq[Byte](3); val orig = r.getSeq[Float](4)
+      assert(codes.length == orig.length)
+      val scale = if (vmax > vmin) (vmax - vmin) / 255.0 else 1.0
+      // every element reconstructs within half a quantization step
+      codes.zip(orig).foreach { case (c, x) =>
+        val x2 = vmin + (c.toDouble + 128.0) * scale
+        assert(math.abs(x2 - x) <= scale / 2 + 1e-9,
+          s"id=${r.getLong(0)} x=$x x2=$x2 scale=$scale")
+      }
+    }
+    // dequantized search: top-1 over reconstructed vectors matches the
+    // exact top-1 for nearly all queries on the clustered corpus (the
+    // in-cluster gap is far wider than the quantization error)
+    val deq = q.select(col("id").as("vec_id"),
+      Similarity.dequantizeInt8(col("codes"), col("vmin"), col("vmax")).as("embedding"))
+    val exact = Similarity.cosineTopK(clustered, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaQ = Similarity.cosineTopK(deq, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = exact.count { case (id, nn) => viaQ.get(id).contains(nn) }
+    assert(agree >= 228, s"top-1 agreement $agree/240") // >= 95 %
+
+    // constant vector: scale-1 branch, all codes -128, exact round-trip
+    import spark.implicits._
+    val const = Seq((1L, Array(2.5f, 2.5f, 2.5f))).toDF("vec_id", "embedding")
+    val cq = Similarity.quantizeInt8(const, "vec_id", "embedding").collect().head
+    assert(cq.getSeq[Byte](3).forall(_ == -128))
+    val back = Similarity.dequantizeInt8(col("codes"), col("vmin"), col("vmax"))
+    val rec = Similarity.quantizeInt8(const, "vec_id", "embedding")
+      .select(back.as("r")).collect().head.getSeq[Float](0)
+    assert(rec.forall(_ == 2.5f))
+  }
+
   test("ANN LSH candidates are a subset of brute-force with matching cosines") {
     val brute = Similarity.cosineTopK(vecs, "vec_id", "embedding", k = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
