@@ -939,6 +939,57 @@ object Queries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     },
 
+    // §2.53: the corpus pipeline END-TO-END — dedup → quality filter →
+    // mixture → split → shard composed into ONE lazy plan (each stage is
+    // a DataFrame transform, so Catalyst fuses the filters into a single
+    // pass and the only exchanges are the dedup window's and the shard
+    // window's). The oracle chains the per-stage SQL already proven by
+    // d13, d14, t04, t01 and t02.
+    "t05_corpus_pipeline" -> oq(
+      s"""WITH dedup AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+         |    ORDER BY doc_id) = 1
+         |), scored AS (
+         |  SELECT doc_id, source, text,
+         |    round((
+         |      least(CAST(len(list_filter(string_split_regex(trim(text),'\\s+'), t -> len(t)>0)) AS DOUBLE)/100.0, 1.0)
+         |      + (1.0 - least(CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+         |                     / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0))
+         |      + least(CAST(len(list_filter(string_split_regex(lower(trim(text)),'\\s+'),
+         |          t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE)
+         |          / greatest(CAST(len(list_filter(string_split_regex(trim(text),'\\s+'), t -> len(t)>0)) AS DOUBLE), 1.0) * 5.0, 1.0)
+         |    ) / 3.0, 6) AS quality
+         |  FROM dedup
+         |), kept AS (
+         |  SELECT doc_id, source, text FROM scored
+         |  WHERE quality >= 0.5
+         |    AND ${graft.text.CorpusOps.mixtureSql("doc_id", "source", mixtureRates)}
+         |), tok AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(list_filter(string_split_regex(trim(text),'\\s+'), t -> len(t)>0)) AS BIGINT) AS tokens
+         |  FROM kept
+         |), cum AS (
+         |  SELECT doc_id, source, tokens,
+         |    sum(tokens) OVER (PARTITION BY source ORDER BY doc_id) AS c
+         |  FROM tok
+         |)
+         |SELECT ${graft.text.CorpusOps.splitSql("doc_id", corpusSplits)} AS split,
+         |  source, CAST(floor((c - tokens) / 256) AS BIGINT) AS shard,
+         |  count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS sum_tokens
+         |FROM cum GROUP BY 1, 2, 3""") { (s, dir) =>
+      import graft.text.{CorpusOps, TextFunctions}
+      val deduped = graft.dedup.Dedup.keepCanonical(docs(s, dir), "doc_id", "text")
+      val kept = deduped
+        .where(TextFunctions.qualityScore(col("text")) >= 0.5)
+        .where(CorpusOps.mixtureFilter(col("doc_id"), col("source"), mixtureRates))
+      CorpusOps.shardByTokenBudget(kept, "doc_id", "text", "source", 256)
+        .withColumn("split", CorpusOps.splitColumn(col("doc_id"), corpusSplits))
+        .groupBy("split", "source", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("sum_tokens"))
+    },
+
     // §2.51: PII redaction — emails/IPv4/long digit runs replaced as a
     // pure column expression over the RE2∩Java regex intersection. The
     // corpus itself has no digits, so BOTH sides append deterministic
