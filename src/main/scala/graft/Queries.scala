@@ -838,6 +838,20 @@ object Queries {
         k = 5, nProbe = 4, excludeSelf = true)
     },
 
+    // §2.47c: cross-format image dedup — the same scene re-encoded under
+    // different formats (byte-wise unrelated PNG/GIF/BMP/JPEG payloads)
+    // is found by 64-bit perceptual dHash + the banding hamming join
+    // shared with simhash (rows-only: the decode pipeline is engine-side;
+    // MultimodalSpec pins the hash/pair semantics)
+    "m03_image_dedup" -> nq { (s, dir) =>
+      import graft.multimodal.Multimodal._
+      val media = withSharedScenes(docs(s, dir), "doc_id", nScenes = 100)
+      graft.dedup.Dedup.hammingPairs64(
+        imageDHash(media.repartition(col("media_id"))), "media_id", "dhash",
+        maxHamming = 3)
+        .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+    },
+
     // §2.42d: int8 embedding quantization — the 4× storage path for the
     // ANN stack. Double-precision IEEE affine math with half-away-from-
     // zero rounding replays exactly in DuckDB: the oracle compares every

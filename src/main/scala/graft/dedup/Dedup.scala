@@ -267,18 +267,30 @@ object Dedup {
   def simhash64(text: Column): Column =
     graft.functions.VectorFunctions.simhash64(wsTokens(lower(text)))
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming. Buckets on
-    * the 4 16-bit quarters of the hash (pigeonhole: any pair with ≤3
-    * differing bits shares at least one exact quarter), so the join key
-    * is a 16-bit band — no cross join.
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming: the
+    * generic 64-bit banding join over the text simhash.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs64(
+      df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh")),
+      "id", "sh", maxHamming)
+
+  /** Pairs of rows whose 64-bit hashes differ in ≤ maxHamming bits —
+    * the shared engine under text simhash AND image dHash dedup. Buckets
+    * on the 4 16-bit quarters of the hash (pigeonhole: any pair with ≤3
+    * differing bits agrees on at least one quarter), so the join key is
+    * a 16-bit band — no cross join; only (id, hash, band) rows shuffle.
+    * NULL hashes (e.g. undecodable images) drop out.
+    */
+  def hammingPairs64(df: DataFrame, idCol: String, hashCol: String,
+                     maxHamming: Int = 3): DataFrame = {
     // Pigeonhole over 4 bands is only complete for ≤3 differing bits; a
     // larger radius would silently drop pairs spread across all quarters.
     require(maxHamming >= 0 && maxHamming <= 3,
-      s"simhashPairs supports maxHamming in [0,3] (4-band pigeonhole), got $maxHamming")
-    val hashed = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+      s"hammingPairs64 supports maxHamming in [0,3] (4-band pigeonhole), got $maxHamming")
+    val hashed = df.select(col(idCol).as("id"), col(hashCol).as("sh"))
+      .where(col("sh").isNotNull)
     val banded = hashed.select(col("id"), col("sh"),
       explode(transform(sequence(lit(0), lit(3)),
         q => struct(q.as("q"),

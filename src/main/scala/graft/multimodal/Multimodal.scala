@@ -107,6 +107,51 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Pixel-tier corpus with SHARED SCENES: each media id renders scene
+    * `id % nScenes`, re-encoded under the id's rotating format — so the
+    * same pixels recur across documents as byte-wise-different PNG/GIF/
+    * BMP/JPEG payloads. This is the image-dedup test shape: a dedup that
+    * only fingerprints bytes sees nothing; a perceptual hash must.
+    */
+  def withSharedScenes(df: DataFrame, idCol: String, nScenes: Int): DataFrame = {
+    require(nScenes > 0, s"nScenes must be positive, got $nScenes")
+    val src = df.select(col(idCol).cast("long").as("media_id"))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val scene = id % nScenes
+        val (w, h) = (32 + (scene % 4).toInt * 8, 24 + ((scene / 4) % 4).toInt * 8)
+        val payload = (id % 4) match {
+          case 0 => ImagePixels.encode(ImagePixels.pattern(w, h, scene), "png")
+          case 1 => ImagePixels.encode(ImagePixels.patternIndexed(w, h, scene), "gif")
+          case 2 => ImagePixels.encode(ImagePixels.pattern(w, h, scene), "bmp")
+          case _ => ImagePixels.encode(ImagePixels.pattern(w, h, scene), "jpg")
+        }
+        Row(id, "image", payload, Row("synthetic", payload.length.toLong))
+      }
+    }(encoder)
+  }
+
+  /** Perceptual hash column: decode each payload and append its 64-bit
+    * dHash (null for undecodable bytes). Same mapPartitions batch shape
+    * as the other pixel-tier operators; feed the result to
+    * `Dedup.hammingPairs64` for cross-format near-duplicate pairs.
+    */
+  def imageDHash(df0: DataFrame): DataFrame = {
+    val df = df0.drop("dhash")
+    val outSchema = StructType(df.schema.fields :+ StructField("dhash", LongType))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val d = ImagePixels.decode(r.get(payloadIdx).asInstanceOf[Array[Byte]])
+          .map(img => Long.box(ImagePixels.dHash64(img))).orNull
+        Row.fromSeq(r.toSeq :+ d)
+      }
+    }(encoder)
+  }
+
   /** Image metadata decode: parses format + dimensions from the payload's
     * real header bytes. Batching contract: iterator-in/iterator-out per
     * partition, decoder state initialized once per partition — exactly
@@ -548,6 +593,39 @@ object ImagePixels {
       reader.dispose()
       iis.close()
     }
+  }
+
+  /** 64-bit perceptual difference hash (dHash): bilinear-resample the
+    * image to 9×8 luma, set bit (y·8 + x) iff luma(x+1, y) > luma(x, y).
+    * Gradient DIRECTIONS survive re-encoding, scaling and mild lossy
+    * compression, so the same scene stored as PNG by one document and
+    * JPEG/BMP by another hashes within a few bits — which is what makes
+    * cross-format image dedup possible where byte-level fingerprints see
+    * nothing.
+    */
+  def dHash64(img: BufferedImage): Long = {
+    val small = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 9, 8, null)
+    } finally g.dispose()
+    def luma(x: Int, y: Int): Double = {
+      val rgb = small.getRGB(x, y)
+      0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+    }
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (luma(x + 1, y) > luma(x, y)) bits |= (1L << (y * 8 + x))
+        x += 1
+      }
+      y += 1
+    }
+    bits
   }
 
   /** All frames of a (possibly animated) GIF; empty for non-GIF bytes. */

@@ -170,6 +170,46 @@ class MultimodalSpec extends SparkSpec {
     assert(ImagePixels.sampleGifFrames(Array[Byte](1, 2, 3), 4) == ((0, IndexedSeq.empty)))
   }
 
+  test("perceptual dHash finds the same scene across formats, not different scenes") {
+    // 8 media ids over 2 scenes: ids {0,2,4,6} render scene 0, {1,3,5,7}
+    // scene 1, with formats rotating png/gif/bmp/jpeg by id
+    val media = Multimodal.withSharedScenes(
+      (0L until 8L).toDF("doc_id"), "doc_id", nScenes = 2)
+    val hashed = Multimodal.imageDHash(media)
+    val hs = hashed.collect().map(r =>
+      r.getAs[Long]("media_id") -> r.getAs[Long]("dhash")).toMap
+    assert(hs.size == 8)
+    // scene = id % 2, format = id % 4: ids 0 (png) and 4 (bmp) hold the
+    // SAME pixels → identical hash; gif (palette-quantized) and jpeg
+    // (lossy) of that scene stay within the hamming radius, not equal
+    assert(hs(0L) == hs(4L), "png and bmp of the same pixels hash identically")
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(5L)) <= 3,
+      s"gif vs jpeg of one scene drifted ${java.lang.Long.bitCount(hs(1L) ^ hs(5L))} bits")
+
+    // the pair join: every same-scene pair within hamming 3, and NO
+    // cross-scene pair (different patterns differ in many gradient bits)
+    val pairs = graft.dedup.Dedup.hammingPairs64(hashed, "media_id", "dhash", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs.foreach { case (a, b) =>
+      assert(a % 2 == b % 2, s"cross-scene pair ($a,$b) must not appear")
+    }
+    // lossless same-scene pairs are certainly there
+    assert(pairs.contains((0L, 4L)))
+    assert(pairs.contains((2L, 6L)))
+
+    // brute-force parity: banding finds exactly the ≤3-hamming pairs
+    val brute = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      if java.lang.Long.bitCount(hs(a) ^ hs(b)) <= 3
+    } yield (a, b)).toSet
+    assert(pairs == brute)
+
+    // undecodable payloads yield null hashes and silently drop from pairs
+    val broken = Multimodal.imageDHash(
+      Seq((99L, "image", Array[Byte](1, 2, 3))).toDF("media_id", "kind", "payload"))
+    assert(broken.where(col("dhash").isNull).count() == 1)
+  }
+
   test("pixel-tier audio: PCM samples are real and RMS matches the sine amplitude") {
     val m = Multimodal.withFakeMediaPixels(base, "doc_id", "audio").repartition(2)
     val got = Multimodal.decodeAudioMeta(m).collect()
