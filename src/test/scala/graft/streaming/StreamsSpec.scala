@@ -46,6 +46,36 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == expected)
   }
 
+  test("corpus ops run unchanged on a stream: split/mixture/redaction are stateless") {
+    import graft.text.CorpusOps
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val rates = Seq("srcA" -> 0.5)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .where(CorpusOps.mixtureFilter(col("id"), col("src"), rates))
+      .withColumn("split", CorpusOps.splitColumn(col("id"), splits))
+      .withColumn("red", CorpusOps.redactPii(col("text")))
+    val q = shape(mem.toDF().toDF("id", "src", "text"))
+      .writeStream.format("memory").queryName("s_corpus").outputMode("append").start()
+    val rows = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) "srcA" else "srcB", s"doc $i contact u$i@x.io"))
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("s_corpus").collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[String]("split"), r.getAs[String]("red")))
+      .toMap
+    q.stop()
+    // identical decisions to the batch run of the same expressions —
+    // streaming adds no RNG/state that could diverge
+    val batch = shape(rows.toDF("id", "src", "text")).collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[String]("split"), r.getAs[String]("red")))
+      .toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.size < 200) // srcA half-sampled
+    assert(streamed.values.forall(_._2.contains("[EMAIL]")))
+  }
+
   test("streaming dedup drops repeated content within the watermark, matching batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
