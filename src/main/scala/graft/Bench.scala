@@ -50,6 +50,11 @@ object Bench {
         // derived from the index directory; e03 builds into a fresh temp
         // dir per run, so the name (not the plan shape) would churn.
         .replaceAll("graft_ivf_postings_[0-9a-f]+", "graft_ivf_postings_")
+        // higher-order-function lambda variables are numbered by a
+        // session-global counter (x_17), so ADDING a query shifts the
+        // names in every later lambda-using plan — canonicalize so
+        // cross-round diffs mean plan changes, not query-list changes
+        .replaceAll("\\b(x|y)_\\d+", "$1_")
       val d = java.security.MessageDigest.getInstance("MD5").digest(canon.getBytes("UTF-8"))
       d.take(6).map(b => f"$b%02x").mkString
     }

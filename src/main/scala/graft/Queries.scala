@@ -852,6 +852,20 @@ object Queries {
         .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
     },
 
+    // §2.47d: cross-encoding audio dedup — the same recording (one
+    // amplitude envelope) rendered at different sample rates / channel
+    // counts is found by the 64-bit energy-envelope fingerprint through
+    // the same banding hamming join as text simhash and image dHash
+    // (rows-only; MultimodalSpec pins the fingerprint/pair semantics)
+    "a02_audio_dedup" -> nq { (s, dir) =>
+      import graft.multimodal.Multimodal._
+      val media = withSharedAudioScenes(docs(s, dir), "doc_id", nScenes = 100)
+      graft.dedup.Dedup.hammingPairs64(
+        audioFingerprint(media.repartition(col("media_id"))), "media_id", "afp",
+        maxHamming = 3)
+        .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+    },
+
     // §2.42d: int8 embedding quantization — the 4× storage path for the
     // ANN stack. Double-precision IEEE affine math with half-away-from-
     // zero rounding replays exactly in DuckDB: the oracle compares every

@@ -133,6 +133,45 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Audio corpus with SHARED SCENES: each media id renders the
+    * amplitude envelope of scene `id % nScenes` at a rotating sample
+    * rate and channel count — byte-wise unrelated WAVs of the same
+    * recording, the input shape for audio dedup.
+    */
+  def withSharedAudioScenes(df: DataFrame, idCol: String, nScenes: Int): DataFrame = {
+    require(nScenes > 0, s"nScenes must be positive, got $nScenes")
+    val src = df.select(col(idCol).cast("long").as("media_id"))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    src.mapPartitions { rows =>
+      val rates = Array(8000, 16000, 44100, 48000)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = ImageHeaders.wavBytesPcmEnvelope(
+          rates((id % 4).toInt), 1 + (id % 2).toInt, durationSec = 0.25,
+          freqHz = 440.0, sceneSeed = id % nScenes)
+        Row(id, "audio", payload, Row("synthetic", payload.length.toLong))
+      }
+    }(encoder)
+  }
+
+  /** Audio fingerprint column: append the 64-bit energy-envelope hash
+    * (null for undecodable/header-only payloads); feed to
+    * `Dedup.hammingPairs64` for cross-encoding audio near-dup pairs.
+    */
+  def audioFingerprint(df0: DataFrame): DataFrame = {
+    val df = df0.drop("afp")
+    val outSchema = StructType(df.schema.fields :+ StructField("afp", LongType))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val f = ImageHeaders.audioFingerprint64(
+          r.get(payloadIdx).asInstanceOf[Array[Byte]]).map(Long.box).orNull
+        Row.fromSeq(r.toSeq :+ f)
+      }
+    }(encoder)
+  }
+
   /** Perceptual hash column: decode each payload and append its 64-bit
     * dHash (null for undecodable bytes). Same mapPartitions batch shape
     * as the other pixel-tier operators; feed the result to
@@ -380,6 +419,81 @@ object ImageHeaders {
     }
     out.array()
   }
+
+  /** Amplitude-envelope WAV: a 16-bit PCM sine whose amplitude steps
+    * through 64 deterministic per-scene segments — the audio analogue of
+    * the shared-scene image corpus. The ENVELOPE (not the byte stream)
+    * is the scene's identity: the same scene rendered at a different
+    * sample rate or channel count is a byte-wise unrelated file tracing
+    * the same energy curve over time, which is exactly what
+    * [[audioFingerprint64]] hashes.
+    */
+  def wavBytesPcmEnvelope(sampleRate: Int, channels: Int, durationSec: Double,
+                          freqHz: Double, sceneSeed: Long): Array[Byte] = {
+    val nSamples = math.max((sampleRate * durationSec).toInt, 1)
+    val header = wavBytes(sampleRate, channels, 16, nSamples)
+    val out = java.nio.ByteBuffer.allocate(44 + nSamples * channels * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(header)
+    var i = 0
+    while (i < nSamples) {
+      val seg = math.min(i.toLong * 64 / nSamples, 63L).toInt
+      val amp = segmentAmp(sceneSeed, seg)
+      val s = (math.sin(2.0 * math.Pi * freqHz * i / sampleRate) *
+        amp * Short.MaxValue).toInt.toShort
+      var c = 0
+      while (c < channels) { out.putShort(s); c += 1 }
+      i += 1
+    }
+    out.array()
+  }
+
+  /** Deterministic per-(scene, segment) amplitude in [0.15, 0.95]. The
+    * mix must AVALANCHE (murmur3 finalizer): a linear combination of
+    * (seed, seg) makes consecutive segment amplitudes mostly-increasing
+    * for EVERY scene, which correlates all fingerprints and collapses
+    * cross-scene hamming distances.
+    */
+  private def segmentAmp(seed: Long, seg: Int): Double = {
+    var h = seed * 0x9E3779B97F4A7C15L + seg.toLong * 0xC2B2AE3D27D4EB4FL
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+    val x = (h & 0xFFFFL).toDouble / 65535.0
+    0.15 + 0.8 * x
+  }
+
+  /** 64-bit audio fingerprint: mean-square energy in 65 equal TIME
+    * windows over the PCM run, bit i set iff e(i+1) > e(i) — the same
+    * gradient-direction construction as the image dHash, over the energy
+    * envelope instead of luma. Windows are fractions of the clip, so the
+    * bits survive sample-rate and channel-count changes (re-encodes of
+    * the same recording); None for header-only or non-16-bit payloads.
+    */
+  def audioFingerprint64(b: Array[Byte]): Option[Long] =
+    new ImageHeaderDecoder().decodeWav(b).flatMap { case (_, _, bits, _) =>
+      val n = if (bits == 16) (b.length - 44) / 2 else 0
+      if (n < 65) None
+      else {
+        val e = new Array[Double](65)
+        val cnt = new Array[Int](65)
+        var i = 0
+        while (i < n) {
+          val w = math.min(i.toLong * 65 / n, 64L).toInt
+          val off = 44 + i * 2
+          val s = (((b(off + 1) & 0xFF) << 8) | (b(off) & 0xFF)).toShort.toDouble / Short.MaxValue
+          e(w) += s * s
+          cnt(w) += 1
+          i += 1
+        }
+        var out = 0L
+        var w = 0
+        while (w < 64) {
+          if (e(w + 1) / math.max(cnt(w + 1), 1) > e(w) / math.max(cnt(w), 1))
+            out |= (1L << w)
+          w += 1
+        }
+        Some(out)
+      }
+    }
 
   /** Minimal JPEG: SOI + SOF0 with dimensions (height/width BE at +5/+7). */
   def jpegBytes(w: Int, h: Int): Array[Byte] = {

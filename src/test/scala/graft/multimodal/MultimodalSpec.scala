@@ -210,6 +210,41 @@ class MultimodalSpec extends SparkSpec {
     assert(broken.where(col("dhash").isNull).count() == 1)
   }
 
+  test("audio fingerprint pairs the same envelope across rates/channels, not scenes") {
+    // 8 ids over 2 scenes: scene = id % 2, rate cycles 8k/16k/44.1k/48k,
+    // channels alternate — same scene = byte-wise unrelated WAVs
+    val media = Multimodal.withSharedAudioScenes(
+      (0L until 8L).toDF("doc_id"), "doc_id", nScenes = 2)
+    val fp = Multimodal.audioFingerprint(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("afp")).toMap
+    assert(fp.size == 8)
+    // same scene at different rates/channels stays within the radius
+    for (a <- 0L until 8L; b <- (a + 1) until 8L if a % 2 == b % 2)
+      assert(java.lang.Long.bitCount(fp(a) ^ fp(b)) <= 3,
+        s"ids $a,$b share a scene but drifted ${java.lang.Long.bitCount(fp(a) ^ fp(b))} bits")
+
+    val pairs = graft.dedup.Dedup.hammingPairs64(
+      Multimodal.audioFingerprint(media), "media_id", "afp", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs.foreach { case (a, b) =>
+      assert(a % 2 == b % 2, s"cross-scene audio pair ($a,$b) must not appear")
+    }
+    // all 6 same-scene pairs per scene × 2 scenes = 12
+    assert(pairs.size == 12, pairs.toString)
+
+    // brute-force parity for the banding join
+    val brute = (for {
+      a <- fp.keys; b <- fp.keys if a < b
+      if java.lang.Long.bitCount(fp(a) ^ fp(b)) <= 3
+    } yield (a, b)).toSet
+    assert(pairs == brute)
+
+    // header-only WAV (no samples) yields a null fingerprint
+    val headerOnly = Multimodal.audioFingerprint(
+      Multimodal.withFakeMedia((0L until 2L).toDF("doc_id"), "doc_id", "audio"))
+    assert(headerOnly.where(col("afp").isNull).count() == 2)
+  }
+
   test("pixel-tier audio: PCM samples are real and RMS matches the sine amplitude") {
     val m = Multimodal.withFakeMediaPixels(base, "doc_id", "audio").repartition(2)
     val got = Multimodal.decodeAudioMeta(m).collect()
