@@ -581,6 +581,38 @@ object Queries {
       graft.dedup.Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
     },
 
+    // §2.54: train/eval DECONTAMINATION — drop training docs sharing ≥4
+    // distinct 3-shingles with any eval doc (here eval = doc_id % 50 == 0,
+    // a stand-in benchmark set). Oracle replicates the shingle semi-join
+    // on shingle STRINGS (hashing only changes key identity, as in d02).
+    "d17_decontaminate" -> oq(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 1)),
+        |      i -> array_to_string(list_slice(tk, i, i+2), ' '))) AS sset
+        |  FROM toks
+        |), ex AS (
+        |  SELECT doc_id, unnest(sset) AS s FROM sh
+        |), ev AS (
+        |  SELECT DISTINCT s FROM ex WHERE doc_id % 50 = 0
+        |), hits AS (
+        |  SELECT e.doc_id, count(DISTINCT e.s) AS c FROM ex e JOIN ev USING (s)
+        |  WHERE e.doc_id % 50 <> 0 GROUP BY e.doc_id
+        |)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id % 50 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM hits WHERE c >= 4)""") { (s, dir) =>
+      val d = docs(s, dir)
+      graft.dedup.Dedup.decontaminate(
+        d.where(col("doc_id") % 50 =!= 0), d.where(col("doc_id") % 50 === 0),
+        "doc_id", "text", k = 3, minShingles = 4)
+        .select(col("doc_id"), col("source"))
+    },
+
     // §2.40: embedding cosine near-dup pairs. numTables=0 = exact
     // all-pairs mode so the oracle validates values, and θ=0.45 sits
     // inside the synthetic embeddings' cosine range (max ≈ 0.51 at

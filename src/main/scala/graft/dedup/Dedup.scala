@@ -267,6 +267,37 @@ object Dedup {
   def simhash64(text: Column): Column =
     graft.functions.VectorFunctions.simhash64(wsTokens(lower(text)))
 
+  /** Train/eval DECONTAMINATION — drop every training document sharing
+    * at least `minShingles` distinct word k-shingles with ANY document
+    * of the eval/benchmark set. Skipping this step leaks test data into
+    * training; it is a standard step of every serious corpus pipeline.
+    *
+    * Scale shape: the eval set is benchmarks — small by nature — so its
+    * distinct hashed shingles BROADCAST; the training corpus is touched
+    * once (explode → broadcast semi-join → per-doc distinct count →
+    * anti-join on the contaminated ids). Shingles meet on xxhash64 keys
+    * like the near-dup joins: 8-byte integers, not text. Returns the
+    * training rows that SURVIVE, all columns intact.
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame,
+                    idCol: String, textCol: String,
+                    k: Int = 3, minShingles: Int = 4): DataFrame = {
+    require(minShingles >= 1, s"minShingles must be >= 1, got $minShingles")
+    val evalSh = evalSet
+      .select(explode(shingleSet(col(textCol), k)).as("sh0"))
+      .select(xxhash64(col("sh0")).as("ev_sh")).distinct()
+    val trainSh = train
+      .select(col(idCol).as("__id"), explode(shingleSet(col(textCol), k)).as("sh0"))
+      .select(col("__id"), xxhash64(col("sh0")).as("sh"))
+    val contaminated = trainSh
+      .join(broadcast(evalSh), col("sh") === col("ev_sh"))
+      .groupBy("__id").agg(countDistinct(col("sh")).as("__hits"))
+      .where(col("__hits") >= minShingles)
+      .select(col("__id").as("__contaminated_id"))
+    train.join(broadcast(contaminated),
+      col(idCol) === col("__contaminated_id"), "left_anti")
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming: the
     * generic 64-bit banding join over the text simhash.
     */

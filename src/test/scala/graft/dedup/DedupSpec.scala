@@ -40,6 +40,22 @@ class DedupSpec extends SparkSpec {
     assert(!cut.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("decontamination drops training docs overlapping the eval set, keeps the rest") {
+    // eval = doc 1; doc 3 is its exact dup, doc 2 a near-dup (many shared
+    // 3-shingles), docs 4/5 unrelated
+    val evalSet = docs.where(col("doc_id") === 1L)
+    val train = docs.where(col("doc_id") =!= 1L)
+    val kept = Dedup.decontaminate(train, evalSet, "doc_id", "text",
+      k = 3, minShingles = 4).collect()
+    assert(kept.map(_.getLong(0)).toSet == Set(4L, 5L))
+    // all original columns survive the anti-join untouched
+    assert(kept.head.schema.fieldNames.toSeq == Seq("doc_id", "text"))
+    // an unreachable threshold removes nothing
+    val all = Dedup.decontaminate(train, evalSet, "doc_id", "text",
+      k = 3, minShingles = 100000).collect().map(_.getLong(0)).toSet
+    assert(all == Set(2L, 3L, 4L, 5L))
+  }
+
   test("minhash LSH recovers the exact-jaccard pairs on this corpus") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
