@@ -86,11 +86,14 @@ object Bench {
     val total = results.map(_._2).sum
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"plans":$plans,"sf":"$sfDir"}"""
-    println(json)
-    // Also persist to a file: the stdout line can drown in sbt/Spark log
-    // noise, and the driver needs a deterministic artifact to parse.
+    // The full line (queries + plans maps) is ~4 KB — larger than the
+    // driver's 2000-char stdout tail — so it goes to a file only; stdout
+    // gets a short summary as the LAST line (after spark.stop(), which can
+    // emit shutdown noise) that the driver's tail parse always sees.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     spark.stop()
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries_run":${results.size},"sf":"$sfDir"}""")
   }
 }

@@ -54,6 +54,20 @@ object Queries {
       .addFilter("o_orderstatus", "F", FilterOp.NMatch),
     table = "orders", roundDp = Map("sum_total" -> 2), dialect = dialect)
 
+  /** s05: regex with a BACKSLASH class (`\d`) — the literal-escaping
+    * trap: Spark's default parser consumes backslashes in string
+    * literals ('\d' parses as 'd') while DuckDB keeps them, so the
+    * SparkSql dialect must double them (Dialect.stringLit) or the
+    * pattern silently matches the wrong rows on one engine.
+    */
+  private[graft] def s05Sql(dialect: SqlCompiler.Dialect): String = SqlCompiler.compile(
+    Tpch.ordersCube,
+    CubeQuery()
+      .addAxis("o_orderpriority")
+      .addValue("n_orders").addValue("sum_total")
+      .addFilter("o_orderpriority", """^\d-(URGENT|HIGH)""", FilterOp.Match),
+    table = "orders", roundDp = Map("sum_total" -> 2), dialect = dialect)
+
   /** s03: membership set-ops (array_contains chains — shared predicate
     * spelling; only the `split` set-label constructor is per-dialect).
     */
@@ -943,6 +957,15 @@ object Queries {
     "s02_sql_regex" -> oq(s02Sql(SqlCompiler.Dialect.DuckDb)) { (s, dir) =>
       ord(s, dir).createOrReplaceTempView("orders")
       s.sql(s02Sql(SqlCompiler.Dialect.SparkSql))
+    },
+
+    // §2.25b (cont): backslash-class regex (`\d`) — proves the dialect
+    // string-literal escaping: the SparkSql rendering doubles the
+    // backslash so Spark's parser hands regexp_like the same pattern
+    // DuckDB's regexp_matches receives verbatim.
+    "s05_sql_regex_esc" -> oq(s05Sql(SqlCompiler.Dialect.DuckDb)) { (s, dir) =>
+      ord(s, dir).createOrReplaceTempView("orders")
+      s.sql(s05Sql(SqlCompiler.Dialect.SparkSql))
     },
 
     // §2.49: reproducible train/val/test split — the assignment is a pure

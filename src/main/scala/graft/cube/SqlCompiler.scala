@@ -60,6 +60,22 @@ object SqlCompiler {
       * `regexp_split_to_array` (RE2); no spelling is shared.
       */
     def splitRegex(e: String, patternLit: String): Option[String]
+    /** String literal in this dialect. `''` is an escaped quote in every
+      * target (verified against Spark 4 and DuckDB — NOT adjacent-literal
+      * concatenation), but backslashes split the engines: Spark's default
+      * parser treats them as escape prefixes ('\d' parses as 'd'), while
+      * DuckDB/Postgres (standard_conforming_strings) keep them literal.
+      * So SparkSql doubles them, the standard dialects pass them through,
+      * and Portable — whose contract is ONE string with identical
+      * semantics on both engines — refuses rather than silently letting
+      * a regex like \d match the wrong thing on one side.
+      */
+    def stringLit(s: String): String = {
+      require(!s.contains("\\"),
+        s"string literal with a backslash has no portable spelling (Spark eats it, " +
+          s"DuckDB keeps it) — compile for Dialect.SparkSql / Dialect.DuckDb explicitly")
+      "'" + s.replace("'", "''") + "'"
+    }
   }
   object Dialect {
     case object Portable extends Dialect("portable") {
@@ -75,6 +91,8 @@ object SqlCompiler {
         Some(s"coalesce(forall($arr, x -> $pred), TRUE)")
       def splitRegex(e: String, p: String): Option[String] =
         Some(s"split($e, $p)")
+      override def stringLit(s: String): String =
+        "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
     }
     case object DuckDb extends Dialect("duckdb") {
       def regexMatch(e: String, p: String): Option[String] =
@@ -85,6 +103,7 @@ object SqlCompiler {
         Some(s"coalesce(list_aggregate(list_transform($arr, x -> $pred), 'bool_and'), TRUE)")
       def splitRegex(e: String, p: String): Option[String] =
         Some(s"regexp_split_to_array($e, $p)")
+      override def stringLit(s: String): String = "'" + s.replace("'", "''") + "'"
     }
     /** Postgres `~` is POSIX ERE — classes like \d and lazy quantifiers
       * behave differently from the Java/RE2 patterns graft queries carry,
@@ -95,6 +114,8 @@ object SqlCompiler {
       def regexMatch(e: String, p: String): Option[String] = None
       def listForall(arr: String, pred: String): Option[String] = None
       def splitRegex(e: String, p: String): Option[String] = None
+      // standard_conforming_strings (on since PG 9.1): backslash literal
+      override def stringLit(s: String): String = "'" + s.replace("'", "''") + "'"
     }
   }
 
@@ -187,7 +208,7 @@ object SqlCompiler {
     */
   private def filterSql(cube: CubeDef, f: Filter, dialect: Dialect): String = {
     val e = labelSql(cube, f.name, dialect)
-    def regex: String = dialect.regexMatch(e, lit(f.value.toString)).getOrElse(
+    def regex: String = dialect.regexMatch(e, lit(f.value.toString, dialect)).getOrElse(
       throw new IllegalArgumentException(
         s"filter op '${f.op}' has no regex spelling in dialect '${dialect.name}' " +
           "(use Dialect.SparkSql / Dialect.DuckDb, or fall back to Catalyst)"))
@@ -196,18 +217,18 @@ object SqlCompiler {
       // nmatch keeps NULL rows, mirroring FilterOp's Python semantics
       case FilterOp.Match  => regex
       case FilterOp.NMatch => s"(NOT $regex OR $e IS NULL)"
-      case FilterOp.Eq => if (f.value == null) s"$e IS NULL" else s"$e = ${lit(f.value)}"
+      case FilterOp.Eq => if (f.value == null) s"$e IS NULL" else s"$e = ${lit(f.value, dialect)}"
       case FilterOp.Ne =>
         if (f.value == null) s"$e IS NOT NULL"
-        else s"($e <> ${lit(f.value)} OR $e IS NULL)"
-      case FilterOp.Gt => s"$e > ${lit(f.value)}"
-      case FilterOp.Ge => s"$e >= ${lit(f.value)}"
-      case FilterOp.Lt => s"$e < ${lit(f.value)}"
-      case FilterOp.Le => s"$e <= ${lit(f.value)}"
+        else s"($e <> ${lit(f.value, dialect)} OR $e IS NULL)"
+      case FilterOp.Gt => s"$e > ${lit(f.value, dialect)}"
+      case FilterOp.Ge => s"$e >= ${lit(f.value, dialect)}"
+      case FilterOp.Lt => s"$e < ${lit(f.value, dialect)}"
+      case FilterOp.Le => s"$e <= ${lit(f.value, dialect)}"
       case FilterOp.In =>
-        s"$e IN (${seqValues(f.value).map(lit).mkString(", ")})"
+        s"$e IN (${seqValues(f.value).map(lit(_, dialect)).mkString(", ")})"
       case FilterOp.Ni =>
-        s"($e NOT IN (${seqValues(f.value).map(lit).mkString(", ")}) OR $e IS NULL)"
+        s"($e NOT IN (${seqValues(f.value).map(lit(_, dialect)).mkString(", ")}) OR $e IS NULL)"
       case op if setOps(op) => setFilterSql(e, op, f.value, dialect)
       case other =>
         throw new IllegalArgumentException(s"filter op '$other' is not SQL-compilable")
@@ -238,7 +259,7 @@ object SqlCompiler {
     val vs = raw.distinct.filterNot(v => stringy && v == "")
     // array_contains(NULL, v) is NULL in both engines; make_set(NULL) = ∅
     // must not contain anything -> coalesce FALSE
-    def contains(v: Any) = s"coalesce(array_contains($arr, ${lit(v)}), FALSE)"
+    def contains(v: Any) = s"coalesce(array_contains($arr, ${lit(v, dialect)}), FALSE)"
     def hasAll = if (vs.isEmpty) "TRUE" else vs.map(contains).mkString("(", " AND ", ")")
     def hasAny = if (vs.isEmpty) "FALSE" else vs.map(contains).mkString("(", " OR ", ")")
     // col ⊆ S: every element is in S — with a NULL element never matching
@@ -248,7 +269,7 @@ object SqlCompiler {
       val memb =
         if (vs.isEmpty) { if (stringy) "x = ''" else "FALSE" }
         else {
-          val in = s"x IN (${vs.map(lit).mkString(", ")})"
+          val in = s"x IN (${vs.map(lit(_, dialect)).mkString(", ")})"
           if (stringy) s"($in OR x = '')" else in
         }
       dialect.listForall(arr, s"x IS NOT NULL AND $memb").getOrElse(
@@ -275,9 +296,9 @@ object SqlCompiler {
     case other     => Seq(other)
   }
 
-  private def lit(v: Any): String = v match {
+  private def lit(v: Any, dialect: Dialect): String = v match {
     case null                     => "NULL"
-    case s: String                => "'" + s.replace("'", "''") + "'"
+    case s: String                => dialect.stringLit(s)
     case d: java.sql.Date         => s"DATE '$d'"
     case d: java.time.LocalDate   => s"DATE '$d'"
     case t: java.sql.Timestamp    => s"TIMESTAMP '$t'"
@@ -308,7 +329,7 @@ object SqlCompiler {
     e match {
       case a: AttributeReference => a.name
       case a: UnresolvedAttribute => a.nameParts.mkString(".")
-      case l: Literal => literalSql(l)
+      case l: Literal => literalSql(l, dialect)
       case c: Cast => s"CAST(${renderExpr(c.child, dialect)} AS ${castTypeSql(c.dataType)})"
       case f: UnresolvedFunction =>
         val name = f.nameParts.last
@@ -340,13 +361,14 @@ object SqlCompiler {
     }
   }
 
-  private def literalSql(l: org.apache.spark.sql.catalyst.expressions.Literal): String = {
+  private def literalSql(l: org.apache.spark.sql.catalyst.expressions.Literal,
+                         dialect: Dialect): String = {
     import org.apache.spark.sql.types._
     if (l.value == null) return "NULL"
     l.dataType match {
       case _: IntegerType | _: LongType | _: ShortType | _: DoubleType | _: FloatType =>
         String.valueOf(l.value)
-      case _: StringType => lit(l.value.toString)
+      case _: StringType => lit(l.value.toString, dialect)
       case _: BooleanType => if (l.value == true) "TRUE" else "FALSE"
       case _: DateType => // stored as days since epoch
         s"DATE '${java.time.LocalDate.ofEpochDay(l.value.asInstanceOf[Int].toLong)}'"

@@ -275,7 +275,11 @@ object Dedup {
     * Scale shape: the eval set is benchmarks — small by nature — so its
     * distinct hashed shingles BROADCAST; the training corpus is touched
     * once (explode → broadcast semi-join → per-doc distinct count →
-    * anti-join on the contaminated ids). Shingles meet on xxhash64 keys
+    * anti-join on the contaminated ids). The contaminated-id side scales
+    * with the CORPUS (a heavily contaminated 100 TB corpus can exceed any
+    * broadcast/driver limit), so the final anti-join carries no hint —
+    * AQE picks broadcast when the set turns out small and a shuffled
+    * anti-join when it doesn't. Shingles meet on xxhash64 keys
     * like the near-dup joins: 8-byte integers, not text. Returns the
     * training rows that SURVIVE, all columns intact.
     */
@@ -294,7 +298,7 @@ object Dedup {
       .groupBy("__id").agg(countDistinct(col("sh")).as("__hits"))
       .where(col("__hits") >= minShingles)
       .select(col("__id").as("__contaminated_id"))
-    train.join(broadcast(contaminated),
+    train.join(contaminated,
       col(idCol) === col("__contaminated_id"), "left_anti")
   }
 

@@ -103,6 +103,32 @@ class SqlCompilerSpec extends SparkSpec {
       }
   }
 
+  test("string literals escape per-dialect: backslashes survive Spark's parser") {
+    // '\d' in a filter pattern: Spark's parser eats single backslashes in
+    // string literals, so the SparkSql rendering must double them — the
+    // executed pattern then equals what DuckDB receives verbatim
+    val q = CubeQuery().addAxis("k").addValue("n")
+      .addFilter("k", """^\w$""", FilterOp.Match)
+    df.createOrReplaceTempView("t")
+    val sparkSql = SqlCompiler.compile(cube, q, "t", dialect = SqlCompiler.Dialect.SparkSql)
+    assert(sparkSql.contains("""regexp_like(k, '^\\w$')"""), "\n" + sparkSql)
+    assert(spark.sql(sparkSql).collect().map(_.toSeq).toSet == viaSlicer(q), "\n" + sparkSql)
+    // DuckDB (standard_conforming_strings) keeps the backslash literal
+    val duck = SqlCompiler.compile(cube, q, "t", dialect = SqlCompiler.Dialect.DuckDb)
+    assert(duck.contains("""regexp_matches(k, '^\w$')"""), "\n" + duck)
+    // quotes double everywhere (a genuine escape in Spark 4 and DuckDB,
+    // not adjacent-literal concatenation — probed on both engines)
+    val eq = CubeQuery().addAxis("k").addValue("n").addFilter("s", "it's")
+    val eqSql = SqlCompiler.compile(cube, eq, "t", dialect = SqlCompiler.Dialect.SparkSql)
+    assert(eqSql.contains("s = 'it''s'"), "\n" + eqSql)
+    assert(spark.sql(eqSql).collect().map(_.toSeq).toSet == viaSlicer(eq))
+    // no portable spelling for a backslash literal → refuse, don't diverge
+    intercept[IllegalArgumentException] {
+      SqlCompiler.compile(cube,
+        CubeQuery().addAxis("k").addValue("n").addFilter("s", """a\b"""), "t")
+    }
+  }
+
   test("set-label filters match the Catalyst path across the whole algebra") {
     // every set op over a corpus with a NULL array (make_set -> ∅), an
     // empty-string element (discarded for string sets) and duplicates
