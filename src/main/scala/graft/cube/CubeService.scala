@@ -66,6 +66,13 @@ final class CubeService(boards: Map[String, CuttingBoard],
       val p = params(ex)
       def need(k: String): String =
         p.getOrElse(k, throw new IllegalArgumentException(s"missing param '$k'"))
+      // IllegalArgumentException maps to 400 in handle() — malformed
+      // client input must never surface as a 500; negatives clamp to 0
+      def intParam(k: String, default: Int): Int = p.get(k) match {
+        case None => default
+        case Some(raw) => raw.toIntOption.map(_ max 0).getOrElse(
+          throw new IllegalArgumentException(s"param '$k' must be an integer, got '$raw'"))
+      }
       val q = UrlQueryBuilder.parse(p.getOrElse("q", ""), board.cubedef)
       verb match {
         case "rows" =>
@@ -87,8 +94,8 @@ final class CubeService(boards: Map[String, CuttingBoard],
             Observers.tableJson(t, new Navigator(board.cubedef, q)))
         case "html" => // the reference's rendered-template path (bacon_tags.table)
           val nav = new Navigator(board.cubedef, q)
-          val pageSize = p.getOrElse("size", "0").toInt
-          val page = p.getOrElse("page", "0").toInt
+          val pageSize = intParam("size", 0)
+          val page = intParam("page", 0)
           val html =
             if (p.contains("row") && p.contains("col") && p.contains("m")) {
               val t = Observers.pivotTable(board.dataset, board.cubedef,
@@ -110,8 +117,8 @@ final class CubeService(boards: Map[String, CuttingBoard],
           respond(ex, 200, "application/json",
             Observers.recordListingJson(Observers.recordListing(
               board.dataset, board.cubedef, q, cols, order,
-              pageSize = p.getOrElse("size", "50").toInt,
-              page = p.getOrElse("page", "0").toInt)))
+              pageSize = intParam("size", 50),
+              page = intParam("page", 0))))
         case other =>
           respond(ex, 404, "text/plain", s"unknown view '$other'")
       }

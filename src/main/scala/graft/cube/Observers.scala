@@ -507,14 +507,20 @@ object Observers {
     val labels = q.rowAxes
     val values = q.values
 
-    val collected0 = slice.collect().toVector
-    val collected =
-      if (q.order.nonEmpty) collected0
-      else collected0.sortBy(r => labels.map(l =>
-        Option(r.getAs[Any](l)).map(String.valueOf).getOrElse("")).mkString(" "))
+    // paged renders run LIMIT/OFFSET in the PLAN (recordListing's
+    // pattern) — a high-cardinality axis never lands wholesale on the
+    // driver; only the pager's count aggregates the full slice. Unpaged
+    // renders keep the collect-then-sort (small by construction).
+    val totalRows: Long = if (pageSize > 0) slice.count() else 0L
     val page =
-      if (pageSize > 0) collected.slice(curPage * pageSize, (curPage + 1) * pageSize)
-      else collected
+      if (pageSize > 0)
+        pagedSlice(slice, labels, q.order.nonEmpty, pageSize, curPage).collect().toVector
+      else {
+        val collected0 = slice.collect().toVector
+        if (q.order.nonEmpty) collected0
+        else collected0.sortBy(r => labels.map(l =>
+          Option(r.getAs[Any](l)).map(String.valueOf).getOrElse("")).mkString(" "))
+      }
 
     val sb = new StringBuilder
     sb ++= """<table class="bacon bacon-values">"""
@@ -558,8 +564,21 @@ object Observers {
       sb ++= "</tr>"
     }
     sb ++= "</table>"
-    sb ++= pagerHtml(nav, urlPrefix, collected.length.toLong, pageSize, curPage)
+    sb ++= pagerHtml(nav, urlPrefix,
+      if (pageSize > 0) totalRows else page.length.toLong, pageSize, curPage)
     sb.result()
+  }
+
+  /** One page of a rendered slice with LIMIT/OFFSET in the plan. Without
+    * an explicit query order the rows sort by the label columns
+    * (nulls first) so pages are deterministic across renders.
+    */
+  private[cube] def pagedSlice(slice: DataFrame, labels: Seq[String],
+                               hasOrder: Boolean, pageSize: Int, curPage: Int): DataFrame = {
+    val ordered =
+      if (hasOrder || labels.isEmpty) slice
+      else slice.orderBy(labels.map(l => col(l).asc_nulls_first): _*)
+    ordered.offset(curPage * pageSize).limit(pageSize)
   }
 
   /** HTML render of a pivoted slice — _table_pivot.tmpl over the same

@@ -106,32 +106,56 @@ object IvfIndex {
     "graft_ivf_postings_" + d.take(8).map(b => f"$b%02x").mkString
   }
 
+  /** Bucket count the session catalog declares for `tbl`, None when the
+    * table is absent or unbucketed. Read through DESCRIBE (public SQL)
+    * rather than internal catalog classes.
+    */
+  private def catalogBuckets(spark: SparkSession, tbl: String): Option[Int] =
+    if (!spark.catalog.tableExists(tbl)) None
+    else spark.sql(s"DESCRIBE TABLE EXTENDED $tbl").collect()
+      .find(_.getString(0) == "Num Buckets")
+      .flatMap(r => r.getString(1).trim.toIntOption)
+
   /** Load a written index. Bucketing metadata lives in the session
     * catalog, not the parquet files, so a fresh session re-registers the
     * external bucketed table over the written layout (CLUSTERED BY cid,
     * bucket count from the index's meta file) before reading it; an index
     * written by an older (unbucketed) `write` — no meta file — falls back
     * to the plain parquet scan, never a mis-declared bucketing.
+    *
+    * The META FILE is the source of truth, not the catalog: an existing
+    * registration is reused only when its declared bucket count matches
+    * the meta's — the dir can be rewritten out-of-band (another session,
+    * a rebuild job) with a different count, and a stale HashPartitioning
+    * declaration would suppress exchanges the join/agg actually needs,
+    * corrupting results. On mismatch the entry is dropped and recreated
+    * (external table — dropping touches no data).
     */
   def load(spark: SparkSession, dir: String): IvfIndex = {
     val tbl = postingsTable(dir)
-    val postings =
-      if (spark.catalog.tableExists(tbl)) spark.table(tbl)
-      else {
-        val bucketCount =
-          try Some(spark.read.json(s"$dir/meta").head().getAs[Long]("buckets").toInt)
-          catch { case scala.util.control.NonFatal(_) => None }
-        bucketCount match {
-          case Some(b) =>
-            val schema = spark.read.parquet(s"$dir/postings").schema.toDDL
-            spark.sql(
-              s"""CREATE TABLE $tbl ($schema) USING parquet
-                 |CLUSTERED BY (cid) SORTED BY (cid) INTO $b BUCKETS
-                 |LOCATION '$dir/postings'""".stripMargin)
-            spark.table(tbl)
-          case None => spark.read.parquet(s"$dir/postings")
+    val metaBuckets =
+      try Some(spark.read.json(s"$dir/meta").head().getAs[Long]("buckets").toInt)
+      catch { case scala.util.control.NonFatal(_) => None }
+    val postings = metaBuckets match {
+      case Some(b) =>
+        if (catalogBuckets(spark, tbl) != Some(b)) {
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          val schema = spark.read.parquet(s"$dir/postings").schema.toDDL
+          // '' escaping: a quote in the filesystem path must not break
+          // (or worse, redirect) the DDL
+          val loc = s"$dir/postings".replace("'", "''")
+          spark.sql(
+            s"""CREATE TABLE $tbl ($schema) USING parquet
+               |CLUSTERED BY (cid) SORTED BY (cid) INTO $b BUCKETS
+               |LOCATION '$loc'""".stripMargin)
         }
-      }
+        spark.table(tbl)
+      case None =>
+        // no meta → the layout is not bucketed; a lingering registration
+        // would mis-declare it, so drop before the plain scan
+        if (spark.catalog.tableExists(tbl)) spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.read.parquet(s"$dir/postings")
+    }
     new IvfIndex(spark.read.parquet(s"$dir/centroids"), postings)
   }
 }

@@ -90,6 +90,17 @@ class CubeServiceSpec extends SparkSpec {
       assert(get(port, s"/cube/nope/rows?q=${enc(qs)}")._1 == 404)
       assert(get(port, s"/cube/demo/rows?q=${enc("zz:bad")}")._1 == 400)
       assert(get(port, s"/cube/demo/table?q=${enc(qs)}")._1 == 400)
+
+      // malformed paging params are client errors (400), never a 500;
+      // negatives clamp to 0 and serve
+      assert(get(port, s"/cube/demo/html?q=${enc("a:k/v:sum_v")}&size=abc")._1 == 400)
+      assert(get(port, s"/cube/demo/details?q=${enc("f:k:A")}&cols=k&page=9e9")._1 == 400)
+      val (cNeg, negHtml) = get(port, s"/cube/demo/html?q=${enc("a:k/v:sum_v")}&size=-3")
+      assert(cNeg == 200 && negHtml.contains("""<tr class="values">"""))
+
+      // a paged html render serves one row + a pager (LIMIT in the plan)
+      val (cPg, pgHtml) = get(port, s"/cube/demo/html?q=${enc("a:k/v:sum_v")}&size=1&page=1")
+      assert(cPg == 200 && pgHtml.contains("""<div class="bacon-pager">"""))
     } finally {
       svc.stop()
       board.clear()

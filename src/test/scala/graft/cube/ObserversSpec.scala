@@ -98,6 +98,22 @@ class ObserversSpec extends SparkSpec {
     assert(trickyHtml.contains("&lt;a&amp;b&gt;"))
   }
 
+  test("paged 1-D renders run LIMIT/OFFSET in the plan, not on the driver") {
+    val q = CubeQuery().addAxis("k").addValue("sum_v")
+    val slice = Slicer.slice(df, cube, q)
+    val paged = Observers.pagedSlice(slice, Seq("k"), hasOrder = false,
+      pageSize = 1, curPage = 1)
+    // the limit+offset live in the query plan — only one page's rows
+    // ever reach the driver (recordListing's pattern, now shared by the
+    // html renderer)
+    assert(paged.queryExecution.optimizedPlan.toString.toLowerCase.contains("limit"),
+      paged.queryExecution.optimizedPlan.toString)
+    assert(paged.collect().map(_.getString(0)).toSeq == Seq("B"))
+    // page past the end renders empty, deterministically
+    assert(Observers.pagedSlice(slice, Seq("k"), hasOrder = false,
+      pageSize = 1, curPage = 9).collect().isEmpty)
+  }
+
   test("pivot HTML table mirrors the one-pass PivotTable with nav links") {
     val q = CubeQuery().addAxis("k").addAxis("s").setPivot("s").addValue("sum_v")
     val nav = new Navigator(cube, q)

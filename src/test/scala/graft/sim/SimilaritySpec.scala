@@ -238,6 +238,50 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("load revalidates a stale catalog entry against the index meta file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-stale").toString
+    IvfIndex.build(clustered, "vec_id", "embedding",
+      numCentroids = 16, iters = 2, trainCap = 60).write(dir, buckets = 4)
+    val tbl = IvfIndex.postingsTable(dir)
+    // simulate an out-of-band rewrite: the catalog still declares a
+    // DIFFERENT bucket count than the files on disk carry (meta = 4).
+    // Left in place, the bogus HashPartitioning(cid, 8) makes bucket-aware
+    // joins zip the wrong partitions and silently drop matches.
+    val schema = spark.read.parquet(s"$dir/postings").schema.toDDL
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(
+      s"""CREATE TABLE $tbl ($schema) USING parquet
+         |CLUSTERED BY (cid) SORTED BY (cid) INTO 8 BUCKETS
+         |LOCATION '$dir/postings'""".stripMargin)
+    val idx = IvfIndex.load(spark, dir)
+    // the registration was rebuilt from the meta file
+    val declared = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl").collect()
+      .find(_.getString(0) == "Num Buckets").map(_.getString(1).trim)
+    assert(declared.contains("4"), s"declared=$declared")
+    // and a bucket-exploiting search (no broadcast) is still exact at
+    // full probe width — the e02 contract a stale declaration breaks
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val brute = top5Map(Similarity.cosineTopK(clustered, "vec_id", "embedding", k = 5))
+      val full = top5Map(idx.search(clustered, "vec_id", "embedding", k = 5,
+        nProbe = 16, excludeSelf = true))
+      assert(full == brute)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("index dirs with a quote in the path register cleanly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-o'q").toString
+    IvfIndex.build(clustered, "vec_id", "embedding",
+      numCentroids = 8, iters = 1, trainCap = 60).write(dir, buckets = 4)
+    // fresh-session path: re-register from meta, path quoted in the DDL
+    spark.sql(s"DROP TABLE IF EXISTS ${IvfIndex.postingsTable(dir)}")
+    val idx = IvfIndex.load(spark, dir)
+    assert(idx.postings.count() == 240L)
+    assert(idx.search(clustered.limit(5), "vec_id", "embedding", k = 3,
+      nProbe = 8, excludeSelf = true).count() > 0)
+  }
+
   test("int8 quantization: codes in range, error <= scale/2, search survives") {
     val q = Similarity.quantizeInt8(clustered, "vec_id", "embedding")
     val joined = q.join(clustered, q("id") === clustered("vec_id"))
