@@ -684,6 +684,48 @@ object Queries {
     },
 
     // §2.43: language-ID heuristic
+    // §2.44c: Gopher-style repetition signals — duplicate-line fraction,
+    // duplicate-paragraph fraction, top-2-gram token share. The corpus
+    // has no line structure, so the gate wraps each doc's tokens into
+    // 2-token lines / 3-token paragraphs IDENTICALLY on both sides (the
+    // t03 construction trick); the operators themselves split on real
+    // newlines / blank lines.
+    "d18_repetition" -> oq(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, len(tk) AS n,
+        |    list_transform(range(0, greatest(CAST(ceil(len(tk)/2.0) AS INT), 1)),
+        |      i -> array_to_string(list_slice(tk, i*2+1, i*2+2), ' ')) AS l2,
+        |    list_transform(range(0, greatest(CAST(ceil(len(tk)/3.0) AS INT), 1)),
+        |      i -> array_to_string(list_slice(tk, i*3+1, i*3+3), ' ')) AS l3,
+        |    list_transform(range(1, greatest(len(tk), 1)),
+        |      i -> concat(tk[i], ' ', tk[i+1])) AS g2
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  round((len(l2) - len(list_distinct(l2))) / CAST(len(l2) AS DOUBLE), 6) AS dup_line_frac,
+        |  round((len(l3) - len(list_distinct(l3))) / CAST(len(l3) AS DOUBLE), 6) AS dup_para_frac,
+        |  CASE WHEN n < 2 THEN 0.0
+        |       ELSE round(least(2.0 * list_max(list_transform(list_distinct(g2),
+        |         x -> CAST(len(list_filter(g2, y -> y = x)) AS DOUBLE))) / n, 1.0), 6)
+        |  END AS top_2gram_share
+        |FROM w""") { (s, dir) =>
+      import graft.text.TextFunctions._
+      val toks = wsTokens(lower(col("text")))
+      def wrap(k: Int, sep: String) = {
+        val m = greatest(ceil(size(toks).cast("double") / k).cast("int"), lit(1))
+        concat_ws(sep, transform(sequence(lit(0), m - 1),
+          i => array_join(slice(toks, i * k + 1, lit(k)), " ")))
+      }
+      docs(s, dir).select(col("doc_id"),
+        dupLineFraction(wrap(2, "\n")).as("dup_line_frac"),
+        dupParagraphFraction(wrap(3, "\n\n")).as("dup_para_frac"),
+        top2GramShare(col("text")).as("top_2gram_share"))
+    },
+
     "d08_langid" -> oq(
       """WITH t AS (
         |  SELECT list_distinct(list_filter(

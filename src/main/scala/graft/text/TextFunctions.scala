@@ -77,6 +77,53 @@ object TextFunctions {
     round((lenScore + punctScore + stopScore) / 3.0, 6)
   }
 
+  /** Gopher-style repetition signals — the standard pre-training quality
+    * gates beyond stopword ratios (duplicate-line / duplicate-paragraph
+    * fraction and most-frequent-n-gram coverage, per the published Gopher
+    * data-quality filters). Pure column expressions, exact arithmetic
+    * over splits — oracle-reproducible and codegen'd; the 2-gram pass is
+    * O(L log L) per document (sort + one fold), never O(L²).
+    */
+
+  private def nonBlankSegments(text: Column, pattern: String): Column =
+    filter(transform(split(text, pattern), s => trim(s)), s => length(s) > 0)
+
+  private def dupFraction(segs: Column): Column = {
+    val n = size(segs).cast("double")
+    when(n <= 0, lit(0.0))
+      .otherwise(round((n - size(array_distinct(segs)).cast("double")) / n, 6))
+  }
+
+  /** Fraction of non-blank lines that repeat an earlier line. */
+  def dupLineFraction(text: Column): Column =
+    dupFraction(nonBlankSegments(text, "\n"))
+
+  /** Fraction of non-blank paragraphs (blank-line separated) that repeat. */
+  def dupParagraphFraction(text: Column): Column =
+    dupFraction(nonBlankSegments(text, "\n{2,}"))
+
+  /** Token-coverage share of the most frequent word 2-gram, capped at 1:
+    * 2 × max-2-gram-count / token-count. The max count comes from a sort
+    * + longest-equal-run fold (aggregate HOF) — no per-row quadratic
+    * scan, no shuffle.
+    */
+  def top2GramShare(text: Column): Column = {
+    val toks = wsTokens(lower(text))
+    val n = size(toks)
+    val grams = array_sort(wordShingles(toks, 2))
+    val best = aggregate(grams,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, g) => {
+        val run = when(g === st.getField("prev"), st.getField("run") + 1).otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+    // < 2 tokens has no 2-gram (wordShingles degenerates to the whole run)
+    when(n < 2, lit(0.0))
+      .otherwise(round(least(best.cast("double") * 2.0 / n.cast("double"), lit(1.0)), 6))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * the exact-dedup key.
     */

@@ -45,6 +45,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(0) > out(1))
   }
 
+  test("repetition signals: dup-line/paragraph fractions and top-2-gram share") {
+    // 4 lines, "b" repeated twice -> 1 duplicate of 4
+    assert(one(dupLineFraction(lit("a\nb\nc\nb"))).getDouble(0) == 0.25)
+    // blank lines are not lines; trim before comparing
+    assert(one(dupLineFraction(lit(" a \n\n\na\n  \n"))).getDouble(0) == 0.5)
+    assert(one(dupLineFraction(lit("a\nb"))).getDouble(0) == 0.0)
+    assert(one(dupLineFraction(lit(""))).getDouble(0) == 0.0)
+    // paragraphs split on blank lines (2+ newlines); inner \n stays
+    assert(one(dupParagraphFraction(lit("x\ny\n\nx\ny\n\nz"))).getDouble(0) == 0.333333)
+    assert(one(dupParagraphFraction(lit("p\n\nq"))).getDouble(0) == 0.0)
+    // "a b" occurs 3x among 5 2-grams, 6 tokens -> 2*3/6 = 1.0
+    assert(one(top2GramShare(lit("a b a b a b"))).getDouble(0) == 1.0)
+    // "the cat" 2x, 6 tokens -> 2*2/6 (case-insensitive)
+    assert(one(top2GramShare(lit("The cat saw the cat nap"))).getDouble(0) == 0.666667)
+    // all distinct 2-grams -> 2*1/4
+    assert(one(top2GramShare(lit("a b c d"))).getDouble(0) == 0.5)
+    // degenerate inputs have no 2-gram
+    assert(one(top2GramShare(lit("solo"))).getDouble(0) == 0.0)
+    assert(one(top2GramShare(lit(""))).getDouble(0) == 0.0)
+  }
+
   test("fingerprint is whitespace/case insensitive; min-shingle fp stable under tail edits") {
     val df = Seq(
       ("The  quick brown fox", "the quick brown fox"),
