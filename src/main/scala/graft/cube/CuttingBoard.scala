@@ -46,12 +46,17 @@ final class CuttingBoard(
     datasetSource: Option[() => DataFrame] = None,
     clock: () => Long = () => System.currentTimeMillis(),
 ) {
-  /** A cached slice: its query, the persisted frame, and its exact row
-    * count (known because slices are materialized eagerly on insert) —
-    * the cost input for cheapest-slice selection, mirroring the
-    * reference's estimate_cost scoring (bacon/cutting.py:216,262,313).
+  /** A cached slice: its query, the persisted frame, its exact row count
+    * (known because slices are materialized eagerly on insert) and its
+    * column width — rows × width is the cost input for cheapest-slice
+    * selection (proportional to the cells a re-aggregation reads),
+    * mirroring the reference's estimate_cost scoring
+    * (bacon/cutting.py:216,262,313).
     */
-  private final case class Cached(q: CubeQuery, df: DataFrame, rows: Long)
+  private final case class Cached(q: CubeQuery, df: DataFrame, rows: Long) {
+    val width: Int = df.columns.length
+    def cost: Long = rows * width
+  }
 
   /** MRU cache: most recently used first (bacon keeps a deque of 20). */
   private var cache: Vector[Cached] = Vector.empty
@@ -281,9 +286,10 @@ final class CuttingBoard(
     // ALL compatible slices are scored and the cheapest wins — the
     // reference scores every strategy × cached slice with estimate_cost
     // and takes the min (bacon/cutting.py:216,262,313,378). Cost here is
-    // the slice's exact row count (rows the re-aggregation must read): a
-    // tiny exact-grain slice beats a huge finer one regardless of MRU
-    // position.
+    // rows × width (the cells the re-aggregation must read): a tiny
+    // exact-grain slice beats a huge finer one regardless of MRU
+    // position, and a narrow finer slice beats a wide one whose fewer
+    // rows carry more columns.
     val finerIdx = cache.indices.filter { i =>
       val cq = cache(i).q
       q.valuesInSlice.nonEmpty &&
@@ -294,7 +300,7 @@ final class CuttingBoard(
         q.valuesInSlice.forall(reaggregatable)
     }
     if (finerIdx.nonEmpty) {
-      val best = finerIdx.minBy(i => (cache(i).rows, i))
+      val best = finerIdx.minBy(i => (cache(i).cost, i))
       promote(best)
       val Cached(cq, df, _) = cache.head
       lastServedFrom = Some(cq)

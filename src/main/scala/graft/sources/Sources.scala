@@ -47,10 +47,50 @@ object Sources {
   /** Bucketed table sink: pre-shuffles once on the join/agg key so every
     * later join or groupBy on that key is shuffle-free (co-located) — the
     * bucketed scan reports HashPartitioning(key, buckets) and Catalyst
-    * drops the Exchange.
+    * drops the Exchange. This is how a hot cube materializes at 100 TB:
+    * bucket the fact table by its hottest axis once, and every re-slice
+    * grouped on that axis skips the shuffle forever.
+    *
+    * A `_graft_meta` manifest (underscore-prefixed → invisible to the
+    * file scan) is written inside the table path so `loadBucketed` can
+    * re-register the table in a FRESH session: the default in-memory
+    * catalog dies with the session, the files do not.
     */
   def writeBucketed(df: DataFrame, key: String, buckets: Int, table: String,
-                    path: String): Unit =
+                    path: String): Unit = {
     df.write.bucketBy(buckets, key).sortBy(key).mode("overwrite")
       .option("path", path).saveAsTable(table)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((key, buckets)).toDF("key", "buckets").coalesce(1)
+      .write.mode("overwrite").json(s"$path/_graft_meta")
+  }
+
+  /** (Re)open a table written by `writeBucketed`. The manifest is the
+    * source of truth: an existing catalog entry is reused only when its
+    * declared bucket count matches — a fresh session has no entry, and a
+    * stale one (the path rewritten out-of-band with different bucketing)
+    * would mis-declare HashPartitioning and silently corrupt joins/aggs
+    * that skip the exchange. On mismatch the external entry is dropped
+    * and recreated from the manifest (no data is touched).
+    */
+  def loadBucketed(spark: SparkSession, table: String, path: String): DataFrame = {
+    val meta = spark.read.json(s"$path/_graft_meta").head()
+    val key = meta.getAs[String]("key")
+    val buckets = meta.getAs[Long]("buckets").toInt
+    val declared =
+      if (!spark.catalog.tableExists(table)) None
+      else spark.sql(s"DESCRIBE TABLE EXTENDED `$table`").collect()
+        .find(_.getString(0) == "Num Buckets")
+        .flatMap(_.getString(1).trim.toIntOption)
+    if (declared != Some(buckets)) {
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      val schema = spark.read.parquet(path).schema.toDDL
+      spark.sql(
+        s"""CREATE TABLE `$table` ($schema) USING parquet
+           |CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS
+           |LOCATION '${path.replace("'", "''")}'""".stripMargin)
+    }
+    spark.table(table)
+  }
 }

@@ -200,6 +200,36 @@ class CuttingBoardSpec extends SparkSpec {
     board.clear()
   }
 
+  test("cost is rows × width: a narrow finer slice beats a wide one with fewer rows") {
+    // k: 3 values, s: 4, t: 2
+    val df = Seq.tabulate(48)(i => (s"k${i % 3}", s"s${i % 4}", s"t${i % 2}", i.toDouble))
+      .toDF("k", "s", "t", "v")
+    val cube = CubeDef(
+      labels = Seq(Label("k"), Label("s"), Label("t")),
+      measures = (1 to 9).map(i => Measure(s"m$i", col("v") * i, Agg.Sum)))
+    val board = new CuttingBoard(df, cube)
+
+    // wide: 6 rows (k×t) but 11 columns; cost 66
+    val wide = CubeQuery().addAxis("k").addAxis("t")
+    val wideAll = (1 to 9).foldLeft(wide)((q, i) => q.addValue(s"m$i"))
+    // narrow: 12 rows (k×s) but 3 columns; cost 36 — row count alone
+    // would rank it WORSE (12 > 6)
+    val narrow = CubeQuery().addAxis("k").addAxis("s").addValue("m1")
+    board.slice(wideAll).collect()
+    board.slice(narrow).collect()
+
+    val target = CubeQuery().addAxis("k").addValue("m1")
+    val got = board.slice(target).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(board.stats._1 == 1L)
+    assert(board.lastServedFrom.map(_.axes) == Some(Vector("k", "s")),
+      s"rows×width must pick the narrow slice; served from ${board.lastServedFrom}")
+    val want = df.groupBy("k").agg(sum(col("v") * 1).as("m1")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got == want)
+    board.clear()
+  }
+
   test("refresh() drops the cache and serves the new dataset") {
     val board = freshBoard()
     val q = CubeQuery().addAxis("k").addValue("sum_v")

@@ -45,6 +45,64 @@ class SourcesSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_bucket_test")
   }
 
+  test("bucketed cube table: re-slicing on the bucketed axis needs no exchange") {
+    import graft.cube._
+    val dir = Files.createTempDirectory("graftbcube").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS graft_cube_bucketed")
+    val df = Seq.tabulate(200)(i => (s"k${i % 5}", s"s${i % 3}", i.toDouble))
+      .toDF("k", "s", "v")
+    Sources.writeBucketed(df, "k", 4, "graft_cube_bucketed", dir)
+    val cube = CubeDef(
+      labels = Seq(Label("k"), Label("s")),
+      measures = Seq(Measure("sum_v", col("v"), Agg.Sum),
+        Measure("n", lit(1), Agg.Count)))
+    val t = spark.table("graft_cube_bucketed")
+    // a slice grouped on the bucketed axis: the scan's HashPartitioning
+    // feeds the aggregate directly — zero exchanges in the whole plan,
+    // filters included (this is ROADMAP's "materialized cube" shape)
+    val q = CubeQuery().addAxis("k").addValue("sum_v").addValue("n")
+      .addFilter("s", "s0", FilterOp.Ne)
+    val slice = Slicer.slice(t, cube, q)
+    assert(!slice.queryExecution.executedPlan.toString.contains("Exchange"),
+      slice.queryExecution.executedPlan.toString)
+    val got = slice.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val want = df.where(col("s") =!= "s0").groupBy("k")
+      .agg(sum("v"), count(lit(1)))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == want)
+    // contrast: an axis the table is NOT bucketed by still shuffles
+    val other = Slicer.slice(t, cube, CubeQuery().addAxis("s").addValue("sum_v"))
+    assert(other.queryExecution.executedPlan.toString.contains("Exchange"))
+    spark.sql("DROP TABLE IF EXISTS graft_cube_bucketed")
+  }
+
+  test("loadBucketed re-registers after catalog loss and fixes stale bucketing") {
+    val dir = Files.createTempDirectory("graftbload").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_load")
+    val df = Seq.tabulate(60)(i => (i % 6L, i.toDouble)).toDF("k", "v")
+    Sources.writeBucketed(df, "k", 4, "graft_bucket_load", dir)
+    // fresh-session path: the in-memory catalog entry is gone, the
+    // manifest re-registers the external bucketed table
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_load")
+    val t = Sources.loadBucketed(spark, "graft_bucket_load", dir)
+    val agg = t.groupBy("k").agg(sum("v").as("s"))
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(agg.collect().length == 6)
+    // a stale entry declaring the wrong bucket count is rebuilt from the
+    // manifest rather than trusted
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_load")
+    val schema = spark.read.parquet(dir).schema.toDDL
+    spark.sql(
+      s"""CREATE TABLE graft_bucket_load ($schema) USING parquet
+         |CLUSTERED BY (k) SORTED BY (k) INTO 16 BUCKETS
+         |LOCATION '$dir'""".stripMargin)
+    Sources.loadBucketed(spark, "graft_bucket_load", dir)
+    val declared = spark.sql("DESCRIBE TABLE EXTENDED graft_bucket_load").collect()
+      .find(_.getString(0) == "Num Buckets").map(_.getString(1).trim)
+    assert(declared.contains("4"), s"declared=$declared")
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_load")
+  }
+
   test("parquet streaming source yields a streaming frame with the batch schema") {
     val dir = Files.createTempDirectory("graftstream").toString + "/t"
     val df = Seq((1L, "a")).toDF("id", "s")
