@@ -738,6 +738,36 @@ object Queries {
           top2GramShare(col("text")).as("top_2gram_share"))
     },
 
+    // §2.36c: substring-level dedup diagnostics — the token-window pass
+    // of published training-data pipelines (any 20-token span occurring
+    // more than once corpus-wide is a duplicated span). Spark meets on
+    // xxhash64 window keys; the oracle replays the same windows as
+    // strings.
+    "d19_substring_dedup" -> oq(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(range(1, greatest(len(tk) - 19, 0) + 1)) AS pos, tk
+        |  FROM t
+        |), g2 AS (
+        |  SELECT doc_id, array_to_string(list_slice(tk, pos, pos + 19), ' ') AS gram FROM g
+        |), d AS (
+        |  SELECT gram FROM g2 GROUP BY gram HAVING count(*) > 1
+        |), s AS (
+        |  SELECT doc_id, count(*) AS n_shingles,
+        |    sum(CASE WHEN gram IN (SELECT gram FROM d) THEN 1 ELSE 0 END) AS n_dup
+        |  FROM g2 GROUP BY doc_id
+        |)
+        |SELECT dd.doc_id,
+        |  CAST(coalesce(s.n_shingles, 0) AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(s.n_dup, 0) AS BIGINT) AS n_dup_shingles
+        |FROM documents dd LEFT JOIN s USING (doc_id)""") { (s, dir) =>
+      graft.dedup.Dedup.dupSpanStats(docs(s, dir), "doc_id", "text", k = 20)
+        .withColumnRenamed("id", "doc_id")
+    },
+
     "d08_langid" -> oq(
       """WITH t AS (
         |  SELECT list_distinct(list_filter(

@@ -302,6 +302,84 @@ object Dedup {
       col(idCol) === col("__contaminated_id"), "left_anti")
   }
 
+  /** Position-stamped hashes of every k-token window of every document —
+    * the inverted index under SUBSTRING-level dedup (published
+    * training-data pipelines remove any long token span appearing more
+    * than once in the corpus, not just whole near-dup documents).
+    * Positions are 1-based. Docs with fewer than k tokens emit nothing.
+    * Only (id, pos, 8-byte hash) rows ever shuffle — never text.
+    */
+  private def windowHashes(df: DataFrame, idCol: String, textCol: String,
+                           k: Int): DataFrame = {
+    val toks = wsTokens(lower(col(textCol)))
+    val grams = when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - k + 1),
+        i => xxhash64(array_join(slice(toks, i, lit(k)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+    df.select(col(idCol).as("id"), posexplode(grams))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+  }
+
+  /** Per-document window counts: total k-token windows and how many are
+    * duplicated (their hash occurs at any other position corpus-wide).
+    * The standard diagnostic before substring-level removal. One shuffle
+    * to count per-hash occurrences, a semi-join back, one per-doc agg.
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 20): DataFrame = {
+    require(k >= 2, s"window size must be >= 2 tokens, got $k")
+    val sh = windowHashes(df, idCol, textCol, k)
+    val dup = sh.groupBy("h").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1).select("h")
+    val dupPerDoc = sh.join(dup, Seq("h"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_dup_shingles"))
+    val totals = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    df.select(col(idCol).as("id"))
+      .join(totals, Seq("id"), "left")
+      .join(dupPerDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_dup_shingles"), lit(0L)).as("n_dup_shingles"))
+  }
+
+  /** Remove duplicated k-token spans, keeping ONE canonical occurrence —
+    * the corpus-level substring dedup pass. The canonical occurrence of
+    * each duplicated window is the minimum (id, pos); every other
+    * occurrence marks its k tokens for removal, overlapping spans
+    * merging naturally through the per-token union. Documents without
+    * duplicated spans keep their text byte-identical; cleaned documents
+    * are rebuilt from their surviving tokens (original case,
+    * single-space joined).
+    *
+    * Scale shape: canonical selection is min(struct(id,pos)) per hash —
+    * an aggregation, never a collect_list (a window repeated millions of
+    * times stays one row). The per-doc removal set is bounded by the
+    * document's own token count.
+    */
+  def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 20): DataFrame = {
+    require(k >= 2, s"window size must be >= 2 tokens, got $k")
+    val sh = windowHashes(df, idCol, textCol, k)
+    val canon = sh.groupBy("h")
+      .agg(min(struct(col("id"), col("pos"))).as("c"), count(lit(1)).as("__n"))
+      .where(col("__n") > 1)
+      .select(col("h"), col("c.id").as("cid"), col("c.pos").as("cpos"))
+    val removedStarts = sh.join(canon, "h")
+      .where(!(col("id") === col("cid") && col("pos") === col("cpos")))
+      .select(col("id"), col("pos"))
+    val removedTokens = removedStarts
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"))
+      .groupBy("id").agg(collect_set(col("tp")).as("__rm"))
+      .withColumnRenamed("id", "__rm_id")
+    val cleaned = when(col("__rm").isNull, col(textCol))
+      .otherwise(array_join(
+        filter(wsTokens(col(textCol)), (_, i) => !array_contains(col("__rm"), i + 1)),
+        " "))
+    df.join(removedTokens, col(idCol) === col("__rm_id"), "left")
+      .select(df.columns.map(c =>
+        if (c == textCol) cleaned.as(textCol) else col(c)): _*)
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming: the
     * generic 64-bit banding join over the text simhash.
     */

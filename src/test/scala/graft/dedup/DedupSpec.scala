@@ -149,6 +149,40 @@ class DedupSpec extends SparkSpec {
     assert(bad.isEmpty, s"shingle arrays ride the band shuffle:\n$plan")
   }
 
+  test("substring-level dedup: stats count duplicated windows, strip keeps one occurrence") {
+    // a shared 6-token run across docs 10/11, a doc repeating its own
+    // 5-token run, and an untouched doc (raw text must survive exactly)
+    val run = "alpha bravo charlie delta echo foxtrot"
+    val corpus = Seq(
+      (10L, s"$run unique tail ten"),
+      (11L, s"$run other ending eleven"),
+      (12L, "self one two three four self one two three four"),
+      (13L, "nothing   shared here at all whatsoever"), // double space: raw preserved
+    ).toDF("doc_id", "text")
+
+    val stats = Dedup.dupSpanStats(corpus, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 10: 9 tokens -> 5 windows; the 2 windows inside the shared run
+    // (positions 1-2) are duplicated in doc 11
+    assert(stats(10L) == (5L, 2L), stats)
+    assert(stats(11L) == (5L, 2L), stats)
+    // doc 12: 10 tokens -> 6 windows; window 1 == window 6 (the repeated
+    // 5-token phrase) -> 2 duplicated positions
+    assert(stats(12L) == (6L, 2L), stats)
+    assert(stats(13L) == (2L, 0L), stats)
+
+    val cleaned = Dedup.stripDuplicatedSpans(corpus, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // canonical = min (id, pos): doc 10 keeps everything
+    assert(cleaned(10L) == s"$run unique tail ten")
+    // doc 11 loses the shared run's duplicated windows (tokens 1..6)
+    assert(cleaned(11L) == "other ending eleven", cleaned(11L))
+    // doc 12 keeps the first occurrence of its repeated phrase
+    assert(cleaned(12L) == "self one two three four", cleaned(12L))
+    // untouched docs keep their raw bytes (double space intact)
+    assert(cleaned(13L) == "nothing   shared here at all whatsoever")
+  }
+
   test("simhashPairs rejects maxHamming beyond the 4-band pigeonhole guarantee") {
     intercept[IllegalArgumentException] {
       Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 4)
