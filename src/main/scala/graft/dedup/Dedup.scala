@@ -311,12 +311,18 @@ object Dedup {
     */
   private def windowHashes(df: DataFrame, idCol: String, textCol: String,
                            k: Int): DataFrame = {
-    val toks = wsTokens(lower(col(textCol)))
-    val grams = when(size(toks) >= k,
-      transform(sequence(lit(1), size(toks) - k + 1),
-        i => xxhash64(array_join(slice(toks, i, lit(k)), " "))))
+    // tokens are staged as a column: `slice` inside the transform lambda
+    // is a free subexpression, and HOFs evaluate interpreted — an inline
+    // tokenizer would re-split the text once PER WINDOW (quadratic in
+    // document length); against the staged attribute each window is one
+    // O(k) copy
+    val tk = col("__tk")
+    val grams = when(size(tk) >= k,
+      transform(sequence(lit(1), size(tk) - k + 1),
+        i => xxhash64(array_join(slice(tk, i, lit(k)), " "))))
       .otherwise(array().cast("array<bigint>"))
-    df.select(col(idCol).as("id"), posexplode(grams))
+    df.select(col(idCol).as("id"), wsTokens(lower(col(textCol))).as("__tk"))
+      .select(col("id"), posexplode(grams))
       .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("h"))
   }
 
