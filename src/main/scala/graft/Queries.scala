@@ -68,6 +68,35 @@ object Queries {
       .addFilter("o_orderpriority", """^\d-(URGENT|HIGH)""", FilterOp.Match),
     table = "orders", roundDp = Map("sum_total" -> 2), dialect = dialect)
 
+  /** s06: pivot query compiled to FILTER-ed aggregates — one
+    * `agg FILTER (WHERE pivot IS NOT DISTINCT FROM v)` column per
+    * (pivot value × measure), fixed pivotValues (no distinct-values
+    * job). Two measures, so the compiler exercises the `value_measure`
+    * column naming AND per-dialect identifier quoting (`1-URGENT_…` is
+    * backtick-quoted for Spark, double-quoted for DuckDB).
+    */
+  private[graft] def s06Sql(dialect: SqlCompiler.Dialect): String = SqlCompiler.compile(
+    Tpch.ordersCube,
+    CubeQuery()
+      .addAxis("o_orderstatus").addAxis("o_orderpriority").setPivot("o_orderpriority")
+      .addValue("n_orders").addValue("sum_total"),
+    table = "orders", roundDp = Map("sum_total" -> 2), dialect = dialect,
+    pivotValues = Seq("1-URGENT", "2-HIGH", "5-LOW"))
+
+  /** s07: set label as an AXIS — per-element row multiplication compiled
+    * as a per-dialect unnest subquery (explode vs unnest) with make_set
+    * semantics (NULL → ∅, '' discarded, duplicates collapsed); the
+    * whole-set filter stays in the INNER where, pre-explosion, exactly
+    * like the Slicer path.
+    */
+  private[graft] def s07Sql(dialect: SqlCompiler.Dialect): String = SqlCompiler.compile(
+    Tpch.partCube,
+    CubeQuery()
+      .addAxis("p_brand").addAxis("name_words")
+      .addValue("n_parts").addValue("sum_retail")
+      .addFilter("name_words", Seq("red", "blue", "green"), FilterOp.HasAny),
+    table = "part", roundDp = Map("sum_retail" -> 2), dialect = dialect)
+
   /** s03: membership set-ops (array_contains chains — shared predicate
     * spelling; only the `split` set-label constructor is per-dialect).
     */
@@ -1193,6 +1222,21 @@ object Queries {
     "s04_sql_forall" -> oq(s04Sql(SqlCompiler.Dialect.DuckDb)) { (s, dir) =>
       part(s, dir).createOrReplaceTempView("part")
       s.sql(s04Sql(SqlCompiler.Dialect.SparkSql))
+    },
+
+    // §2.25b (cont): the two formerly-declared-non-compilable shapes.
+    // s06 = pivot via FILTER-ed aggregates (fixed pivotValues — never a
+    // distinct-values job); s07 = set axis via a row-multiplying unnest
+    // subquery. Hash-identical Spark/DuckDB results from the per-dialect
+    // renderings prove both carry Slicer semantics (SqlCompilerSpec
+    // additionally proves parity against Slicer itself).
+    "s06_sql_pivot" -> oq(s06Sql(SqlCompiler.Dialect.DuckDb)) { (s, dir) =>
+      ord(s, dir).createOrReplaceTempView("orders")
+      s.sql(s06Sql(SqlCompiler.Dialect.SparkSql))
+    },
+    "s07_sql_set_axis" -> oq(s07Sql(SqlCompiler.Dialect.DuckDb)) { (s, dir) =>
+      part(s, dir).createOrReplaceTempView("part")
+      s.sql(s07Sql(SqlCompiler.Dialect.SparkSql))
     },
 
     // §2.47: multimodal image pipeline, REAL pixel path — complete encoded

@@ -292,7 +292,14 @@ final class CuttingBoard(
     // rows carry more columns.
     val finerIdx = cache.indices.filter { i =>
       val cq = cache(i).q
-      q.valuesInSlice.nonEmpty &&
+      // A cached slice grouped on a SET axis was exploded per-element —
+      // each base row contributed once per element — so dropping that
+      // axis in a re-aggregation would multi-count rows. Such a slice
+      // only serves queries that keep every set axis it has.
+      val setAxesKept = cq.axes
+        .filter(a => cubedef.hasLabel(a) && cubedef.label(a).isSet)
+        .forall(q.axes.contains)
+      setAxesKept && q.valuesInSlice.nonEmpty &&
         q.axes.forall(a => overSlice(a, cq.axes).isDefined) &&
         cq.filters.toSet.subsetOf(q.filters.toSet) &&
         (q.filters.toSet -- cq.filters.toSet).forall(f => overSlice(f.name, cq.axes).isDefined) &&

@@ -35,8 +35,33 @@ object Slicer {
   def filter(df: DataFrame, cube: CubeDef, q: CubeQuery): DataFrame =
     filterPredicate(cube, q).map(df.where).getOrElse(df)
 
+  /** make_set'd element stream of a set label (bacon/cutting.py:788
+    * semantics carried to the axis position): NULL → empty array,
+    * empty-string elements discarded (string sets only), duplicates
+    * collapsed — so a row with tags [a, a] contributes ONCE to group a.
+    */
+  private def setElems(df: DataFrame, label: Label): Column = {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val dt = df.select(label.expr).schema.head.dataType
+    val stringy = dt match {
+      case ArrayType(StringType, _) => true
+      case _: ArrayType             => false
+      case other => throw new IllegalArgumentException(
+        s"set label '${label.name}' is not array-typed (got $other)")
+    }
+    val nonNull = coalesce(label.expr, array().cast(dt))
+    array_distinct(if (stringy) array_remove(nonNull, "") else nonNull)
+  }
+
   /** Execute the query. With `pivotValues` supplied the pivot column set is
     * fixed (no extra distinct-values job — the scale-friendly path).
+    *
+    * A set-valued label as an axis means per-element row multiplication:
+    * the row joins EVERY group named by one of its elements (a document
+    * tagged [news, sports] counts under both), rows with an empty set
+    * contribute to none. Compiled as a Generate (explode) ahead of the
+    * aggregation — one extra narrow column through the shuffle, no
+    * second pass.
     */
   def slice(
       df: DataFrame,
@@ -46,7 +71,16 @@ object Slicer {
       pivotValues: Seq[Any] = Nil,
       withGroupingId: Boolean = false,
   ): DataFrame = {
-    val filtered = filter(df, cube, q)
+    val filtered0 = filter(df, cube, q)
+    // Explode set axes AFTER filtering (set filters test the whole set,
+    // as in the reference) and BEFORE grouping. Multiple set axes
+    // cross-product, the natural per-element semantics.
+    val setAxes = q.axes.filter(a => cube.label(a).isSet)
+    val filtered = setAxes.foldLeft(filtered0) { (acc, a) =>
+      acc.withColumn(a, explode(setElems(acc, cube.label(a))))
+    }
+    def axisCol(a: String): Column =
+      if (setAxes.contains(a)) col(a) else cube.label(a).named
     // Aggregate everything the query keeps in the slice — including
     // values added with visible=false ("accumulated, not shown"), which
     // the CuttingBoard relies on for cache coverage. A query with no
@@ -56,17 +90,19 @@ object Slicer {
 
     val result =
       if (q.pivot.nonEmpty) {
-        val rowCols = q.rowAxes.map(a => cube.label(a).named)
+        val rowCols = q.rowAxes.map(axisCol)
+        def pivotExpr(p: String): Column =
+          if (setAxes.contains(p)) col(p) else cube.label(p).expr
         val pivotCol =
-          if (q.pivot.size == 1) cube.label(q.pivot.head).expr
-          else concat_ws("/", q.pivot.map(p => cube.label(p).expr.cast("string")): _*)
+          if (q.pivot.size == 1) pivotExpr(q.pivot.head)
+          else concat_ws("/", q.pivot.map(p => pivotExpr(p).cast("string")): _*)
         val grouped = filtered.groupBy(rowCols: _*)
         val pivoted =
           if (pivotValues.nonEmpty) grouped.pivot(pivotCol, pivotValues)
           else grouped.pivot(pivotCol)
         pivoted.agg(aggCols.head, aggCols.tail: _*)
       } else {
-        val axisCols = q.axes.map(a => cube.label(a).named)
+        val axisCols = q.axes.map(axisCol)
         val grouped = totals match {
           case NoTotals     => filtered.groupBy(axisCols: _*)
           case RollupTotals => filtered.rollup(axisCols: _*)

@@ -60,6 +60,26 @@ object SqlCompiler {
       * `regexp_split_to_array` (RE2); no spelling is shared.
       */
     def splitRegex(e: String, patternLit: String): Option[String]
+    /** Row-multiplying element stream of a set expression with make_set
+      * semantics (NULL → ∅, '' discarded, duplicates collapsed), for a
+      * set label used as an AXIS. Spark spells it explode() in the select
+      * list, DuckDB unnest(); no spelling is shared — and the portable
+      * dialect has none.
+      */
+    def unnestSet(arr: String): Option[String]
+    /** Quoted identifier. Backtick in Spark's default parser vs `"…"` in
+      * DuckDB/Postgres (where Spark reads a string literal unless
+      * `spark.sql.ansi.doubleQuotedIdentifiers` is on) — so only plain
+      * `[A-Za-z_][A-Za-z0-9_]*` names are portable; anything else (pivot
+      * columns named after data values like `1-URGENT`) needs a concrete
+      * dialect.
+      */
+    def quoteIdent(s: String): String = {
+      require(s.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"identifier '$s' has no portable quoting (backtick vs double-quote) — " +
+          "compile for Dialect.SparkSql / Dialect.DuckDb explicitly")
+      s
+    }
     /** String literal in this dialect. `''` is an escaped quote in every
       * target (verified against Spark 4 and DuckDB — NOT adjacent-literal
       * concatenation), but backslashes split the engines: Spark's default
@@ -82,6 +102,7 @@ object SqlCompiler {
       def regexMatch(e: String, p: String): Option[String] = None
       def listForall(arr: String, pred: String): Option[String] = None
       def splitRegex(e: String, p: String): Option[String] = None
+      def unnestSet(arr: String): Option[String] = None
     }
     case object SparkSql extends Dialect("spark") {
       def regexMatch(e: String, p: String): Option[String] =
@@ -91,8 +112,11 @@ object SqlCompiler {
         Some(s"coalesce(forall($arr, x -> $pred), TRUE)")
       def splitRegex(e: String, p: String): Option[String] =
         Some(s"split($e, $p)")
+      def unnestSet(arr: String): Option[String] =
+        Some(s"explode(array_distinct(array_remove(coalesce($arr, array()), '')))")
       override def stringLit(s: String): String =
         "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+      override def quoteIdent(s: String): String = "`" + s.replace("`", "``") + "`"
     }
     case object DuckDb extends Dialect("duckdb") {
       def regexMatch(e: String, p: String): Option[String] =
@@ -103,7 +127,10 @@ object SqlCompiler {
         Some(s"coalesce(list_aggregate(list_transform($arr, x -> $pred), 'bool_and'), TRUE)")
       def splitRegex(e: String, p: String): Option[String] =
         Some(s"regexp_split_to_array($e, $p)")
+      def unnestSet(arr: String): Option[String] =
+        Some(s"unnest(list_distinct(list_filter(coalesce($arr, []), x -> x <> '')))")
       override def stringLit(s: String): String = "'" + s.replace("'", "''") + "'"
+      override def quoteIdent(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
     }
     /** Postgres `~` is POSIX ERE — classes like \d and lazy quantifiers
       * behave differently from the Java/RE2 patterns graft queries carry,
@@ -114,8 +141,10 @@ object SqlCompiler {
       def regexMatch(e: String, p: String): Option[String] = None
       def listForall(arr: String, pred: String): Option[String] = None
       def splitRegex(e: String, p: String): Option[String] = None
+      def unnestSet(arr: String): Option[String] = None // PG unnest is untested here
       // standard_conforming_strings (on since PG 9.1): backslash literal
       override def stringLit(s: String): String = "'" + s.replace("'", "''") + "'"
+      override def quoteIdent(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
     }
   }
 
@@ -123,38 +152,100 @@ object SqlCompiler {
     * round(_, dp) — floating-point sums differ across engines in the
     * last bits (summation order), so cross-engine comparisons round,
     * same as every float-valued oracle in the gate.
+    *
+    * Pivot queries compile to FILTER-ed aggregates — one
+    * `agg(e) FILTER (WHERE pivotExpr IS NOT DISTINCT FROM value)` column
+    * per (pivot value × measure), both clauses shared by Spark and
+    * DuckDB — and REQUIRE `pivotValues` (the fixed-column scale path;
+    * this compiler never fires a distinct-values job). Column naming
+    * mirrors Slicer/Spark pivot: the value string alone for a single
+    * measure, `value_measure` for several; the names need per-dialect
+    * identifier quoting, so pivots refuse Dialect.Portable.
+    *
+    * A set label as an AXIS (per-element row multiplication — Slicer's
+    * explode) compiles as a row-multiplying subquery:
+    * `FROM (SELECT *, <unnestSet(arr)> AS axis FROM t WHERE …)` with the
+    * outer GROUP BY on the alias. The unnest spelling is per-dialect; at
+    * most ONE set axis compiles (a second would need nested subqueries
+    * with zip-vs-cross-product traps across engines — use Slicer), and
+    * filters stay in the INNER where (they test the whole set, pre-
+    * explosion, exactly like the Catalyst path).
     */
   def compile(cube: CubeDef, q: CubeQuery, table: String,
               roundDp: Map[String, Int] = Map.empty,
-              dialect: Dialect = Dialect.Portable): String = {
-    require(q.pivot.isEmpty, "pivot queries are not SQL-compilable here (use Slicer)")
-    // a set label as an AXIS means per-element row multiplication
-    // (Slicer explodes) — not expressible as a plain GROUP BY
-    q.axes.foreach { a =>
-      require(!cube.label(a).isSet, s"set label '$a' as an axis is not SQL-compilable (Slicer explodes it)")
-    }
-    val axes = q.axes.map(a => s"${labelSql(cube, a, dialect)} AS $a")
-    val aggs = q.values.map { m => s"${measureSql(cube, m, roundDp.get(m), dialect)} AS $m" }
+              dialect: Dialect = Dialect.Portable,
+              pivotValues: Seq[Any] = Nil): String = {
+    val setAxes = q.axes.filter(a => cube.label(a).isSet)
+    require(setAxes.size <= 1,
+      s"${setAxes.size} set axes are not SQL-compilable (nested unnest zips or " +
+        "cross-products depending on the engine — use Slicer)")
+    require(q.pivot.isEmpty || setAxes.isEmpty,
+      "a pivot combined with a set axis is not SQL-compilable (use Slicer)")
+    require(q.pivot.isEmpty || pivotValues.nonEmpty,
+      "pivot compilation needs explicit pivotValues (the fixed-column scale " +
+        "path; this compiler never runs a distinct-values job)")
+
+    def axisSql(a: String): String =
+      if (setAxes.contains(a)) dialect.quoteIdent(a) else labelSql(cube, a, dialect)
+
+    val axes = q.rowAxes.map(a => s"${axisSql(a)} AS $a")
+    val aggs: Seq[String] =
+      if (q.pivot.isEmpty)
+        q.values.map { m => s"${measureSql(cube, m, roundDp.get(m), dialect)} AS $m" }
+      else {
+        val pvSql =
+          if (q.pivot.size == 1) labelSql(cube, q.pivot.head, dialect)
+          else q.pivot.map(p => s"CAST(${labelSql(cube, p, dialect)} AS STRING)")
+            .mkString("concat_ws('/', ", ", ", ")")
+        val measures = if (q.values.nonEmpty) q.values else Vector("count")
+        for (v <- pivotValues; m <- measures) yield {
+          val pred = s"$pvSql IS NOT DISTINCT FROM ${lit(v, dialect)}"
+          val colName =
+            if (measures.size == 1) String.valueOf(v) else s"${String.valueOf(v)}_$m"
+          val agg =
+            if (q.values.isEmpty) // valueless pivot slices count rows (Slicer's default)
+              s"nullif(count(*) FILTER (WHERE $pred), 0)"
+            else measureSql(cube, m, roundDp.get(m), dialect, filterPred = Some(pred))
+          s"$agg AS ${dialect.quoteIdent(colName)}"
+        }
+      }
     require(axes.nonEmpty || aggs.nonEmpty, "empty query")
 
-    val select = (axes ++ aggs).mkString(",\n       ")
     val where = q.filters.map(filterSql(cube, _, dialect)) match {
       case Vector() => ""
       case fs       => "\nWHERE " + fs.mkString("\n  AND ")
     }
+    // With a set axis the filtered scan moves INTO the exploding
+    // subquery; everything else (grouping, ordering, paging) is the
+    // outer query over one-row-per-element.
+    val from = setAxes.headOption match {
+      case None => s"$table$where"
+      case Some(a) =>
+        val arr = exprSql(cube.label(a).expr, dialect)
+        val un = dialect.unnestSet(arr).getOrElse(
+          throw new IllegalArgumentException(
+            s"set axis '$a' needs an unnest spelling; dialect '${dialect.name}' has " +
+              "none (use Dialect.SparkSql / Dialect.DuckDb, or fall back to Catalyst)"))
+        s"(SELECT *, $un AS ${dialect.quoteIdent(a)} FROM $table$where) AS __exploded"
+    }
     val groupBy =
-      if (q.axes.isEmpty) ""
-      else "\nGROUP BY " + q.axes.map(labelSql(cube, _, dialect)).mkString(", ")
+      if (q.rowAxes.isEmpty) ""
+      else "\nGROUP BY " + q.rowAxes.map(axisSql).mkString(", ")
     val orderBy =
       if (q.order.isEmpty) ""
       else "\nORDER BY " + q.order.map { o =>
         // mirror Slicer.finish: asc_nulls_first / desc_nulls_last —
-        // engines disagree on default null placement, so be explicit
-        if (o.ascending) s"${o.name} ASC NULLS FIRST" else s"${o.name} DESC NULLS LAST"
+        // engines disagree on default null placement, so be explicit.
+        // With a pivot key the sort targets that pivoted column
+        // (bacon/cubequery.py:278), whose name needs quoting.
+        val target =
+          if (o.pivotKey.nonEmpty) dialect.quoteIdent(o.pivotKey.mkString("/"))
+          else o.name
+        if (o.ascending) s"$target ASC NULLS FIRST" else s"$target DESC NULLS LAST"
       }.mkString(", ")
     val limit = q.limit.map(n => s"\nLIMIT $n").getOrElse("")
     val offset = q.offset.map(n => s" OFFSET $n").getOrElse("")
-    s"SELECT $select\nFROM $table$where$groupBy$orderBy$limit$offset"
+    s"SELECT ${(axes ++ aggs).mkString(",\n       ")}\nFROM $from$groupBy$orderBy$limit$offset"
   }
 
   /** SQL for a label: the date-trunc hierarchy compiles from its codec
@@ -183,18 +274,31 @@ object SqlCompiler {
     }
   }
 
+  /** `filterPred` attaches `FILTER (WHERE …)` to every aggregate CALL in
+    * the measure (both halves of Avg) — the pivot compilation's
+    * per-column predicate; the clause is in both engines' grammars.
+    *
+    * Filtered counts wrap in nullif(…, 0): Spark's pivot is a two-phase
+    * aggregate (group by (axes, pivotCol), then pivot), so a combination
+    * with NO rows surfaces as NULL, not 0 — and a combination that
+    * exists always counts ≥ 1, so nullif reproduces the representation
+    * exactly. It also turns Avg's empty-combination denominator into
+    * NULL (NULL division agrees across engines; x/0 does not).
+    */
   private def measureSql(cube: CubeDef, name: String, dp: Option[Int],
-                         dialect: Dialect): String = {
+                         dialect: Dialect, filterPred: Option[String] = None): String = {
     val m = cube.measure(name)
     val e = exprSql(m.expr, dialect)
+    def f(call: String) = filterPred.fold(call)(p => s"$call FILTER (WHERE $p)")
+    def cnt(call: String) = filterPred.fold(call)(_ => s"nullif(${f(call)}, 0)")
     val raw = m.agg match {
-      case Agg.Sum           => s"sum($e)"
-      case Agg.Min           => s"min($e)"
-      case Agg.Max           => s"max($e)"
-      case Agg.Count         => "count(*)" // bacon Count counts rows
-      case Agg.CountDistinct => s"count(DISTINCT $e)"
+      case Agg.Sum           => f(s"sum($e)")
+      case Agg.Min           => f(s"min($e)")
+      case Agg.Max           => f(s"max($e)")
+      case Agg.Count         => cnt("count(*)") // bacon Count counts rows
+      case Agg.CountDistinct => cnt(s"count(DISTINCT $e)")
       // bacon Average divides by TOTAL row count, not non-null count
-      case Agg.Avg           => s"(sum($e) / count(*))"
+      case Agg.Avg           => s"(${f(s"sum($e)")} / ${cnt("count(*)")})"
       case other =>
         throw new IllegalArgumentException(s"accumulator $other is not SQL-compilable")
     }

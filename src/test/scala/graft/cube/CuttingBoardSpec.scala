@@ -54,6 +54,26 @@ class CuttingBoardSpec extends SparkSpec {
     assert(got(2020) == 3.0 && got(2021) == 4.0)
   }
 
+  test("a cached slice with a SET axis is never marginalized (would multi-count)") {
+    val df = Seq(("A", "red blue", 1.0), ("A", "red", 2.0), ("B", "blue", 4.0))
+      .toDF("k", "tg", "v")
+    val cube = CubeDef(
+      labels = Seq(Label("k"), Label("tags", split(col("tg"), " "), isSet = true)),
+      measures = Seq(Measure("sum_v", col("v"), Agg.Sum), Measure("n", lit(1), Agg.Count)))
+    val board = new CuttingBoard(df, cube)
+    // fine slice on (k, tags): row 1 exploded under red AND blue
+    board.slice(CubeQuery().addAxis("k").addAxis("tags").addValue("n").addValue("sum_v")).collect()
+    // coarser (k): must NOT be served by summing the exploded slice
+    // (that would count row 1 twice); a base-data recompute is correct
+    val got = board.slice(CubeQuery().addAxis("k").addValue("n").addValue("sum_v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(board.stats == (0L, 2L)) // two misses, no reuse
+    assert(got("A") == (2L, 3.0) && got("B") == (1L, 4.0))
+    // keeping the set axis, the cached slice IS a legitimate exact hit
+    val again = board.slice(CubeQuery().addAxis("k").addAxis("tags").addValue("n").addValue("sum_v"))
+    assert(again.collect().length == 3 && board.stats._1 == 1L)
+  }
+
   test("non-reaggregatable measure (Avg) falls back to the base data") {
     val board = freshBoard()
     board.slice(CubeQuery().addAxis("k").addAxis("s").addValue("avg_v")).collect()

@@ -13,12 +13,15 @@ class SqlCompilerSpec extends SparkSpec {
     ("A", Option.empty[String], "2024-01-20", 2.0, Option("red  green")),
     ("B", Option("x"), "2024-02-03", 4.0, Option.empty[String]),
     ("B", Option("y"), "2024-03-01", 8.0, Option("blue")),
+    // duplicate element: make_set collapses it (one contribution per group)
+    ("C", Option("z"), "2024-04-01", 16.0, Option("red red")),
   ).toDF("k", "s", "d", "v", "tg").withColumn("d", to_date(col("d")))
 
   private val cube = CubeDef(
     labels = Seq(Label("k"), Label("s"),
       Label("v_band", (floor(col("v") / 4) * 4).cast("long")),
-      Label("tags", split(col("tg"), " "), isSet = true)) ++
+      Label("tags", split(col("tg"), " "), isSet = true),
+      Label("tags2", split(col("tg"), " "), isSet = true)) ++
       DateLabels.hierarchy("d", dim = "t"),
     measures = Seq(
       Measure("sum_v", col("v"), Agg.Sum),
@@ -70,12 +73,82 @@ class SqlCompilerSpec extends SparkSpec {
       SqlCompiler.compile(cube,
         CubeQuery().addAxis("k").addValue("n").addFilter("k", "A.*", FilterOp.Match), "t")
     }
-    intercept[IllegalArgumentException] {
+    intercept[IllegalArgumentException] { // pivot without fixed pivotValues
       SqlCompiler.compile(cube,
         CubeQuery().addAxis("k").addAxis("s").setPivot("s").addValue("n"), "t")
     }
     intercept[IllegalArgumentException] { // weekday is a part codec, not a trunc
       SqlCompiler.compile(cube, CubeQuery().addAxis("d_weekday").addValue("n"), "t")
+    }
+  }
+
+  test("pivot compiles to FILTER-ed aggregates matching the Slicer/Spark pivot") {
+    df.createOrReplaceTempView("t")
+    // single measure: columns named by the pivot value alone
+    val q1 = CubeQuery().addAxis("k").addAxis("s").setPivot("s").addValue("sum_v")
+    // two measures: value_measure naming; count must yield the same
+    // missing-combination representation as Spark's pivot
+    val q2 = CubeQuery().addAxis("k").addAxis("s").setPivot("s")
+      .addValue("n").addValue("sum_v")
+    for (q <- Seq(q1, q2); vs = Seq("x", "y")) {
+      val sql = SqlCompiler.compile(cube, q, "t",
+        dialect = SqlCompiler.Dialect.SparkSql, pivotValues = vs)
+      val got = spark.sql(sql)
+      val want = Slicer.slice(df, cube, q, pivotValues = vs)
+      assert(got.columns.toSeq == want.columns.toSeq, "\n" + sql)
+      assert(got.collect().map(_.toSeq).toSet == want.collect().map(_.toSeq).toSet,
+        "\n" + sql)
+    }
+    // non-identifier pivot values quote per-dialect; Portable refuses
+    val qv = CubeQuery().addAxis("k").addAxis("s").setPivot("s").addValue("n")
+    val sparkSql = SqlCompiler.compile(cube, qv, "t",
+      dialect = SqlCompiler.Dialect.SparkSql, pivotValues = Seq("1-a"))
+    assert(sparkSql.contains("AS `1-a`"), "\n" + sparkSql)
+    val duck = SqlCompiler.compile(cube, qv, "t",
+      dialect = SqlCompiler.Dialect.DuckDb, pivotValues = Seq("1-a"))
+    assert(duck.contains("AS \"1-a\""), "\n" + duck)
+    intercept[IllegalArgumentException] {
+      SqlCompiler.compile(cube, qv, "t", pivotValues = Seq("1-a")) // portable quoting
+    }
+  }
+
+  test("set axis compiles to a row-multiplying unnest subquery = Slicer explode") {
+    df.createOrReplaceTempView("t")
+    // covers: NULL array → no contribution, '' element discarded,
+    // duplicate element collapsed, plain axis alongside, whole-set filter
+    val shapes = Seq(
+      CubeQuery().addAxis("tags").addValue("n").addValue("sum_v"),
+      CubeQuery().addAxis("k").addAxis("tags").addValue("n"),
+      CubeQuery().addAxis("tags").addValue("n")
+        .addFilter("tags", Seq("red", "blue"), FilterOp.HasAny),
+    )
+    shapes.foreach { q =>
+      val sql = SqlCompiler.compile(cube, q, "t", dialect = SqlCompiler.Dialect.SparkSql)
+      assert(spark.sql(sql).collect().map(_.toSeq).toSet == viaSlicer(q), "\n" + sql)
+    }
+    // the Slicer side of the same contract, asserted absolutely: per-element
+    // multiplication with make_set edges applied
+    val counts = Slicer.slice(df, cube, CubeQuery().addAxis("tags").addValue("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("red" -> 3, "blue" -> 2, "green" -> 1))
+    // renderings: explode vs unnest; two set axes and pivot+set refuse
+    val one = CubeQuery().addAxis("tags").addValue("n")
+    assert(SqlCompiler.compile(cube, one, "t", dialect = SqlCompiler.Dialect.SparkSql)
+      .contains("explode(array_distinct(array_remove("))
+    assert(SqlCompiler.compile(cube, one, "t", dialect = SqlCompiler.Dialect.DuckDb)
+      .contains("unnest(list_distinct(list_filter("))
+    intercept[IllegalArgumentException] { // portable has no unnest spelling
+      SqlCompiler.compile(cube, one, "t")
+    }
+    intercept[IllegalArgumentException] {
+      SqlCompiler.compile(cube,
+        CubeQuery().addAxis("tags").addAxis("tags2").addValue("n"),
+        "t", dialect = SqlCompiler.Dialect.SparkSql)
+    }
+    intercept[IllegalArgumentException] {
+      SqlCompiler.compile(cube,
+        CubeQuery().addAxis("tags").addAxis("k").setPivot("k").addValue("n"),
+        "t", dialect = SqlCompiler.Dialect.SparkSql, pivotValues = Seq("A"))
     }
   }
 
@@ -174,12 +247,6 @@ class SqlCompilerSpec extends SparkSpec {
     // no spelling in the portable intersection -> throw, Catalyst fallback
     intercept[IllegalArgumentException] {
       SqlCompiler.compile(cube, member, "t", dialect = SqlCompiler.Dialect.Portable)
-    }
-    // a set label as an axis is never SQL-compilable (Slicer explodes it)
-    intercept[IllegalArgumentException] {
-      SqlCompiler.compile(cube,
-        CubeQuery().addAxis("tags").addValue("n"), "t",
-        dialect = SqlCompiler.Dialect.SparkSql)
     }
     // NULL elements in the filter set refuse rather than approximate
     intercept[IllegalArgumentException] {
