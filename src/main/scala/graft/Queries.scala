@@ -797,6 +797,40 @@ object Queries {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // §2.38b: PERSISTENT incremental MinHash index — the even-id half of
+    // the corpus is indexed (build + parquet write + load), then the
+    // odd-id half arrives as an ingest batch and is LSH-deduped AGAINST
+    // THE STORE. Same oracle trick as d03: at these parameters LSH
+    // recall is 1.0 on the gate corpus (spec-locked), so the exact
+    // cross-half Jaccard pairs ARE the expected result; the index's
+    // hashed-shingle Jaccard equals string Jaccard short of an xxhash64
+    // collision inside one pair's union.
+    "d20_minhash_index" -> oq(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 1)),
+        |      i -> array_to_string(list_slice(tk, i, i+2), ' '))) AS sset
+        |  FROM toks
+        |), ex AS (
+        |  SELECT doc_id, len(sset) AS sz, unnest(sset) AS s FROM sh
+        |)
+        |SELECT b.doc_id AS id, a.doc_id AS dup_of,
+        |  round(CAST(count(*) AS DOUBLE)/(a.sz + b.sz - count(*)), 6) AS jaccard
+        |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |HAVING CAST(count(*) AS DOUBLE)/(a.sz + b.sz - count(*)) >= 0.5""") { (s, dir) =>
+      val d = docs(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mhidx-gate").toString
+      val idx = graft.dedup.MinHashIndex.create(s, tmp,
+        d.where(col("doc_id") % 2 === 0), "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8)
+      idx.pairsAgainst(d.where(col("doc_id") % 2 === 1), "doc_id", "text", threshold = 0.5)
+    },
+
     "d08_langid" -> oq(
       """WITH t AS (
         |  SELECT list_distinct(list_filter(

@@ -1,0 +1,171 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions.shingleSet
+
+/** Persistent, INCREMENTAL MinHash/LSH dedup index — the "dedup a new
+  * batch against an existing 100 TB corpus" contract every continuously
+  * ingesting training-data pipeline needs. `Dedup.minhashLshPairs` is the
+  * one-shot whole-corpus operator; this is its build-once/serve-many
+  * twin, the same split `IvfIndex` gives ANN search
+  * (sim/IvfIndex.scala):
+  *
+  *  - `create` scans the corpus once per stored table and writes two
+  *    parquet tables under `dir`: `bands` (id, bkey — the 8-byte LSH
+  *    band-bucket key) BUCKETED by bkey, and `shingles` (id, sh —
+  *    xxhash64'd word-shingle set as array<bigint>) BUCKETED by id.
+  *  - `load` re-opens them in ANY later session (catalog re-registration
+  *    + bucket-count validation is `Sources.loadBucketed`).
+  *  - `pairsAgainst` LSH-joins a NEW batch against the stored bands —
+  *    the batch side (small, by definition of incremental ingest) is
+  *    shuffled to the store's bucketing, the store side needs NO
+  *    exchange — then verifies candidates with exact Jaccard over the
+  *    hashed shingle sets.
+  *  - `filterNovel` returns the batch rows that survive; `add` appends
+  *    the batch's bands + shingles through the catalog tables (inserts
+  *    into a bucketed table keep its layout), so ingest step N+1 dedups
+  *    against everything steps 1..N kept.
+  *
+  * The stored shingles are 8-byte hashes, not strings — at corpus scale
+  * the shingle store is the big artifact and hashing cuts it ~5-10× while
+  * leaving Jaccard identical short of an xxhash64 collision inside one
+  * document pair's union (~10⁻¹⁵ per pair). Band keys fold the band index
+  * into the hash (`xxhash64(band, bandHash)`) so the bands table carries
+  * ONE join column instead of two.
+  *
+  * Reference analogue: bacon has no dedup at all (SURVEY §2.36-38 derive
+  * from published training-data pipelines); the persistence contract
+  * mirrors its cutting-board warehouse (bacon/cutting.py:205) the same
+  * way IvfIndex does.
+  */
+final class MinHashIndex private (
+    val spark: SparkSession, val dir: String,
+    val k: Int, val numHashes: Int, val bands: Int,
+    val bandsTable: DataFrame, val shinglesTable: DataFrame) {
+
+  import MinHashIndex._
+
+  /** LSH candidate pairs (batch × store) verified by exact Jaccard over
+    * the hashed shingle sets: (id — batch, dup_of — stored, jaccard ≥
+    * threshold). A batch doc colliding with several stored docs yields
+    * several rows; `filterNovel` only needs existence.
+    */
+  def pairsAgainst(batch: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.5): DataFrame = {
+    val withSig = prepare(batch, idCol, textCol, k, numHashes)
+    val banded = bandKeys(withSig, numHashes, bands)
+    val cands = banded.as("n")
+      .join(bandsTable.as("s"), col("n.bkey") === col("s.bkey"))
+      .select(col("n.id").as("id"), col("s.id").as("dup_of"))
+      .dropDuplicates("id", "dup_of")
+    val batchSh = withSig.select(col("id"), col("sh"))
+    cands.as("c")
+      .join(batchSh.as("x"), col("c.id") === col("x.id"))
+      .join(shinglesTable.as("y"), col("c.dup_of") === col("y.id"))
+      .select(col("c.id").as("id"), col("c.dup_of").as("dup_of"),
+        (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double")).as("inter"),
+        size(col("x.sh")).as("n1"), size(col("y.sh")).as("n2"))
+      .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id"), col("dup_of"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Batch rows that are NOT near-dups of anything already indexed, all
+    * columns intact. Within-batch duplicates are intentionally NOT
+    * handled here — run `Dedup.minhashLshPairs` on the batch first (the
+    * two concerns compose; a typical ingest does batch-self-dedup, then
+    * filterNovel, then add).
+    */
+  def filterNovel(batch: DataFrame, idCol: String, textCol: String,
+                  threshold: Double = 0.5): DataFrame = {
+    val dups = pairsAgainst(batch, idCol, textCol, threshold)
+      .select(col("id").as("__dup_id")).distinct()
+    batch.join(dups, batch(idCol) === col("__dup_id"), "left_anti")
+  }
+
+  /** Append a batch to the store through the catalog tables — inserts
+    * into a bucketed table are laid out per its bucket spec, so the
+    * exchange-free search property survives every increment. Callers
+    * add AFTER filterNovel (add what was kept), or add everything and
+    * treat the index as a full-corpus candidate set.
+    */
+  def add(batch: DataFrame, idCol: String, textCol: String): Unit = {
+    val withSig = prepare(batch, idCol, textCol, k, numHashes)
+    bandKeys(withSig, numHashes, bands)
+      .write.mode("append").insertInto(tableName(dir, "bands"))
+    withSig.select(col("id"), col("sh"))
+      .write.mode("append").insertInto(tableName(dir, "shingles"))
+  }
+}
+
+object MinHashIndex {
+
+  val DefaultBuckets = 16
+
+  /** One projection per indexed doc: id, hashed shingle set, MinHash
+    * signature (from the STRING shingles — same seeds/hash as
+    * `Dedup.minhashLshPairs`, so index pairs equal one-shot pairs).
+    */
+  private def prepare(df: DataFrame, idCol: String, textCol: String,
+                      k: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol).as("id"), shingleSet(col(textCol), k).as("shingles"))
+      .withColumn("sig", Dedup.minhashSignature(col("shingles"), numHashes))
+      .withColumn("sh", array_sort(transform(col("shingles"), s => xxhash64(s))))
+      .select(col("id"), col("sh"), col("sig"))
+
+  /** (id, bkey) per band: bkey = xxhash64(band, xxhash64(band slice)) —
+    * the single 8-byte LSH join key.
+    */
+  private def bandKeys(withSig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    withSig.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))))))
+        .as("bkey"))
+  }
+
+  /** Deterministic catalog names from the index location, like
+    * IvfIndex.postingsTable — any session over the same dir resolves the
+    * same tables.
+    */
+  private def tableName(dir: String, which: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(dir.getBytes("UTF-8"))
+    s"graft_mh_${which}_" + d.take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Build the store from a corpus and open it. The corpus is scanned
+    * once per stored table (twice total — build is a once-per-corpus
+    * cost; searches and increments never rescan it).
+    */
+  def create(spark: SparkSession, dir: String, corpus: DataFrame,
+             idCol: String, textCol: String,
+             k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+             buckets: Int = DefaultBuckets): MinHashIndex = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val withSig = prepare(corpus, idCol, textCol, k, numHashes)
+    graft.sources.Sources.writeBucketed(
+      bandKeys(withSig, numHashes, bands), "bkey", buckets,
+      tableName(dir, "bands"), s"$dir/bands")
+    graft.sources.Sources.writeBucketed(
+      withSig.select(col("id"), col("sh")), "id", buckets,
+      tableName(dir, "shingles"), s"$dir/shingles")
+    import spark.implicits._
+    Seq((k, numHashes, bands)).toDF("k", "numHashes", "bands").coalesce(1)
+      .write.mode("overwrite").json(s"$dir/meta")
+    load(spark, dir)
+  }
+
+  /** Open a written index in this (or any later) session. Catalog
+    * re-registration + stale-bucketing validation is Sources.loadBucketed
+    * (manifest is the source of truth).
+    */
+  def load(spark: SparkSession, dir: String): MinHashIndex = {
+    val meta = spark.read.json(s"$dir/meta").head()
+    val bandsDf = graft.sources.Sources.loadBucketed(spark, tableName(dir, "bands"), s"$dir/bands")
+    val shDf = graft.sources.Sources.loadBucketed(spark, tableName(dir, "shingles"), s"$dir/shingles")
+    new MinHashIndex(spark, dir,
+      meta.getAs[Long]("k").toInt, meta.getAs[Long]("numHashes").toInt,
+      meta.getAs[Long]("bands").toInt, bandsDf, shDf)
+  }
+}
