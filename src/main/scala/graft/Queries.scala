@@ -1220,6 +1220,39 @@ object Queries {
         .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("sum_tokens"))
     },
 
+    // §2.57: C4-style URL/domain blocklist filter. URLs are synthesized
+    // deterministically from (source, doc_id) — half the docs behind a
+    // cdn. subdomain — so the gate exercises BOTH exact-host and
+    // suffix-chain blocking (a list entry blocks its subdomains); the
+    // oracle replays the same host-extraction regex in DuckDB (RE2 ∩
+    // Java dialect) and spells the suffix rule as LIKE patterns.
+    "t06_url_filter" -> oq(
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    'https://' || CASE WHEN doc_id % 2 = 0 THEN 'cdn.' ELSE '' END
+        |      || source || '.example.com/docs/' || doc_id AS url
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, source,
+        |    lower(regexp_extract(
+        |      regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+        |      '^(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS domain
+        |  FROM u
+        |)
+        |SELECT doc_id, source, domain FROM h
+        |WHERE NOT (domain = 'src3.example.com' OR domain LIKE '%.src3.example.com'
+        |        OR domain = 'src7.example.com' OR domain LIKE '%.src7.example.com')""") { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir).withColumn("url",
+        concat(lit("https://"),
+          when(col("doc_id") % 2 === 0, lit("cdn.")).otherwise(lit("")),
+          col("source"), lit(".example.com/docs/"), col("doc_id").cast("string")))
+      val bl = Seq("src3.example.com", "src7.example.com").toDF("domain")
+      graft.text.CorpusOps.filterByDomainBlocklist(d, "doc_id", "url", bl)
+        .select(col("doc_id"), col("source"),
+          graft.text.CorpusOps.urlHost(col("url")).as("domain"))
+    },
+
     // §2.51: PII redaction — emails/IPv4/long digit runs replaced as a
     // pure column expression over the RE2∩Java regex intersection. The
     // corpus itself has no digits, so BOTH sides append deterministic
@@ -1391,6 +1424,41 @@ object Queries {
         .agg(expr("approx_percentile(value, 0.5, 10000)").as("p50_approx"),
           expr("approx_percentile(value, 0.95, 10000)").as("p95_approx"),
           count(lit(1)).as("n"))
+    },
+
+    // §2.55: fixed-width histogram (width_bucket semantics: bucket 0
+    // underflow, 1..n interior over [lo, hi), n+1 overflow; empty buckets
+    // present with 0). One scan + ≤ n+2 groups; the bucket spine is a
+    // broadcast-sized range.
+    "q37_histogram" -> oq(
+      """WITH b AS (
+        |  SELECT CASE WHEN o_totalprice < 0 THEN 0
+        |              WHEN o_totalprice >= 400000 THEN 11
+        |              ELSE CAST(floor(o_totalprice / 40000e0) AS BIGINT) + 1 END AS bucket
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |), c AS (SELECT bucket, count(*) AS n_rows FROM b GROUP BY bucket)
+        |SELECT r.bucket,
+        |  CASE WHEN r.bucket BETWEEN 1 AND 10 THEN round((r.bucket-1)*40000e0, 6) END AS lo_edge,
+        |  CASE WHEN r.bucket BETWEEN 1 AND 10 THEN round(r.bucket*40000e0, 6) END AS hi_edge,
+        |  coalesce(c.n_rows, 0) AS n_rows
+        |FROM (SELECT unnest(range(0, 12)) AS bucket) r LEFT JOIN c USING (bucket)""") { (s, dir) =>
+      graft.ops.Profile.histogram(ord(s, dir), "o_totalprice", lo = 0.0, hi = 400000.0, n = 10)
+    },
+
+    // §2.56: per-column numeric profile — one aggregation pass for every
+    // column, stack-unpivoted over the single aggregate row.
+    "q38_profile" -> oq(
+      Seq("o_totalprice", "o_custkey", "o_orderkey").map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |count(*) - count($c) AS n_null,
+           |count(DISTINCT CAST($c AS DOUBLE)) AS n_distinct,
+           |min(CAST($c AS DOUBLE)) AS min, max(CAST($c AS DOUBLE)) AS max,
+           |round(avg(CAST($c AS DOUBLE)), 6) AS mean,
+           |round(stddev_samp(CAST($c AS DOUBLE)), 6) AS std
+           |FROM orders""".stripMargin
+      }.mkString("\n", "\nUNION ALL\n", "")) { (s, dir) =>
+      graft.ops.Profile.summary(ord(s, dir),
+        Seq("o_totalprice", "o_custkey", "o_orderkey"))
     },
 
     // §2: running totals over the month series (window over ordered axis)

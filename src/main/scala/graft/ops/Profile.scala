@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-profiling operators — the quick-look statistics a pipeline runs
+  * over a new 100 TB drop before anything else touches it. The reference
+  * has no profiling surface (its cubes ARE the profiling tool); these are
+  * the two shapes its users build by hand with cube queries, packaged as
+  * single-pass operators.
+  *
+  * Scale shape: both are one scan + one tiny aggregation. `histogram`
+  * groups on a computed bucket id (map-side partial aggregation, ≤ n+2
+  * groups); `summary` folds every column's statistics into ONE aggregate
+  * row and unpivots it driver-side-free (the unpivot is over the
+  * single-row result, not the data).
+  */
+object Profile {
+
+  /** Fixed-width histogram with width_bucket semantics: bucket 0 is
+    * underflow (x < lo), buckets 1..n cover [lo, hi) evenly, bucket n+1
+    * is overflow (x ≥ hi); NULLs are dropped. Every bucket appears in
+    * the output, zero-count included (the spine is a broadcast-sized
+    * range join) — a plot with silently missing empty buckets misleads.
+    * lo_edge/hi_edge are the interior bucket bounds, NULL for the two
+    * open-ended buckets.
+    */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double, n: Int): DataFrame = {
+    require(n > 0, s"need at least one bucket, got $n")
+    require(hi > lo, s"empty range [$lo, $hi)")
+    val w = (hi - lo) / n
+    val x = col(c).cast("double")
+    val bucket = when(x < lo, lit(0L)).when(x >= hi, lit(n + 1L))
+      .otherwise((floor((x - lo) / w) + 1).cast("long"))
+    val counts = df.where(x.isNotNull)
+      .select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+    val spine = df.sparkSession.range(0, n + 2).select(col("id").as("bucket"))
+    val interior = col("bucket") >= 1 && col("bucket") <= n
+    spine.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        when(interior, round(lit(lo) + (col("bucket") - 1) * w, 6)).as("lo_edge"),
+        when(interior, round(lit(lo) + col("bucket") * w, 6)).as("hi_edge"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+  }
+
+  /** Per-column numeric summary: total rows, nulls, distincts, min/max,
+    * mean and sample stddev (of the non-null values — standard avg, NOT
+    * bacon's divide-by-total Average; profiling wants the conventional
+    * moments). One aggregation pass over the data regardless of how many
+    * columns are profiled; the per-column unpivot runs over that single
+    * aggregate row.
+    */
+  def summary(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns to profile")
+    val aggs = cols.flatMap { c =>
+      val x = col(c).cast("double")
+      Seq(
+        count(lit(1)).as(s"${c}__total"),
+        (count(lit(1)) - count(x)).as(s"${c}__nulls"),
+        count_distinct(x).as(s"${c}__distinct"),
+        min(x).as(s"${c}__min"), max(x).as(s"${c}__max"),
+        round(avg(x), 6).as(s"${c}__mean"),
+        round(stddev_samp(x), 6).as(s"${c}__std"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // stack-unpivot the single aggregate row — ONE instance of the scan
+    // subtree in the plan (a union of per-column selects would repeat it)
+    val fields = Seq("total", "nulls", "distinct", "min", "max", "mean", "std")
+    val stackArgs = cols.map { c =>
+      (s"'${c.replace("'", "\\'")}'" +: fields.map(f => s"`${c}__$f`")).mkString(", ")
+    }.mkString(", ")
+    one.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+      "(column, n_rows, n_null, n_distinct, min, max, mean, std)")
+  }
+}

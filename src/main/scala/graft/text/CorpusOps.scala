@@ -144,4 +144,58 @@ object CorpusOps {
         regexp_replace(c, EmailRe, "[EMAIL]"),
         Ipv4Re, "[IP]"),
       LongNumRe, "[NUM]")
+
+  /** Lowercased host of a URL — scheme and userinfo stripped, cut at the
+    * first of `/ : ? #` (port/path/query/fragment). Scheme-less inputs
+    * ("example.com/page") resolve to their leading host. Pure codegen'd
+    * regexp_extract; NULL/hostless input yields NULL, not ''.
+    */
+  def urlHost(url: Column): Column = {
+    // Scheme is stripped FIRST (a single optional-scheme regex would
+    // backtrack on "https://" and report the scheme as the host); then
+    // userinfo allows ':' (user:pw@host) and the host capture stops at
+    // the first of / : ? # — ':' excluded there cuts the port off
+    val h = lower(regexp_extract(
+      regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+      "^(?:[^/@?#]*@)?([^/:?#]+)", 1))
+    when(h === "", lit(null)).otherwise(h)
+  }
+
+  /** Every ≥2-label suffix of a host, the host itself included:
+    * a.b.example.com → [a.b.example.com, b.example.com, example.com].
+    * This is the standard blocklist-matching chain (a list entry for
+    * example.com must block its subdomains); single-label hosts
+    * ("localhost") yield just themselves.
+    */
+  def hostSuffixes(host: Column): Column = {
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    when(n >= 2,
+      transform(sequence(lit(1), n - 1),
+        i => concat_ws(".", slice(parts, i, n - i + 1))))
+      .otherwise(array(host))
+  }
+
+  /** C4-style URL blocklist filter: drop every row whose URL host — or
+    * any registrable suffix of it — appears in `blocklist` (a frame with
+    * a `domain` column). Rows with un-parseable URLs are KEPT (absence
+    * of a host is not evidence of badness; drop them with a separate
+    * quality rule if wanted).
+    *
+    * Scale shape: real blocklists are 10⁵-10⁶ domains — too big to
+    * inline in an expression, small enough to broadcast; the suffix
+    * chain explodes to ~host-depth short rows per document and
+    * semi-joins against the list, so the corpus is touched once and
+    * only (id, suffix) pairs move. Returns surviving rows, all columns
+    * intact.
+    */
+  def filterByDomainBlocklist(df: DataFrame, idCol: String, urlCol: String,
+                              blocklist: DataFrame): DataFrame = {
+    val blocked = df
+      .select(col(idCol).as("__bl_id"), explode(hostSuffixes(urlHost(col(urlCol)))).as("__sfx"))
+      .join(broadcast(blocklist.select(lower(col("domain")).as("__dom")).distinct()),
+        col("__sfx") === col("__dom"), "left_semi")
+      .select(col("__bl_id")).distinct()
+    df.join(blocked, df(idCol) === col("__bl_id"), "left_anti")
+  }
 }

@@ -109,4 +109,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(3) == "plain text with no pii at all")
     assert(got(4) == "combo [EMAIL] from [IP] ref [NUM]")
   }
+
+  test("urlHost: scheme/userinfo/port/path stripped, scheme-less ok, junk is NULL") {
+    val got = Seq(
+      "https://Sub.Example.COM/path?q=1",
+      "http://user:pw@example.com:8080/x#f",
+      "example.com/page",
+      "ftp+ssh://a.b.c/",
+      "https://",
+      null,
+    ).toDF("u").select(CorpusOps.urlHost(col("u")).as("h"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(got == Seq(Some("sub.example.com"), Some("example.com"),
+      Some("example.com"), Some("a.b.c"), None, None))
+  }
+
+  test("hostSuffixes: every ≥2-label suffix, single-label host is itself") {
+    val got = Seq("a.b.example.com", "example.com", "localhost")
+      .toDF("h").select(CorpusOps.hostSuffixes(col("h")).as("s"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(got(0) == Seq("a.b.example.com", "b.example.com", "example.com"))
+    assert(got(1) == Seq("example.com"))
+    assert(got(2) == Seq("localhost"))
+  }
+
+  test("domain blocklist: exact + subdomain blocking, unparseable URLs kept") {
+    val df = Seq(
+      (1L, "https://bad.test/x"),          // exact block
+      (2L, "https://cdn.bad.test/y"),      // subdomain of a blocked domain
+      (3L, "https://good.test/z"),         // survives
+      (4L, "https://notbad.test/w"),       // NOT a dot-suffix match
+      (5L, "%%%"),                         // unparseable → kept
+    ).toDF("id", "url")
+    val bl = Seq("bad.test").toDF("domain")
+    val kept = CorpusOps.filterByDomainBlocklist(df, "id", "url", bl)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 5L))
+  }
 }
