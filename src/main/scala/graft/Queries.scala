@@ -656,6 +656,39 @@ object Queries {
         .select(col("doc_id"), col("source"))
     },
 
+    // §2.54b: the SAME decontamination through the bloom-pruned shape for
+    // non-broadcastable eval sets (Sketch.bloomAgg blob + mightContain
+    // map-side pre-filter ahead of the exact shingle join). The oracle is
+    // d17's — the bloom is a pure pre-filter, so the result set is
+    // bit-identical or the operator is wrong.
+    "d21_decontaminate_bloom" -> oq(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 1)),
+        |      i -> array_to_string(list_slice(tk, i, i+2), ' '))) AS sset
+        |  FROM toks
+        |), ex AS (
+        |  SELECT doc_id, unnest(sset) AS s FROM sh
+        |), ev AS (
+        |  SELECT DISTINCT s FROM ex WHERE doc_id % 50 = 0
+        |), hits AS (
+        |  SELECT e.doc_id, count(DISTINCT e.s) AS c FROM ex e JOIN ev USING (s)
+        |  WHERE e.doc_id % 50 <> 0 GROUP BY e.doc_id
+        |)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id % 50 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM hits WHERE c >= 4)""") { (s, dir) =>
+      val d = docs(s, dir)
+      graft.dedup.Dedup.decontaminateAtScale(
+        d.where(col("doc_id") % 50 =!= 0), d.where(col("doc_id") % 50 === 0),
+        "doc_id", "text", k = 3, minShingles = 4)
+        .select(col("doc_id"), col("source"))
+    },
+
     // §2.40: embedding cosine near-dup pairs. numTables=0 = exact
     // all-pairs mode so the oracle validates values, and θ=0.45 sits
     // inside the synthetic embeddings' cosine range (max ≈ 0.51 at

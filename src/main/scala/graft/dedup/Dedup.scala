@@ -302,6 +302,47 @@ object Dedup {
       col(idCol) === col("__contaminated_id"), "left_anti")
   }
 
+  /** `decontaminate` for an eval side too big to broadcast as keys
+    * (a merged benchmark suite, a whole held-out corpus): identical
+    * semantics and EXACTLY identical results, different join shape.
+    *
+    * The eval shingle hashes are folded into ONE bloom blob
+    * (Sketch.bloomAgg — ~1.2 MB per 10⁶ distinct shingles at 1% fpp, an
+    * order of magnitude smaller than the keys themselves), collected
+    * once, and inlined as a literal predicate over the exploded training
+    * shingles. The pre-filter runs map-side BEFORE the shuffle, so the
+    * exact shingle join that follows — which alone decides the result;
+    * the bloom can only pass extra rows for the join to drop — moves
+    * only true matches plus an fpp-sized trickle, instead of every
+    * shingle of a 100 TB corpus. fpp trades blob size against wasted
+    * shuffle rows, never correctness.
+    */
+  def decontaminateAtScale(train: DataFrame, evalSet: DataFrame,
+                           idCol: String, textCol: String,
+                           k: Int = 3, minShingles: Int = 4,
+                           fpp: Double = 0.01): DataFrame = {
+    require(minShingles >= 1, s"minShingles must be >= 1, got $minShingles")
+    val evalSh = evalSet
+      .select(explode(shingleSet(col(textCol), k)).as("sh0"))
+      .select(xxhash64(col("sh0")).as("ev_sh")).distinct()
+    // size the bloom from the actual distinct-shingle count — one small
+    // aggregation over the eval side (the cheap side by premise)
+    val n = math.max(evalSh.count(), 1L)
+    val blob = evalSh.agg(graft.functions.Sketch.bloomAgg(col("ev_sh"), n, fpp))
+      .head().getAs[Array[Byte]](0)
+    val trainSh = train
+      .select(col(idCol).as("__id"), explode(shingleSet(col(textCol), k)).as("sh0"))
+      .select(col("__id"), xxhash64(col("sh0")).as("sh"))
+      .where(graft.functions.Sketch.mightContain(blob, col("sh")))
+    val contaminated = trainSh
+      .join(evalSh, col("sh") === col("ev_sh")) // exact; no broadcast hint — AQE decides
+      .groupBy("__id").agg(countDistinct(col("sh")).as("__hits"))
+      .where(col("__hits") >= minShingles)
+      .select(col("__id").as("__contaminated_id"))
+    train.join(contaminated,
+      col(idCol) === col("__contaminated_id"), "left_anti")
+  }
+
   /** Position-stamped hashes of every k-token window of every document —
     * the inverted index under SUBSTRING-level dedup (published
     * training-data pipelines remove any long token span appearing more

@@ -56,6 +56,25 @@ class DedupSpec extends SparkSpec {
     assert(all == Set(2L, 3L, 4L, 5L))
   }
 
+  test("bloom-pruned decontamination: identical results, probe in the plan") {
+    val evalSet = docs.where(col("doc_id") === 1L)
+    val train = docs.where(col("doc_id") =!= 1L)
+    for (min <- Seq(1, 4, 100000)) {
+      val exact = Dedup.decontaminate(train, evalSet, "doc_id", "text",
+        k = 3, minShingles = min).collect().map(_.getLong(0)).toSet
+      val bloom = Dedup.decontaminateAtScale(train, evalSet, "doc_id", "text",
+        k = 3, minShingles = min)
+      assert(bloom.collect().map(_.getLong(0)).toSet == exact, s"minShingles=$min")
+      // the map-side pre-filter is really there (no silent fallback)
+      assert(bloom.queryExecution.executedPlan.toString.contains("might_contain"),
+        bloom.queryExecution.executedPlan.toString)
+    }
+    // a tighter fpp changes nothing but the blob size — never the result
+    val tight = Dedup.decontaminateAtScale(train, evalSet, "doc_id", "text",
+      k = 3, minShingles = 4, fpp = 1e-6).collect().map(_.getLong(0)).toSet
+    assert(tight == Set(4L, 5L))
+  }
+
   test("minhash LSH recovers the exact-jaccard pairs on this corpus") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
