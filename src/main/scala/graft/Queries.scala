@@ -1478,6 +1478,33 @@ object Queries {
       graft.ops.Profile.histogram(ord(s, dir), "o_totalprice", lo = 0.0, hi = 400000.0, n = 10)
     },
 
+    // §2.58: backward as-of join — each click matched to the user's
+    // latest purchase at-or-before it. Oracle is DuckDB's NATIVE ASOF
+    // LEFT JOIN; the Spark side is the union-window form (one shuffle on
+    // the key, no join node, nothing quadratic). The right side is
+    // pre-deduped per (user, ts) so equal-ts ties cannot differ between
+    // engines.
+    "q39_asof_join" -> oq(
+      """WITH r AS (
+        |  SELECT user_id, ts, max(value) AS pvalue
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |), l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        |)
+        |SELECT l.event_id, l.user_id, l.ts,
+        |  r.ts AS asof_ts, round(r.pvalue, 2) AS asof_pvalue
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""") { (s, dir) =>
+      val e = ev(s, dir)
+      val l = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val r = e.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("pvalue"))
+        .select(col("user_id"), col("ts").as("pts"), col("pvalue"))
+      graft.ops.Relational.asOfJoin(l, r, Seq("user_id"), "ts", "pts", Seq("pvalue"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_pts").as("asof_ts"), round(col("asof_pvalue"), 2).as("asof_pvalue"))
+    },
+
     // §2.56: per-column numeric profile — one aggregation pass for every
     // column, stack-unpivoted over the single aggregate row.
     "q38_profile" -> oq(

@@ -40,4 +40,60 @@ object Relational {
 
   /** HAVING — filter on an aggregated measure after a slice. */
   def having(slice: DataFrame, predicate: Column): DataFrame = slice.where(predicate)
+
+  /** Backward as-of join: for every left row, the single right row with
+    * the greatest `rightTs` ≤ `leftTs` within the same `keys` (the
+    * time-series point-in-time lookup — trades/quotes, event/last-state).
+    * Left rows with no prior right row keep NULL payload (left-join
+    * semantics); `tolerance` (an interval Column, e.g.
+    * `expr("INTERVAL 1 HOUR")`) additionally nulls matches older than
+    * `leftTs - tolerance`.
+    *
+    * Plan shape — the scale-safe union-window form, NOT a range join:
+    * both sides union into one stream tagged left/right, ONE shuffle on
+    * `keys`, and a running `last(payload, ignoreNulls)` ordered by
+    * (ts, side) picks each left row's latest predecessor in-partition
+    * (sort spills; nothing explodes). A naive `l JOIN r ON keys AND
+    * r.ts <= l.ts` + max() builds O(|l|·|r|) intermediate pairs per key
+    * and dies at scale. Right rows sort BEFORE left rows at equal ts, so
+    * the match is inclusive, like DuckDB/pandas ASOF defaults; equal-ts
+    * right duplicates resolve deterministically to the greatest payload
+    * struct (dedup the right side first if that tiebreak is not the
+    * intended one).
+    *
+    * Reference analogue: none — bacon has no temporal join; included as
+    * part of the standard analytics surface (SURVEY §2.58).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, payload: Seq[String],
+               prefix: String = "asof_",
+               tolerance: Option[Column] = None): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key column")
+    require(payload.nonEmpty, "no payload columns requested from the right side")
+    val payCols = (rightTs +: payload).distinct
+    // carry the whole left row / right payload as one struct each, so the
+    // union schema is fixed and nothing needs renaming
+    val lrow = struct(left.columns.map(col): _*)
+    val lrowType = left.select(lrow).schema.head.dataType
+    val payStruct = struct(payCols.map(col): _*)
+    val payType = right.select(payStruct).schema.head.dataType
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+        payStruct.as("__rpay"), lit(null).cast(lrowType).as("__lrow")): _*)
+    val lTagged = left.select(
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
+        lit(null).cast(payType).as("__rpay"), lrow.as("__lrow")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__rpay").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = rTagged.unionByName(lTagged)
+      .withColumn("__m", last(col("__rpay"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+    val inTol = tolerance.fold(lit(true))(t =>
+      col("__m").getField(rightTs) >= col("__ts") - t)
+    val m = when(col("__m").isNotNull && inTol, col("__m"))
+    matched.select(
+      left.columns.map(c => col(s"__lrow.$c").as(c)) ++
+        payCols.map(p => m.getField(p).as(s"$prefix$p")): _*)
+  }
 }

@@ -44,4 +44,35 @@ class RelationalSpec extends SparkSpec {
       assert(!allPlan.contains("SortMergeJoin") && !allPlan.contains("ShuffledHashJoin"), allPlan)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("asOfJoin: latest right row at-or-before each left row, per key") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 10L, "d"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 10L, 1.0), (1L, 15L, 2.0), (2L, 30L, 3.0))
+      .toDF("k", "rt", "v")
+    val got = Relational.asOfJoin(l, r, Seq("k"), "t", "rt", Seq("v"))
+      .collect().map(x => (x.getString(2), Option(x.get(3)), Option(x.get(4)))).toSet
+    assert(got == Set(
+      ("a", Some(10L), Some(1.0)),  // equal ts matches (inclusive)
+      ("b", Some(15L), Some(2.0)),  // latest of the two predecessors
+      ("c", None, None),            // nothing at-or-before → NULL payload
+      ("d", None, None)))           // other key's rows invisible
+    // one shuffle on the key, no join node at all — union + window
+    val plan = Relational.asOfJoin(l, r, Seq("k"), "t", "rt", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, plan)
+  }
+
+  test("asOfJoin tolerance nulls matches older than the window") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "x"), (1L, 200L, "y")).toDF("k", "t", "tag")
+    val r = Seq((1L, 95L, 1.0)).toDF("k", "rt", "v")
+    val got = Relational.asOfJoin(l, r, Seq("k"), "t", "rt", Seq("v"),
+        tolerance = Some(lit(10L)))
+      .collect().map(x => (x.getString(2), Option(x.get(4)))).toSet
+    // 95 is within 10 of 100, not of 200
+    assert(got == Set(("x", Some(1.0)), ("y", None)))
+  }
 }
