@@ -41,10 +41,18 @@ import graft.text.TextFunctions.shingleSet
   */
 final class MinHashIndex private (
     val spark: SparkSession, val dir: String,
-    val k: Int, val numHashes: Int, val bands: Int,
-    val bandsTable: DataFrame, val shinglesTable: DataFrame) {
+    val k: Int, val numHashes: Int, val bands: Int) {
 
   import MinHashIndex._
+
+  /** The stored tables, re-resolved from the catalog PER ACCESS — a
+    * DataFrame captured once would freeze its file listing, making
+    * `add`ed increments invisible to later searches in the same session
+    * (insertInto refreshes the catalog cache; a fresh spark.table() call
+    * picks that up, a held plan does not).
+    */
+  def bandsTable: DataFrame = spark.table(tableName(dir, "bands"))
+  def shinglesTable: DataFrame = spark.table(tableName(dir, "shingles"))
 
   /** LSH candidate pairs (batch × store) verified by exact Jaccard over
     * the hashed shingle sets: (id — batch, dup_of — stored, jaccard ≥
@@ -96,6 +104,13 @@ final class MinHashIndex private (
       .write.mode("append").insertInto(tableName(dir, "bands"))
     withSig.select(col("id"), col("sh"))
       .write.mode("append").insertInto(tableName(dir, "shingles"))
+    // The write goes through the BATCH's session — under foreachBatch
+    // that is a micro-batch CLONE whose insert refreshes only its own
+    // relation cache. Invalidate in this index's owning session too, or
+    // its next search re-reads a stale file listing and misses the
+    // increment.
+    spark.catalog.refreshTable(tableName(dir, "bands"))
+    spark.catalog.refreshTable(tableName(dir, "shingles"))
   }
 }
 
@@ -162,10 +177,12 @@ object MinHashIndex {
     */
   def load(spark: SparkSession, dir: String): MinHashIndex = {
     val meta = spark.read.json(s"$dir/meta").head()
-    val bandsDf = graft.sources.Sources.loadBucketed(spark, tableName(dir, "bands"), s"$dir/bands")
-    val shDf = graft.sources.Sources.loadBucketed(spark, tableName(dir, "shingles"), s"$dir/shingles")
+    // register/validate the catalog entries once; per-access resolution
+    // (bandsTable/shinglesTable defs) then picks up appended increments
+    graft.sources.Sources.loadBucketed(spark, tableName(dir, "bands"), s"$dir/bands")
+    graft.sources.Sources.loadBucketed(spark, tableName(dir, "shingles"), s"$dir/shingles")
     new MinHashIndex(spark, dir,
       meta.getAs[Long]("k").toInt, meta.getAs[Long]("numHashes").toInt,
-      meta.getAs[Long]("bands").toInt, bandsDf, shDf)
+      meta.getAs[Long]("bands").toInt)
   }
 }

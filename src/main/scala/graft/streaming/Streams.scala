@@ -94,6 +94,50 @@ object Streams {
     deduped.drop("__fp")
   }
 
+  /** Continuous near-dup-free corpus ingest: the streaming loop around
+    * the persistent MinHash index (dedup/MinHashIndex.scala) —
+    * per micro-batch: (1) within-batch LSH self-dedup keeping each dup
+    * cluster's minimum id, (2) `filterNovel` against EVERYTHING any
+    * previous batch kept (the index tables), (3) append survivors to the
+    * corpus sink and (4) `index.add` them, so batch N+1 dedups against
+    * batches 1..N with no state in executor memory — the state IS the
+    * bucketed index, shared, persistent, restart-safe.
+    *
+    * foreachBatch rather than mapGroupsWithState: near-dup state is a
+    * JOIN against a corpus-scaled table, not a per-key value — exactly
+    * the shape the guide's "stream as incremental batch" pattern covers.
+    */
+  def continuousIngest(stream: DataFrame, index: graft.dedup.MinHashIndex,
+                       idCol: String, textCol: String,
+                       corpusDir: String, checkpointDir: String,
+                       threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val kept = ingestBatch(batch, index, idCol, textCol, threshold)
+        kept.write.mode("append").parquet(corpusDir)
+        index.add(kept, idCol, textCol)
+      }
+      .start()
+
+  /** One ingest step (also the batch/backfill entry point — the stream
+    * is this applied per micro-batch): self-dedup, then novel-vs-store.
+    */
+  def ingestBatch(batch: DataFrame, index: graft.dedup.MinHashIndex,
+                  idCol: String, textCol: String,
+                  threshold: Double = 0.5): DataFrame = {
+    val pairs = graft.dedup.Dedup.minhashLshPairs(batch, idCol, textCol,
+      k = index.k, numHashes = index.numHashes, bands = index.bands,
+      threshold = threshold)
+    // pairs are (id1 < id2): dropping every id2 keeps a doc iff it has
+    // no kept near-dup with a smaller id (the greedy keep-first rule;
+    // for full transitive-cluster canonicalization compose with
+    // Dedup.duplicateClusters instead)
+    val dups = pairs.select(col("id2").as("__self_dup")).distinct()
+    val selfDeduped = batch.join(dups, batch(idCol) === col("__self_dup"), "left_anti")
+    index.filterNovel(selfDeduped, idCol, textCol, threshold)
+  }
+
   /** Session windows with gap timeout — batch/stream symmetric. */
   def sessionAgg(events: DataFrame, tsCol: String, gap: String,
                  watermark: String = "1 hour", streaming: Boolean = false): DataFrame = {

@@ -173,4 +173,41 @@ class StreamsSpec extends SparkSpec {
     assert(out((1L, "2024-01-01 11:05:00.0")) == 1)
     assert(out((2L, "2024-01-01 10:20:00.0")) == 1)
   }
+
+  test("continuous ingest: cross-batch near-dup dedup through the persistent index") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    // seed corpus: one doc; the index is the ONLY carried state
+    val seed = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val idx = graft.dedup.MinHashIndex.create(spark, s"$base/idx", seed,
+      "doc_id", "text", buckets = 4)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.continuousIngest(
+      mem.toDF().toDF("doc_id", "text"), idx, "doc_id", "text",
+      s"$base/corpus", s"$base/ckpt")
+    // batch 1: a near-dup of the seed (drop), a novel doc (keep), and a
+    // within-batch dup pair (keep only the smaller id)
+    mem.addData(
+      (10L, "the quick brown fox jumps over the lazy cat"), // ~seed → drop
+      (11L, "completely different words entirely here now friends"),
+      (12L, "completely different words entirely here now friend"))  // ~11 → drop
+    q.processAllAvailable()
+    // batch 2: a near-dup of what batch 1 KEPT (drop — state crossed
+    // batches through the index), and one more novel doc
+    mem.addData(
+      (20L, "completely different words entirely here now friends"), // ~11 → drop
+      (21L, "another unrelated document about spark engines"))
+    q.processAllAvailable()
+    q.stop()
+    val corpus = spark.read.parquet(s"$base/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpus == Set(11L, 21L))
+    // and the index now knows everything kept: a rerun of any kept doc
+    // under a fresh id is no longer novel
+    val re = graft.dedup.MinHashIndex.load(spark, s"$base/idx")
+    val again = Seq((30L, "another unrelated document about spark engines"))
+      .toDF("doc_id", "text")
+    assert(re.filterNovel(again, "doc_id", "text").count() == 0L)
+  }
 }
