@@ -1505,6 +1505,18 @@ object Queries {
           col("asof_pts").as("asof_ts"), round(col("asof_pvalue"), 2).as("asof_pvalue"))
     },
 
+    // §2.59: Z-order (Morton) clustering value — the multi-dim layout
+    // key behind writeZOrdered. Pure 64-bit bit arithmetic; the oracle
+    // replays the IDENTICAL expression text (Layout.zvalueSql) in DuckDB.
+    "q40_zorder" -> oq(
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${graft.ops.Layout.zvalueSql(12, Seq("l_partkey % 4096", "l_suppkey % 4096"))} AS z
+         |FROM lineitem""") { (s, dir) =>
+      li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+        graft.ops.Layout.zvalue(12,
+          col("l_partkey") % 4096, col("l_suppkey") % 4096).as("z"))
+    },
+
     // §2.56: per-column numeric profile — one aggregation pass for every
     // column, stack-unpivoted over the single aggregate row.
     "q38_profile" -> oq(
