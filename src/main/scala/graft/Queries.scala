@@ -1253,6 +1253,43 @@ object Queries {
         .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("sum_tokens"))
     },
 
+    // §2.60: deterministic per-stratum cap — at most 10 docs per source,
+    // selected by the engine-replayable md5-of-id order.
+    "t07_stratified_cap" -> oq(
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents
+        |) WHERE rk <= 10""") { (s, dir) =>
+      graft.text.CorpusOps.stratifiedCap(docs(s, dir), "doc_id", "source", cap = 10)
+        .select(col("doc_id"), col("source"))
+    },
+
+    // §2.61: keep-rate-calibrated quality filter — the threshold is the
+    // exact 25th percentile of the 6dp-rounded score (Spark `percentile`
+    // and DuckDB `quantile_cont` share the interpolated definition over
+    // identical rounded inputs), so "keep the best 75%" needs no magic
+    // constant.
+    "d22_quality_calibrated" -> oq(
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    round((
+        |      least(CAST(len(list_filter(string_split_regex(trim(text),'\s+'), t -> len(t)>0)) AS DOUBLE)/100.0, 1.0)
+        |      + (1.0 - least(CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |                     / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0))
+        |      + least(CAST(len(list_filter(string_split_regex(lower(trim(text)),'\s+'),
+        |          t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE)
+        |          / greatest(CAST(len(list_filter(string_split_regex(trim(text),'\s+'), t -> len(t)>0)) AS DOUBLE), 1.0) * 5.0, 1.0)
+        |    ) / 3.0, 6) AS q
+        |  FROM documents
+        |), t AS (SELECT quantile_cont(q, 0.25) AS thr FROM q)
+        |SELECT doc_id FROM q, t WHERE q >= thr""") { (s, dir) =>
+      graft.text.CorpusOps.calibratedQualityFilter(docs(s, dir),
+        graft.text.TextFunctions.qualityScore(col("text")), keepRate = 0.75)
+        .select(col("doc_id"))
+    },
+
     // §2.57: C4-style URL/domain blocklist filter. URLs are synthesized
     // deterministically from (source, doc_id) — half the docs behind a
     // cdn. subdomain — so the gate exercises BOTH exact-host and

@@ -145,6 +145,45 @@ object CorpusOps {
         Ipv4Re, "[IP]"),
       LongNumRe, "[NUM]")
 
+  /** Deterministic per-stratum cap: keep at most `cap` rows per value of
+    * `strataCol`, chosen by md5-of-id order (the same engine-replayable
+    * hash order as splitColumn — re-runs, repartitions and engines all
+    * keep the SAME rows, unlike sample()/limit()). The standard
+    * per-source ceiling of corpus assembly ("no more than N docs from
+    * any one domain").
+    *
+    * One shuffle on the stratum key; rank is computed in-partition. A
+    * pathologically huge stratum sorts within its partitions (spills,
+    * completes) — for strata at full-corpus scale prefer mixtureFilter's
+    * rate-based form, which is rank-free.
+    */
+  def stratifiedCap(df: DataFrame, idCol: String, strataCol: String,
+                    cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
+  /** Quality filter CALIBRATED to a keep-rate instead of a magic
+    * threshold: computes the exact `1 - keepRate` percentile of
+    * `scoreCol` (6dp-rounded, interpolated — Spark `percentile` and
+    * DuckDB `quantile_cont` share the definition) and keeps rows at or
+    * above it. The percentile is one exact aggregation; its scalar
+    * result parameterizes the filter — the corpus is touched twice
+    * (calibrate, filter), both single passes.
+    */
+  def calibratedQualityFilter(df: DataFrame, scoreCol: Column,
+                              keepRate: Double): DataFrame = {
+    require(keepRate > 0 && keepRate <= 1, s"keepRate must be in (0,1], got $keepRate")
+    val scored = df.withColumn("__q", round(scoreCol, 6))
+    val thr = scored.agg(expr(s"percentile(__q, ${1.0 - keepRate})"))
+      .head().getDouble(0)
+    scored.where(col("__q") >= thr).drop("__q")
+  }
+
   /** Lowercased host of a URL — scheme and userinfo stripped, cut at the
     * first of `/ : ? #` (port/path/query/fragment). Scheme-less inputs
     * ("example.com/page") resolve to their leading host. Pure codegen'd

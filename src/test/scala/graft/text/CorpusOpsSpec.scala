@@ -133,6 +133,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(2) == Seq("localhost"))
   }
 
+  test("stratifiedCap keeps at most N per stratum, deterministically") {
+    val df = (1L to 40L).map(i => (i, if (i <= 30) "big" else "small", s"d$i"))
+      .toDF("id", "src", "payload")
+    val a = CorpusOps.stratifiedCap(df, "id", "src", cap = 5)
+    assert(a.columns.toSeq == df.columns.toSeq)
+    val bySrc = a.collect().groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    assert(bySrc("big").size == 5 && bySrc("small").size == 5)
+    // deterministic: a repartitioned rerun keeps the SAME rows
+    val b = CorpusOps.stratifiedCap(df.repartition(7), "id", "src", cap = 5)
+      .collect().groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    assert(b == bySrc)
+    // a stratum under the cap survives whole
+    val c = CorpusOps.stratifiedCap(df, "id", "src", cap = 50).count()
+    assert(c == 40L)
+  }
+
+  test("calibratedQualityFilter keeps ~keepRate of rows, threshold from exact percentile") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    val kept = CorpusOps.calibratedQualityFilter(df, col("score"), keepRate = 0.75)
+    assert(kept.columns.toSeq == df.columns.toSeq)
+    val ids = kept.select("id").as[Long].collect().toSet
+    // 25th percentile of 1..100 (interpolated) = 25.75 → keep 26..100
+    assert(ids == (26L to 100L).toSet)
+  }
+
   test("domain blocklist: exact + subdomain blocking, unparseable URLs kept") {
     val df = Seq(
       (1L, "https://bad.test/x"),          // exact block
