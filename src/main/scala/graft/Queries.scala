@@ -1554,6 +1554,36 @@ object Queries {
           col("l_partkey") % 4096, col("l_suppkey") % 4096).as("z"))
     },
 
+    // §2.62: range (interval) join — clicks falling inside purchase-
+    // derived promo windows per user. Bin-bucketed so it plans as an
+    // equi-join on (user_id, hour-bin) — never a BNLJ/cartesian. The
+    // oracle is the plain inequality join DuckDB runs natively (IEJoin).
+    "q41_range_join" -> oq(
+      """WITH l AS (
+        |  SELECT event_id AS click_id, user_id, ts
+        |  FROM events WHERE event_type = 'click'
+        |), r AS (
+        |  SELECT event_id AS promo_id, user_id, ts AS pstart,
+        |    ts + to_minutes(CAST(floor(value) AS BIGINT) % 120) AS pend
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT l.click_id, r.promo_id
+        |FROM l JOIN r ON l.user_id = r.user_id
+        |  AND l.ts >= r.pstart AND l.ts <= r.pend""") { (s, dir) =>
+      val e = ev(s, dir)
+      val l = e.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("p"))
+      val r = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("promo_id"), col("user_id"),
+          unix_micros(col("ts")).as("ps"),
+          (unix_micros(col("ts")) +
+            (floor(col("value")).cast("long") % 120L) * 60000000L).as("pe"))
+      graft.ops.Relational.rangeJoin(l, r, Seq("user_id"), "p", "ps", "pe",
+          binWidth = 3600000000L) // 1-hour bins ≈ the max window width
+        .select(col("click_id"), col("r_promo_id").as("promo_id"))
+    },
+
     // §2.56: per-column numeric profile — one aggregation pass for every
     // column, stack-unpivoted over the single aggregate row.
     "q38_profile" -> oq(

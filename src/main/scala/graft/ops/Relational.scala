@@ -41,6 +41,58 @@ object Relational {
   /** HAVING — filter on an aggregated measure after a slice. */
   def having(slice: DataFrame, predicate: Column): DataFrame = slice.where(predicate)
 
+  /** Range (interval) join: every left row paired with every right row
+    * whose `[rightStart, rightEnd]` interval contains `leftPoint`
+    * (inclusive both ends), optionally within equal `keys`. The three
+    * named columns must be numeric (e.g. `unix_micros(ts)`); |values|
+    * must stay under 2^53 (bins are computed with a double floor-div).
+    *
+    * Plan shape — bin-bucketed equi-join, NOT a cartesian/BNLJ: both
+    * sides hash-partition on (keys, bin(binWidth)), right intervals
+    * explode to every bin they overlap, and a left point's single bin
+    * meets each interval copy at most once — so the equi-join output
+    * needs NO dedup and the inequality runs as a cheap post-filter.
+    * A naive `l JOIN r ON p BETWEEN s AND e` plans as
+    * BroadcastNestedLoopJoin and dies at scale. Cost scales with
+    * (interval length / binWidth): pick binWidth near the typical
+    * interval length; intervals spanning ≥ `maxBinsPerInterval` bins
+    * raise an error instead of silently exploding the shuffle.
+    *
+    * Inverted (`end < start`) and NULL-bounded intervals match nothing;
+    * NULL points match nothing (inner-join semantics).
+    *
+    * Reference analogue: none — bacon has no interval join; standard
+    * analytics surface alongside asOfJoin (SURVEY §2.62).
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                leftPoint: String, rightStart: String, rightEnd: String,
+                binWidth: Long, maxBinsPerInterval: Int = 4096,
+                rightPrefix: String = "r_"): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def bin(c: Column): Column = floor(c / lit(binWidth.toDouble)).cast("long")
+    val binEnd = when(
+      bin(col(rightEnd)) - bin(col(rightStart)) >= maxBinsPerInterval,
+      raise_error(concat(
+        lit(s"rangeJoin: interval spans >= $maxBinsPerInterval bins of $binWidth; " +
+          "raise binWidth or maxBinsPerInterval (start="),
+        col(rightStart).cast("string"), lit(", end="), col(rightEnd).cast("string"), lit(")")))
+        .cast("long")
+    ).otherwise(bin(col(rightEnd)))
+    val l = left.withColumn("__bin", bin(col(leftPoint))).alias("__l")
+    val r = right
+      .where(col(rightEnd) >= col(rightStart)) // inverted/NULL intervals match nothing
+      .withColumn("__bin", explode(sequence(bin(col(rightStart)), binEnd)))
+      .alias("__r")
+    val keyCond = keys.map(k => col(s"__l.$k") === col(s"__r.$k"))
+    val cond = (keyCond :+ (col("__l.__bin") === col("__r.__bin")) :+
+      (col(s"__l.$leftPoint") >= col(s"__r.$rightStart")) :+
+      (col(s"__l.$leftPoint") <= col(s"__r.$rightEnd"))).reduce(_ && _)
+    l.join(r, cond).select(
+      left.columns.map(c => col(s"__l.$c").as(c)) ++
+        right.columns.filterNot(keys.contains)
+          .map(c => col(s"__r.$c").as(s"$rightPrefix$c")): _*)
+  }
+
   /** Backward as-of join: for every left row, the single right row with
     * the greatest `rightTs` ≤ `leftTs` within the same `keys` (the
     * time-series point-in-time lookup — trades/quotes, event/last-state).

@@ -75,4 +75,55 @@ class RelationalSpec extends SparkSpec {
     // 95 is within 10 of 100, not of 200
     assert(got == Set(("x", Some(1.0)), ("y", None)))
   }
+
+  private lazy val rjLeft = Seq(
+    (1L, "a", Some(5L)), (2L, "a", Some(9L)), (3L, "b", Some(-7L)),
+    (4L, "a", Some(100L)), (5L, "b", Some(0L)), (6L, "c", Some(50L)),
+    (7L, "a", None)                                  // NULL point
+  ).toDF("lid", "k", "p")
+  private lazy val rjRight = Seq(
+    (10L, "a", Some(3L), Some(9L)),                  // straddles the 8-bin edge
+    (11L, "a", Some(9L), Some(9L)),                  // zero-length
+    (12L, "b", Some(-10L), Some(-1L)),               // all-negative
+    (13L, "a", Some(12L), Some(11L)),                // inverted -> matches nothing
+    (14L, "c", Some(0L), Some(63L)),                 // spans 8 bins
+    (15L, "b", None, Some(5L)), (16L, "a", Some(5L), None) // NULL bounds
+  ).toDF("rid", "k", "s", "e")
+
+  test("rangeJoin equals the naive inequality join on every edge case") {
+    val got = Relational.rangeJoin(rjLeft, rjRight, Seq("k"), "p", "s", "e", binWidth = 8)
+      .select(col("lid"), col("r_rid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = rjLeft.join(rjRight,
+        rjLeft("k") === rjRight("k") && rjLeft("p") >= rjRight("s") && rjLeft("p") <= rjRight("e"))
+      .select(rjLeft("lid"), rjRight("rid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty && got == want)
+    // the interesting cases really are in `want`: bin-straddle, zero-length, negatives
+    assert(Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 12L), (6L, 14L)).subsetOf(want))
+  }
+
+  test("rangeJoin with no keys joins on the bin alone") {
+    val got = Relational.rangeJoin(rjLeft, rjRight.drop("k"), Nil, "p", "s", "e", binWidth = 8)
+      .select(col("lid"), col("r_rid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = rjLeft.join(rjRight,
+        rjLeft("p") >= rjRight("s") && rjLeft("p") <= rjRight("e"))
+      .select(rjLeft("lid"), rjRight("rid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("rangeJoin plans as an equi-join, never a nested-loop/cartesian") {
+    val plan = Relational.rangeJoin(rjLeft, rjRight, Seq("k"), "p", "s", "e", binWidth = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("rangeJoin refuses intervals spanning more bins than the guard") {
+    val wide = Seq((20L, "a", Some(0L), Some(8L * 4096))).toDF("rid", "k", "s", "e")
+    val e = intercept[Exception] {
+      Relational.rangeJoin(rjLeft, wide, Seq("k"), "p", "s", "e", binWidth = 8).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("rangeJoin")), e.toString)
+  }
 }
