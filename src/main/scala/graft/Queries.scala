@@ -1266,6 +1266,19 @@ object Queries {
         .select(col("doc_id"), col("source"))
     },
 
+    // §2.63: deterministic epoch shuffle — the seeded global training
+    // order. The permutation is a pure function of (seed, id), so the
+    // oracle replays the identical rule as one window; the engine never
+    // single-partitions (range exchange + two-pass zip enumeration).
+    "t08_epoch_shuffle" -> oq(
+      """SELECT doc_id,
+        |  row_number() OVER (
+        |    ORDER BY md5(concat('7:', CAST(doc_id AS VARCHAR))), doc_id
+        |  ) - 1 AS epoch_pos
+        |FROM documents""") { (s, dir) =>
+      graft.text.CorpusOps.epochShuffle(docs(s, dir).select("doc_id"), "doc_id", seed = 7L)
+    },
+
     // §2.61: keep-rate-calibrated quality filter — the threshold is the
     // exact 25th percentile of the 6dp-rounded score (Spark `percentile`
     // and DuckDB `quantile_cont` share the interpolated definition over
@@ -1538,6 +1551,31 @@ object Queries {
         .groupBy("user_id", "ts").agg(max(col("value")).as("pvalue"))
         .select(col("user_id"), col("ts").as("pts"), col("pvalue"))
       graft.ops.Relational.asOfJoin(l, r, Seq("user_id"), "ts", "pts", Seq("pvalue"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_pts").as("asof_ts"), round(col("asof_pvalue"), 2).as("asof_pvalue"))
+    },
+
+    // §2.58 (forward direction): next-purchase-after-click lookup —
+    // the same union-window plan scanned in descending ts. Oracle:
+    // DuckDB's native ASOF with the inequality flipped.
+    "q42_asof_forward" -> oq(
+      """WITH r AS (
+        |  SELECT user_id, ts, max(value) AS pvalue
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |), l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        |)
+        |SELECT l.event_id, l.user_id, l.ts,
+        |  r.ts AS asof_ts, round(r.pvalue, 2) AS asof_pvalue
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts""") { (s, dir) =>
+      val e = ev(s, dir)
+      val l = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val r = e.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("pvalue"))
+        .select(col("user_id"), col("ts").as("pts"), col("pvalue"))
+      graft.ops.Relational.asOfJoin(l, r, Seq("user_id"), "ts", "pts", Seq("pvalue"),
+          direction = "forward")
         .select(col("event_id"), col("user_id"), col("ts"),
           col("asof_pts").as("asof_ts"), round(col("asof_pvalue"), 2).as("asof_pvalue"))
     },

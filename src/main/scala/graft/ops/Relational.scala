@@ -115,13 +115,23 @@ object Relational {
     *
     * Reference analogue: none — bacon has no temporal join; included as
     * part of the standard analytics surface (SURVEY §2.58).
+    *
+    * `direction`: "backward" (default — greatest rightTs ≤ leftTs) or
+    * "forward" (smallest rightTs ≥ leftTs, the next-event lookup). The
+    * forward form is the same one-shuffle union-window plan scanned in
+    * descending ts order; both are inclusive at equal ts, and forward
+    * `tolerance` nulls matches newer than `leftTs + tolerance`.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, payload: Seq[String],
                prefix: String = "asof_",
-               tolerance: Option[Column] = None): DataFrame = {
+               tolerance: Option[Column] = None,
+               direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
     require(payload.nonEmpty, "no payload columns requested from the right side")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
+    val fwd = direction == "forward"
     val payCols = (rightTs +: payload).distinct
     // carry the whole left row / right payload as one struct each, so the
     // union schema is fixed and nothing needs renaming
@@ -135,14 +145,20 @@ object Relational {
     val lTagged = left.select(
       keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
         lit(null).cast(payType).as("__rpay"), lrow.as("__lrow")): _*)
+    // forward scans in DESCENDING ts: the running `last` then holds the
+    // nearest right row at-or-after the left row. Right still sorts
+    // before left at equal ts (inclusive), and equal-ts right duplicates
+    // still resolve to the greatest payload struct in both directions.
+    val tsOrd = if (fwd) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc, col("__rpay").asc)
+      .orderBy(tsOrd, col("__side").asc, col("__rpay").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = rTagged.unionByName(lTagged)
       .withColumn("__m", last(col("__rpay"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
     val inTol = tolerance.fold(lit(true))(t =>
-      col("__m").getField(rightTs) >= col("__ts") - t)
+      if (fwd) col("__m").getField(rightTs) <= col("__ts") + t
+      else col("__m").getField(rightTs) >= col("__ts") - t)
     val m = when(col("__m").isNotNull && inTol, col("__m"))
     matched.select(
       left.columns.map(c => col(s"__lrow.$c").as(c)) ++

@@ -1,8 +1,9 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Training-corpus assembly operators — the steps between "deduplicated
   * documents" and "data a trainer can consume": reproducible train/val/
@@ -182,6 +183,41 @@ object CorpusOps {
     val thr = scored.agg(expr(s"percentile(__q, ${1.0 - keepRate})"))
       .head().getDouble(0)
     scored.where(col("__q") >= thr).drop("__q")
+  }
+
+  /** Deterministic epoch shuffle: assigns every row a global position
+    * 0..n-1 in a seeded pseudo-random order — the training-data ordering
+    * step (each epoch's read order = a different seed). Like splitColumn,
+    * the ORDER is a pure function of (seed, id): md5("seed:id") is the
+    * sort key, so the permutation is identical across re-runs, cluster
+    * sizes and engines — a resumable dataloader can trust `posCol` as a
+    * stable cursor. Requires non-null, unique ids (ties fall back to id
+    * order; null ids would sort differently across engines).
+    *
+    * Scale shape: repartitionByRange on the key (Spark's sampled range
+    * exchange — the global-sort machinery, boundaries from a
+    * deterministic-seed sketch) + in-partition sort, then zipWithIndex's
+    * two-pass enumeration: a count job whose per-partition tallies
+    * become offsets (a few bytes per partition to the driver — never
+    * rows), then position = offset + local index. No single-partition
+    * window, no driver-side data. Cost: the input computes twice (count
+    * pass + zip pass) — persist upstream if it is expensive.
+    *
+    * Reference analogue: none — ordering for trainers is out of bacon's
+    * scope; standard LLM-pipeline surface (SURVEY §2.63).
+    */
+  def epochShuffle(df: DataFrame, idCol: String, seed: Long,
+                   posCol: String = "epoch_pos"): DataFrame = {
+    val key = md5(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    val sorted = df.withColumn("__ek", key)
+      .repartitionByRange(col("__ek"), col(idCol))
+      .sortWithinPartitions(col("__ek"), col(idCol))
+    val schema = StructType(sorted.schema.fields :+
+      StructField(posCol, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(rdd, schema).drop("__ek")
   }
 
   /** Lowercased host of a URL — scheme and userinfo stripped, cut at the

@@ -76,6 +76,26 @@ class RelationalSpec extends SparkSpec {
     assert(got == Set(("x", Some(1.0)), ("y", None)))
   }
 
+  test("asOfJoin forward: earliest right row at-or-after each left row") {
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 40L, "d"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 10L, 1.0), (1L, 15L, 2.0), (2L, 30L, 3.0))
+      .toDF("k", "rt", "v")
+    val got = Relational.asOfJoin(l, r, Seq("k"), "t", "rt", Seq("v"),
+        direction = "forward")
+      .collect().map(x => (x.getString(2), Option(x.get(3)), Option(x.get(4)))).toSet
+    assert(got == Set(
+      ("a", Some(10L), Some(1.0)),  // equal ts matches (inclusive)
+      ("b", None, None),            // nothing at-or-after
+      ("c", Some(10L), Some(1.0)),  // nearest of the two successors
+      ("d", None, None)))           // other key's 30 is in the past
+    // forward tolerance bounds how far AHEAD the match may be
+    val tol = Relational.asOfJoin(l, r, Seq("k"), "t", "rt", Seq("v"),
+        direction = "forward", tolerance = Some(lit(4L)))
+      .collect().map(x => (x.getString(2), Option(x.get(4)))).toSet
+    assert(tol == Set(("a", Some(1.0)), ("b", None), ("c", None), ("d", None)))
+  }
+
   private lazy val rjLeft = Seq(
     (1L, "a", Some(5L)), (2L, "a", Some(9L)), (3L, "b", Some(-7L)),
     (4L, "a", Some(100L)), (5L, "b", Some(0L)), (6L, "c", Some(50L)),

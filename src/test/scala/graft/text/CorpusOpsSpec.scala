@@ -171,4 +171,28 @@ class CorpusOpsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(kept == Set(3L, 4L, 5L))
   }
+
+  test("epochShuffle: positions are the seeded permutation, stable under repartition") {
+    val df = (0 until 500).map(i => (i.toLong, s"doc$i")).toDF("id", "body")
+    val got = CorpusOps.epochShuffle(df, "id", seed = 42L)
+    assert(got.columns.toSeq == Seq("id", "body", "epoch_pos"))
+    val byId = got.select("id", "epoch_pos").as[(Long, Long)].collect().toMap
+    // a permutation of 0..n-1
+    assert(byId.values.toSeq.sorted == (0L until 500L))
+    // matches the single-node replay of the same rule
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long) =
+      md.digest(s"42:$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val want = (0L until 500L).sortBy(id => (key(id), id)).zipWithIndex
+      .map { case (id, i) => id -> i.toLong }.toMap
+    assert(byId == want)
+    // pure function of (seed, id): physical layout cannot change it
+    val re = CorpusOps.epochShuffle(df.repartition(7), "id", seed = 42L)
+      .select("id", "epoch_pos").as[(Long, Long)].collect().toMap
+    assert(re == byId)
+    // a different seed is a different permutation
+    val other = CorpusOps.epochShuffle(df, "id", seed = 43L)
+      .select("id", "epoch_pos").as[(Long, Long)].collect().toMap
+    assert(other != byId)
+  }
 }
