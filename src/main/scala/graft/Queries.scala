@@ -1092,6 +1092,36 @@ object Queries {
         .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
     },
 
+    // §2.64: SemDedup pairs with caller-supplied clusters (the labeled
+    // corpus) — cluster-scoped comparisons are an equi-join on label,
+    // exactly replayable in DuckDB. The learned-clustering path is
+    // covered by SimilaritySpec (k=1 ≡ exact; recall on tight pairs).
+    "e05_semdedup" -> oq(
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.2""") { (s, dir) =>
+      graft.sim.Similarity.semDedupPairs(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.2, clusterCol = Some("label"))
+    },
+
+    // §2.64 keep side: greedy keep-smallest-id over the semantic pairs —
+    // one anti-join; the oracle replays the identical rule.
+    "e06_semdedup_keep" -> oq(
+      """SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+        |WHERE vec_id NOT IN (
+        |  SELECT b.vec_id FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.2)""") { (s, dir) =>
+      graft.sim.Similarity.semDedupKeep(emb(s, dir), "vec_id", "embedding",
+          threshold = 0.2, clusterCol = Some("label"))
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+    },
+
     // §2.42d: int8 embedding quantization — the 4× storage path for the
     // ANN stack. Double-precision IEEE affine math with half-away-from-
     // zero rounding replays exactly in DuckDB: the oracle compares every

@@ -270,6 +270,61 @@ object Similarity {
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
   }
 
+  /** SemDedup — semantic dedup scoped to clusters (Abbas et al. 2023,
+    * arXiv:2303.09540): compare embeddings ONLY within a cluster and
+    * call cosine ≥ `threshold` a semantic duplicate. Clustering bounds
+    * the pair join: k clusters cut candidate pairs from n²/2 to
+    * ~n²/(2k), and the comparison is an equi-join on the cluster id —
+    * shuffle-partitioned, AQE-skew-handled — never an all-pairs join.
+    *
+    * `clusterCol`: use a caller-supplied cluster column (precomputed
+    * labels, an upstream model's assignment — this path is engine-
+    * portable and oracle-checkable). `None`: learn a k-means coarse
+    * clustering with the IVF machinery (bounded-sample Lloyd, broadcast
+    * centroids, map-side max_by assignment) — the self-contained form.
+    *
+    * Near-dups that land in different clusters are missed — that is
+    * SemDedup's documented recall trade; raise k for speed, lower it
+    * for recall (k=1 is exact all-pairs, spec-asserted equal to
+    * cosineDupPairs' exact mode).
+    *
+    * Output: (id1 < id2, cos) duplicate pairs, cos rounded 6dp.
+    */
+  def semDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, clusterCol: Option[String] = None,
+                    numClusters: Int = 256, iters: Int = 3,
+                    trainCap: Long = 1000000L): DataFrame = {
+    val withC = clusterCol match {
+      case Some(c) =>
+        df.select(col(idCol).as("id"), col(vecCol).as("v"), col(c).as("cid"))
+          .withColumn("nrm", norm(col("v")))
+      case None =>
+        val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+          .withColumn("nrm", norm(col("v")))
+        v.join(rankCentroids(v, trainQuantizer(v, numClusters, iters, trainCap), 1), "id")
+    }
+    val a = withC.alias("a"); val b = withC.alias("b")
+    val cands = a.join(b, col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    rerank(cands, withC.select("id", "v", "nrm"))
+      .where(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** The keep-side of SemDedup: greedy keep-smallest-id — a document
+    * survives unless it has a semantic duplicate with a smaller id
+    * (the same canonical rule the MinHash ingest index uses). One
+    * anti-join against the pairs' id2 side.
+    */
+  def semDedupKeep(df: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, clusterCol: Option[String] = None,
+                   numClusters: Int = 256, iters: Int = 3,
+                   trainCap: Long = 1000000L): DataFrame = {
+    val dropped = semDedupPairs(df, idCol, vecCol, threshold, clusterCol,
+      numClusters, iters, trainCap).select(col("id2")).distinct()
+    df.join(dropped, df(idCol) === col("id2"), "left_anti")
+  }
+
   // ---- int8 embedding quantization (storage scale path) ---------------
 
   /** Per-vector affine int8 quantization: codes = round((x − min)/scale)

@@ -334,4 +334,36 @@ class SimilaritySpec extends SparkSpec {
       assert(brute.contains(key) && math.abs(brute(key) - r.getDouble(2)) < 1e-9)
     }
   }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("semDedup with ONE learned cluster equals the exact all-pairs result") {
+    val exact = pairSet(Similarity.cosineDupPairs(clustered, "vec_id", "embedding",
+      threshold = 0.9, numTables = 0))
+    val sem = pairSet(Similarity.semDedupPairs(clustered, "vec_id", "embedding",
+      threshold = 0.9, numClusters = 1))
+    assert(exact.nonEmpty && sem == exact)
+  }
+
+  test("semDedup on the clustered corpus: learned clusters keep every tight pair") {
+    // θ=0.99 pairs live inside the generator's tight clusters; a learned
+    // k=20 clustering must co-locate them (cross-cluster cos ≪ θ)
+    val exact = pairSet(Similarity.cosineDupPairs(clustered, "vec_id", "embedding",
+      threshold = 0.99, numTables = 0))
+    val sem = pairSet(Similarity.semDedupPairs(clustered, "vec_id", "embedding",
+      threshold = 0.99, numClusters = 20, iters = 5))
+    assert(exact.nonEmpty && sem.subsetOf(exact))
+    assert(sem.size.toDouble / exact.size >= 0.95, s"recall ${sem.size}/${exact.size}")
+  }
+
+  test("semDedupKeep drops exactly the id2 side of the duplicate pairs") {
+    val pairs = Similarity.semDedupPairs(clustered, "vec_id", "embedding",
+      threshold = 0.99, numClusters = 1)
+    val dropped = pairs.select("id2").collect().map(_.getLong(0)).toSet
+    val kept = Similarity.semDedupKeep(clustered, "vec_id", "embedding",
+        threshold = 0.99, numClusters = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty && kept == (0L until 240L).toSet -- dropped)
+  }
 }
