@@ -1585,6 +1585,39 @@ object Queries {
           col("asof_pts").as("asof_ts"), round(col("asof_pvalue"), 2).as("asof_pvalue"))
     },
 
+    // §2.62b: interval-overlap join — view-windows overlapping promo-
+    // windows per user, both sides exploded to shared bins, each pair
+    // emitted once via the first-shared-bin rule. Oracle: DuckDB's
+    // native inequality join.
+    "q43_interval_join" -> oq(
+      """WITH l AS (
+        |  SELECT event_id AS view_id, user_id, ts AS vstart,
+        |    ts + to_minutes(CAST(floor(value) AS BIGINT) % 60) AS vend
+        |  FROM events WHERE event_type = 'view'
+        |), r AS (
+        |  SELECT event_id AS promo_id, user_id, ts AS pstart,
+        |    ts + to_minutes(CAST(floor(value) AS BIGINT) % 120) AS pend
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT l.view_id, r.promo_id
+        |FROM l JOIN r ON l.user_id = r.user_id
+        |  AND l.vstart <= r.pend AND r.pstart <= l.vend""") { (s, dir) =>
+      val e = ev(s, dir)
+      def win(kind: String, idAs: String, modMin: Int) =
+        e.where(col("event_type") === kind)
+          .select(col("event_id").as(idAs), col("user_id"),
+            unix_micros(col("ts")).as("s0"),
+            (unix_micros(col("ts")) +
+              (floor(col("value")).cast("long") % modMin) * 60000000L).as("e0"))
+      val l = win("view", "view_id", 60)
+        .withColumnRenamed("s0", "vs").withColumnRenamed("e0", "ve")
+      val r = win("purchase", "promo_id", 120)
+        .withColumnRenamed("s0", "ps").withColumnRenamed("e0", "pe")
+      graft.ops.Relational.intervalJoin(l, r, Seq("user_id"), "vs", "ve", "ps", "pe",
+          binWidth = 3600000000L)
+        .select(col("view_id"), col("r_promo_id").as("promo_id"))
+    },
+
     // §2.58 (forward direction): next-purchase-after-click lookup —
     // the same union-window plan scanned in descending ts. Oracle:
     // DuckDB's native ASOF with the inequality flipped.

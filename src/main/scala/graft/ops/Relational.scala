@@ -93,6 +93,55 @@ object Relational {
           .map(c => col(s"__r.$c").as(s"$rightPrefix$c")): _*)
   }
 
+  /** Interval-overlap join: every (left, right) pair whose intervals
+    * `[lStart, lEnd]` and `[rStart, rEnd]` overlap (inclusive ends),
+    * optionally within equal `keys`. Numeric columns, same contract as
+    * `rangeJoin`.
+    *
+    * Plan shape: BOTH sides explode to the bins they span and equi-join
+    * on (keys, bin). A pair overlapping several shared bins would
+    * duplicate, so the join keeps only the FIRST overlapping bin — the
+    * one containing max(lStart, rStart), which lies inside both
+    * intervals whenever they overlap — making the output exactly-once
+    * with no dropDuplicates (no extra shuffle). Same
+    * `maxBinsPerInterval` guard on both sides.
+    *
+    * Inverted and NULL-bounded intervals match nothing.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftStart: String, leftEnd: String,
+                   rightStart: String, rightEnd: String,
+                   binWidth: Long, maxBinsPerInterval: Int = 4096,
+                   rightPrefix: String = "r_"): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def bin(c: Column): Column = floor(c / lit(binWidth.toDouble)).cast("long")
+    def explodeBins(df: DataFrame, s: String, e: String): DataFrame = {
+      val guarded = when(
+        bin(col(e)) - bin(col(s)) >= maxBinsPerInterval,
+        raise_error(concat(
+          lit(s"intervalJoin: interval spans >= $maxBinsPerInterval bins of $binWidth; " +
+            "raise binWidth or maxBinsPerInterval (start="),
+          col(s).cast("string"), lit(", end="), col(e).cast("string"), lit(")")))
+          .cast("long")
+      ).otherwise(bin(col(e)))
+      df.where(col(e) >= col(s))
+        .withColumn("__bin", explode(sequence(bin(col(s)), guarded)))
+    }
+    val l = explodeBins(left, leftStart, leftEnd).alias("__l")
+    val r = explodeBins(right, rightStart, rightEnd).alias("__r")
+    val keyCond = keys.map(k => col(s"__l.$k") === col(s"__r.$k"))
+    val overlap = Seq(
+      col(s"__l.$leftStart") <= col(s"__r.$rightEnd"),
+      col(s"__r.$rightStart") <= col(s"__l.$leftEnd"),
+      // keep the pair only in its first shared bin → exactly-once output
+      col("__l.__bin") === bin(greatest(col(s"__l.$leftStart"), col(s"__r.$rightStart"))))
+    val cond = (keyCond ++ Seq(col("__l.__bin") === col("__r.__bin")) ++ overlap).reduce(_ && _)
+    l.join(r, cond).select(
+      left.columns.map(c => col(s"__l.$c").as(c)) ++
+        right.columns.filterNot(keys.contains)
+          .map(c => col(s"__r.$c").as(s"$rightPrefix$c")): _*)
+  }
+
   /** Backward as-of join: for every left row, the single right row with
     * the greatest `rightTs` ≤ `leftTs` within the same `keys` (the
     * time-series point-in-time lookup — trades/quotes, event/last-state).

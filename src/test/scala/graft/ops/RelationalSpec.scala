@@ -137,6 +137,30 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("intervalJoin equals the naive overlap join, each pair exactly once") {
+    // left intervals spanning multiple bins force the first-shared-bin
+    // dedup rule to matter (a straddling pair meets in >1 bin)
+    val li = Seq(
+      (1L, "a", Some(0L), Some(20L)),   // spans bins 0..2
+      (2L, "a", Some(9L), Some(9L)),    // zero-length at a bin edge
+      (3L, "b", Some(-9L), Some(-2L)),  // negative
+      (4L, "a", Some(30L), Some(25L)),  // inverted
+      (5L, "a", None, Some(5L))         // NULL bound
+    ).toDF("lid", "k", "ls", "le")
+    val got = Relational.intervalJoin(li, rjRight, Seq("k"), "ls", "le", "s", "e", binWidth = 8)
+      .select(col("lid"), col("r_rid")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // naive reference under the declared semantics: inverted intervals
+    // ([s,e] with e<s — empty as a set) match nothing
+    val want = li.join(rjRight,
+        li("k") === rjRight("k") && li("ls") <= li("le") && rjRight("s") <= rjRight("e") &&
+          li("ls") <= rjRight("e") && rjRight("s") <= li("le"))
+      .select(li("lid"), rjRight("rid")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exactly-once: compare as multisets, not sets
+    assert(want.nonEmpty && got.sorted.toSeq == want.sorted.toSeq)
+    // the multi-shared-bin case really occurred: (1,[0,20]) × (10,[3,9]) share bins 0 and 1
+    assert(got.contains((1L, 10L)) && got.count(_ == (1L, 10L)) == 1)
+  }
+
   test("rangeJoin refuses intervals spanning more bins than the guard") {
     val wide = Seq((20L, "a", Some(0L), Some(8L * 4096))).toDF("rid", "k", "s", "e")
     val e = intercept[Exception] {
