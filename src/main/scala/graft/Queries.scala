@@ -1585,6 +1585,32 @@ object Queries {
           col("asof_pts").as("asof_ts"), round(col("asof_pvalue"), 2).as("asof_pvalue"))
     },
 
+    // §2.65: ordered-step funnel — earliest view → click → purchase
+    // chain per user in ONE shuffle + per-key fold (no join chain, no
+    // window). The oracle is the per-step conditional-min join chain.
+    "q44_funnel" -> oq(
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1
+        |)
+        |SELECT s1.user_id, s1.t1 AS view_ts, s2.t2 AS click_ts, s3.t3 AS purchase_ts
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id""") { (s, dir) =>
+      graft.ops.Events.funnel(ev(s, dir), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .where(col("t0").isNotNull) // oracle's chain starts at users who viewed
+        .select(col("user_id"), col("t0").as("view_ts"),
+          col("t1").as("click_ts"), col("t2").as("purchase_ts"))
+    },
+
     // §2.62b: interval-overlap join — view-windows overlapping promo-
     // windows per user, both sides exploded to shared bins, each pair
     // emitted once via the first-shared-bin rule. Oracle: DuckDB's

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over a (key, ts, type) stream — the funnel
+  * family. The reference has no event operators (bacon aggregates flat
+  * records); this extends the analytics surface the same way asOfJoin /
+  * rangeJoin do (SURVEY §2.65).
+  */
+object Events {
+
+  /** Ordered-step funnel: for every key, the earliest time each step was
+    * reached IN ORDER — `t(i+1)` = min ts of a `steps(i+1)` event at or
+    * after `t(i)` (inclusive: a later step at the exact same timestamp
+    * counts; one event never satisfies two steps — each step's match is
+    * evaluated against the PREVIOUS event's state). Keys that never
+    * reach step i have NULL from column i on (and every key with at
+    * least one step event appears).
+    *
+    * Output: (keyCol, t0 .. t{n-1}) with the original ts type.
+    *
+    * Scale shape: filter to step events (pushed to the scan), ONE
+    * shuffle on the key, per-key sort + linear fold (aggregate HOF) —
+    * never a per-step self-join chain (k joins = k shuffles) and never
+    * a window. Per-key memory is that key's step-event count — the same
+    * envelope as sessionization; pre-filter pathological keys upstream
+    * if a single key's events exceed executor memory.
+    */
+  def funnel(df: DataFrame, keyCol: String, tsCol: String, stepCol: String,
+             steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      "repeated step names are ambiguous — a funnel step must be a distinct event type")
+    val tsType = df.schema(tsCol).dataType
+    // step name → index BEFORE the sort: ties at the exact same ts must
+    // process earlier steps first, so that a later step at the same
+    // instant sees the earlier one already reached (inclusive >=, the
+    // same answer the per-step conditional-min formulation gives)
+    val stepIdx = steps.zipWithIndex.tail.foldLeft(
+      when(col(stepCol) === steps.head, lit(0))) { case (acc, (name, i)) =>
+      acc.when(col(stepCol) === name, lit(i))
+    }
+    val sorted = df.where(col(stepCol).isin(steps: _*))
+      .select(col(keyCol).as("__k"), col(tsCol).as("__ts"), stepIdx.as("__si"))
+      .groupBy("__k")
+      .agg(array_sort(collect_list(struct(col("__ts"), col("__si")))).as("__evs"))
+    val init = struct(steps.indices.map(i => lit(null).cast(tsType).as(s"t$i")): _*)
+    def stepUpdate(state: Column, e: Column): Column = struct(
+      steps.indices.map { i =>
+        val prevReached =
+          if (i == 0) lit(true) else state.getField(s"t${i - 1}").isNotNull &&
+            e.getField("__ts") >= state.getField(s"t${i - 1}")
+        val cur = state.getField(s"t$i")
+        // events arrive in ts order, so the first qualifying match IS the min
+        when(cur.isNull && e.getField("__si") === i && prevReached,
+          e.getField("__ts")).otherwise(cur).as(s"t$i")
+      }: _*)
+    sorted
+      .withColumn("__f", aggregate(col("__evs"), init, stepUpdate))
+      .select(col("__k").as(keyCol) +:
+        steps.indices.map(i => col(s"__f.t$i").as(s"t$i")): _*)
+  }
+
+  /** Funnel conversion counts: how many keys reached each step. One row
+    * per step index, monotonically non-increasing `n_keys`.
+    */
+  def funnelCounts(df: DataFrame, keyCol: String, tsCol: String, stepCol: String,
+                   steps: Seq[String]): DataFrame = {
+    val f = funnel(df, keyCol, tsCol, stepCol, steps)
+    val counts = f.agg(
+      count(lit(1)).as("n_total"),
+      steps.indices.map(i => count(col(s"t$i")).as(s"n$i")): _*)
+    counts.select(explode(array(steps.zipWithIndex.map { case (name, i) =>
+      struct(lit(i).cast("long").as("step"), lit(name).as("step_name"),
+        col(s"n$i").as("n_keys"))
+    }: _*)).as("s")).select(col("s.step"), col("s.step_name"), col("s.n_keys"))
+  }
+}

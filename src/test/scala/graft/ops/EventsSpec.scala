@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val evs = Seq(
+    // user 1: clean a -> b -> c
+    (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+    // user 2: b before a never counts; the b AFTER a does
+    (2L, 5L, "b"), (2L, 10L, "a"), (2L, 40L, "b"),
+    // user 3: reaches a only
+    (3L, 7L, "a"), (3L, 6L, "c"),
+    // user 4: a and b at the SAME instant — inclusive, b counts
+    (4L, 50L, "a"), (4L, 50L, "b"),
+    // user 5: no step events at all (noise type)
+    (5L, 1L, "x")
+  ).toDF("uid", "t", "et")
+
+  test("funnel: earliest in-order step times, NULL from the first missed step") {
+    val got = Events.funnel(evs, "uid", "t", "et", Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got == Map(
+      1L -> (Some(10L), Some(20L), Some(30L)),
+      2L -> (Some(10L), Some(40L), None),
+      3L -> (Some(7L), None, None),
+      4L -> (Some(50L), Some(50L), None)))
+    // user 5 had no step event → absent entirely
+    assert(!got.contains(5L))
+  }
+
+  test("funnel matches the per-step conditional-min formulation") {
+    // reference: t0 = min ts of step0; t_i = min ts of step_i >= t_{i-1}
+    val rows = evs.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val keys = rows.map(_._1).distinct
+    val steps = Seq("a", "b", "c")
+    val want = keys.flatMap { k =>
+      val mine = rows.filter(_._1 == k)
+      val t = steps.foldLeft(List.empty[Option[Long]]) { (acc, s) =>
+        val prev = acc.lastOption.getOrElse(Some(Long.MinValue))
+        val next = prev.flatMap(p =>
+          mine.filter(e => e._3 == s && e._2 >= p).map(_._2).minOption)
+        acc :+ next
+      }
+      if (mine.exists(e => steps.contains(e._3))) Some(k -> t) else None
+    }.toMap
+    val got = Events.funnel(evs, "uid", "t", "et", steps)
+      .collect().map(r => r.getLong(0) ->
+        List(Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))
+          .map(_.map(_.asInstanceOf[Long]))).toMap
+    assert(got == want)
+  }
+
+  test("funnelCounts: per-step reach, non-increasing") {
+    val got = Events.funnelCounts(evs, "uid", "t", "et", Seq("a", "b", "c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList.sortBy(_._1)
+    assert(got == List((0L, "a", 4L), (1L, "b", 3L), (2L, "c", 1L)))
+  }
+
+  test("funnel is one shuffle — no join chain, no window") {
+    val plan = Events.funnel(evs, "uid", "t", "et", Seq("a", "b", "c"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, plan)
+  }
+}
