@@ -1611,6 +1611,25 @@ object Queries {
           col("t1").as("click_ts"), col("t2").as("purchase_ts"))
     },
 
+    // §2.65b: cohort retention — users bucketed by first-seen week,
+    // counted per week offset. Two aggregations, no join (the per-key
+    // agg carries min + distinct periods); the oracle is the textbook
+    // join-back formulation.
+    "q45_retention" -> oq(
+      """WITH c AS (
+        |  SELECT user_id, CAST(min(date_trunc('week', ts)) AS TIMESTAMP) AS cohort
+        |  FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT DISTINCT c.user_id, c.cohort,
+        |    (CAST(date_trunc('week', e.ts) AS DATE) - CAST(c.cohort AS DATE)) // 7
+        |      AS "offset"
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |)
+        |SELECT cohort, "offset", count(*) AS n_active
+        |FROM a GROUP BY 1, 2""") { (s, dir) =>
+      graft.ops.Events.retention(ev(s, dir), "user_id", "ts", "week")
+    },
+
     // §2.62b: interval-overlap join — view-windows overlapping promo-
     // windows per user, both sides exploded to shared bins, each pair
     // emitted once via the first-shared-bin rule. Oracle: DuckDB's

@@ -62,6 +62,40 @@ object Events {
         steps.indices.map(i => col(s"__f.t$i").as(s"t$i")): _*)
   }
 
+  /** Cohort retention: keys grouped by their first-activity period (the
+    * cohort), counted per (cohort, period-offset) — "of the users who
+    * arrived in week W, how many were active in week W+k". `period` is
+    * "day", "week" or "month" (date_trunc semantics, weeks start
+    * Monday). Offsets are whole periods; `n_active` at offset 0 is the
+    * cohort size.
+    *
+    * Scale shape: TWO aggregations, no join — per-key agg collects the
+    * key's distinct active periods (bounded by the calendar: ≤ a few
+    * hundred even for years of dailies) alongside its min, the explode
+    * re-aggregates to the (cohort, offset) matrix, whose size is
+    * O(periods²) — tiny. A join-back formulation would shuffle the raw
+    * events twice.
+    */
+  def retention(df: DataFrame, keyCol: String, tsCol: String,
+                period: String = "week"): DataFrame = {
+    val offset: (Column, Column) => Column = period match {
+      case "day"   => (p, c) => datediff(p, c).cast("long")
+      case "week"  => (p, c) => (datediff(p, c) / 7).cast("long")
+      case "month" => (p, c) => months_between(p, c).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"period must be day/week/month, got '$other'")
+    }
+    val perKey = df
+      .select(col(keyCol).as("__k"), date_trunc(period, col(tsCol)).as("__p"))
+      .where(col("__p").isNotNull)
+      .groupBy("__k")
+      .agg(min(col("__p")).as("cohort"), collect_set(col("__p")).as("__ps"))
+    perKey
+      .select(col("cohort"), explode(col("__ps")).as("__p"))
+      .groupBy(col("cohort"), offset(col("__p"), col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_active")) // (key, period) pairs are distinct by construction
+  }
+
   /** Funnel conversion counts: how many keys reached each step. One row
     * per step index, monotonically non-increasing `n_keys`.
     */

@@ -60,6 +60,46 @@ class EventsSpec extends SparkSpec {
     assert(got == List((0L, "a", 4L), (1L, "b", 3L), (2L, "c", 1L)))
   }
 
+  test("retention: per-cohort activity matrix, offset 0 is the cohort size") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // weeks: W0 = 2024-01-01 (Mon), W1 = 01-08, W2 = 01-15
+    val e = Seq(
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-09 10:00:00")), // u1: W0, W1
+      (2L, ts("2024-01-03 10:00:00")), (2L, ts("2024-01-16 10:00:00")), // u2: W0, W2
+      (3L, ts("2024-01-10 10:00:00")),                                   // u3: W1 only
+      (4L, ts("2024-01-04 10:00:00")), (4L, ts("2024-01-04 23:00:00"))   // u4: W0 twice
+    ).toDF("uid", "t")
+    val got = Events.retention(e, "uid", "t", "week")
+      .collect().map(r => ((r.getTimestamp(0).toString, r.getLong(1)), r.getLong(2))).toMap
+    val w0 = "2024-01-01 00:00:00.0"; val w1 = "2024-01-08 00:00:00.0"
+    assert(got == Map(
+      (w0, 0L) -> 3L,  // u1,u2,u4 arrived in W0
+      (w0, 1L) -> 1L,  // u1 back in W1
+      (w0, 2L) -> 1L,  // u2 back in W2
+      (w1, 0L) -> 1L)) // u3's cohort
+    // no join anywhere: two aggregations over the events, nothing else
+    val plan = Events.retention(e, "uid", "t", "week").queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("retention periods: day and month offsets count whole periods") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val e = Seq(
+      (1L, ts("2024-01-31 09:00:00")), (1L, ts("2024-03-01 09:00:00"))
+    ).toDF("uid", "t")
+    val day = Events.retention(e, "uid", "t", "day")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(day == Set((0L, 1L), (30L, 1L))) // Jan 31 → Mar 1 = 30 days
+    val month = Events.retention(e, "uid", "t", "month")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(month == Set((0L, 1L), (2L, 1L))) // Jan → Mar = 2 months
+    intercept[IllegalArgumentException] {
+      Events.retention(e, "uid", "t", "year")
+    }
+  }
+
   test("funnel is one shuffle — no join chain, no window") {
     val plan = Events.funnel(evs, "uid", "t", "et", Seq("a", "b", "c"))
       .queryExecution.executedPlan.toString
