@@ -1309,6 +1309,22 @@ object Queries {
       graft.text.CorpusOps.epochShuffle(docs(s, dir).select("doc_id"), "doc_id", seed = 7L)
     },
 
+    // §2.66: deterministic weighted sample — exactly 100 documents,
+    // inclusion ∝ length (n_chars), reproducible across engines: the
+    // oracle replays key = ln(u)/w with the identical md5-fraction u.
+    "t09_weighted_sample" -> oq(
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars IS NOT NULL AND n_chars > 0
+        |ORDER BY ln((CAST(concat('0x',
+        |    substring(md5(concat('7:', CAST(doc_id AS VARCHAR))), 1, 8))
+        |  AS BIGINT) + 1) / 4294967296.0) / CAST(n_chars AS DOUBLE) DESC,
+        |  doc_id ASC
+        |LIMIT 100""") { (s, dir) =>
+      graft.text.CorpusOps.weightedSample(
+        docs(s, dir).select("doc_id", "n_chars"), "doc_id", col("n_chars"),
+        n = 100, seed = 7L)
+    },
+
     // §2.61: keep-rate-calibrated quality filter — the threshold is the
     // exact 25th percentile of the 6dp-rounded score (Spark `percentile`
     // and DuckDB `quantile_cont` share the interpolated definition over

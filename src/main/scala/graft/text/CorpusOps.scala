@@ -220,6 +220,37 @@ object CorpusOps {
     df.sparkSession.createDataFrame(rdd, schema).drop("__ek")
   }
 
+  /** Deterministic weighted sample WITHOUT replacement of exactly `n`
+    * rows, inclusion probability ∝ `weightCol` (Efraimidis–Spirakis
+    * A-ES): each row's key is ln(u)/w with u a seeded md5-fraction of
+    * the id, and the n largest keys win (ln(u)/w is monotone in the
+    * paper's u^(1/w)). Like splitColumn/epochShuffle, u is a pure
+    * function of (seed, id): the SAME n rows win on every re-run, any
+    * partitioning, any engine — "sample 1M docs, length-weighted" as a
+    * reproducible pipeline step, not a dice roll.
+    *
+    * Rows with NULL or non-positive weight are excluded (they can never
+    * win a weighted draw).
+    *
+    * Scale shape: the key is a pure column expression and the top-n is
+    * a TakeOrdered — per-partition top-n then a driver-side merge of n
+    * rows per partition, never a global sort. n is assumed
+    * driver-mergeable (samples, not corpus-scale splits — use
+    * mixtureFilter/calibratedQualityFilter for rate-shaped selection).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+                     n: Int, seed: Long): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    // u in (0,1]: first 8 md5 hex chars + 1, over 2^32 — exact in doubles
+    val u = (conv(substring(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long") + 1).cast("double") / 4294967296.0
+    df.where(weightCol.isNotNull && weightCol > 0)
+      .withColumn("__sk", log(u) / weightCol.cast("double"))
+      .orderBy(col("__sk").desc, col(idCol).asc)
+      .limit(n)
+      .drop("__sk")
+  }
+
   /** Lowercased host of a URL — scheme and userinfo stripped, cut at the
     * first of `/ : ? #` (port/path/query/fragment). Scheme-less inputs
     * ("example.com/page") resolve to their leading host. Pure codegen'd

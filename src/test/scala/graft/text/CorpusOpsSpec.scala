@@ -172,6 +172,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept == Set(3L, 4L, 5L))
   }
 
+  test("weightedSample: exact seeded winners, null/non-positive weights excluded") {
+    val df = (1 to 200).map(i => (i.toLong, if (i % 50 == 0) 0.0 else i.toDouble))
+      .toDF("id", "w")
+    val got = CorpusOps.weightedSample(df, "id", col("w"), n = 20, seed = 9L)
+      .select("id").as[Long].collect().toSeq
+    // single-node replay: key = ln(u)/w, top 20
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long) = {
+      val hex = md.digest(s"9:$id".getBytes("UTF-8")).take(4)
+        .map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 4294967296.0
+    }
+    val want = (1 to 200).filter(_ % 50 != 0)
+      .map(i => (i.toLong, math.log(u(i)) / i.toDouble))
+      .sortBy { case (id, k) => (-k, id) }.take(20).map(_._1)
+    assert(got.toSet == want.toSet && got.nonEmpty)
+    // zero-weight rows can never win
+    assert(!got.exists(_ % 50 == 0))
+    // stable under physical layout
+    val re = CorpusOps.weightedSample(df.repartition(13), "id", col("w"), n = 20, seed = 9L)
+      .select("id").as[Long].collect().toSet
+    assert(re == got.toSet)
+  }
+
   test("epochShuffle: positions are the seeded permutation, stable under repartition") {
     val df = (0 until 500).map(i => (i.toLong, s"doc$i")).toDF("id", "body")
     val got = CorpusOps.epochShuffle(df, "id", seed = 42L)
