@@ -50,6 +50,9 @@ object Bench {
         // derived from the index directory; e03 builds into a fresh temp
         // dir per run, so the name (not the plan shape) would churn.
         .replaceAll("graft_ivf_postings_[0-9a-f]+", "graft_ivf_postings_")
+        // same churn for the MinHash index's dir-derived table names
+        // (d20 builds into a fresh temp dir per run)
+        .replaceAll("graft_mh_(bands|shingles)_[0-9a-f]+", "graft_mh_$1_")
         // higher-order-function lambda variables are numbered by a
         // session-global counter (x_17), so ADDING a query shifts the
         // names in every later lambda-using plan — canonicalize so

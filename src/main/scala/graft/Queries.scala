@@ -1704,6 +1704,39 @@ object Queries {
           col("asof_pts").as("asof_ts"), round(col("asof_pvalue"), 2).as("asof_pvalue"))
     },
 
+    // §2.58 (nearest direction): closest purchase to each click in
+    // either time direction, equal distance resolving backward — both
+    // running windows over ONE shuffle. The oracle ranks every
+    // (click, purchase) pair by |Δts| with a backward-preferring tie.
+    "q46_asof_nearest" -> oq(
+      """WITH r AS (
+        |  SELECT user_id, ts, max(value) AS pvalue
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |), l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT l.event_id, r.ts AS rts, r.pvalue,
+        |    row_number() OVER (PARTITION BY l.event_id
+        |      ORDER BY abs(epoch_ns(l.ts) - epoch_ns(r.ts)),
+        |               CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END) AS rk
+        |  FROM l JOIN r ON l.user_id = r.user_id
+        |)
+        |SELECT l.event_id, l.user_id, l.ts,
+        |  p.rts AS asof_ts, round(p.pvalue, 2) AS asof_pvalue
+        |FROM l LEFT JOIN (SELECT * FROM p WHERE rk = 1) p
+        |  ON l.event_id = p.event_id""") { (s, dir) =>
+      val e = ev(s, dir)
+      val l = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val r = e.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("pvalue"))
+        .select(col("user_id"), col("ts").as("pts"), col("pvalue"))
+      graft.ops.Relational.asOfJoin(l, r, Seq("user_id"), "ts", "pts", Seq("pvalue"),
+          direction = "nearest")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_pts").as("asof_ts"), round(col("asof_pvalue"), 2).as("asof_pvalue"))
+    },
+
     // §2.59: Z-order (Morton) clustering value — the multi-dim layout
     // key behind writeZOrdered. Pure 64-bit bit arithmetic; the oracle
     // replays the IDENTICAL expression text (Layout.zvalueSql) in DuckDB.

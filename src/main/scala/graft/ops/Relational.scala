@@ -165,11 +165,14 @@ object Relational {
     * Reference analogue: none — bacon has no temporal join; included as
     * part of the standard analytics surface (SURVEY §2.58).
     *
-    * `direction`: "backward" (default — greatest rightTs ≤ leftTs) or
-    * "forward" (smallest rightTs ≥ leftTs, the next-event lookup). The
-    * forward form is the same one-shuffle union-window plan scanned in
-    * descending ts order; both are inclusive at equal ts, and forward
-    * `tolerance` nulls matches newer than `leftTs + tolerance`.
+    * `direction`: "backward" (default — greatest rightTs ≤ leftTs),
+    * "forward" (smallest rightTs ≥ leftTs, the next-event lookup) or
+    * "nearest" (whichever of the two is closer in |Δts|; equal distance
+    * resolves backward). Forward is the same one-shuffle union-window
+    * plan scanned in descending ts; nearest evaluates both windows over
+    * the one shuffle. All are inclusive at equal ts; forward `tolerance`
+    * nulls matches newer than `leftTs + tolerance`, nearest applies the
+    * per-side bound before choosing.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, payload: Seq[String],
@@ -178,9 +181,8 @@ object Relational {
                direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
     require(payload.nonEmpty, "no payload columns requested from the right side")
-    require(direction == "backward" || direction == "forward",
-      s"direction must be 'backward' or 'forward', got '$direction'")
-    val fwd = direction == "forward"
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be 'backward', 'forward' or 'nearest', got '$direction'")
     val payCols = (rightTs +: payload).distinct
     // carry the whole left row / right payload as one struct each, so the
     // union schema is fixed and nothing needs renaming
@@ -197,20 +199,38 @@ object Relational {
     // forward scans in DESCENDING ts: the running `last` then holds the
     // nearest right row at-or-after the left row. Right still sorts
     // before left at equal ts (inclusive), and equal-ts right duplicates
-    // still resolve to the greatest payload struct in both directions.
-    val tsOrd = if (fwd) col("__ts").desc else col("__ts").asc
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(tsOrd, col("__side").asc, col("__rpay").asc)
+    // still resolve to the greatest payload struct in every direction.
+    // "nearest" evaluates BOTH windows — same partitioning, so still one
+    // shuffle (the second window re-sorts in-partition, no exchange) —
+    // and keeps the match with the smaller |Δts|, ties to backward.
+    def w(ord: Column) = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ord, col("__side").asc, col("__rpay").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = rTagged.unionByName(lTagged)
-      .withColumn("__m", last(col("__rpay"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
-    val inTol = tolerance.fold(lit(true))(t =>
-      if (fwd) col("__m").getField(rightTs) <= col("__ts") + t
-      else col("__m").getField(rightTs) >= col("__ts") - t)
-    val m = when(col("__m").isNotNull && inTol, col("__m"))
+    val runB = last(col("__rpay"), ignoreNulls = true).over(w(col("__ts").asc))
+    val runF = last(col("__rpay"), ignoreNulls = true).over(w(col("__ts").desc))
+    def tolB(m: Column) = tolerance.fold(lit(true))(t =>
+      m.getField(rightTs) >= col("__ts") - t)
+    def tolF(m: Column) = tolerance.fold(lit(true))(t =>
+      m.getField(rightTs) <= col("__ts") + t)
+    val union = rTagged.unionByName(lTagged)
+    val matched = (direction match {
+      case "backward" =>
+        union.withColumn("__m",
+          when(runB.isNotNull && tolB(runB), runB))
+      case "forward" =>
+        union.withColumn("__m",
+          when(runF.isNotNull && tolF(runF), runF))
+      case _ => // nearest
+        val validB = runB.isNotNull && tolB(runB)
+        val validF = runF.isNotNull && tolF(runF)
+        val closerB = (col("__ts") - runB.getField(rightTs)) <=
+          (runF.getField(rightTs) - col("__ts"))
+        union.withColumn("__m",
+          when(validB && validF, when(closerB, runB).otherwise(runF))
+            .when(validB, runB).when(validF, runF))
+    }).where(col("__side") === 1)
     matched.select(
       left.columns.map(c => col(s"__lrow.$c").as(c)) ++
-        payCols.map(p => m.getField(p).as(s"$prefix$p")): _*)
+        payCols.map(p => col("__m").getField(p).as(s"$prefix$p")): _*)
   }
 }

@@ -96,6 +96,35 @@ class RelationalSpec extends SparkSpec {
     assert(tol == Set(("a", Some(1.0)), ("b", None), ("c", None), ("d", None)))
   }
 
+  test("asOfJoin nearest: closer side wins, equal distance resolves backward") {
+    val l = Seq((1L, 10L, "a"), (1L, 22L, "b"), (1L, 100L, "c"), (2L, 7L, "d"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 8L, 1.0), (1L, 30L, 2.0), (1L, 16L, 3.0)).toDF("k", "rt", "v")
+    val got = Relational.asOfJoin(l, r, Seq("k"), "t", "rt", Seq("v"),
+        direction = "nearest")
+      .collect().map(x => (x.getString(2), Option(x.get(4)))).toSet
+    assert(got == Set(
+      ("a", Some(1.0)),  // |10-8|=2 beats |16-10|=6
+      ("b", Some(3.0)),  // |22-16|=6 < |30-22|=8
+      ("c", Some(2.0)),  // only past rows remain → backward
+      ("d", None)))      // other key has no rows
+    // equal distance → backward: left at 12 is 4 from both 8 and 16
+    val tie = Relational.asOfJoin(Seq((1L, 12L, "x")).toDF("k", "t", "tag"),
+        r, Seq("k"), "t", "rt", Seq("v"), direction = "nearest")
+      .collect().map(x => Option(x.get(4))).toSeq
+    assert(tie == Seq(Some(1.0)))
+    // tolerance bounds BOTH sides before choosing
+    val tol = Relational.asOfJoin(l, r, Seq("k"), "t", "rt", Seq("v"),
+        direction = "nearest", tolerance = Some(lit(3L)))
+      .collect().map(x => (x.getString(2), Option(x.get(4)))).toSet
+    assert(tol == Set(("a", Some(1.0)), ("b", None), ("c", None), ("d", None)))
+    // nearest still shuffles once: two windows share the partitioning
+    val plan = Relational.asOfJoin(l, r, Seq("k"), "t", "rt", Seq("v"),
+        direction = "nearest").queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, plan)
+  }
+
   private lazy val rjLeft = Seq(
     (1L, "a", Some(5L)), (2L, "a", Some(9L)), (3L, "b", Some(-7L)),
     (4L, "a", Some(100L)), (5L, "b", Some(0L)), (6L, "c", Some(50L)),
