@@ -800,6 +800,53 @@ object Queries {
           top2GramShare(col("text")).as("top_2gram_share"))
     },
 
+    // §2.44d: line-level quality signals (RefinedWeb/FineWeb line
+    // filters). The synthetic corpus has no newlines or punctuation, so
+    // the gate builds deterministically decorated lines from the tokens
+    // on BOTH sides (the t03 convention: every 3rd line gains a
+    // terminal '.', every 5th a '- ' bullet), then lineStats parses the
+    // real newline-joined text.
+    "d23_line_signals" -> oq(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, list_transform(range(1, len(tk) + 1),
+        |    i -> concat(CASE WHEN i % 5 = 0 THEN '- ' ELSE '' END, tk[i],
+        |                CASE WHEN i % 3 = 0 THEN '.' ELSE '' END)) AS ls
+        |  FROM t WHERE len(tk) > 0
+        |), c AS (
+        |  SELECT doc_id, ls,
+        |    list_transform(ls, l -> len(list_filter(
+        |      string_split_regex(trim(l), '\s+'), x -> len(x) > 0))) AS wc
+        |  FROM w
+        |)
+        |SELECT doc_id, len(ls) AS n_lines,
+        |  round(len(list_filter(ls, l -> regexp_matches(l, '[.!?"'']$')))
+        |    / CAST(len(ls) AS DOUBLE), 6) AS punct_line_frac,
+        |  round(len(list_filter(ls, l -> regexp_matches(l, '^([-*•]|[0-9]+[.)])\s')))
+        |    / CAST(len(ls) AS DOUBLE), 6) AS bullet_line_frac,
+        |  round(len(list_filter(wc, x -> x < 4)) / CAST(len(ls) AS DOUBLE), 6)
+        |    AS short_line_frac,
+        |  round(list_aggregate(wc, 'sum') / CAST(len(ls) AS DOUBLE), 6)
+        |    AS mean_words_per_line
+        |FROM c""") { (s, dir) =>
+      import graft.text.TextFunctions._
+      val toks = wsTokens(lower(trim(col("text"))))
+      val lines = transform(toks, (x, i) => concat(
+        when((i + 1) % 5 === 0, lit("- ")).otherwise(lit("")), x,
+        when((i + 1) % 3 === 0, lit(".")).otherwise(lit(""))))
+      docs(s, dir)
+        .where(size(filter(wsTokens(lower(trim(col("text")))), t => length(t) > 0)) > 0)
+        .select(col("doc_id"), lineStats(array_join(lines, "\n")).as("__s"))
+        .select(col("doc_id"), col("__s.n_lines").as("n_lines"),
+          col("__s.punct_line_frac").as("punct_line_frac"),
+          col("__s.bullet_line_frac").as("bullet_line_frac"),
+          col("__s.short_line_frac").as("short_line_frac"),
+          col("__s.mean_words_per_line").as("mean_words_per_line"))
+    },
+
     // §2.36c: substring-level dedup diagnostics — the token-window pass
     // of published training-data pipelines (any 20-token span occurring
     // more than once corpus-wide is a duplicated span). Spark meets on

@@ -134,6 +134,38 @@ object TextFunctions {
       .otherwise(round(least(best.cast("double") * 2.0 / n.cast("double"), lit(1.0)), 6))
   }
 
+  /** Line-level quality signals (the RefinedWeb/FineWeb line filters):
+    * over the non-blank lines of a document —
+    *   n_lines, terminal-punctuation line fraction ([.!?"'] at line
+    *   end), bullet-line fraction (-, *, •, or "1." / "1)" markers),
+    *   short-line fraction (< 4 words), mean words per line —
+    * as ONE struct from a single pass over the split lines (pure column
+    * expressions: no shuffle, no UDF; 6dp-rounded fractions, zero/0.0
+    * for line-less documents). Complements the document-level Gopher
+    * signals (dupLineFraction / top2GramShare) one level down.
+    */
+  def lineStats(text: Column): Column = {
+    val lines = nonBlankSegments(text, "\n")
+    val n = size(lines)
+    val nd = n.cast("double")
+    val punct = size(filter(lines, l => l.rlike("[.!?\"']$")))
+    val bullet = size(filter(lines, l => l.rlike("^([-*•]|[0-9]+[.)])\\s")))
+    val words = transform(lines, l =>
+      size(filter(split(l, "\\s+"), w => length(w) > 0)).cast("long"))
+    val shortN = size(filter(words, w => w < 4))
+    val totW = aggregate(words, lit(0L), (a, x) => a + x)
+    when(n <= 0, struct(
+      lit(0L).as("n_lines"), lit(0.0).as("punct_line_frac"),
+      lit(0.0).as("bullet_line_frac"), lit(0.0).as("short_line_frac"),
+      lit(0.0).as("mean_words_per_line"))
+    ).otherwise(struct(
+      n.cast("long").as("n_lines"),
+      round(punct.cast("double") / nd, 6).as("punct_line_frac"),
+      round(bullet.cast("double") / nd, 6).as("bullet_line_frac"),
+      round(shortN.cast("double") / nd, 6).as("short_line_frac"),
+      round(totW.cast("double") / nd, 6).as("mean_words_per_line")))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * the exact-dedup key.
     */

@@ -66,6 +66,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one(top2GramShare(lit(""))).getDouble(0) == 0.0)
   }
 
+  test("lineStats: per-line fractions over non-blank lines, hand-computed") {
+    val text = Seq(
+      "A proper sentence here today.",   // punct, 5 words
+      "- bullet item",                   // bullet, short (3 words — the marker splits as one)
+      "",                                // blank -> not a line
+      "1. numbered list entry",          // bullet (digit marker), 4 words
+      "no punctuation trailer",          // 3 words -> short
+      "Is this short?  "                 // punct after trim (spaces), 3 words -> short
+    ).mkString("\n")
+    val r = one(lineStats(lit(text))).getStruct(0)
+    assert(r.getLong(0) == 5L)                       // n_lines
+    assert(r.getDouble(1) == 0.4)                    // punct: 2/5
+    assert(r.getDouble(2) == 0.4)                    // bullet: 2/5
+    assert(r.getDouble(3) == 0.6)                    // short: 3/5
+    assert(r.getDouble(4) == 3.6)                    // words: (5+3+4+3+3)/5
+    // degenerate: no lines at all
+    val z = one(lineStats(lit("  \n \n"))).getStruct(0)
+    assert(z.getLong(0) == 0L && z.getDouble(4) == 0.0)
+  }
+
   test("fingerprint is whitespace/case insensitive; min-shingle fp stable under tail edits") {
     val df = Seq(
       ("The  quick brown fox", "the quick brown fox"),
