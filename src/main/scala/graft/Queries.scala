@@ -1693,6 +1693,30 @@ object Queries {
       graft.ops.Events.retention(ev(s, dir), "user_id", "ts", "week")
     },
 
+    // §2.65c: time-decayed EWMA per user (τ = 1 h) — the sequential
+    // num/den recursion folded in ts order on both engines (Spark
+    // aggregate HOF ⟷ DuckDB list_reduce), timestamps truncated to µs
+    // on BOTH sides so every Δt is the identical double.
+    "q47_ewma" -> oq(
+      """WITH z AS (
+        |  SELECT user_id,
+        |    list_transform(
+        |      list(struct_pack(t := epoch_us(ts), v := value) ORDER BY ts, value),
+        |      e -> struct_pack(t := e.t, n := e.v, d := 1e0)) AS l
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), r AS (
+        |  SELECT user_id, list_reduce(l, (a, b) -> struct_pack(
+        |    t := b.t,
+        |    n := a.n * exp((a.t - b.t) / 3.6e9) + b.n,
+        |    d := a.d * exp((a.t - b.t) / 3.6e9) + b.d)) AS s
+        |  FROM z
+        |)
+        |SELECT user_id, round(s.n / s.d, 6) AS ewma FROM r""") { (s, dir) =>
+      graft.ops.Events.timeDecayedMean(
+        ev(s, dir).where(col("event_type") === "purchase"),
+        "user_id", "ts", "value", tauSeconds = 3600.0)
+    },
+
     // §2.62b: interval-overlap join — view-windows overlapping promo-
     // windows per user, both sides exploded to shared bins, each pair
     // emitted once via the first-shared-bin rule. Oracle: DuckDB's

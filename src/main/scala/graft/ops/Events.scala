@@ -62,6 +62,47 @@ object Events {
         steps.indices.map(i => col(s"__f.t$i").as(s"t$i")): _*)
   }
 
+  /** Time-decayed (EWMA) mean of `valCol` per key over an irregular
+    * event series: each observation's weight decays as
+    * exp(-Δt / tauSeconds) from the key's LAST event, i.e. the
+    * recursive num/den form
+    *   num ← num·exp(-Δt/τ) + v,  den ← den·exp(-Δt/τ) + 1
+    * folded in timestamp order (ties sub-ordered by value so the fold
+    * order — and therefore the floating-point result — is
+    * deterministic). A key with one event returns that value.
+    *
+    * Why a fold and not window algebra: the closed form
+    * exp(-λt_i)·Σ v_j·exp(λt_j) overflows double for any realistic
+    * time range, so the sequential recursion is the only numerically
+    * stable shape. One shuffle on the key, per-key sort + linear fold —
+    * the same envelope as `funnel`; the recursion is engine-portable
+    * (the gate replays it with DuckDB's list_reduce).
+    */
+  def timeDecayedMean(df: DataFrame, keyCol: String, tsCol: String,
+                      valCol: String, tauSeconds: Double): DataFrame = {
+    require(tauSeconds > 0, s"tauSeconds must be positive, got $tauSeconds")
+    val tauMicros = tauSeconds * 1e6
+    val sorted = df
+      .select(col(keyCol).as("__k"), unix_micros(col(tsCol)).as("__t"),
+        col(valCol).cast("double").as("__v"))
+      .where(col("__t").isNotNull && col("__v").isNotNull)
+      .groupBy("__k")
+      .agg(array_sort(collect_list(struct(col("__t"), col("__v")))).as("__evs"))
+    val init = struct(lit(null).cast("long").as("t"),
+      lit(0.0).as("n"), lit(0.0).as("d"))
+    def step(a: Column, e: Column): Column = {
+      val decay = when(a.getField("t").isNull, lit(1.0))
+        .otherwise(exp((a.getField("t") - e.getField("__t")).cast("double") / tauMicros))
+      struct(e.getField("__t").as("t"),
+        (a.getField("n") * decay + e.getField("__v")).as("n"),
+        (a.getField("d") * decay + lit(1.0)).as("d"))
+    }
+    sorted
+      .withColumn("__f", aggregate(col("__evs"), init, step))
+      .select(col("__k").as(keyCol),
+        round(col("__f.n") / col("__f.d"), 6).as("ewma"))
+  }
+
   /** Cohort retention: keys grouped by their first-activity period (the
     * cohort), counted per (cohort, period-offset) — "of the users who
     * arrived in week W, how many were active in week W+k". `period` is

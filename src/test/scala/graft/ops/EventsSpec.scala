@@ -100,6 +100,26 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("timeDecayedMean: hand-computed recursion, single-event and flat-decay limits") {
+    import java.sql.Timestamp
+    val t0 = 1700000000L * 1000000L // µs epoch
+    def ts(sec: Long) = new Timestamp(t0 / 1000 + sec * 1000)
+    val e = Seq(
+      (1L, ts(0), 10.0), (1L, ts(3600), 20.0),  // one τ apart
+      (2L, ts(0), 7.5)                           // single event
+    ).toDF("k", "t", "v")
+    val got = Events.timeDecayedMean(e, "k", "t", "v", tauSeconds = 3600.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val d = math.exp(-1.0)
+    val want1 = BigDecimal((10.0 * d + 20.0) / (d + 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == want1 && got(2L) == 7.5)
+    // τ → ∞ degenerates to the plain mean
+    val flat = Events.timeDecayedMean(e, "k", "t", "v", tauSeconds = 1e15)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(flat(1L) == 15.0)
+  }
+
   test("funnel is one shuffle — no join chain, no window") {
     val plan = Events.funnel(evs, "uid", "t", "et", Seq("a", "b", "c"))
       .queryExecution.executedPlan.toString
