@@ -800,6 +800,26 @@ object Queries {
           top2GramShare(col("text")).as("top_2gram_share"))
     },
 
+    // §2.67: edit-distance (typo) pairs over the corpus vocabulary —
+    // SymSpell deletion-neighborhood candidates + exact levenshtein
+    // verify, never an all-pairs join. The oracle IS the all-pairs
+    // levenshtein (fine over a 31-word vocab).
+    "d24_typo_pairs" -> oq(
+      """WITH v AS (
+        |  SELECT DISTINCT unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM documents
+        |)
+        |SELECT a.w AS w1, b.w AS w2,
+        |  CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+        |FROM v a JOIN v b ON a.w < b.w
+        |WHERE levenshtein(a.w, b.w) <= 2""") { (s, dir) =>
+      import graft.text.TextFunctions.wsTokens
+      val vocab = docs(s, dir)
+        .select(explode(wsTokens(lower(trim(col("text"))))).as("w"))
+      graft.dedup.Dedup.editDistancePairs(vocab, "w", maxDist = 2)
+    },
+
     // §2.44d: line-level quality signals (RefinedWeb/FineWeb line
     // filters). The synthetic corpus has no newlines or punctuation, so
     // the gate builds deterministically decorated lines from the tokens

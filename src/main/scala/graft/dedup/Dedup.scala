@@ -464,4 +464,39 @@ object Dedup {
       .dropDuplicates("id1", "id2")
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Edit-distance (Levenshtein ≤ `maxDist`) pairs over the DISTINCT
+    * values of `strCol` — typo-level fuzzy matching for vocabularies,
+    * entity names, hostnames. The SymSpell trick: two strings within
+    * edit distance k always share a string in each other's ≤k-deletion
+    * neighborhoods, so candidates come from an equi-join on generated
+    * deletion variants (≈ len^k per string — meant for short strings,
+    * not documents) and only candidates pay the exact levenshtein
+    * verify. Never an all-pairs join. maxDist ∈ {1, 2}.
+    *
+    * Output: (w1 < w2, dist), each pair once.
+    */
+  def editDistancePairs(df: DataFrame, strCol: String, maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"editDistancePairs supports maxDist 1 or 2, got $maxDist")
+    val words = df.select(col(strCol).as("w")).where(col("w").isNotNull).distinct()
+    def del1(s: Column): Column = {
+      val n = length(s)
+      // sequence(1, 0) would generate a DESCENDING range — guard empties
+      when(n >= 1, transform(sequence(lit(1), n),
+        i => concat(substr(s, lit(1), i - 1), substr(s, i + 1, n))))
+        .otherwise(array())
+    }
+    val variants =
+      if (maxDist == 1) array_distinct(concat(array(col("w")), del1(col("w"))))
+      else array_distinct(concat(array(col("w")), del1(col("w")),
+        flatten(transform(del1(col("w")), t => del1(t)))))
+    val exploded = words.select(col("w"), explode(variants).as("v"))
+    val a = exploded.alias("a"); val b = exploded.alias("b")
+    a.join(b, col("a.v") === col("b.v") && col("a.w") < col("b.w"))
+      .select(col("a.w").as("w1"), col("b.w").as("w2"))
+      .dropDuplicates("w1", "w2")
+      .withColumn("dist", levenshtein(col("w1"), col("w2")).cast("long"))
+      .where(col("dist") <= maxDist)
+  }
 }

@@ -221,4 +221,31 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 3L)))
   }
+
+  test("editDistancePairs equals brute-force levenshtein at both radii") {
+    val vocab = Seq("cat", "cut", "cats", "at", "kitten", "sitten", "abc",
+      "cba", "spark", "shark", "", "a").toDF("w")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val ws = vocab.collect().map(_.getString(0))
+    for (k <- Seq(1, 2)) {
+      val got = Dedup.editDistancePairs(vocab, "w", maxDist = k)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val want = (for {
+        x <- ws; y <- ws if x < y
+        d = lev(x, y) if d <= k
+      } yield (x, y, d.toLong)).toSet
+      assert(got == want, s"maxDist=$k")
+    }
+    // the interesting shapes really occur: sub, insert, delete, double-sub
+    val g2 = Dedup.editDistancePairs(vocab, "w", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(Set(("cat", "cut"), ("cat", "cats"), ("at", "cat"),
+      ("kitten", "sitten"), ("shark", "spark"), ("abc", "cba")).subsetOf(g2))
+  }
 }
