@@ -1870,6 +1870,33 @@ object Queries {
         .select(col("click_id"), col("r_promo_id").as("promo_id"))
     },
 
+    // §2.56b: robust per-group outliers — modified z-score via
+    // median/MAD (exact interpolated percentiles, the d22 convention).
+    // The synthetic totalprice has no heavy tail, so the gate cuts at
+    // 1.2 instead of the Iglewicz–Hoaglin 3.5 default to be
+    // non-vacuous; both sides compare the 6dp-ROUNDED score.
+    "q48_outliers" -> oq(
+      """WITH m AS (
+        |  SELECT o_orderpriority AS g, quantile_cont(o_totalprice, 0.5) AS med
+        |  FROM orders GROUP BY 1
+        |), d AS (
+        |  SELECT o.o_orderkey, o.o_orderpriority AS g, o.o_totalprice, m.med
+        |  FROM orders o JOIN m ON o.o_orderpriority = m.g
+        |), s AS (
+        |  SELECT g, quantile_cont(abs(o_totalprice - med), 0.5) AS mad
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT d.o_orderkey,
+        |  round(0.6745 * abs(d.o_totalprice - d.med) / s.mad, 6) AS mz
+        |FROM d JOIN s ON d.g = s.g
+        |WHERE s.mad > 0
+        |  AND round(0.6745 * abs(d.o_totalprice - d.med) / s.mad, 6) > 1.2""") { (s, dir) =>
+      graft.ops.Profile.madOutliers(
+        ord(s, dir).select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        "o_orderpriority", "o_totalprice", threshold = 1.2)
+        .select(col("o_orderkey"), col("mz"))
+    },
+
     // §2.56: per-column numeric profile — one aggregation pass for every
     // column, stack-unpivoted over the single aggregate row.
     "q38_profile" -> oq(

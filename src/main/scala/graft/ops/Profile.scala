@@ -51,6 +51,39 @@ object Profile {
     * columns are profiled; the per-column unpivot runs over that single
     * aggregate row.
     */
+  /** Robust per-group outliers: flags rows whose modified z-score
+    * 0.6745·|x − median| / MAD exceeds `threshold` (3.5 is the standard
+    * Iglewicz–Hoaglin cut). Median/MAD instead of mean/stddev because
+    * outliers corrupt the very statistics that are supposed to find
+    * them; the 0.6745 factor calibrates MAD to σ under normality.
+    *
+    * Exact interpolated percentiles (the d22 convention — Spark
+    * `percentile` ≡ DuckDB `quantile_cont`), 6dp-rounded score. Groups
+    * where MAD = 0 (over half the values identical) flag any x ≠ median.
+    *
+    * Scale shape: two grouped aggregations over the column (median,
+    * then MAD of the residuals) + a broadcast-joinable per-group stats
+    * table (one row per group) merged back — the data shuffles on the
+    * group key twice and never sorts globally.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valCol: String,
+                  threshold: Double = 3.5): DataFrame = {
+    val x = col(valCol).cast("double")
+    val med = df.where(x.isNotNull)
+      .groupBy(col(groupCol)).agg(expr(s"percentile($valCol, 0.5)").as("__med"))
+    val withMed = df.join(med, Seq(groupCol))
+    val mad = withMed
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile(abs(CAST($valCol AS DOUBLE) - __med), 0.5)").as("__mad"))
+    val score = when(col("__mad") > 0,
+      round(lit(0.6745) * abs(x - col("__med")) / col("__mad"), 6))
+    withMed.join(mad, Seq(groupCol))
+      .withColumn("mz", score)
+      .where((col("__mad") > 0 && col("mz") > threshold) ||
+        (col("__mad") === 0 && x =!= col("__med")))
+      .drop("__med", "__mad")
+  }
+
   def summary(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "no columns to profile")
     val aggs = cols.flatMap { c =>

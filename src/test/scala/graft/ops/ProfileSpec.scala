@@ -43,4 +43,20 @@ class ProfileSpec extends SparkSpec {
     val plan = Profile.summary(d, Seq("a", "b")).queryExecution.optimizedPlan.toString
     assert(plan.linesIterator.count(_.contains("LocalRelation")) == 1, plan)
   }
+
+  test("madOutliers: modified z-score per group, MAD-zero groups flag deviants") {
+    import spark.implicits._
+    // group g1: median 10.5 (interpolated), MAD 1 -> 100 scores 0.6745*89.5
+    // group g2: all 5s except one 6 -> MAD 0, the 6 is flagged scoreless
+    // group g3: the value 100 is NORMAL here (group-scoped, not global)
+    val d = (Seq((1L, "g1", 9.0), (2L, "g1", 10.0), (3L, "g1", 11.0),
+      (4L, "g1", 100.0),
+      (5L, "g2", 5.0), (6L, "g2", 5.0), (7L, "g2", 5.0), (8L, "g2", 6.0)) ++
+      (10L to 14L).map(i => (i, "g3", 100.0 + (i % 3)))
+    ).toDF("id", "g", "v")
+    val got = Profile.madOutliers(d, "g", "v", threshold = 3.5)
+      .collect().map(r => (r.getLong(1), Option(r.get(3)))).toMap // (g, id, v, mz)
+    assert(got.keySet == Set(4L, 8L))
+    assert(got(4L) == Some(60.36775) && got(8L) == None)
+  }
 }
