@@ -1897,6 +1897,24 @@ object Queries {
         .select(col("o_orderkey"), col("mz"))
     },
 
+    // §2.56c: winsorization — clamp into the per-group exact [5%, 95%]
+    // percentile band; oracle replays the identical quantile_cont band.
+    "q49_winsorize" -> oq(
+      """WITH b AS (
+        |  SELECT o_orderpriority AS g,
+        |    quantile_cont(o_totalprice, 0.05) AS lo,
+        |    quantile_cont(o_totalprice, 0.95) AS hi
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT o.o_orderkey,
+        |  round(least(greatest(o.o_totalprice, b.lo), b.hi), 6) AS o_totalprice_w
+        |FROM orders o JOIN b ON o.o_orderpriority = b.g""") { (s, dir) =>
+      graft.ops.Profile.winsorize(
+        ord(s, dir).select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        "o_orderpriority", "o_totalprice", pLo = 0.05, pHi = 0.95)
+        .select(col("o_orderkey"), col("o_totalprice_w"))
+    },
+
     // §2.56: per-column numeric profile — one aggregation pass for every
     // column, stack-unpivoted over the single aggregate row.
     "q38_profile" -> oq(

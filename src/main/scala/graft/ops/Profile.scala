@@ -84,6 +84,25 @@ object Profile {
       .drop("__med", "__mad")
   }
 
+  /** Winsorize: clamp `valCol` into its per-group exact interpolated
+    * [pLo, pHi] percentile band (the tail-taming step before
+    * mean-based statistics — bounded influence without dropping rows).
+    * Adds `<valCol>_w` (6dp-rounded double); one grouped percentile
+    * aggregation + the per-group band merged back, same shape as
+    * `madOutliers`.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valCol: String,
+                pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
+    val band = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile($valCol, $pLo)").as("__lo"),
+      expr(s"percentile($valCol, $pHi)").as("__hi"))
+    df.join(band, Seq(groupCol))
+      .withColumn(s"${valCol}_w",
+        round(least(greatest(col(valCol).cast("double"), col("__lo")), col("__hi")), 6))
+      .drop("__lo", "__hi")
+  }
+
   def summary(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "no columns to profile")
     val aggs = cols.flatMap { c =>

@@ -59,4 +59,15 @@ class ProfileSpec extends SparkSpec {
     assert(got.keySet == Set(4L, 8L))
     assert(got(4L) == Some(60.36775) && got(8L) == None)
   }
+
+  test("winsorize clamps into the exact interpolated per-group band") {
+    import spark.implicits._
+    val d = (1 to 100).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "g", "v")
+    val got = Profile.winsorize(d, "g", "v", pLo = 0.25, pHi = 0.75)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // interpolated percentiles of 1..100: p25 = 25.75, p75 = 75.25
+    assert(got(1L) == 25.75 && got(26L) == 26.0)
+    assert(got(100L) == 75.25 && got(75L) == 75.0)
+    intercept[IllegalArgumentException] { Profile.winsorize(d, "g", "v", 0.9, 0.1) }
+  }
 }
