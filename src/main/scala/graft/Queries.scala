@@ -1668,6 +1668,22 @@ object Queries {
           col("asof_pts").as("asof_ts"), round(col("asof_pvalue"), 2).as("asof_pvalue"))
     },
 
+    // §2.34b: hopping (sliding) window aggregation — each event lands in
+    // width/slide = 2 overlapping epoch-aligned windows; the oracle
+    // replays the window multiplication with time_bucket + an explicit
+    // 2-element hop unnest.
+    "q50_hopping_window" -> oq(
+      """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) - to_hours(i) AS TIMESTAMP)
+        |    AS wstart,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sv
+        |FROM events, (SELECT unnest([0, 1]) AS i)
+        |GROUP BY 1, 2""") { (s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("sv"))
+    },
+
     // §2.65: ordered-step funnel — earliest view → click → purchase
     // chain per user in ONE shuffle + per-key fold (no join chain, no
     // window). The oracle is the per-step conditional-min join chain.
