@@ -1376,6 +1376,32 @@ object Queries {
       graft.text.CorpusOps.epochShuffle(docs(s, dir).select("doc_id"), "doc_id", seed = 7L)
     },
 
+    // §2.68: TF-IDF top terms per document — tf × ln(N/df), 6dp-rounded
+    // BEFORE the rank so equal scores tie-break on term text
+    // identically in both engines.
+    "d25_tfidf" -> oq(
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, count(DISTINCT doc_id) AS dfreq FROM t GROUP BY 1
+        |), n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    round(tf.tf * ln(n.n / df.dfreq), 6) AS tfidf
+        |  FROM tf JOIN df USING (term), n
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rk
+        |  FROM s
+        |)
+        |SELECT doc_id, term, tf, tfidf, rk FROM r WHERE rk <= 3""") { (s, dir) =>
+      graft.text.CorpusOps.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
+    },
+
     // §2.66: deterministic weighted sample — exactly 100 documents,
     // inclusion ∝ length (n_chars), reproducible across engines: the
     // oracle replays key = ln(u)/w with the identical md5-fraction u.

@@ -220,6 +220,40 @@ object CorpusOps {
     df.sparkSession.createDataFrame(rdd, schema).drop("__ek")
   }
 
+  /** TF-IDF top terms per document: term frequency × ln(N / document
+    * frequency), the classic salience score — what a corpus search or
+    * keyword-extraction step runs after dedup. Returns the `k` highest-
+    * scoring terms per document (score 6dp-rounded; ties by term text,
+    * so the cut is deterministic and engine-portable).
+    *
+    * Scale shape: explode tokens → one (doc, term) count aggregation
+    * (map-side combined) → term document-frequency table joined back
+    * (vocab-sized — an equi-join on the term, AQE picks broadcast when
+    * it fits; NEVER the corpus against itself) → top-k window per doc.
+    * N is one scalar count. No collect of anything vocab- or
+    * corpus-sized.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val n = df.select(col(idCol)).distinct().count()
+    val terms = df.select(col(idCol).as("__id"),
+        explode(TextFunctions.wsTokens(lower(trim(col(textCol))))).as("term"))
+    val tf = terms.groupBy(col("__id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = terms.select(col("__id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("tfidf",
+        round(col("tf").cast("double") * log(lit(n.toDouble) / col("__df")), 6))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .select(col("__id").as(idCol), col("term"), col("tf"),
+        col("tfidf"), col("__rk").cast("long").as("rk"))
+  }
+
   /** Deterministic weighted sample WITHOUT replacement of exactly `n`
     * rows, inclusion probability ∝ `weightCol` (Efraimidis–Spirakis
     * A-ES): each row's key is ln(u)/w with u a seeded md5-fraction of

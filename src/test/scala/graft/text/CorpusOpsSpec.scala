@@ -172,6 +172,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept == Set(3L, 4L, 5L))
   }
 
+  test("tfidfTopTerms: hand-computed scores, deterministic rank") {
+    val d = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry durian")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.tfidfTopTerms(d, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._5).toList).toMap
+    def s(tf: Int, df: Int) = BigDecimal(tf * math.log(3.0 / df))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    assert(got(1L) == List((1L, "apple", 2L, s(2, 1), 1L), (1L, "banana", 1L, s(1, 2), 2L)))
+    // doc 2: equal scores (both tf=1, df=2) -> term text breaks the tie
+    assert(got(2L).map(_._2) == List("banana", "cherry"))
+    // doc 3: cherry tf=2 still loses to durian's rarity? 2*ln(1.5)=0.81 vs ln(3)=1.10
+    assert(got(3L).map(_._2) == List("durian", "cherry"))
+  }
+
   test("weightedSample: exact seeded winners, null/non-positive weights excluded") {
     val df = (1 to 200).map(i => (i.toLong, if (i % 50 == 0) 0.0 else i.toDouble))
       .toDF("id", "w")
