@@ -1376,6 +1376,28 @@ object Queries {
       graft.text.CorpusOps.epochShuffle(docs(s, dir).select("doc_id"), "doc_id", seed = 7L)
     },
 
+    // §2.68b: PMI term co-occurrence — presence-based collocation over
+    // documents; the oracle replays the identical count chain.
+    "d26_pmi" -> oq(
+      """WITH t AS (
+        |  SELECT DISTINCT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS term
+        |  FROM documents
+        |), dfreq AS (
+        |  SELECT term, count(*) AS dfr FROM t GROUP BY 1
+        |), n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |p AS (
+        |  SELECT a.term AS t1, b.term AS t2, count(*) AS n_ab
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |)
+        |SELECT p.t1, p.t2, p.n_ab,
+        |  round(ln(n.n * p.n_ab / (fa.dfr * fb.dfr)), 6) AS pmi
+        |FROM p JOIN dfreq fa ON p.t1 = fa.term
+        |       JOIN dfreq fb ON p.t2 = fb.term, n""") { (s, dir) =>
+      graft.text.CorpusOps.pmiPairs(docs(s, dir), "doc_id", "text", minCount = 5)
+    },
+
     // §2.68: TF-IDF top terms per document — tf × ln(N/df), 6dp-rounded
     // BEFORE the rank so equal scores tie-break on term text
     // identically in both engines.

@@ -254,6 +254,41 @@ object CorpusOps {
         col("tfidf"), col("__rk").cast("long").as("rk"))
   }
 
+  /** Pointwise mutual information over term CO-OCCURRENCE in documents:
+    * pmi(a,b) = ln(N·n_ab / (n_a·n_b)) with presence counts (a document
+    * contributes once per term) — positive when two terms appear
+    * together more than their marginals predict; the standard
+    * collocation / topic-signal statistic.
+    *
+    * Scale shape: distinct terms per doc self-join WITHIN the doc id —
+    * quadratic in a document's DISTINCT term count, not its length, and
+    * never corpus×corpus; real corpora should pre-filter to a bounded
+    * vocabulary (stopword/top-k cut) before calling. Marginals are the
+    * vocab-sized df table joined back twice (AQE broadcasts when small).
+    * `minCount` cuts rare pairs before the join-back, which is also
+    * where PMI's small-count noise lives.
+    */
+  def pmiPairs(df: DataFrame, idCol: String, textCol: String,
+               minCount: Int = 5): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val n = df.select(col(idCol)).distinct().count()
+    val terms = df.select(col(idCol).as("__id"),
+        explode(TextFunctions.wsTokens(lower(trim(col(textCol))))).as("term"))
+      .distinct()
+    val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val a = terms.alias("a"); val b = terms.alias("b")
+    val pairs = a.join(b, col("a.__id") === col("b.__id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("t1"), col("b.term").as("t2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+    pairs
+      .join(dfreq.select(col("term").as("t1"), col("__df").as("__dfa")), "t1")
+      .join(dfreq.select(col("term").as("t2"), col("__df").as("__dfb")), "t2")
+      .select(col("t1"), col("t2"), col("n_ab"),
+        round(log(lit(n.toDouble) * col("n_ab") / (col("__dfa") * col("__dfb"))), 6)
+          .as("pmi"))
+  }
+
   /** Deterministic weighted sample WITHOUT replacement of exactly `n`
     * rows, inclusion probability ∝ `weightCol` (Efraimidis–Spirakis
     * A-ES): each row's key is ln(u)/w with u a seeded md5-fraction of

@@ -191,6 +191,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(3L).map(_._2) == List("durian", "cherry"))
   }
 
+  test("pmiPairs: presence-based counts, hand-computed collocation scores") {
+    val d = Seq(
+      (1L, "x y"), (2L, "x y y"),   // duplicate y collapses to presence
+      (3L, "x z"), (4L, "w")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.pmiPairs(d, "doc_id", "text", minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    def pmi(nab: Long, da: Long, db: Long) =
+      BigDecimal(math.log(4.0 * nab / (da * db)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // df: x=3 y=2 z=1 w=1; pairs (x,y)=2, (x,z)=1
+    assert(got == Map(
+      ("x", "y") -> (2L, pmi(2, 3, 2)),
+      ("x", "z") -> (1L, pmi(1, 3, 1))))
+    // minCount cuts the rare pair
+    val cut = CorpusOps.pmiPairs(d, "doc_id", "text", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(cut == Set(("x", "y")))
+  }
+
   test("weightedSample: exact seeded winners, null/non-positive weights excluded") {
     val df = (1 to 200).map(i => (i.toLong, if (i % 50 == 0) 0.0 else i.toDouble))
       .toDF("id", "w")
