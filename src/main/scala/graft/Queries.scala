@@ -1961,6 +1961,25 @@ object Queries {
         .select(col("o_orderkey"), col("mz"))
     },
 
+    // §2.55b: equi-depth histogram — quartile buckets over totalprice;
+    // the oracle replays the boundary percentiles and the same
+    // 1 + #{interior boundaries ≤ x} counting rule.
+    "q51_equidepth" -> oq(
+      """WITH b AS (
+        |  SELECT quantile_cont(o_totalprice, [0.0, 0.25, 0.5, 0.75, 1.0]) AS q
+        |  FROM orders
+        |), a AS (
+        |  SELECT CAST(1 + len(list_filter(b.q[2:4], x -> o.o_totalprice >= x))
+        |    AS BIGINT) AS bucket
+        |  FROM orders o, b WHERE o.o_totalprice IS NOT NULL
+        |)
+        |SELECT a.bucket, round(b.q[CAST(a.bucket AS INT)], 6) AS lo,
+        |  round(b.q[CAST(a.bucket AS INT) + 1], 6) AS hi,
+        |  count(*) AS n_rows
+        |FROM a, b GROUP BY 1, 2, 3""") { (s, dir) =>
+      graft.ops.Profile.equiDepthHistogram(ord(s, dir), "o_totalprice", n = 4)
+    },
+
     // §2.56c: winsorization — clamp into the per-group exact [5%, 95%]
     // percentile band; oracle replays the identical quantile_cont band.
     "q49_winsorize" -> oq(

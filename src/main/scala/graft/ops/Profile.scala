@@ -84,6 +84,36 @@ object Profile {
       .drop("__med", "__mad")
   }
 
+  /** Equi-depth histogram: `n` buckets holding ≈ equal row counts,
+    * bounded by the exact interpolated i/n percentiles. Bucket i covers
+    * [q_{i-1}, q_i) with the last bucket closed — assignment is
+    * 1 + #{interior boundaries ≤ x}, an engine-portable counting rule.
+    * Buckets can collapse empty only when boundaries duplicate (heavy
+    * value duplication); empty buckets are not emitted.
+    *
+    * Two passes: one percentile aggregation for the n+1 boundaries (a
+    * tiny array to the driver), then one grouped count with the
+    * boundaries inlined as literals — the data never sorts globally.
+    */
+  def equiDepthHistogram(df: DataFrame, c: String, n: Int): DataFrame = {
+    require(n >= 1, s"need at least one bucket, got $n")
+    val probs = (0 to n).map(i => i.toDouble / n)
+    val bounds = df.agg(
+      expr(s"percentile($c, array(${probs.mkString(", ")}))")).head().getSeq[Double](0)
+    val interior = bounds.slice(1, n)
+    val bucket = interior.foldLeft(lit(1)) { (acc, b) =>
+      acc + when(col(c).cast("double") >= b, 1).otherwise(0)
+    }
+    val qarr = typedLit(bounds)
+    df.where(col(c).isNotNull)
+      .groupBy(bucket.cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("bucket"),
+        round(element_at(qarr, col("bucket").cast("int")), 6).as("lo"),
+        round(element_at(qarr, col("bucket").cast("int") + 1), 6).as("hi"),
+        col("n_rows"))
+  }
+
   /** Winsorize: clamp `valCol` into its per-group exact interpolated
     * [pLo, pHi] percentile band (the tail-taming step before
     * mean-based statistics — bounded influence without dropping rows).

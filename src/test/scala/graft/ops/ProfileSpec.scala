@@ -60,6 +60,19 @@ class ProfileSpec extends SparkSpec {
     assert(got(4L) == Some(60.36775) && got(8L) == None)
   }
 
+  test("equiDepthHistogram: quartiles of 1..100 hold 25 rows each, bounds interpolated") {
+    import spark.implicits._
+    val d = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val got = Profile.equiDepthHistogram(d, "v", n = 4)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == ((1.0, 25.75, 25L)))   // [1, 25.75): 1..25
+    assert(got(2L) == ((25.75, 50.5, 25L)))  // 26..50
+    assert(got(3L) == ((50.5, 75.25, 25L)))  // 51..75
+    assert(got(4L) == ((75.25, 100.0, 25L))) // last bucket closed: 76..100
+  }
+
   test("winsorize clamps into the exact interpolated per-group band") {
     import spark.implicits._
     val d = (1 to 100).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "g", "v")
