@@ -1376,6 +1376,35 @@ object Queries {
       graft.text.CorpusOps.epochShuffle(docs(s, dir).select("doc_id"), "doc_id", seed = 7L)
     },
 
+    // §2.68c: BM25 relevance scoring for a fixed query — Robertson idf
+    // with k1/b saturation, identical evaluation order on both engines.
+    "d27_bm25" -> oq(
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents
+        |), dl AS (SELECT doc_id, len(tk) AS dl FROM t0),
+        |a AS (SELECT avg(dl) AS avgdl FROM dl),
+        |n AS (SELECT count(*) AS n FROM t0),
+        |t AS (
+        |  SELECT doc_id, unnest(tk) AS term FROM t0
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM t
+        |  WHERE term IN ('spark', 'window', 'join') GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT term, count(DISTINCT doc_id) AS dfr FROM t
+        |  WHERE term IN ('spark', 'window', 'join') GROUP BY 1
+        |)
+        |SELECT tf.doc_id, round(sum(
+        |  ln(1.0 + (n.n - dfq.dfr + 0.5) / (dfq.dfr + 0.5)) *
+        |  tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / a.avgdl))
+        |), 6) AS bm25
+        |FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), a, n
+        |GROUP BY 1""") { (s, dir) =>
+      graft.text.CorpusOps.bm25Scores(docs(s, dir), "doc_id", "text",
+        Seq("spark", "window", "join"))
+    },
+
     // §2.68b: PMI term co-occurrence — presence-based collocation over
     // documents; the oracle replays the identical count chain.
     "d26_pmi" -> oq(

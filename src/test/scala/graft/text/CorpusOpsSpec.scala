@@ -191,6 +191,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(3L).map(_._2) == List("durian", "cherry"))
   }
 
+  test("bm25Scores: hand-computed score, non-matching docs absent") {
+    val d = Seq(
+      (1L, "spark spark join"),  // tf(spark)=2, tf(join)=1, len 3
+      (2L, "data and more data"),
+      (3L, "join")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.bm25Scores(d, "doc_id", "text", Seq("spark", "join"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 3L)) // doc 2 matches nothing
+    // replay: N=3, avgdl=(3+4+1)/3, df(spark)=1, df(join)=2
+    val avgdl = 8.0 / 3.0
+    def idf(df: Int) = math.log(1.0 + (3L - df + 0.5) / (df + 0.5))
+    def sat(tf: Long, dl: Long) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == r6(idf(1) * sat(2, 3) + idf(2) * sat(1, 3)))
+    assert(got(3L) == r6(idf(2) * sat(1, 1)))
+  }
+
   test("pmiPairs: presence-based counts, hand-computed collocation scores") {
     val d = Seq(
       (1L, "x y"), (2L, "x y y"),   // duplicate y collapses to presence
