@@ -64,7 +64,13 @@ object Profile {
     * Scale shape: two grouped aggregations over the column (median,
     * then MAD of the residuals) + a broadcast-joinable per-group stats
     * table (one row per group) merged back — the data shuffles on the
-    * group key twice and never sorts globally.
+    * group key twice and never sorts globally. Spark's exact
+    * `percentile` buffers a value→count map per group: bounded when the
+    * column's distinct values are (prices, rounded scores), unbounded
+    * for raw continuous data at corpus-scale groups — there, round the
+    * column first (the d22 trick: 6dp keeps ≤10⁶ distinct values per
+    * unit range) or swap in `approx_percentile` (the q36 path) and
+    * accept its rank error.
     */
   def madOutliers(df: DataFrame, groupCol: String, valCol: String,
                   threshold: Double = 3.5): DataFrame = {
@@ -94,6 +100,10 @@ object Profile {
     * Two passes: one percentile aggregation for the n+1 boundaries (a
     * tiny array to the driver), then one grouped count with the
     * boundaries inlined as literals — the data never sorts globally.
+    * The boundary pass carries the exact-percentile memory contract
+    * (see `madOutliers`): round or pre-bucket continuous columns, or
+    * use `approx_percentile` boundaries when n is large and exactness
+    * is not the point.
     */
   def equiDepthHistogram(df: DataFrame, c: String, n: Int): DataFrame = {
     require(n >= 1, s"need at least one bucket, got $n")
@@ -118,8 +128,9 @@ object Profile {
     * [pLo, pHi] percentile band (the tail-taming step before
     * mean-based statistics — bounded influence without dropping rows).
     * Adds `<valCol>_w` (6dp-rounded double); one grouped percentile
-    * aggregation + the per-group band merged back, same shape as
-    * `madOutliers`.
+    * aggregation + the per-group band merged back, same shape (and
+    * same exact-percentile memory contract — see `madOutliers`) as the
+    * outlier pass.
     */
   def winsorize(df: DataFrame, groupCol: String, valCol: String,
                 pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
