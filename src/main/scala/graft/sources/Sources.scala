@@ -66,6 +66,35 @@ object Sources {
       .write.mode("overwrite").json(s"$path/_graft_meta")
   }
 
+  /** Compact a parquet directory's small files into `targetBytes`-sized
+    * ones, writing to `dstDir` (write-then-swap stays with the caller —
+    * an in-place rewrite that crashes mid-way loses data; a new
+    * directory never can). The small-files problem is THE operational
+    * tax of streaming/incremental ingest at scale: a micro-batch sink
+    * leaves thousands of KB-sized files per day, and every later scan
+    * pays a task + an open + a footer parse per file.
+    *
+    * Partition count = ceil(on-disk bytes / targetBytes), from the file
+    * listing (not optimizer stats — compression estimates drift).
+    * `coalesce`, not `repartition`: no shuffle, adjacent input files
+    * merge into one task; row order inside files may interleave but no
+    * row moves between executors. Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String,
+              targetBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val src = spark.read.parquet(srcDir)
+    val files = src.inputFiles
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    src.coalesce(parts).write.mode("overwrite").parquet(dstDir)
+    (files.length, spark.read.parquet(dstDir).inputFiles.length)
+  }
+
   /** (Re)open a table written by `writeBucketed`. The manifest is the
     * source of truth: an existing catalog entry is reused only when its
     * declared bucket count matches — a fresh session has no entry, and a

@@ -103,6 +103,20 @@ class SourcesSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_bucket_load")
   }
 
+  test("compact merges a shredded directory into target-sized files, rows intact") {
+    val src = Files.createTempDirectory("graftcompact").toString + "/src"
+    val dst = src.stripSuffix("src") + "dst"
+    // 64 tiny files
+    (1 to 640).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .repartition(64).write.mode("overwrite").parquet(src)
+    val (before, after) = Sources.compact(spark, src, dst, targetBytes = 256L << 10)
+    assert(before == 64 && after < 8, s"$before -> $after")
+    // same rows, nothing lost or duplicated
+    val a = spark.read.parquet(src).collect().map(_.getLong(0)).sorted
+    val b = spark.read.parquet(dst).collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+  }
+
   test("parquet streaming source yields a streaming frame with the batch schema") {
     val dir = Files.createTempDirectory("graftstream").toString + "/t"
     val df = Seq((1L, "a")).toDF("id", "s")
