@@ -46,6 +46,36 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == expected)
   }
 
+  test("hopping-window agg equals the batch answer on a stream") {
+    // the q50 shape: width 30 min, slide 15 min — every event lands in 2
+    // overlapping windows; streaming adds watermarking, nothing else
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val sdf = mem.toDF().toDF("ts", "event_type", "user_id", "value")
+    def agg(df: org.apache.spark.sql.DataFrame, streaming: Boolean) = {
+      val in = if (streaming) df.withWatermark("ts", "1 hour") else df
+      in.groupBy(window(col("ts"), "30 minutes", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sv"))
+    }
+    val q = agg(sdf, streaming = true)
+      .writeStream.format("memory").queryName("h_agg").outputMode("complete").start()
+    mem.addData(
+      (ts("2024-01-01 10:01:00"), "click", 1L, 1.0),
+      (ts("2024-01-01 10:05:00"), "click", 1L, 2.0),
+      (ts("2024-01-01 10:20:00"), "view", 2L, 3.0),
+      (ts("2024-01-01 11:05:00"), "click", 1L, 4.0))
+    q.processAllAvailable()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3))
+    val streamed = spark.table("h_agg").collect().map(key).toMap
+    q.stop()
+    val want = agg(batch, streaming = false).collect().map(key).toMap
+    assert(streamed == want)
+    // the multiplication really happened: 4 events, every one in 2 windows
+    assert(streamed.values.map(_._1).sum == 8L)
+  }
+
   test("corpus ops run unchanged on a stream: split/mixture/redaction are stateless") {
     import graft.text.CorpusOps
     implicit val sqlCtx = spark.sqlContext
