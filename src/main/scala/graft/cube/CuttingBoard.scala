@@ -119,19 +119,7 @@ final class CuttingBoard(
           // warehouse, materialization IS the parquet write; the cached
           // frame reads the table back so even post-eviction the bytes
           // survive for a future board.
-          val (persisted, rows) = warehouseDir match {
-            case Some(dir) =>
-              val fp = fingerprint(q)
-              val path = new java.io.File(dir, s"slice_$fp").getAbsolutePath
-              computed.write.mode("overwrite").parquet(path)
-              val reread = current.sparkSession.read.parquet(path).persist(storageLevel)
-              val n = reread.count()
-              writeManifest(dir, fp, s"${UrlQueryBuilder.toUrlString(q, cubedef)}\n$n\n${clock()}\n")
-              (reread, n)
-            case None =>
-              val p = computed.persist(storageLevel)
-              (p, p.count())
-          }
+          val (persisted, rows) = materialize(q, computed)
           if (cache.length >= maxSlices) {
             // drop the in-memory handle; the parquet table (if any) stays
             cache.last.df.unpersist()
@@ -141,6 +129,79 @@ final class CuttingBoard(
           persisted
         } else computed
     }
+  }
+
+  /** Incremental maintenance: the dataset grows by `delta` and every
+    * cached slice is brought current WITHOUT touching the (100 TB) base
+    * table — the materialized-view maintenance step. A slice whose
+    * measures are all merge-capable (Sum/Count/Min/Max/Union — the same
+    * set the drill-down reuse path re-aggregates) is updated by slicing
+    * ONLY the delta with its own query and merging the two small
+    * aggregates; cost ∝ |delta| + |slice|, never ∝ |base|. Slices with
+    * non-mergeable finished measures (Avg/StdDev/Ratio/Group) are
+    * evicted — their warehouse tables and manifests are deleted so a
+    * future board cannot reload a stale materialization — and recompute
+    * on next touch.
+    *
+    * The delta must carry the base schema (unionByName). Counts stay
+    * exact: a delta row lands in exactly one group of each slice, and
+    * the merge rules are the accumulators' own merge semantics.
+    */
+  def append(delta: DataFrame): Unit = synchronized {
+    current = current.unionByName(delta)
+    cache = cache.flatMap { c =>
+      if (!c.q.valuesInSlice.forall(reaggregatable) || c.q.valuesInSlice.isEmpty) {
+        c.df.unpersist()
+        dropPersisted(c.q)
+        None
+      } else {
+        val deltaSlice = Slicer.slice(delta, cubedef, c.q)
+          .select(c.df.columns.map(col): _*)
+        val aggs = c.q.valuesInSlice.map { v =>
+          (cubedef.measure(v).agg match {
+            case Agg.Count              => sum(col(v))
+            case Agg.UnionIncludedEmpty => max(col(v))
+            case other                  => other.compile(col(v))
+          }).as(v)
+        }
+        val axisCols = c.q.axes.map(col)
+        val union = c.df.unionByName(deltaSlice)
+        val merged = union.groupBy(axisCols: _*).agg(aggs.head, aggs.tail: _*)
+          .select(c.df.columns.map(col): _*)
+        val (persisted, rows) = materialize(c.q, merged)
+        c.df.unpersist()
+        Some(Cached(c.q, persisted, rows))
+      }
+    }
+  }
+
+  /** Materialize a computed slice: warehouse write + read-back when a
+    * warehouse exists (the bytes survive the driver), plain persist
+    * otherwise. Returns the frame to cache and its exact row count.
+    */
+  private def materialize(q: CubeQuery, computed: DataFrame): (DataFrame, Long) =
+    warehouseDir match {
+      case Some(dir) =>
+        val fp = fingerprint(q)
+        val path = new java.io.File(dir, s"slice_$fp").getAbsolutePath
+        computed.write.mode("overwrite").parquet(path)
+        val reread = current.sparkSession.read.parquet(path).persist(storageLevel)
+        val n = reread.count()
+        writeManifest(dir, fp, s"${UrlQueryBuilder.toUrlString(q, cubedef)}\n$n\n${clock()}\n")
+        (reread, n)
+      case None =>
+        val p = computed.persist(storageLevel)
+        (p, p.count())
+    }
+
+  /** Delete one slice's warehouse table + manifest (eviction that must
+    * not resurrect on reload — e.g. made stale by `append`).
+    */
+  private def dropPersisted(q: CubeQuery): Unit = warehouseDir.foreach { dir =>
+    val fp = fingerprint(q)
+    deleteRecursively(new java.io.File(dir, s"slice_$fp"))
+    new java.io.File(dir, s"slice_$fp.manifest").delete()
+    ()
   }
 
   /** Atomic manifest write: temp name + rename, so a writer crashing

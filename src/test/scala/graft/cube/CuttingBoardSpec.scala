@@ -263,6 +263,52 @@ class CuttingBoardSpec extends SparkSpec {
     board.clear()
   }
 
+  test("append() merges the delta into mergeable cached slices without a base rescan") {
+    val board = freshBoard()
+    val q = CubeQuery().addAxis("k").addValue("sum_v").addValue("n")
+    board.slice(q).collect()
+    assert(board.stats == (0L, 1L))
+    board.append(Seq(("A", "z", 2022, 10.0), ("C", "x", 2022, 5.0))
+      .toDF("k", "s", "y", "v"))
+    val got = board.slice(q).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // served FROM CACHE (a hit), yet current: new group C appears, A grows
+    assert(board.stats == (1L, 1L), "maintained slice must stay a cache hit")
+    assert(got == Map("A" -> (17.0, 4L), "B" -> (24.0, 2L), "C" -> (5.0, 1L)))
+    // the grown dataset answers fresh queries too
+    assert(board.dataset.count() == 7L)
+    board.clear()
+  }
+
+  test("append() evicts slices with non-mergeable measures; recompute is correct") {
+    val board = freshBoard()
+    val q = CubeQuery().addAxis("k").addValue("avg_v")
+    board.slice(q).collect()
+    board.append(Seq(("A", "z", 2022, 9.0)).toDF("k", "s", "y", "v"))
+    val got = asMap(board.slice(q))
+    assert(board.stats == (0L, 2L), "avg slice cannot merge -> evicted, recomputed")
+    assert(got("A") == 16.0 / 4) // (1+2+4+9)/4
+    board.clear()
+  }
+
+  test("append() writes maintained slices through to the warehouse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wh-app").toString
+    val df = Seq(("A", "x", 2020, 1.0), ("B", "x", 2020, 8.0)).toDF("k", "s", "y", "v")
+    val cube = CubeDef(
+      labels = Seq(Label("k"), Label("s"), Label("y")),
+      measures = Seq(Measure("sum_v", col("v"), Agg.Sum)))
+    val b1 = new CuttingBoard(df, cube, warehouseDir = Some(dir))
+    val q = CubeQuery().addAxis("k").addValue("sum_v")
+    b1.slice(q).collect()
+    b1.append(Seq(("A", "y", 2021, 2.0)).toDF("k", "s", "y", "v"))
+    // a FRESH board over the same warehouse reloads the MAINTAINED slice
+    val b2 = new CuttingBoard(df, cube, warehouseDir = Some(dir))
+    val got = asMap(b2.slice(q))
+    assert(b2.stats == (1L, 0L), "reloaded maintained slice serves the hit")
+    assert(got("A") == 3.0 && got("B") == 8.0)
+    b1.clear(); b2.clear()
+  }
+
   test("persisted slices survive into a fresh board (parquet warehouse)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wh").toString
     val df = Seq(
