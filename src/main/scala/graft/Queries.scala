@@ -1029,6 +1029,26 @@ object Queries {
         .selectExpr("inline(hh)")
     },
 
+    // §2.33f (grouped): the same space-saving aggregate composed PER
+    // GROUP — top tokens per source; exact here because capacity
+    // exceeds the vocabulary, so the oracle is the plain grouped top-5.
+    "d28_heavy_hitters_grouped" -> oq(
+      """SELECT source, w AS value, count(*) AS count
+        |FROM (SELECT source, unnest(list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS w
+        |  FROM documents)
+        |GROUP BY source, w
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY source ORDER BY count(*) DESC, w) <= 5""") { (s, dir) =>
+      import graft.functions.HeavyHitters.heavyHitters
+      docs(s, dir)
+        .select(col("source"),
+          explode(graft.text.TextFunctions.wsTokens(lower(col("text")))).as("w"))
+        .groupBy(col("source"))
+        .agg(heavyHitters(col("w"), 5, capacity = 4096).as("hh"))
+        .selectExpr("source", "inline(hh)")
+    },
+
     // §2.36b: materialized deduplicated corpus — keep the minimum-id doc
     // per content fingerprint (what a training pipeline actually reads)
     "d13_dedup_corpus" -> oq(
