@@ -289,6 +289,19 @@ object CorpusOps {
       .select(col("__id").as(idCol), col("bm25"))
   }
 
+  /** BM25 for a free-text query string: tokenized with the SAME rule as
+    * the corpus side (lowercase, whitespace split — `wsTokens`), terms
+    * deduplicated (BM25 treats the query as a set; repeating a word in
+    * the query must not double its contribution).
+    */
+  def bm25ScoresForQuery(df: DataFrame, idCol: String, textCol: String,
+                         query: String, k1: Double = 1.2,
+                         b: Double = 0.75): DataFrame = {
+    val terms = query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, s"query '$query' tokenizes to nothing")
+    bm25Scores(df, idCol, textCol, terms, k1, b)
+  }
+
   /** Pointwise mutual information over term CO-OCCURRENCE in documents:
     * pmi(a,b) = ln(N·n_ab / (n_a·n_b)) with presence counts (a document
     * contributes once per term) — positive when two terms appear

@@ -210,6 +210,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(3L) == r6(idf(2) * sat(1, 1)))
   }
 
+  test("bm25ScoresForQuery tokenizes like the corpus side and dedups query terms") {
+    val d = Seq((1L, "spark spark join"), (2L, "join only")).toDF("doc_id", "text")
+    val explicit = CorpusOps.bm25Scores(d, "doc_id", "text", Seq("spark", "join"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val q = CorpusOps.bm25ScoresForQuery(d, "doc_id", "text", "  Spark   JOIN spark ")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q == explicit)
+    intercept[IllegalArgumentException] {
+      CorpusOps.bm25ScoresForQuery(d, "doc_id", "text", "   ")
+    }
+  }
+
   test("pmiPairs: presence-based counts, hand-computed collocation scores") {
     val d = Seq(
       (1L, "x y"), (2L, "x y y"),   // duplicate y collapses to presence
