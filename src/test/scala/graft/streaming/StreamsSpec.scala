@@ -175,6 +175,40 @@ class StreamsSpec extends SparkSpec {
     board.clear()
   }
 
+  test("CuttingBoard.append in foreachBatch maintains slices at DELTA cost") {
+    // The incremental sibling of the refresh test: each micro-batch is
+    // APPENDED, so cached mergeable slices update by aggregating only
+    // the batch — the streaming materialized-view loop. The post-append
+    // slice must be a cache HIT (refresh would recompute from scratch).
+    import graft.cube._
+    implicit val sqlCtx = spark.sqlContext
+    val cube = CubeDef(
+      labels = Seq(Label("event_type")),
+      measures = Seq(Measure("sum_value", col("value"), Agg.Sum), Measure("n", lit(1), Agg.Count)))
+    val board = new CuttingBoard(batch.limit(0), cube)
+    val q0 = CubeQuery().addAxis("event_type").addValue("sum_value").addValue("n")
+    board.slice(q0).collect() // prime the (empty) materialization
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val sq = mem.toDF().toDF("ts", "event_type", "user_id", "value")
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        board.append(b)
+        ()
+      }.start()
+    mem.addData((ts("2024-01-01 10:01:00"), "click", 1L, 1.0),
+      (ts("2024-01-01 10:05:00"), "click", 1L, 2.0))
+    sq.processAllAvailable()
+    mem.addData((ts("2024-01-01 10:20:00"), "view", 2L, 3.0),
+      (ts("2024-01-01 11:05:00"), "click", 1L, 4.0))
+    sq.processAllAvailable()
+    sq.stop()
+    val got = board.slice(q0).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got == Map("click" -> (7.0, 3L), "view" -> (3.0, 1L)))
+    // served from the MAINTAINED cache, not recomputed
+    assert(board.stats == (1L, 1L), s"stats=${board.stats}")
+    board.clear()
+  }
+
   test("flatMapGroupsWithState keeps per-user running stats across batches") {
     implicit val sqlCtx = spark.sqlContext
     import Streams.{UserEvent, UserStats}
