@@ -1,0 +1,47 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Plan-hygiene audit: derives every SparkEntry query's physical plan
+  * and flags nested-loop / cartesian joins — the two shapes that turn
+  * into cluster-killers at 100 TB. Run: `runMain graft.PlanAudit`.
+  *
+  * Known-benign hits (bounded by construction, asserted here so a NEW
+  * smell fails loudly while the declared ones stay documented):
+  *  - d05_embed_dup / d06_cosine_topk — the DECLARED exact all-pairs
+  *    baselines behind the LSH/IVF scale paths; both sit behind the
+  *    64 MB `guardQuadratic` stats check.
+  *  - e02_ann_ivf / e03_ann_index — rankCentroids' vectors ×
+  *    broadcast(centroids) cross join: the IVF assignment pass against
+  *    a numCentroids-row (~16) broadcast table, a map-side pass by
+  *    design.
+  */
+object PlanAudit {
+  private val KnownBenign = Set(
+    "d05_embed_dup", "d06_cosine_topk", "e02_ann_ivf", "e03_ann_index")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    var unexpected = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val hits = Seq("BroadcastNestedLoopJoin", "CartesianProduct").filter(plan.contains)
+        if (hits.nonEmpty && !KnownBenign(name)) {
+          unexpected += 1
+          println(s"PLAN-SMELL $name: ${hits.mkString(",")}")
+        }
+      } catch { case e: Throwable =>
+        println(s"PLAN-ERR $name: ${String.valueOf(e.getMessage).take(80)}")
+      }
+    }
+    println(s"plan audit done, $unexpected unexpected smells")
+    spark.stop()
+    if (unexpected > 0) sys.exit(1)
+  }
+}
