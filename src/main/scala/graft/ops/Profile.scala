@@ -124,6 +124,34 @@ object Profile {
         col("n_rows"))
   }
 
+  /** The corpus-scale sibling of `madOutliers`: identical score and
+    * flagging rule, but median/MAD come from `approx_percentile`
+    * (KLL-style sketch, bounded memory per group regardless of the
+    * column's distinct count — the q36 path). `accuracy` trades rank
+    * error 1/accuracy for buffer size; the sketch is EXACT whenever a
+    * group's distinct count stays under it, which is what the spec
+    * uses to pin parity with the exact form.
+    */
+  def madOutliersApprox(df: DataFrame, groupCol: String, valCol: String,
+                        threshold: Double = 3.5, accuracy: Int = 10000): DataFrame = {
+    val x = col(valCol).cast("double")
+    val med = df.where(x.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(expr(s"approx_percentile($valCol, 0.5, $accuracy)").cast("double").as("__med"))
+    val withMed = df.join(med, Seq(groupCol))
+    val mad = withMed
+      .groupBy(col(groupCol))
+      .agg(expr(s"approx_percentile(abs(CAST($valCol AS DOUBLE) - __med), 0.5, $accuracy)")
+        .cast("double").as("__mad"))
+    val score = when(col("__mad") > 0,
+      round(lit(0.6745) * abs(x - col("__med")) / col("__mad"), 6))
+    withMed.join(mad, Seq(groupCol))
+      .withColumn("mz", score)
+      .where((col("__mad") > 0 && col("mz") > threshold) ||
+        (col("__mad") === 0 && x =!= col("__med")))
+      .drop("__med", "__mad")
+  }
+
   /** Winsorize: clamp `valCol` into its per-group exact interpolated
     * [pLo, pHi] percentile band (the tail-taming step before
     * mean-based statistics — bounded influence without dropping rows).

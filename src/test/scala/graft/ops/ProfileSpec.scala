@@ -73,6 +73,23 @@ class ProfileSpec extends SparkSpec {
     assert(got(4L) == ((75.25, 100.0, 25L))) // last bucket closed: 76..100
   }
 
+  test("madOutliersApprox matches the exact form where the sketch is exact") {
+    import spark.implicits._
+    // odd group sizes: the interpolated median IS an element, so the
+    // sketch (exact under its accuracy) and the exact percentile agree
+    val d = (Seq((1L, "g1", 9.0), (2L, "g1", 10.0), (3L, "g1", 11.0),
+      (4L, "g1", 100.0), (5L, "g1", 12.0)) ++
+      (10L to 18L).map(i => (i, "g2", 50.0 + (i % 3)))
+    ).toDF("id", "g", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(1), Option(r.get(3)))).toSet
+    val exact = rows(Profile.madOutliers(d, "g", "v", threshold = 3.5))
+    val approx = rows(Profile.madOutliersApprox(d, "g", "v", threshold = 3.5))
+    assert(exact.nonEmpty && approx == exact)
+    // the flagged outlier is the right one: |100-11|*0.6745/1
+    assert(exact == Set((4L, Some(60.0305))))
+  }
+
   test("winsorize clamps into the exact interpolated per-group band") {
     import spark.implicits._
     val d = (1 to 100).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "g", "v")
