@@ -1641,6 +1641,18 @@ object Queries {
           avg(col("n_frames")).as("avg_total_frames"))
     },
 
+    // §2.47e: scene-change detection — consecutive sampled frames'
+    // perceptual-hash distance per video, cuts above the threshold
+    // (rows-only: MultimodalSpec pins exact boundaries on a
+    // constructed multi-scene clip); all work stays in-partition.
+    "v02_scene_changes" -> nq { (s, dir) =>
+      import graft.multimodal.Multimodal._
+      val media = withFakeMediaPixels(docs(s, dir), "doc_id", "video")
+      sceneChanges(media.repartition(col("media_id")), n = 4)
+        .groupBy("is_cut")
+        .agg(count(lit(1)).as("n_pairs"), avg(col("hamming")).as("avg_hamming"))
+    },
+
     // §2.47b: audio modality end-to-end, REAL PCM — WAV payloads carry
     // actual sine samples; header parse gives rate/channels/duration and
     // `rms` is computed from the sample bytes (≈ amplitude/√2)

@@ -314,6 +314,43 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Scene-change (cut) detection over a video's sampled frames: the
+    * perceptual dHash distance between CONSECUTIVE sampled frames, a cut
+    * where it exceeds `maxHamming` — the clip-segmentation step a video
+    * training pipeline runs before captioning/embedding whole shots.
+    * Output: one row per consecutive frame pair (media_id, from_idx,
+    * to_idx, hamming, is_cut); undecodable / single-frame payloads emit
+    * nothing.
+    *
+    * Scale shape: everything — bounded decode, per-frame hash, the
+    * consecutive-pair fold — happens inside the row's partition; NO
+    * shuffle anywhere (contrast cross-VIDEO dedup, which bands hashes
+    * through hammingPairs64). Each frame hashes once.
+    */
+  def sceneChanges(df: DataFrame, n: Int, maxHamming: Int = 10): DataFrame = {
+    require(n >= 2, s"need at least 2 sampled frames, got $n")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("from_idx", IntegerType),
+      StructField("to_idx", IntegerType), StructField("hamming", IntegerType),
+      StructField("is_cut", BooleanType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex("media_id")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.get(payloadIdx).asInstanceOf[Array[Byte]]
+        val (_, sampled) = ImagePixels.sampleGifFrames(payload, n)
+        val hashed = sampled.map { case (idx, img) => (idx, ImagePixels.dHash64(img)) }
+        hashed.sliding(2).collect {
+          case IndexedSeq((i1, h1), (i2, h2)) =>
+            val d = java.lang.Long.bitCount(h1 ^ h2)
+            Row(id, i1, i2, d, d > maxHamming)
+        }
+      }
+    }(encoder)
+  }
+
   /** Audio (WAV/RIFF) metadata decode + real sample analysis — per-
     * partition batch contract as decodeImageMeta. Header fields come from
     * byte parsing; `rms` is computed from the actual 16-bit PCM samples in
@@ -659,6 +696,57 @@ object ImagePixels {
         writer.writeToSequence(
           new javax.imageio.IIOImage(patternIndexed(w, h, seed + f), null, null), null)
         f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Animated GIF with hard scene CUTS: `scenes` scenes of
+    * `framesPerScene` identical frames each, alternating between a
+    * left→right luma ramp and its reverse — the dHash of a monotone
+    * ramp is all-ones / all-zeroes, so every boundary is hamming 64 and
+    * every within-scene pair hamming 0: the ground truth for
+    * scene-change detection specs. (`seed` offsets the ramps so clips
+    * differ across ids without touching the gradient directions.)
+    */
+  def animatedGifScenes(w: Int, h: Int, framesPerScene: Int, scenes: Int,
+                        seed: Long): Array[Byte] = {
+    def ramp(reverse: Boolean): BufferedImage = {
+      val m = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val xx = if (reverse) w - 1 - x else x
+          val l = (((xx * 255) / math.max(1, w - 1)) + (seed % 16)).min(255).toInt
+          m.setRGB(x, y, (l << 16) | (l << 8) | l)
+          x += 1
+        }
+        y += 1
+      }
+      m
+    }
+    val base = ramp(reverse = false)
+    val mirrored = ramp(reverse = true)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var s = 0
+      while (s < scenes) {
+        val img = if (s % 2 == 0) base else mirrored
+        var f = 0
+        while (f < framesPerScene) {
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        s += 1
       }
       writer.endWriteSequence()
     } finally {

@@ -257,4 +257,22 @@ class MultimodalSpec extends SparkSpec {
     assert(headerOnly.where(col("sample_rate").isNotNull).count() == 3)
     assert(headerOnly.where(col("rms").isNotNull).count() == 0)
   }
+
+  test("sceneChanges flags exactly the cut boundaries of a multi-scene GIF") {
+    // 3 scenes × 6 identical frames; n=9 samples every 2nd frame
+    // (picks 0,2,..,16), so consecutive pairs straddle the scene edges
+    // at 4→6 and 10→12 and sit inside one scene everywhere else
+    val gif = ImagePixels.animatedGifScenes(32, 24, framesPerScene = 6, scenes = 3, seed = 5L)
+    val df = Seq((1L, gif)).toDF("media_id", "payload")
+    val rows = Multimodal.sceneChanges(df, n = 9, maxHamming = 10).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4)))
+    assert(rows.length == 8)
+    val cuts = rows.filter(_._4).map(t => (t._1, t._2)).toSet
+    assert(cuts == Set((4, 6), (10, 12)), rows.mkString(","))
+    // inside a scene the frames are identical -> hamming exactly 0
+    rows.filterNot(_._4).foreach { case (_, _, h, _) => assert(h == 0) }
+    // undecodable payloads emit nothing rather than failing the stage
+    val junk = Seq((2L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    assert(Multimodal.sceneChanges(junk, n = 4).count() == 0)
+  }
 }
