@@ -2022,6 +2022,26 @@ object Queries {
         .select(col("o_orderkey"), col("mz"))
     },
 
+    // §2.56d: pairwise correlation matrix in one pass — explicit moment
+    // arithmetic (not corr()), so the oracle replays the identical
+    // formula; summation-order FP noise sits far below the 6dp round.
+    "q52_corr_matrix" -> oq(
+      Seq(("o_totalprice", "o_custkey"), ("o_totalprice", "o_orderkey"),
+        ("o_custkey", "o_orderkey")).map { case (a, b) =>
+        s"""SELECT '$a' AS c1, '$b' AS c2, CASE
+           |  WHEN count(*) * sum($a * $a) - sum($a) * sum($a) > 0
+           |   AND count(*) * sum($b * $b) - sum($b) * sum($b) > 0
+           |  THEN round((count(*) * sum($a * $b) - sum($a) * sum($b)) /
+           |    sqrt((count(*) * sum($a * $a) - sum($a) * sum($a)) *
+           |         (count(*) * sum($b * $b) - sum($b) * sum($b))), 6)
+           |END AS corr
+           |FROM (SELECT CAST($a AS DOUBLE) AS $a, CAST($b AS DOUBLE) AS $b
+           |      FROM orders WHERE $a IS NOT NULL AND $b IS NOT NULL)""".stripMargin
+      }.mkString("\n UNION ALL \n")) { (s, dir) =>
+      graft.ops.Profile.corrMatrix(ord(s, dir),
+        Seq("o_totalprice", "o_custkey", "o_orderkey"))
+    },
+
     // §2.55b: equi-depth histogram — quartile buckets over totalprice;
     // the oracle replays the boundary percentiles and the same
     // 1 + #{interior boundaries ≤ x} counting rule.

@@ -172,6 +172,44 @@ object Profile {
       .drop("__lo", "__hi")
   }
 
+  /** Pairwise Pearson correlation matrix over numeric columns in ONE
+    * aggregation pass: every pair's moments (Σx, Σy, Σxy, Σx², Σy², n
+    * over rows where BOTH are non-null) fold into a single aggregate
+    * row, and the textbook formula assembles the coefficients from it.
+    * Explicit moment arithmetic — not `corr()` — so the exact
+    * computation replays in any SQL engine (the gate's DuckDB oracle
+    * uses the identical expressions). Pairs with zero variance on
+    * either side yield NULL. Output: (c1, c2, corr 6dp), c1 < c2.
+    *
+    * One scan regardless of pair count; the unpivot runs over the
+    * single aggregate row, never the data.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.distinct.size == cols.size, "duplicate columns")
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
+      yield (cols(i), cols(j))
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      val x = col(a).cast("double"); val y = col(b).cast("double")
+      val both = x.isNotNull && y.isNotNull
+      def m(e: org.apache.spark.sql.Column, n: String) =
+        sum(when(both, e).otherwise(lit(null))).as(s"${n}_$i")
+      Seq(m(x, "sx"), m(y, "sy"), m(x * y, "sxy"), m(x * x, "sxx"), m(y * y, "syy"),
+        count(when(both, lit(1))).as(s"n_$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val outs = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val n = col(s"n_$i").cast("double")
+      val cov = n * col(s"sxy_$i") - col(s"sx_$i") * col(s"sy_$i")
+      val vx = n * col(s"sxx_$i") - col(s"sx_$i") * col(s"sx_$i")
+      val vy = n * col(s"syy_$i") - col(s"sy_$i") * col(s"sy_$i")
+      struct(lit(a).as("c1"), lit(b).as("c2"),
+        when(vx > 0 && vy > 0, round(cov / sqrt(vx * vy), 6)).as("corr"))
+    }
+    row.select(explode(array(outs: _*)).as("p"))
+      .select(col("p.c1"), col("p.c2"), col("p.corr"))
+  }
+
   def summary(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "no columns to profile")
     val aggs = cols.flatMap { c =>

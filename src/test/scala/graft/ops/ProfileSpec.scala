@@ -90,6 +90,21 @@ class ProfileSpec extends SparkSpec {
     assert(exact == Set((4L, Some(60.0305))))
   }
 
+  test("corrMatrix: hand-checked coefficients, zero-variance pair is NULL") {
+    import spark.implicits._
+    val d = (1 to 50).map(i => (i.toDouble, 2.0 * i + 1, 51.0 - i, 7.0))
+      .toDF("x", "yp", "yn", "z")
+    val got = Profile.corrMatrix(d, Seq("x", "yp", "yn", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> Option(r.get(2))).toMap
+    assert(got(("x", "yp")) == Some(1.0))   // exact linear
+    assert(got(("x", "yn")) == Some(-1.0))  // exact inverse
+    assert(got(("x", "z")) == None)         // constant column -> undefined
+    assert(got.size == 6)
+    // one scan: a single Aggregate over one scan subtree
+    val plan = Profile.corrMatrix(d, Seq("x", "yp")).queryExecution.optimizedPlan.toString
+    assert(plan.linesIterator.count(_.contains("LocalRelation")) == 1, plan)
+  }
+
   test("winsorize clamps into the exact interpolated per-group band") {
     import spark.implicits._
     val d = (1 to 100).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "g", "v")
