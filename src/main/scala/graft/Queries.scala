@@ -2042,6 +2042,24 @@ object Queries {
         Seq("o_totalprice", "o_custkey", "o_orderkey"))
     },
 
+    // §2.56e: mutual information between two categoricals — one pass
+    // builds the joint table, marginals re-aggregate the joint; the
+    // oracle replays the identical double arithmetic.
+    "q53_mutual_info" -> oq(
+      """WITH j AS (
+        |  SELECT o_orderstatus AS a, o_orderpriority AS b,
+        |    CAST(count(*) AS DOUBLE) AS c
+        |  FROM orders
+        |  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+        |  GROUP BY 1, 2
+        |), ma AS (SELECT a, sum(c) AS ca FROM j GROUP BY 1),
+        |mb AS (SELECT b, sum(c) AS cb FROM j GROUP BY 1),
+        |n AS (SELECT sum(c) AS n FROM j)
+        |SELECT round(sum((c / n.n) * ln((c * n.n) / (ca * cb))), 6) AS mi
+        |FROM j JOIN ma USING (a) JOIN mb USING (b), n""") { (s, dir) =>
+      graft.ops.Profile.mutualInformation(ord(s, dir), "o_orderstatus", "o_orderpriority")
+    },
+
     // §2.55b: equi-depth histogram — quartile buckets over totalprice;
     // the oracle replays the boundary percentiles and the same
     // 1 + #{interior boundaries ≤ x} counting rule.

@@ -210,6 +210,31 @@ object Profile {
       .select(col("p.c1"), col("p.c2"), col("p.corr"))
   }
 
+  /** Mutual information (nats) between two categorical columns —
+    * Σ p(a,b)·ln(p(a,b)/(p(a)p(b))) — the dependence measure feature
+    * selection and leakage checks reach for when correlation cannot see
+    * categorical structure. Rows with a NULL on either side are
+    * excluded (MI over the observed joint distribution).
+    *
+    * Scale shape: ONE pass over the data builds the joint contingency
+    * table (#distinct(a)×#distinct(b) rows — assumed far smaller than
+    * the data, as categoricals are); marginals and the total re-
+    * aggregate the JOINT table, never the data; the sum folds the joint
+    * rows. Pure double arithmetic in an engine-shared evaluation order.
+    */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val joint = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val ma = joint.groupBy("__a").agg(sum(col("__c")).as("__ca"))
+    val mb = joint.groupBy("__b").agg(sum(col("__c")).as("__cb"))
+    val n = joint.agg(sum(col("__c")).as("__n"))
+    joint.join(ma, "__a").join(mb, "__b").crossJoin(n)
+      .agg(round(sum((col("__c") / col("__n")) *
+        log((col("__c") * col("__n")) / (col("__ca") * col("__cb")))), 6).as("mi"))
+  }
+
   def summary(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "no columns to profile")
     val aggs = cols.flatMap { c =>

@@ -105,6 +105,24 @@ class ProfileSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("LocalRelation")) == 1, plan)
   }
 
+  test("mutualInformation: independent pair is 0, deterministic pair is the entropy") {
+    import spark.implicits._
+    // independent: every (a, b) combination equally likely
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 25 }
+      yield (a, b)).toDF("a", "b")
+    val miInd = Profile.mutualInformation(ind, "a", "b").head().getDouble(0)
+    assert(miInd == 0.0)
+    // deterministic: b = f(a), uniform a over 2 values -> MI = H(a) = ln 2
+    val det = (for { a <- Seq("x", "y"); _ <- 1 to 50 }
+      yield (a, a.toUpperCase)).toDF("a", "b")
+    val miDet = Profile.mutualInformation(det, "a", "b").head().getDouble(0)
+    assert(miDet == BigDecimal(math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // nulls on either side drop out
+    val withNulls = ind.union(Seq((null.asInstanceOf[String], "u")).toDF("a", "b"))
+    assert(Profile.mutualInformation(withNulls, "a", "b").head().getDouble(0) == 0.0)
+  }
+
   test("winsorize clamps into the exact interpolated per-group band") {
     import spark.implicits._
     val d = (1 to 100).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "g", "v")
