@@ -820,6 +820,26 @@ object Queries {
       graft.dedup.Dedup.editDistancePairs(vocab, "w", maxDist = 2)
     },
 
+    // §2.44e: unigram token entropy — H = ln n − (Σ c·ln c)/n in one
+    // sort + fold; the oracle recomputes the identical identity over
+    // DuckDB's distinct-token counts (commutative sum, 6dp-safe).
+    "d29_token_entropy" -> oq(
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents
+        |)
+        |SELECT doc_id, CASE WHEN len(tk) <= 0 THEN 0.0
+        |  ELSE round(ln(len(tk)) - list_aggregate(
+        |    list_transform(list_distinct(tk),
+        |      x -> len(list_filter(tk, y -> y = x)) *
+        |           ln(len(list_filter(tk, y -> y = x)))), 'sum') / len(tk), 6)
+        |END AS entropy
+        |FROM t""") { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        graft.text.TextFunctions.tokenEntropy(col("text")).as("entropy"))
+    },
+
     // §2.44d: line-level quality signals (RefinedWeb/FineWeb line
     // filters). The synthetic corpus has no newlines or punctuation, so
     // the gate builds deterministically decorated lines from the tokens

@@ -166,6 +166,38 @@ object TextFunctions {
       round(totW.cast("double") / nd, 6).as("mean_words_per_line")))
   }
 
+  /** Unigram (token) Shannon entropy of a document in nats, via the
+    * identity H = ln n − (Σ_t c_t·ln c_t)/n — one sort + one fold over
+    * the tokens (the dupFraction shape), no distinct-list
+    * materialization. Low entropy = few tokens dominate = boilerplate /
+    * generated text; the information-theoretic complement of the d18
+    * repetition fractions. 6dp-rounded; token-less documents score 0.
+    */
+  def tokenEntropy(text: Column): Column = {
+    val toks = array_sort(wsTokens(lower(text)))
+    val folded = aggregate(toks,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("n"), lit(0.0).as("acc")),
+      (st, x) => {
+        val same = x === st.getField("prev")
+        val closed = when(same, st.getField("acc")).otherwise(
+          st.getField("acc") + when(st.getField("run") > 0,
+            st.getField("run").cast("double") * log(st.getField("run").cast("double")))
+            .otherwise(lit(0.0)))
+        struct(x.as("prev"),
+          when(same, st.getField("run") + 1).otherwise(lit(1L)).as("run"),
+          (st.getField("n") + 1).as("n"), closed.as("acc"))
+      },
+      st => {
+        val acc = st.getField("acc") + when(st.getField("run") > 0,
+          st.getField("run").cast("double") * log(st.getField("run").cast("double")))
+          .otherwise(lit(0.0))
+        val n = st.getField("n").cast("double")
+        when(st.getField("n") <= 0, lit(0.0))
+          .otherwise(round(log(n) - acc / n, 6))
+      })
+    folded
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * the exact-dedup key.
     */

@@ -86,6 +86,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(z.getLong(0) == 0L && z.getDouble(4) == 0.0)
   }
 
+  test("tokenEntropy: hand-computed nats, degenerate and uniform limits") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // "a a b": p = (2/3, 1/3) -> H = ln3 - (2 ln2)/3
+    assert(one(tokenEntropy(lit("a a b"))).getDouble(0) ==
+      r6(math.log(3) - 2 * math.log(2) / 3))
+    // all-same tokens -> 0; all-distinct -> ln n; empty -> 0
+    assert(one(tokenEntropy(lit("x x x x"))).getDouble(0) == 0.0)
+    assert(one(tokenEntropy(lit("a b c d"))).getDouble(0) == r6(math.log(4)))
+    assert(one(tokenEntropy(lit("  "))).getDouble(0) == 0.0)
+    // case-insensitive like the other signals
+    assert(one(tokenEntropy(lit("A a"))).getDouble(0) == 0.0)
+  }
+
   test("fingerprint is whitespace/case insensitive; min-shingle fp stable under tail edits") {
     val df = Seq(
       ("The  quick brown fox", "the quick brown fox"),
