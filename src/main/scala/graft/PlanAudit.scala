@@ -14,10 +14,14 @@ import org.apache.spark.sql.SparkSession
   *    broadcast(centroids) cross join: the IVF assignment pass against
   *    a numCentroids-row (~16) broadcast table, a map-side pass by
   *    design.
+  *  - q53_mutual_info — the joint contingency table × its ONE-ROW total
+  *    (the standard scalar-attach cross join; the "loop" side is a
+  *    single row, and the joint table is categorical-sized).
   */
 object PlanAudit {
   private val KnownBenign = Set(
-    "d05_embed_dup", "d06_cosine_topk", "e02_ann_ivf", "e03_ann_index")
+    "d05_embed_dup", "d06_cosine_topk", "e02_ann_ivf", "e03_ann_index",
+    "q53_mutual_info")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
