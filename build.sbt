@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print a machine-readable JSON line that an
+// external harness parses from raw stdout. sbt's default forked-output
+// strategy routes child stdout through its logger, prefixing every line
+// with "[info] " — StdoutOutput inherits the parent's streams instead,
+// so the line arrives unprefixed.
+Compile / run / outputStrategy := Some(StdoutOutput)
+// ...and suppress sbt's trailing "[success] Total time" line so the JSON
+// stays the LAST line of stdout.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -2142,10 +2142,10 @@ object Queries {
         |      FROM orders GROUP BY 1)""") { (s, dir) =>
       val q = CubeQuery().addAxis("o_orderdate_month").addValue("n_orders")
       val monthly = Slicer.slice(ord(s, dir), Tpch.ordersCube, q)
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("o_orderdate_month"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      monthly.withColumn("cum_orders", sum(col("n_orders")).over(w))
+      // two-phase prefix sum bucketed by year: parallel per-year windows
+      // + a tiny totals join, never an unpartitioned global window
+      graft.ops.Events.runningTotal(monthly, "o_orderdate_month", "n_orders",
+        bucket = year(col("o_orderdate_month")), outCol = "cum_orders")
         .select(col("o_orderdate_month"), col("n_orders"), col("cum_orders"))
     },
 

@@ -65,6 +65,16 @@ final class CuttingBoard(
   private var missCount = 0L
   private var lastRefreshMillis: Long = clock()
 
+  /** Per-query-fingerprint compute locks: a miss holds only its own
+    * query's lock while the (long) Spark job materializes, so concurrent
+    * hits — and misses on OTHER queries — pass straight through the short
+    * board-level critical sections instead of queueing behind it. Two
+    * concurrent misses on the SAME query serialize here and the second
+    * re-checks the cache, so the base scan runs once.
+    */
+  private val computeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   // Reload persisted slices: materialized views written by an earlier
   // board over the same warehouse. Unreadable or TTL-expired entries are
   // skipped (recompute is always sound). Filter values round-trip through
@@ -101,34 +111,55 @@ final class CuttingBoard(
     */
   @volatile var lastServedFrom: Option[CubeQuery] = None
 
-  /** Execute a query, reusing a cached slice when possible. */
-  def slice(q: CubeQuery): DataFrame = synchronized {
-    maybeAutoRefresh()
-    reuse(q) match {
-      case Some(df) =>
-        hitCount += 1
-        df
+  /** Execute a query, reusing a cached slice when possible.
+    *
+    * Locking: cache lookups/mutations take the (short) board lock; the
+    * expensive part of a miss — the base scan + materializing write — runs
+    * under a per-query lock only (`computeLocks`). CubeService serves HTTP
+    * from one board, so a slow cold slice must not block every concurrent
+    * cache hit.
+    */
+  def slice(q: CubeQuery): DataFrame = {
+    synchronized { maybeAutoRefresh() }
+    tryServe(q) match {
+      case Some(df) => df
       case None =>
-        missCount += 1
-        lastServedFrom = None
-        val computed = Slicer.slice(current, cubedef, q)
-        if (cacheable(q)) {
-          // Materialize eagerly: the caller's next action reads the cache
-          // instead of re-firing the base scan, and the row count becomes
-          // the cost estimate for later cheapest-slice selection. With a
-          // warehouse, materialization IS the parquet write; the cached
-          // frame reads the table back so even post-eviction the bytes
-          // survive for a future board.
-          val (persisted, rows) = materialize(q, computed)
-          if (cache.length >= maxSlices) {
-            // drop the in-memory handle; the parquet table (if any) stays
-            cache.last.df.unpersist()
-            cache = cache.dropRight(1)
+        val lock = computeLocks.computeIfAbsent(fingerprint(q), _ => new Object)
+        lock.synchronized {
+          // Re-check under the query lock: a concurrent miss on the same
+          // query may have just cached it.
+          tryServe(q).getOrElse {
+            val base = synchronized { missCount += 1; lastServedFrom = None; current }
+            val computed = Slicer.slice(base, cubedef, q)
+            if (cacheable(q)) {
+              // Materialize eagerly: the caller's next action reads the cache
+              // instead of re-firing the base scan, and the row count becomes
+              // the cost estimate for later cheapest-slice selection. With a
+              // warehouse, materialization IS the parquet write; the cached
+              // frame reads the table back so even post-eviction the bytes
+              // survive for a future board.
+              val (persisted, rows) = materialize(q, computed)
+              synchronized {
+                if (cache.length >= maxSlices) {
+                  // drop the in-memory handle; the parquet table (if any) stays
+                  cache.last.df.unpersist()
+                  cache = cache.dropRight(1)
+                }
+                cache = Cached(q, persisted, rows) +: cache
+              }
+              persisted
+            } else computed
           }
-          cache = Cached(q, persisted, rows) +: cache
-          persisted
-        } else computed
+        }
     }
+  }
+
+  /** Board-locked cache probe: returns the served frame on a hit. Plan
+    * construction only — never runs a Spark job — so holding the board
+    * lock here is cheap.
+    */
+  private def tryServe(q: CubeQuery): Option[DataFrame] = synchronized {
+    reuse(q).map { df => hitCount += 1; df }
   }
 
   /** Incremental maintenance: the dataset grows by `delta` and every
@@ -178,14 +209,31 @@ final class CuttingBoard(
   /** Materialize a computed slice: warehouse write + read-back when a
     * warehouse exists (the bytes survive the driver), plain persist
     * otherwise. Returns the frame to cache and its exact row count.
+    *
+    * The write lands in a temp directory first and is swapped into the
+    * final `slice_<fp>` name only when complete. `append` merges a slice
+    * FROM its own persisted table (c.df reads slice_<fp>): a direct
+    * mode("overwrite") there would delete the very files the merge plan
+    * re-reads if any persisted block got evicted mid-write — failing the
+    * job or, worse, committing a slice computed from half-deleted input.
+    * Temp-then-swap means the plan's source files stay intact until the
+    * new table is fully written (same pattern as writeManifest and
+    * Sources.compact). A crash between delete and move leaves a manifest
+    * pointing at a missing table — reload's `pq.exists()` check skips it
+    * and the slice recomputes, which is sound.
     */
   private def materialize(q: CubeQuery, computed: DataFrame): (DataFrame, Long) =
     warehouseDir match {
       case Some(dir) =>
         val fp = fingerprint(q)
-        val path = new java.io.File(dir, s"slice_$fp").getAbsolutePath
-        computed.write.mode("overwrite").parquet(path)
-        val reread = current.sparkSession.read.parquet(path).persist(storageLevel)
+        val tmp = new java.io.File(dir, s".slice_$fp.tmp")
+        val dst = new java.io.File(dir, s"slice_$fp")
+        deleteRecursively(tmp)
+        computed.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        deleteRecursively(dst)
+        java.nio.file.Files.move(tmp.toPath, dst.toPath)
+        val reread = computed.sparkSession.read
+          .parquet(dst.getAbsolutePath).persist(storageLevel)
         val n = reread.count()
         writeManifest(dir, fp, s"${UrlQueryBuilder.toUrlString(q, cubedef)}\n$n\n${clock()}\n")
         (reread, n)

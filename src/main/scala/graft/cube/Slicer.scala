@@ -126,12 +126,16 @@ object Slicer {
     if (q.order.isEmpty) return df
     val cols = q.order.map { o =>
       // bacon/cubequery.py:278 — with a pivot key the sort targets that
-      // pivoted column (named after the pivot value(s)) rather than the
-      // measure-totals column.
-      val name =
-        if (o.pivotKey.nonEmpty && df.columns.contains(o.pivotKey.mkString("/")))
-          o.pivotKey.mkString("/")
-        else o.name
+      // pivoted column rather than the measure-totals column. With ONE
+      // measure Spark names the pivoted column after the pivot value
+      // alone; with several it suffixes the measure (`x_sum_v`), so the
+      // ordered measure's suffix selects the right one.
+      val name = o.pivotKey.mkString("/") match {
+        case pv if o.pivotKey.nonEmpty && df.columns.contains(pv) => pv
+        case pv if o.pivotKey.nonEmpty && df.columns.contains(s"${pv}_${o.name}") =>
+          s"${pv}_${o.name}"
+        case _ => o.name
+      }
       val c = col(name)
       if (o.ascending) c.asc_nulls_first else c.desc_nulls_last
     }

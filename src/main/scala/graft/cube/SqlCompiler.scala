@@ -237,10 +237,17 @@ object SqlCompiler {
         // mirror Slicer.finish: asc_nulls_first / desc_nulls_last —
         // engines disagree on default null placement, so be explicit.
         // With a pivot key the sort targets that pivoted column
-        // (bacon/cubequery.py:278), whose name needs quoting.
+        // (bacon/cubequery.py:278), whose name needs quoting — and with
+        // MULTIPLE measures the pivoted columns are suffixed
+        // `<value>_<measure>` (the naming the SELECT above emits), so the
+        // sort target carries the ordered measure's suffix too.
         val target =
-          if (o.pivotKey.nonEmpty) dialect.quoteIdent(o.pivotKey.mkString("/"))
-          else o.name
+          if (o.pivotKey.nonEmpty) {
+            val measures = if (q.values.nonEmpty) q.values else Vector("count")
+            val base = o.pivotKey.mkString("/")
+            dialect.quoteIdent(
+              if (measures.size == 1) base else s"${base}_${o.name}")
+          } else o.name
         if (o.ascending) s"$target ASC NULLS FIRST" else s"$target DESC NULLS LAST"
       }.mkString(", ")
     val limit = q.limit.map(n => s"\nLIMIT $n").getOrElse("")

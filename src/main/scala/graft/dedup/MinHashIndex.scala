@@ -65,10 +65,17 @@ final class MinHashIndex private (
     val banded = bandKeys(withSig, numHashes, bands)
     val cands = banded.as("n")
       .join(bandsTable.as("s"), col("n.bkey") === col("s.bkey"))
+      // a doc is never a dup of ITSELF: ids are unique across a healthy
+      // ingest, so this exclusion is normally a no-op — but when a failed
+      // micro-batch REPLAYS after its index.add committed, every replayed
+      // row finds itself in the store at jaccard 1.0; ignoring id-equal
+      // matches makes the replay recompute exactly the first attempt's
+      // answer (crucial for continuousIngest's idempotent sink)
+      .where(col("n.id") =!= col("s.id"))
       .select(col("n.id").as("id"), col("s.id").as("dup_of"))
       .dropDuplicates("id", "dup_of")
     val batchSh = withSig.select(col("id"), col("sh"))
-    cands.as("c")
+    val verified = cands.as("c")
       .join(batchSh.as("x"), col("c.id") === col("x.id"))
       .join(shinglesTable.as("y"), col("c.dup_of") === col("y.id"))
       .select(col("c.id").as("id"), col("c.dup_of").as("dup_of"),
@@ -77,6 +84,9 @@ final class MinHashIndex private (
       .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("id"), col("dup_of"), round(col("jaccard"), 6).as("jaccard"))
+    // a replayed `add` can leave duplicate store rows (see add's scaladoc);
+    // identical verified pairs collapse here so callers see each match once
+    verified.dropDuplicates("id", "dup_of")
   }
 
   /** Batch rows that are NOT near-dups of anything already indexed, all
@@ -97,6 +107,12 @@ final class MinHashIndex private (
     * exchange-free search property survives every increment. Callers
     * add AFTER filterNovel (add what was kept), or add everything and
     * treat the index as a full-corpus candidate set.
+    *
+    * `add` is NOT idempotent: a replayed micro-batch appends its band/
+    * shingle rows a second time. That never changes any search answer
+    * (pairsAgainst ignores id-equal matches and dedups candidate pairs;
+    * filterNovel tests existence), it only wastes store bytes — the
+    * at-least-once semantics continuousIngest's scaladoc documents.
     */
   def add(batch: DataFrame, idCol: String, textCol: String): Unit = {
     val withSig = prepare(batch, idCol, textCol, k, numHashes)

@@ -137,6 +137,44 @@ object Events {
       .agg(count(lit(1)).as("n_active")) // (key, period) pairs are distinct by construction
   }
 
+  /** Running (cumulative) total of `valCol` in `ordCol` order, computed
+    * WITHOUT a global unpartitioned window — the classic two-phase prefix
+    * sum. `bucket` must be a deterministic, monotone non-decreasing
+    * function of `ordCol` (year of a month column, day of a timestamp):
+    * phase 1 computes the cumsum WITHIN each bucket under a
+    * `partitionBy(bucket)` window (parallel, no single-partition sort);
+    * phase 2 derives per-bucket totals from the local cumsum's max and
+    * joins each row its preceding buckets' sum via a broadcast
+    * triangular join over the (tiny, one-row-per-bucket) totals frame.
+    *
+    * Scale shape: one hash shuffle on the bucket + an O(B²) join where B
+    * = bucket count (calendar-bounded, data-size-independent) — vs the
+    * naive `Window.orderBy(ord)` which moves EVERY row to one partition
+    * and single-threads the sort. Rows are assumed unique in `ordCol`
+    * (an ordered aggregate grain); ties make the intermediate cumsum
+    * order-dependent. Nulls in `ordCol` sort first within their bucket.
+    */
+  def runningTotal(df: DataFrame, ordCol: String, valCol: String,
+                   bucket: Column, outCol: String = "running_total"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__b").orderBy(col(ordCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val local = df.withColumn("__b", bucket)
+      .withColumn("__cum", sum(col(valCol)).over(w))
+    // per-bucket total = max of its local cumsum — re-aggregates the
+    // (already windowed) branch, so the expensive shuffle subtree is
+    // shared/reused, never a second base scan with fresh partitioning
+    val totals = local.groupBy(col("__b")).agg(max(col("__cum")).as("__t"))
+    val offsets = totals.as("a")
+      .join(totals.as("b"), col("b.__b") < col("a.__b"), "left")
+      .groupBy(col("a.__b").as("__b"))
+      .agg(sum(col("b.__t")).as("__off"))
+    local.join(broadcast(offsets), Seq("__b"))
+      .withColumn(outCol,
+        when(col("__off").isNull, col("__cum")).otherwise(col("__cum") + col("__off")))
+      .drop("__b", "__cum", "__off")
+  }
+
   /** Funnel conversion counts: how many keys reached each step. One row
     * per step index, monotonically non-increasing `n_keys`.
     */

@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Backtick-quote an identifier for splicing into `expr(...)` SQL text
+    * (the percentile calls below): a column named with spaces, dots or
+    * hyphens must parse as one identifier, not as an expression.
+    */
+  private def quoteIdent(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
   /** Fixed-width histogram with width_bucket semantics: bucket 0 is
     * underflow (x < lo), buckets 1..n cover [lo, hi) evenly, bucket n+1
     * is overflow (x ≥ hi); NULLs are dropped. Every bucket appears in
@@ -75,12 +82,13 @@ object Profile {
   def madOutliers(df: DataFrame, groupCol: String, valCol: String,
                   threshold: Double = 3.5): DataFrame = {
     val x = col(valCol).cast("double")
+    val v = quoteIdent(valCol)
     val med = df.where(x.isNotNull)
-      .groupBy(col(groupCol)).agg(expr(s"percentile($valCol, 0.5)").as("__med"))
+      .groupBy(col(groupCol)).agg(expr(s"percentile($v, 0.5)").as("__med"))
     val withMed = df.join(med, Seq(groupCol))
     val mad = withMed
       .groupBy(col(groupCol))
-      .agg(expr(s"percentile(abs(CAST($valCol AS DOUBLE) - __med), 0.5)").as("__mad"))
+      .agg(expr(s"percentile(abs(CAST($v AS DOUBLE) - __med), 0.5)").as("__mad"))
     val score = when(col("__mad") > 0,
       round(lit(0.6745) * abs(x - col("__med")) / col("__mad"), 6))
     withMed.join(mad, Seq(groupCol))
@@ -108,8 +116,13 @@ object Profile {
   def equiDepthHistogram(df: DataFrame, c: String, n: Int): DataFrame = {
     require(n >= 1, s"need at least one bucket, got $n")
     val probs = (0 to n).map(i => i.toDouble / n)
-    val bounds = df.agg(
-      expr(s"percentile($c, array(${probs.mkString(", ")}))")).head().getSeq[Double](0)
+    val row = df.agg(
+      expr(s"percentile(${quoteIdent(c)}, array(${probs.mkString(", ")}))")).head()
+    // percentile over zero non-null values returns NULL — surface that as
+    // a usable error instead of an opaque NPE from getSeq
+    if (row.isNullAt(0)) throw new IllegalArgumentException(
+      s"equiDepthHistogram: column '$c' has no non-null values — cannot place bucket boundaries")
+    val bounds = row.getSeq[Double](0)
     val interior = bounds.slice(1, n)
     val bucket = interior.foldLeft(lit(1)) { (acc, b) =>
       acc + when(col(c).cast("double") >= b, 1).otherwise(0)
@@ -135,13 +148,14 @@ object Profile {
   def madOutliersApprox(df: DataFrame, groupCol: String, valCol: String,
                         threshold: Double = 3.5, accuracy: Int = 10000): DataFrame = {
     val x = col(valCol).cast("double")
+    val v = quoteIdent(valCol)
     val med = df.where(x.isNotNull)
       .groupBy(col(groupCol))
-      .agg(expr(s"approx_percentile($valCol, 0.5, $accuracy)").cast("double").as("__med"))
+      .agg(expr(s"approx_percentile($v, 0.5, $accuracy)").cast("double").as("__med"))
     val withMed = df.join(med, Seq(groupCol))
     val mad = withMed
       .groupBy(col(groupCol))
-      .agg(expr(s"approx_percentile(abs(CAST($valCol AS DOUBLE) - __med), 0.5, $accuracy)")
+      .agg(expr(s"approx_percentile(abs(CAST($v AS DOUBLE) - __med), 0.5, $accuracy)")
         .cast("double").as("__mad"))
     val score = when(col("__mad") > 0,
       round(lit(0.6745) * abs(x - col("__med")) / col("__mad"), 6))
@@ -163,9 +177,10 @@ object Profile {
   def winsorize(df: DataFrame, groupCol: String, valCol: String,
                 pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
+    val v = quoteIdent(valCol)
     val band = df.groupBy(col(groupCol)).agg(
-      expr(s"percentile($valCol, $pLo)").as("__lo"),
-      expr(s"percentile($valCol, $pHi)").as("__hi"))
+      expr(s"percentile($v, $pLo)").as("__lo"),
+      expr(s"percentile($v, $pHi)").as("__hi"))
     df.join(band, Seq(groupCol))
       .withColumn(s"${valCol}_w",
         round(least(greatest(col(valCol).cast("double"), col("__lo")), col("__hi")), 6))

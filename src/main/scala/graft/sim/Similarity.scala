@@ -206,9 +206,14 @@ object Similarity {
     }
     // deterministic init: the numCentroids lowest-id training vectors. The
     // centroid table carries float vectors + a precomputed norm so the
-    // assignment pass is pure codegen'd arithmetic.
+    // assignment pass is pure codegen'd arithmetic. cid is stamped with
+    // monotonically_increasing_id over ONE sorted partition (the frame is
+    // ≤ numCentroids rows post-limit) — same numbering a row_number window
+    // would give, without WindowExec's move-everything-to-one-partition
+    // shape (bounded here, but it spams the scale-warning log).
     var cents = trainV.orderBy(col("id")).limit(numCentroids)
-      .select(row_number().over(Window.orderBy(col("id"))).as("cid"),
+      .coalesce(1).sortWithinPartitions(col("id"))
+      .select((monotonically_increasing_id() + 1).cast("int").as("cid"),
         col("v").as("cv"), col("nrm").as("cnrm"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {

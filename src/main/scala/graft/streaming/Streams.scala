@@ -26,16 +26,21 @@ object Streams {
   }
 
   /** Streaming cube slice: the Slicer's filters + axes + measures applied
-    * to a stream, grouped into tumbling windows with a watermark. The
-    * same CubeDef/CubeQuery that drives batch slices drives the stream —
-    * bacon's "cuttingboard over a refreshing dataset" with real
-    * incremental state instead of a re-scan.
+    * to a stream, grouped into tumbling — or, with `slide`, hopping —
+    * windows with a watermark. The same CubeDef/CubeQuery that drives
+    * batch slices drives the stream — bacon's "cuttingboard over a
+    * refreshing dataset" with real incremental state instead of a
+    * re-scan. A hopping slice (q50's shape) lands each event in
+    * windowLen/slide overlapping windows; state expiry is unchanged
+    * (watermark bounds the open-window set).
     */
   def streamingSlice(stream: DataFrame, cube: graft.cube.CubeDef,
                      q: graft.cube.CubeQuery, tsCol: String,
-                     windowLen: String, watermark: String = "1 hour"): DataFrame = {
+                     windowLen: String, watermark: String = "1 hour",
+                     slide: Option[String] = None): DataFrame = {
     val filtered = graft.cube.Slicer.filter(stream, cube, q).withWatermark(tsCol, watermark)
-    val axisCols = window(col(tsCol), windowLen).as("window") +:
+    val win = slide.fold(window(col(tsCol), windowLen))(s => window(col(tsCol), windowLen, s))
+    val axisCols = win.as("window") +:
       q.axes.map(a => cube.label(a).named)
     val aggCols = q.values.map(v => cube.measure(v).compiled)
     filtered.groupBy(axisCols: _*)
@@ -98,14 +103,26 @@ object Streams {
     * the persistent MinHash index (dedup/MinHashIndex.scala) —
     * per micro-batch: (1) within-batch LSH self-dedup keeping each dup
     * cluster's minimum id, (2) `filterNovel` against EVERYTHING any
-    * previous batch kept (the index tables), (3) append survivors to the
+    * previous batch kept (the index tables), (3) write survivors to the
     * corpus sink and (4) `index.add` them, so batch N+1 dedups against
     * batches 1..N with no state in executor memory — the state IS the
     * bucketed index, shared, persistent, restart-safe.
     *
+    * Exactly-once corpus sink under foreachBatch's at-least-once replay:
+    * each batch lands in its own `ingest_batch=<batchId>` partition via
+    * dynamic-partition overwrite, so a replayed batch REPLACES its own
+    * partition instead of appending a second copy. The replay recomputes
+    * the identical kept-set even when the first attempt's `index.add`
+    * committed, because pairsAgainst ignores id-equal store matches (a
+    * replayed row finding ITSELF in the index is not a dup). index.add
+    * itself stays at-least-once — duplicate store rows never change a
+    * search answer (MinHashIndex.add scaladoc), they only cost bytes.
+    *
     * foreachBatch rather than mapGroupsWithState: near-dup state is a
     * JOIN against a corpus-scaled table, not a per-key value — exactly
     * the shape the guide's "stream as incremental batch" pattern covers.
+    * Read the corpus back with `spark.read.parquet(corpusDir)`; the
+    * `ingest_batch` partition column records provenance.
     */
   def continuousIngest(stream: DataFrame, index: graft.dedup.MinHashIndex,
                        idCol: String, textCol: String,
@@ -113,9 +130,13 @@ object Streams {
                        threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val kept = ingestBatch(batch, index, idCol, textCol, threshold)
-        kept.write.mode("append").parquet(corpusDir)
+        kept.withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(corpusDir)
         index.add(kept, idCol, textCol)
       }
       .start()

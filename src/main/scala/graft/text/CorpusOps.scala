@@ -1,9 +1,8 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Training-corpus assembly operators — the steps between "deduplicated
   * documents" and "data a trainer can consume": reproducible train/val/
@@ -195,13 +194,20 @@ object CorpusOps {
     * order; null ids would sort differently across engines).
     *
     * Scale shape: repartitionByRange on the key (Spark's sampled range
-    * exchange — the global-sort machinery, boundaries from a
-    * deterministic-seed sketch) + in-partition sort, then zipWithIndex's
-    * two-pass enumeration: a count job whose per-partition tallies
-    * become offsets (a few bytes per partition to the driver — never
-    * rows), then position = offset + local index. No single-partition
-    * window, no driver-side data. Cost: the input computes twice (count
-    * pass + zip pass) — persist upstream if it is expensive.
+    * exchange — the global-sort machinery) + in-partition sort; global
+    * position = per-partition offset + local index, the zipWithIndex
+    * two-pass enumeration expressed entirely in DataFrame algebra so the
+    * whole pass stays columnar/codegen (no RDD round-trip re-encoding
+    * every row): `spark_partition_id` + `monotonically_increasing_id`
+    * are stamped on the sorted partitions (deterministic because they
+    * sit above the in-partition sort — both passes see the same row
+    * order), per-partition (count, first-id) aggregate to a
+    * partitions-sized frame, a triangular self-join turns counts into
+    * prefix offsets, and a broadcast join attaches them back. The big
+    * side shuffles ONCE (the range exchange); the rest moves only
+    * O(#partitions) rows. No single-partition window, no driver-side
+    * data. Cost: the sorted input computes twice (tally branch + attach
+    * branch; the exchange is reused) — persist upstream if expensive.
     *
     * Reference analogue: none — ordering for trainers is out of bacon's
     * scope; standard LLM-pipeline surface (SURVEY §2.63).
@@ -209,15 +215,23 @@ object CorpusOps {
   def epochShuffle(df: DataFrame, idCol: String, seed: Long,
                    posCol: String = "epoch_pos"): DataFrame = {
     val key = md5(concat(lit(s"$seed:"), col(idCol).cast("string")))
-    val sorted = df.withColumn("__ek", key)
+    val local = df.withColumn("__ek", key)
       .repartitionByRange(col("__ek"), col(idCol))
       .sortWithinPartitions(col("__ek"), col(idCol))
-    val schema = StructType(sorted.schema.fields :+
-      StructField(posCol, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ i)
-    }
-    df.sparkSession.createDataFrame(rdd, schema).drop("__ek")
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+    // one row per partition: row count + the first local id (no reliance
+    // on monotonically_increasing_id's bit layout — only on it being
+    // increasing by 1 per row within a partition)
+    val tallies = local.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__c"), min(col("__mid")).as("__m0"))
+    val offsets = tallies.as("a")
+      .join(tallies.as("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"), col("a.__m0").as("__m0"))
+      .agg(coalesce(sum(col("b.__c")), lit(0L)).as("__off"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(posCol, col("__off") + (col("__mid") - col("__m0")))
+      .drop("__ek", "__pid", "__mid", "__m0", "__off")
   }
 
   /** TF-IDF top terms per document: term frequency × ln(N / document

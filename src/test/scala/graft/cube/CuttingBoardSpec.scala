@@ -407,4 +407,63 @@ class CuttingBoardSpec extends SparkSpec {
     assert(viaCache == direct)
     board.clear()
   }
+
+  test("a cache hit is not blocked by a concurrently running miss (per-query locks)") {
+    // the miss side is made slow with a sleeping UDF; the board serves
+    // HTTP through CubeService, so a cold slice monopolizing one global
+    // lock would stall every cached dashboard panel behind it
+    val slow = udf { (v: Double) => Thread.sleep(2500); v }
+    val df = Seq(("A", "x", 2020, 1.0), ("B", "y", 2021, 2.0)).toDF("k", "s", "y", "v")
+    val cube = CubeDef(
+      labels = Seq(Label("k"), Label("s"), Label("y")),
+      measures = Seq(
+        Measure("sum_v", col("v"), Agg.Sum),
+        Measure("slow_sum", slow(col("v")), Agg.Sum)))
+    val board = new CuttingBoard(df, cube)
+    val fast = CubeQuery().addAxis("k").addValue("sum_v")
+    board.slice(fast).collect() // warm the cache
+    assert(board.stats == (0L, 1L))
+    val missStarted = new java.util.concurrent.CountDownLatch(1)
+    val misser = new Thread(() => {
+      missStarted.countDown()
+      board.slice(CubeQuery().addAxis("s").addValue("slow_sum")).collect()
+      ()
+    })
+    misser.start()
+    missStarted.await()
+    Thread.sleep(300) // let the miss reach its materializing Spark job
+    val t0 = System.nanoTime()
+    val served = asMap(board.slice(fast))
+    val hitMillis = (System.nanoTime() - t0) / 1e6
+    misser.join(30000)
+    assert(served == Map("A" -> 1.0, "B" -> 2.0))
+    assert(board.stats == (1L, 2L), s"stats=${board.stats}") // warm miss + slow miss + this hit
+    assert(hitMillis < 2000,
+      f"cache hit took $hitMillis%.0f ms — it waited on the running miss")
+    board.clear()
+  }
+
+  test("append() survives cache eviction mid-merge (temp-write + swap, never overwrite-in-place)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wh-evict").toString
+    val df = Seq(("A", "x", 2020, 1.0), ("B", "x", 2020, 8.0)).toDF("k", "s", "y", "v")
+    val cube = CubeDef(
+      labels = Seq(Label("k"), Label("s"), Label("y")),
+      measures = Seq(Measure("sum_v", col("v"), Agg.Sum)))
+    val board = new CuttingBoard(df, cube, warehouseDir = Some(dir))
+    val q = CubeQuery().addAxis("k").addValue("sum_v")
+    board.slice(q).collect()
+    // evict every persisted block: the merge's cached-slice side now MUST
+    // re-read the warehouse parquet files — the files an overwrite-in-
+    // place materialization would be deleting under the running job
+    spark.sharedState.cacheManager.clearCache()
+    board.append(Seq(("A", "y", 2021, 2.0)).toDF("k", "s", "y", "v"))
+    val got = asMap(board.slice(q))
+    assert(got("A") == 3.0 && got("B") == 8.0)
+    // and the swapped table on disk is the merged one (a fresh board
+    // reloads it rather than recomputing)
+    val b2 = new CuttingBoard(df, cube, warehouseDir = Some(dir))
+    assert(asMap(b2.slice(q)) == got)
+    assert(b2.stats == (1L, 0L))
+    board.clear(); b2.clear()
+  }
 }

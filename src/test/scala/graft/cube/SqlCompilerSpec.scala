@@ -112,6 +112,27 @@ class SqlCompilerSpec extends SparkSpec {
     }
   }
 
+  test("ORDER BY a pivoted column carries the measure suffix when measures > 1") {
+    df.createOrReplaceTempView("t")
+    val vs = Seq("x", "y")
+    // single measure: bare pivot-value column name
+    val q1 = CubeQuery().addAxis("k").addAxis("s").setPivot("s").addValue("sum_v")
+      .orderBy("-sum_v", pivotKey = Seq("x"))
+    val sql1 = SqlCompiler.compile(cube, q1, "t",
+      dialect = SqlCompiler.Dialect.SparkSql, pivotValues = vs)
+    assert(sql1.contains("ORDER BY `x` DESC"), "\n" + sql1)
+    // two measures: the SELECT emits x_n / x_sum_v — the sort target
+    // must reference the suffixed column, not the nonexistent bare `x`
+    val q2 = CubeQuery().addAxis("k").addAxis("s").setPivot("s")
+      .addValue("n").addValue("sum_v").orderBy("-sum_v", pivotKey = Seq("x"))
+    val sql2 = SqlCompiler.compile(cube, q2, "t",
+      dialect = SqlCompiler.Dialect.SparkSql, pivotValues = vs)
+    assert(sql2.contains("ORDER BY `x_sum_v` DESC"), "\n" + sql2)
+    val got = spark.sql(sql2).collect().map(_.toSeq).toList
+    val want = Slicer.slice(df, cube, q2, pivotValues = vs).collect().map(_.toSeq).toList
+    assert(got == want, "\n" + sql2)
+  }
+
   test("set axis compiles to a row-multiplying unnest subquery = Slicer explode") {
     df.createOrReplaceTempView("t")
     // covers: NULL array → no contribution, '' element discarded,

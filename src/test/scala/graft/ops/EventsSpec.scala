@@ -126,4 +126,24 @@ class EventsSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Window"), plan)
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, plan)
   }
+
+  test("runningTotal: two-phase prefix sum equals the naive global cumsum, windows stay bucketed") {
+    val df = (1 to 200).map(i => (java.sql.Date.valueOf(s"202${i % 4}-0${i % 9 + 1}-0${i % 9 + 1}"),
+      i.toLong)).distinct.toDF("d", "n")
+      .groupBy("d").agg(sum("n").as("n")) // unique ordCol grain
+    val got = Events.runningTotal(df, "d", "n", bucket = year(col("d")), outCol = "cum")
+      .select("d", "cum").collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // naive single-node replay
+    val rows = df.collect().map(r => r.getDate(0).toString -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val want = rows.map { case (d, n) => acc += n; d -> acc }.toMap
+    assert(got == want)
+    // every window in the plan is PARTITIONED (by the bucket) — the
+    // whole point vs Window.orderBy's move-everything-to-one-partition
+    val plan = Events.runningTotal(df, "d", "n", bucket = year(col("d")), outCol = "cum")
+      .queryExecution.executedPlan.toString
+    plan.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
+      assert(l.contains("__b"), s"unpartitioned window in plan line: $l")
+    }
+  }
 }

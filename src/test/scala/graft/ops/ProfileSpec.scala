@@ -133,4 +133,24 @@ class ProfileSpec extends SparkSpec {
     assert(got(100L) == 75.25 && got(75L) == 75.0)
     intercept[IllegalArgumentException] { Profile.winsorize(d, "g", "v", 0.9, 0.1) }
   }
+
+  test("equiDepthHistogram on an all-NULL column fails with a clear error, not an NPE") {
+    val d = Seq.fill(5)(Option.empty[Double]).toDF("v")
+    val e = intercept[IllegalArgumentException] { Profile.equiDepthHistogram(d, "v", 4) }
+    assert(e.getMessage.contains("no non-null values"))
+  }
+
+  test("percentile-based ops accept column names that need quoting") {
+    // a column named with a space must splice into the percentile SQL as
+    // ONE identifier — unquoted it fails to parse or resolves wrongly
+    val d = (1 to 100).map(i => (i.toLong, 1, i.toDouble)).toDF("id", "g", "my val")
+    val w = Profile.winsorize(d, "g", "my val", pLo = 0.25, pHi = 0.75)
+      .select("id", "my val_w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(1L) == 25.75 && w(100L) == 75.25)
+    val eq = Profile.equiDepthHistogram(d, "my val", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(eq == Map(1L -> 25L, 2L -> 25L, 3L -> 25L, 4L -> 25L))
+    assert(Profile.madOutliers(d, "g", "my val", threshold = 1.0).count() > 0)
+  }
 }

@@ -274,4 +274,40 @@ class StreamsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(re.filterNovel(again, "doc_id", "text").count() == 0L)
   }
+
+  test("a replayed micro-batch is idempotent: same kept-set after index.add, sink partition replaced") {
+    // foreachBatch is at-least-once: the batch can re-run AFTER its
+    // index.add committed. The replay must (a) recompute the identical
+    // kept-set — its own rows finding THEMSELVES in the store is not a
+    // dup (id-equal matches ignored) — and (b) overwrite its own
+    // ingest_batch partition rather than appending a second copy.
+    val base = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val seed = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val idx = graft.dedup.MinHashIndex.create(spark, s"$base/idx", seed,
+      "doc_id", "text", buckets = 4)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy cat"), // ~seed → drop
+      (11L, "completely different words entirely here now friends"))
+      .toDF("doc_id", "text")
+    def run() = {
+      val kept = Streams.ingestBatch(batch, idx, "doc_id", "text")
+      kept.withColumn("ingest_batch", lit(0L))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(s"$base/corpus")
+      idx.add(kept, "doc_id", "text")
+      kept.select("doc_id").as[Long].collect().toSet
+    }
+    val first = run()
+    assert(first == Set(11L))
+    val replay = run() // attempt 2 of the SAME batch, index already has 11
+    assert(replay == first, "replay changed the kept-set")
+    val corpus = spark.read.parquet(s"$base/corpus")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(corpus.sorted == Seq(11L), s"corpus has duplicates or losses: $corpus")
+    // and the duplicated store rows never duplicate a search answer
+    val pairs = idx.pairsAgainst(batch, "doc_id", "text")
+    assert(pairs.count() == pairs.dropDuplicates("id", "dup_of").count())
+  }
 }

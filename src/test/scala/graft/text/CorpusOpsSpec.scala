@@ -289,5 +289,9 @@ class CorpusOpsSpec extends SparkSpec {
     val other = CorpusOps.epochShuffle(df, "id", seed = 43L)
       .select("id", "epoch_pos").as[(Long, Long)].collect().toMap
     assert(other != byId)
+    // the enumeration stays in DataFrame algebra end-to-end — no RDD
+    // round-trip node that would re-encode every row outside Tungsten
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), plan)
   }
 }
