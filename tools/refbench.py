@@ -35,9 +35,13 @@ cd.add_measure(Measure("std_qty", extract=lambda r: r.l_quantity, acc=accs.StdDe
 board = CuttingBoard(cd, data)
 results = {}
 
-def bench(name, q):
+def bench(name, q, fresh=False):
+    # fresh=True: a new board with an empty slice cache — the COLD cost
+    # of the shape; fresh=False reuses `board` (its cache measures the
+    # reference's warm drill-down path)
+    b = CuttingBoard(cd, data) if fresh else board
     t0 = time.time()
-    s = board.slice(q)
+    s = b.slice(q)
     # force full materialization like graft's noop sink
     def walk(d):
         if isinstance(d, dict):
@@ -58,6 +62,21 @@ bench("q03_avg_stddev", q3)
 # drill-down: filter on first axis, drop it (DrillOnFirstAxis reuse)
 qd = q1.add_filter("l_returnflag", "R").remove_axis("l_returnflag")
 bench("q19_drill (from cache)", qd)
+
+# filtered slice on a NON-axis label: no cached slice can serve it —
+# the cold full-scan path graft runs as a pushed-down parquet filter
+q8 = (CubeQuery().add_axis("l_linestatus").add_value("sum_qty")
+      .add_filter("l_returnflag", "A"))
+bench("q08_filter_cmp (cold scan)", q8, fresh=True)
+
+# pivot: row axis l_returnflag, pivoted l_linestatus (q14's shape)
+q14 = (CubeQuery().add_axis("l_returnflag").add_axis("l_linestatus")
+       .add_value("sum_qty").set_pivot("l_linestatus"))
+bench("q14_pivot (cold)", q14, fresh=True)
+
+# grand total: 0-dim slice over every row (q07's shape)
+q7 = CubeQuery().add_value("sum_qty").add_value("n_rows")
+bench("q07_grand_total", q7, fresh=True)
 
 total = sum(results.values())
 print(f"total slices: {total:.2f}s  (+ {t_load:.2f}s load)")
