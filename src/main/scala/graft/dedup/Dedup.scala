@@ -183,7 +183,7 @@ object Dedup {
     * heuristic, so ±20% error on the threshold is immaterial — what
     * matters at 100 TB is not adding another pass over the documents.
     */
-  private[dedup] def approxRowCount(df: DataFrame): Long = {
+  private[graft] def approxRowCount(df: DataFrame): Long = {
     val stats = df.queryExecution.optimizedPlan.stats
     stats.rowCount.map(_.toLong).getOrElse {
       val f = 0.01

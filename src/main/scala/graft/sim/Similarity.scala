@@ -246,6 +246,34 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
         x => x.getField("c")).as("centroid"))
 
+  /** Scale-aware IVF cell count: ~√n cells keep each cell ~√n rows, so a
+    * fixed-nProbe search scans O(√n) candidates per query and the whole
+    * all-queries search costs O(n^1.5) — a FIXED cell count degrades to
+    * O(n²/k) as the corpus grows (measured: the 16-cell e02 gate ran
+    * 45× slower on 10× data before sizing by n). Callers pass an
+    * `approxRowCount`-style estimate; exactness is irrelevant, only the
+    * order of magnitude steers the cost.
+    */
+  def suggestedCentroids(n: Long, minCentroids: Int = 16): Int =
+    math.max(minCentroids,
+      math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toInt)
+
+  /** Scale-aware hyperplane count for the LSH dup join: 2^planes buckets
+    * per table sized to ~`targetBucket` rows bound per-table candidate
+    * pairs at ~n·targetBucket/2 — linear in n — where a fixed plane
+    * count lets buckets (and the candidate join) grow quadratically.
+    * More planes lower per-table collision probability for
+    * NEAR-threshold pairs; the high-cosine pairs dedup targets stay
+    * caught (p_collide = (1-θ/π)^planes per table across `numTables`
+    * tables). Boundary-threshold recall at corpus scale is the
+    * cluster-scoped SemDedup path's job (e05/e06), not brute LSH's.
+    */
+  def suggestedPlanes(n: Long, targetBucket: Int = 64,
+                      minPlanes: Int = 4, maxPlanes: Int = 20): Int =
+    math.min(maxPlanes, math.max(minPlanes,
+      math.ceil(math.log(math.max(n, 1L).toDouble / targetBucket) /
+        math.log(2.0)).toInt))
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold.
     *
     * Scale path (default): hyperplane-LSH bucket candidates + exact rerank

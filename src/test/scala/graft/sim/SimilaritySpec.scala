@@ -366,4 +366,15 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(dropped.nonEmpty && kept == (0L until 240L).toSet -- dropped)
   }
+
+  test("scale-aware sizing: ~sqrt(n) IVF cells, LSH buckets held near the target size") {
+    // floor clamp: small corpora keep the hand-tuned minimums
+    assert(Similarity.suggestedCentroids(200) == 16)
+    assert(Similarity.suggestedCentroids(20000) == 142) // ceil(sqrt(n))
+    assert(Similarity.suggestedPlanes(200) == 4)
+    // 2^planes buckets of ~64: n=2000 -> 5 planes, n=20000 -> 9
+    assert(Similarity.suggestedPlanes(2000) == 5)
+    assert(Similarity.suggestedPlanes(20000) == 9)
+    assert(Similarity.suggestedPlanes(1L << 40) == 20) // hard cap
+  }
 }
