@@ -97,24 +97,25 @@ class SimilaritySpec extends SparkSpec {
   }
 
   // Deterministic planted-cluster corpus — the data shape ANN exists for
-  // (real near-neighbour structure): 20 clusters × 12 members in 16 dims,
+  // (real near-neighbour structure): nClusters × members in 16 dims,
   // members = unit(center + N(0, 0.05)) so in-cluster cosines sit ≈
   // 0.96-0.99 and cross-cluster cosines are the random-vector background.
-  private lazy val clustered = {
-    val rnd = new scala.util.Random(42)
+  private def clusteredCorpus(nClusters: Int, members: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
     val dim = 16
     def unit(v: Array[Double]) = { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
     val rows = for {
-      c <- 0 until 20
+      c <- 0 until nClusters
       center = unit(Array.fill(dim)(rnd.nextGaussian()))
-      m <- 0 until 12
+      m <- 0 until members
     } yield {
       val noisy = unit(center.zip(Array.fill(dim)(rnd.nextGaussian() * 0.05))
         .map { case (a, b) => a + b })
-      ((c * 12 + m).toLong, noisy.map(_.toFloat).toSeq)
+      ((c * members + m).toLong, noisy.map(_.toFloat).toSeq)
     }
     rows.toDF("vec_id", "embedding")
   }
+  private lazy val clustered = clusteredCorpus(20, 12, 42)
 
   private def top5Map(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
     df.collect().groupBy(_.getLong(0)).map { case (q, rs) =>
@@ -365,6 +366,29 @@ class SimilaritySpec extends SparkSpec {
         threshold = 0.99, numClusters = 1)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(dropped.nonEmpty && kept == (0L until 240L).toSet -- dropped)
+  }
+
+  test("scale-sized IVF/LSH keep recall on a 5x larger clustered corpus") {
+    // 100 clusters × 12 members: suggestedCentroids(1200) = 35 cells,
+    // suggestedPlanes(1200) = 5 — the sizes the e02/d16 gates now pick.
+    // The sizing fix must not buy its linear cost with recall.
+    val big = clusteredCorpus(nClusters = 100, members = 12, seed = 7)
+    val exact = top5Map(Similarity.cosineTopK(big, "vec_id", "embedding", k = 5))
+    val cents = Similarity.suggestedCentroids(1200)
+    val ivf = top5Map(Similarity.annIvfTopK(big, "vec_id", "embedding", k = 5,
+      numCentroids = cents, nProbe = 4, iters = 2,
+      trainCap = math.max(2000, 40 * cents)))
+    val r = recallAt5(exact, ivf)
+    info(f"recall@5 at $cents cells, nProbe=4: $r%.4f (1200 queries)")
+    assert(r >= 0.95, f"IVF recall@5 = $r%.4f with sqrt(n) cells")
+    // the scale-sized LSH dup join still catches ~every planted dup pair
+    val exactPairs = Similarity.cosineDupPairs(big, "vec_id", "embedding",
+      threshold = 0.9, numTables = 0).count()
+    val lshPairs = Similarity.cosineDupPairs(big, "vec_id", "embedding",
+      threshold = 0.9, numPlanes = Similarity.suggestedPlanes(1200),
+      numTables = 16).count()
+    info(s"dup pairs: exact=$exactPairs lsh=$lshPairs")
+    assert(exactPairs > 0 && lshPairs >= math.ceil(exactPairs * 0.95).toLong)
   }
 
   test("scale-aware sizing: ~sqrt(n) IVF cells, LSH buckets held near the target size") {
