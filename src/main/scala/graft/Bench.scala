@@ -74,11 +74,14 @@ object Bench {
     }
     // Exact baselines exist to validate the scale paths, not to headline
     // the bench: d06 is the O(n²) ANN recall baseline (SimilaritySpec's
-    // recall@5 harness measures the LSH/IVF paths against it), and d02 is
+    // recall@5 harness measures the LSH/IVF paths against it), d02 is
     // the cut-off exact-Jaccard mode whose production counterpart is
-    // d02s_ngram_jaccard_scale (stop-shingle cut ON). Both stay in
-    // SparkEntry.queries for the correctness gate.
-    val benchExclude = Set("d06_cosine_topk", "d02_ngram_jaccard")
+    // d02s_ngram_jaccard_scale (stop-shingle cut ON), and d05 is the
+    // exact all-pairs embed-dup oracle baseline whose production
+    // counterpart is d16_embed_dup_lsh (at 60k vectors its n² sort
+    // spilled the disk dry — the measurement that earned it this spot).
+    // All stay in SparkEntry.queries for the correctness gate.
+    val benchExclude = Set("d06_cosine_topk", "d02_ngram_jaccard", "d05_embed_dup")
     // Per-query MEDIAN of `reps` runs: single-run walls on a contended
     // box swing 3× at identical plans (round-7 driver vs builder runs),
     // so cross-round per-query deltas were noise. The median of 3

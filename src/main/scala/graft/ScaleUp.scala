@@ -101,13 +101,19 @@ object ScaleUp {
     }, "documents", 16)
 
     val kVec = stride("embeddings", "vec_id")
+    val kLabel = read("embeddings").agg(max(col("label"))).head().getInt(0) + 1
     val dim = read("embeddings").select(size(col("embedding"))).head().getInt(0)
     write(replicate(read("embeddings")) { (d, r) =>
       val rot =
         if (r == 0) col("embedding")
         else concat(slice(col("embedding"), r + 1, dim - r),
           slice(col("embedding"), 1, r))
+      // labels are CLUSTER ids — they must remap per replica like every
+      // other surrogate key, or each cluster's membership grows `factor`×
+      // and the cluster-scoped pair joins (SemDedup e05/e06) go quadratic
+      // in the factor (measured 83× wall at 3× data before this remap)
       d.withColumn("vec_id", col("vec_id") + lit(r * kVec))
+        .withColumn("label", col("label") + lit(r * kLabel))
         .withColumn("embedding", rot)
     }, "embeddings", 8)
 

@@ -16,7 +16,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_SKIP: comma-separated query names to skip —
+    // used by the SCALE gate (tools/scalecheck.py) to leave out the
+    // O(n²) exact baselines (d05/d06) that exist only to oracle the
+    // linear scale paths at gate size. The driver sets nothing, so its
+    // sf0.01 run still dumps every query.
+    val skip = sys.env.get("SPARK_GRAFT_VERIFY_SKIP")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    SparkEntry.queries.filterNot(q => skip(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -107,6 +107,20 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Scale-aware scene-pool size for the shared-scene corpora: holds
+    * per-scene multiplicity at ~`targetCopies` re-encodings so the
+    * downstream hamming pair join stays LINEAR in the corpus — a fixed
+    * pool lets every scene's copy count (and the within-bucket pair
+    * join) grow with the data, the same quadratic-by-fixed-structure
+    * trap as a fixed LSH plane count (Similarity.suggestedPlanes).
+    * Real corpora behave this way too: duplicate-group sizes are
+    * bounded; it is the NUMBER of groups that grows with the crawl.
+    * The floor keeps gate/bench-sized inputs (≤ minScenes×targetCopies
+    * rows) byte-identical to the historical fixed-100 shape.
+    */
+  def suggestedScenes(n: Long, targetCopies: Int = 50, minScenes: Int = 100): Int =
+    math.max(minScenes, (math.max(n, 1L) / targetCopies).toInt)
+
   /** Pixel-tier corpus with SHARED SCENES: each media id renders scene
     * `id % nScenes`, re-encoded under the id's rotating format — so the
     * same pixels recur across documents as byte-wise-different PNG/GIF/

@@ -170,6 +170,21 @@ class MultimodalSpec extends SparkSpec {
     assert(ImagePixels.sampleGifFrames(Array[Byte](1, 2, 3), 4) == ((0, IndexedSeq.empty)))
   }
 
+  test("suggestedScenes holds per-scene multiplicity constant across scale") {
+    // gate/bench-sized corpora keep the historical fixed pool (floor)…
+    assert(Multimodal.suggestedScenes(500L) == 100)
+    assert(Multimodal.suggestedScenes(5000L) == 100)
+    // …and past the floor the pool grows with the corpus so copies/scene
+    // (and the per-bucket pair join) stay bounded at ~targetCopies
+    for (n <- Seq(50000L, 150000L, 5000000L)) {
+      val scenes = Multimodal.suggestedScenes(n)
+      val copies = n.toDouble / scenes
+      assert(copies <= 50.0 + 1e-9, s"n=$n gives $copies copies/scene")
+    }
+    // 30× the bench corpus = 30× the scenes, NOT 30× the multiplicity
+    assert(Multimodal.suggestedScenes(150000L) == 3000)
+  }
+
   test("perceptual dHash finds the same scene across formats, not different scenes") {
     // 8 media ids over 2 scenes: ids {0,2,4,6} render scene 0, {1,3,5,7}
     // scene 1, with formats rotating png/gif/bmp/jpeg by id

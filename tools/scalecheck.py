@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Oracle gate at SCALE: check.py's comparison run over a graft.ScaleUp
+output directory (tables are parquet DIRECTORIES there, and a few
+oracles are intentionally quadratic and priced out of DuckDB at 10x+).
+
+Usage: python3 tools/scalecheck.py <scaledSfDir> <verifyOutDir> [skip,..]
+
+Default skips (all-pairs forms, O(n^2) at scale; their operators have
+linear scale paths that ARE checked):
+  d05 embed-dup exact + d06 brute top-k (quadratic on BOTH engines —
+  also skipped Spark-side via SPARK_GRAFT_VERIFY_SKIP) / d24 whose
+  DuckDB oracle is all-pairs levenshtein (the Spark side is SymSpell
+  and runs fine). e05/e06 semdedup are NOT skipped: ScaleUp remaps
+  cluster labels per replica, so cluster size is scale-invariant and
+  the in-cluster pair join stays linear in the corpus.
+"""
+import sys, json, os
+import duckdb
+from check import TABLES, norm
+
+DEFAULT_SKIP = {"d05_embed_dup", "d06_cosine_topk", "d24_typo_pairs"}
+
+def main(sf_dir, out_dir, skip):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = n_skip = 0
+    for name in sorted(oracle):
+        if name in skip:
+            print(f"SKIP    {name} (quadratic oracle at scale)"); n_skip += 1; continue
+        spark_dir = f"{out_dir}/{name}"
+        if not os.path.isdir(spark_dir):
+            print(f"MISSING {name}: no spark output"); n_bad += 1; continue
+        try:
+            sp = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+            sp_cols = [d[0] for d in sp.description]; sp_rows = sp.fetchall()
+            du = con.execute(oracle[name])
+            du_cols = [d[0] for d in du.description]; du_rows = du.fetchall()
+        except Exception as e:
+            print(f"ERROR   {name}: {e}"); n_bad += 1; continue
+        if sorted(sp_cols) != sorted(du_cols):
+            print(f"SCHEMA  {name}: spark={sorted(sp_cols)} duck={sorted(du_cols)}"); n_bad += 1; continue
+        sc, sr = norm(sp_rows, sp_cols)
+        dc, dr = norm(du_rows, du_cols)
+        if sr == dr:
+            print(f"OK      {name} ({len(sr)} rows)"); n_ok += 1
+        else:
+            print(f"VALUES  {name}: {len(sr)} spark rows vs {len(dr)} duck rows")
+            only_sp = [r for r in sr if r not in set(dr)][:2]
+            only_du = [r for r in dr if r not in set(sr)][:2]
+            if only_sp: print(f"    only-spark: {only_sp}")
+            if only_du: print(f"    only-duck:  {only_du}")
+            n_bad += 1
+    print(f"\n{n_ok} ok, {n_bad} bad, {n_skip} skipped")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else DEFAULT_SKIP
+    sys.exit(main(sys.argv[1], sys.argv[2], skip))
