@@ -175,6 +175,105 @@ object Dedup {
     */
   @volatile private[graft] var lastConvergenceRounds: Int = 0
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) — the chain-graph-safe fallback to
+    * [[duplicateClusters]].
+    *
+    * Per alternating round, every node re-points its neighborhood at the
+    * neighborhood minimum: large-star re-points strictly LARGER
+    * neighbors, small-star the rest. The edge set it carries CONTRACTS
+    * monotonically toward one star per component (root = component min),
+    * so late rounds shuffle a fraction of E — where min-label
+    * propagation's neighbor join carries the FULL edge set every round.
+    * On the dense near-dup graphs dedup produces, propagation + pointer
+    * jumping converges in fewer rounds and stays the default (d15); this
+    * variant bounds the pathological high-diameter case (chains of
+    * hub-bridged near-dup groups) at O(log n) rounds with shrinking
+    * volume, which is the safer shape for an unknown 100 TB pair graph.
+    *
+    * Same contract as duplicateClusters: output (id, cluster_id =
+    * component-min id) for every id appearing in `pairs`; throws rather
+    * than returning partial labels if maxIter rounds don't converge.
+    * Two Spark actions per round: the per-round localCheckpoint (see
+    * the loop comment) and the count+checksum convergence aggregate.
+    */
+  def duplicateClustersStar(pairs: DataFrame, id1: String = "id1",
+                            id2: String = "id2", maxIter: Int = 30): DataFrame = {
+    val nodes = pairs.select(col(id1).as("n"))
+      .unionByName(pairs.select(col(id2).as("n"))).distinct().persist()
+    // Canonical undirected edges u < v.
+    var edges = pairs
+      .select(least(col(id1), col(id2)).as("u"), greatest(col(id1), col(id2)).as("v"))
+      .where(col("u") =!= col("v")).distinct().persist()
+    // (count, checksum) fingerprint of the materialized edge set — the
+    // convergence test, folded into the one action that caches it.
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: ANSI mode faults on wrap-around, and XOR over
+      // the (distinct) edge hashes is order-independent by construction.
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    // One phase: for every node, m = min(neighborhood ∪ self); re-point
+    // the selected side of each neighborhood at m. `keepLarger` selects
+    // large-star (strictly larger neighbors) vs small-star (the rest,
+    // including the node itself unless it IS the min).
+    def phase(e: DataFrame, keepLarger: Boolean): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+      val joined = sym.join(m, "u")
+      val out =
+        if (keepLarger)
+          // large-star(u): {(m, w) : w ∈ Γ(u), w > u}; m ≤ u < w keeps
+          // the (u, v) canonical orientation for free
+          joined.where(col("v") > col("u"))
+            .select(col("m").as("u"), col("v"))
+        else
+          // small-star(u): {(m, w) : w ∈ Γ(u), w ≤ u} ∪ {(m, u)}
+          joined.where(col("v") < col("u"))
+            .select(col("m").as("u"), col("v"))
+            .unionByName(m.select(col("m").as("u"), col("u").as("v")))
+      out.where(col("u") =!= col("v")).distinct()
+    }
+    var fp = fingerprint(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // The large-star half is persisted for the round: small-star's
+      // min-aggregate and re-point join both read it.
+      val ls = phase(edges, keepLarger = true).persist()
+      // localCheckpoint EVERY round, not every 5 like the propagation
+      // path: each phase references its input ~4× (sym union + min agg +
+      // re-point join), so the uncut logical plan grows ~16× per round
+      // and OOMs the driver on plan stringification by round 4. The
+      // checkpoint truncates lineage at the cost of making each round
+      // two actions (materialization + the convergence aggregate).
+      val mat = phase(ls, keepLarger = false).localCheckpoint(true)
+      val nfp = fingerprint(mat)
+      converged = nfp == fp
+      ls.unpersist()
+      edges.unpersist()
+      edges = mat
+      fp = nfp
+      iter += 1
+    }
+    if (!converged) {
+      throw new IllegalStateException(
+        s"duplicateClustersStar did not converge within maxIter=$maxIter rounds; raise maxIter")
+    }
+    lastConvergenceRounds = iter
+    // Terminal state is one star per component rooted at its min: every
+    // non-root appears exactly once as v. Roots label themselves.
+    val out = nodes
+      .join(edges.select(col("v").as("n"), col("u").as("c")), Seq("n"), "left")
+      .select(col("n").as("id"), coalesce(col("c"), col("n")).as("cluster_id"))
+    edges.unpersist()
+    nodes.unpersist()
+    out
+  }
+
   /** Approximate row count for sizing heuristics (the stop-shingle cut),
     * WITHOUT a full corpus pass. Preference order: optimizer statistics
     * (free — parquet row-count metadata / CBO stats when available), else

@@ -126,6 +126,34 @@ class DedupSpec extends SparkSpec {
       s"expected <= 2*log2(64) rounds, used ${Dedup.lastConvergenceRounds}")
   }
 
+  test("duplicateClustersStar matches propagation labels and bounds chain-graph rounds") {
+    // equivalence on a mixed graph: two components, a hub, a singleton
+    // self-pair, and ids arriving in both orientations
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L), (7L, 3L), (9L, 9L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("id1", "id2")
+    val star = Dedup.duplicateClustersStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop, s"star $star != propagation $prop")
+    assert(star(7L) == 1L && star(9L) == 9L && star(12L) == 10L)
+
+    // the pathological shape the variant exists for: a 64-node chain
+    // converges in O(log n) alternating rounds, and the labels agree
+    // with the propagation path
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val comp = Dedup.duplicateClustersStar(path, maxIter = 14).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 64 && comp.values.forall(_ == 0L))
+    assert(Dedup.lastConvergenceRounds <= 12,
+      s"expected <= 2*log2(64) star rounds, used ${Dedup.lastConvergenceRounds}")
+
+    // partial labels are never returned silently
+    intercept[IllegalStateException] {
+      Dedup.duplicateClustersStar(path, maxIter = 2)
+    }
+  }
+
   test("duplicateClusters throws instead of returning partial labels at maxIter") {
     // a path graph 0-1-2-...-9 needs ~8 propagation rounds to pull the
     // far end down to label 0; maxIter=3 must fail loudly, not silently

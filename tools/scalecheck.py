@@ -3,7 +3,14 @@
 output directory (tables are parquet DIRECTORIES there, and a few
 oracles are intentionally quadratic and priced out of DuckDB at 10x+).
 
-Usage: python3 tools/scalecheck.py <scaledSfDir> <verifyOutDir> [skip,..]
+Usage: python3 tools/scalecheck.py <scaledSfDir> <verifyOutDir> [skip,..] [only,..]
+
+Type fidelity: the driver's events.ts is parquet TIMESTAMP(NANOS),
+which Spark reads as LONG (nanosAsLong) and ScaleUp therefore rewrites
+as untyped INT64 — Spark-side semantics are identical at every scale,
+but DuckDB would see BIGINT and every ts oracle would mis-bind. The
+view layer restores the declared type (make_timestamp_ns) so oracles
+run against the same schema the driver's data presents.
 
 Default skips (all-pairs forms, O(n^2) at scale; their operators have
 linear scale paths that ARE checked):
@@ -20,17 +27,30 @@ from check import TABLES, norm
 
 DEFAULT_SKIP = {"d05_embed_dup", "d06_cosine_topk", "d24_typo_pairs"}
 
-def main(sf_dir, out_dir, skip):
+def main(sf_dir, out_dir, skip, only=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
-        elif os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else (f"'{p}'" if os.path.exists(p) else None)
+        if src is None:
+            continue
+        cols = con.execute(f"DESCRIBE SELECT * FROM read_parquet({src})").fetchall()
+        types = {c[0]: c[1] for c in cols}
+        # nanos-timestamp restore (see module docstring). DuckDB 1.0 has
+        # no make_timestamp_ns, so the view truncates to micros — the
+        # same resolution the compare already runs at (python datetime);
+        # a flipped comparison needs two events of one user inside the
+        # same MICROsecond (~1e-10 at this density), and would surface
+        # as a VALUES diff, not silently.
+        repl = ""
+        if t == "events" and types.get("ts") == "BIGINT":
+            repl = " REPLACE (make_timestamp(ts // 1000) AS ts)"
+        con.execute(f"CREATE VIEW {t} AS SELECT *{repl} FROM read_parquet({src})")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = n_skip = 0
     for name in sorted(oracle):
+        if only is not None and name not in only:
+            continue
         if name in skip:
             print(f"SKIP    {name} (quadratic oracle at scale)"); n_skip += 1; continue
         spark_dir = f"{out_dir}/{name}"
@@ -60,5 +80,6 @@ def main(sf_dir, out_dir, skip):
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else DEFAULT_SKIP
-    sys.exit(main(sys.argv[1], sys.argv[2], skip))
+    skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 and sys.argv[3] else DEFAULT_SKIP
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], skip, only))
