@@ -391,6 +391,25 @@ class SimilaritySpec extends SparkSpec {
     assert(exactPairs > 0 && lshPairs >= math.ceil(exactPairs * 0.95).toLong)
   }
 
+  test("IVF recall at fixed nProbe is stable across corpus sizes (adaptive sizing)") {
+    // ROADMAP: pin the recall/latency trade across SCALE POINTS, not one
+    // size — suggestedCentroids doubles the cell count between these two
+    // corpora (35 -> 49 cells), so constant recall at the SAME nProbe=4
+    // is evidence the k ~ sqrt(n) sizing holds the trade, not luck.
+    for ((nc, mem) <- Seq((100, 12), (200, 12))) {
+      val corpus = clusteredCorpus(nClusters = nc, members = mem, seed = 11)
+      val n = nc * mem
+      val exact = top5Map(Similarity.cosineTopK(corpus, "vec_id", "embedding", k = 5))
+      val cents = Similarity.suggestedCentroids(n)
+      val ivf = top5Map(Similarity.annIvfTopK(corpus, "vec_id", "embedding", k = 5,
+        numCentroids = cents, nProbe = 4, iters = 2,
+        trainCap = math.max(2000, 40 * cents)))
+      val r = recallAt5(exact, ivf)
+      info(f"n=$n cells=$cents nProbe=4: recall@5 = $r%.4f")
+      assert(r >= 0.95, f"recall@5 = $r%.4f at n=$n, cells=$cents, nProbe=4")
+    }
+  }
+
   test("scale-aware sizing: ~sqrt(n) IVF cells, LSH buckets held near the target size") {
     // floor clamp: small corpora keep the hand-tuned minimums
     assert(Similarity.suggestedCentroids(200) == 16)
