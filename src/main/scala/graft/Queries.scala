@@ -1159,6 +1159,43 @@ object Queries {
       graft.dedup.Dedup.duplicateClusters(pairs)
     },
 
+    // §2.37c: the same cluster labels via star contraction
+    // (large-star/small-star, Kiveris et al. SoCC 2014) — the
+    // chain-graph-safe CC variant, validated against the identical
+    // recursive-CTE oracle as d15 so both distributed algorithms are
+    // oracle-checked, not just spec-equivalent to each other.
+    "d30_dup_clusters_star" -> oq(
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 1)),
+        |      i -> array_to_string(list_slice(tk, i, i+2), ' '))) AS sset
+        |  FROM toks
+        |), ex AS (
+        |  SELECT doc_id, len(sset) AS sz, unnest(sset) AS s FROM sh
+        |), pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |  HAVING CAST(count(*) AS DOUBLE)/(a.sz + b.sz - count(*)) >= 0.5
+        |), edges AS (
+        |  SELECT id1 AS src, id2 AS dst FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs
+        |), closure AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT c.id, e.dst FROM closure c JOIN edges e ON c.r = e.src
+        |)
+        |SELECT id, least(id, min(r)) AS cluster_id
+        |FROM closure GROUP BY id""") { (s, dir) =>
+      val pairs = graft.dedup.Dedup.minhashLshPairs(
+        docs(s, dir), "doc_id", "text", k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      graft.dedup.Dedup.duplicateClustersStar(pairs)
+    },
+
     // §2.40b: per-label embedding centroids (element-wise mean), emitted
     // as (label, dim, value) scalars for the oracle compare
     // `+ 0.0` on both sides normalizes IEEE negative zero: Spark's round
