@@ -1578,6 +1578,45 @@ object Queries {
         n = 100, seed = 7L)
     },
 
+    // §2.69: sequence packing — greedy fixed-token training examples
+    // assembled within t02's token-budget shards (no document splits;
+    // an oversized one packs alone). The oracle replays the serial
+    // greedy rule per (source, shard) with a recursive CTE — recursion
+    // depth is the deepest shard's document count, bounded by the shard
+    // budget itself.
+    "t10_pack" -> oq(
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(trim(text),'\s+'), t -> len(t)>0)) AS BIGINT) AS tokens
+        |  FROM documents
+        |), cum AS (
+        |  SELECT doc_id, source, tokens,
+        |    sum(tokens) OVER (PARTITION BY source ORDER BY doc_id) AS c
+        |  FROM tok
+        |), sharded AS (
+        |  SELECT doc_id, source, tokens,
+        |    CAST(floor((c - tokens) / 256) AS BIGINT) AS shard,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source, CAST(floor((c - tokens) / 256) AS BIGINT)
+        |      ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM cum
+        |), packs AS (
+        |  SELECT doc_id, source, tokens, shard, rn,
+        |    CAST(0 AS BIGINT) AS pack, tokens AS fill
+        |  FROM sharded WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.doc_id, s.source, s.tokens, s.shard, s.rn,
+        |    CASE WHEN p.fill + s.tokens > 128 THEN p.pack + 1 ELSE p.pack END,
+        |    CASE WHEN p.fill + s.tokens > 128 THEN s.tokens ELSE p.fill + s.tokens END
+        |  FROM sharded s JOIN packs p
+        |    ON s.source = p.source AND s.shard = p.shard AND s.rn = p.rn + 1
+        |)
+        |SELECT doc_id, source, tokens, shard, pack FROM packs""") { (s, dir) =>
+      graft.text.CorpusOps.packSequences(docs(s, dir), "doc_id", "text", "source",
+          shardTokens = 256, seqTokens = 128)
+        .select(col("doc_id"), col("source"), col("tokens"), col("shard"), col("pack"))
+    },
+
     // §2.61: keep-rate-calibrated quality filter — the threshold is the
     // exact 25th percentile of the 6dp-rounded score (Spark `percentile`
     // and DuckDB `quantile_cont` share the interpolated definition over

@@ -24,10 +24,11 @@ import org.apache.spark.sql.functions._
   *    cross-replica Jaccard drops to ~0. Without this every doc would
   *    gain factor-1 verbatim twins and every LSH bucket would go
   *    quadratic in `factor` — benchmarking a pathology, not scale.
-  *  - `embeddings.embedding`: replica r rotates the vector by r
-  *    dimensions — norms and within-replica angles are EXACTLY
-  *    preserved (rotation is an isometry), cross-replica cosine decays
-  *    to noise. Same reasoning as the text perturbation.
+  *  - `embeddings.embedding`: replica r rotates the vector by r % dim
+  *    dimensions and, past the dim-th replica, additionally flips a
+  *    per-generation sign pattern — both isometries, so norms and
+  *    within-replica angles are EXACTLY preserved while cross-replica
+  *    cosine decays to noise. Same reasoning as the text perturbation.
   * Replica 0 is byte-identical to the source, so sf0.1 ⊂ sf1.
   */
 object ScaleUp {
@@ -104,10 +105,23 @@ object ScaleUp {
     val kLabel = read("embeddings").agg(max(col("label"))).head().getInt(0) + 1
     val dim = read("embeddings").select(size(col("embedding"))).head().getInt(0)
     write(replicate(read("embeddings")) { (d, r) =>
+      // Only `dim` distinct rotations exist, so factors above `dim`
+      // compose a second isometry: generation g = r / dim applies a ±1
+      // diagonal (sign s(i) = (-1)^popcount(i & g)), which preserves
+      // every within-replica inner product exactly while same-rotation
+      // vectors across generations decorrelate (cosine → Σ±x_i² noise,
+      // or exactly -1 for g XOR h covering all coords — never a
+      // near-dup at the positive thresholds the gates use).
+      val shift = r % dim
+      val gen = r / dim
+      val rot0 =
+        if (shift == 0) col("embedding")
+        else concat(slice(col("embedding"), shift + 1, dim - shift),
+          slice(col("embedding"), 1, shift))
       val rot =
-        if (r == 0) col("embedding")
-        else concat(slice(col("embedding"), r + 1, dim - r),
-          slice(col("embedding"), 1, r))
+        if (gen == 0) rot0
+        else transform(rot0, (x, i) =>
+          when(bit_count(i.bitwiseAND(lit(gen))) % 2 === 1, -x).otherwise(x))
       // labels are CLUSTER ids — they must remap per replica like every
       // other surrogate key, or each cluster's membership grows `factor`×
       // and the cluster-scoped pair joins (SemDedup e05/e06) go quadratic

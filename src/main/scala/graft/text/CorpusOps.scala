@@ -83,6 +83,61 @@ object CorpusOps {
       .drop("__cum")
   }
 
+  /** Pack documents into fixed-token training sequences — the example-
+    * assembly step between "sharded corpus" and "batches a trainer
+    * consumes": documents concatenate in deterministic id order until
+    * the next one would overflow `seqTokens`, then a new pack starts;
+    * an oversized document gets a pack of its own (standard greedy
+    * packing — no document ever splits).
+    *
+    * Greedy packing is inherently serial (each boundary depends on all
+    * previous ones), so it runs WITHIN the bounded shards
+    * `shardByTokenBudget` lays out: one extra shuffle co-locates each
+    * (group, shard) slice sorted by id, and a streaming per-partition
+    * scan assigns packs with O(1) state. Parallelism therefore scales
+    * with corpus_tokens / shardTokens — not with the number of groups —
+    * and task skew is bounded by construction (no shard exceeds its
+    * budget by more than one document). This is how production loaders
+    * pack at scale: boundaries are per-shard-deterministic, so adding
+    * data only appends shards and never repacks existing ones.
+    *
+    * Output: input columns + `tokens`, `shard`, and `pack` (0-based
+    * within each (group, shard)). Pure function of ids and token
+    * counts — re-runs and repartitions reproduce it row-for-row.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    groupCol: String, shardTokens: Long, seqTokens: Long): DataFrame = {
+    require(seqTokens > 0, "seqTokens must be positive")
+    require(shardTokens >= seqTokens,
+      "shardTokens must be >= seqTokens (shards are the packing unit)")
+    val sharded = shardByTokenBudget(df, idCol, textCol, groupCol, shardTokens)
+    val schema = org.apache.spark.sql.types.StructType(
+      sharded.schema.fields :+
+        org.apache.spark.sql.types.StructField("pack",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val (gIdx, shIdx, tIdx) = (sharded.schema.fieldIndex(groupCol),
+      sharded.schema.fieldIndex("shard"), sharded.schema.fieldIndex("tokens"))
+    sharded
+      .repartition(col(groupCol), col("shard"))
+      .sortWithinPartitions(col(groupCol), col("shard"), col(idCol))
+      .mapPartitions { it =>
+        var curGroup: Any = null
+        var curShard = Long.MinValue
+        var pack = -1L
+        var fill = 0L
+        it.map { r =>
+          val g = r.get(gIdx); val sh = r.getLong(shIdx); val t = r.getLong(tIdx)
+          if (g != curGroup || sh != curShard) {
+            curGroup = g; curShard = sh; pack = -1L; fill = 0L
+          }
+          // overflow-safe form of `fill + t > seqTokens`
+          if (pack < 0L || fill > seqTokens - t) { pack += 1L; fill = t }
+          else fill += t
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pack)
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Deterministic mixture sampling — the corpus-mixing step: keep each
     * document with its source's sampling rate, decided by the SAME
     * md5-fraction as `splitColumn` (seeded differently via a prefix so

@@ -294,4 +294,59 @@ class CorpusOpsSpec extends SparkSpec {
     val plan = got.queryExecution.executedPlan.toString
     assert(!plan.contains("ExistingRDD"), plan)
   }
+
+  test("packSequences: greedy boundaries, oversized doc packs alone, stable under repartition") {
+    // tokens per doc: 3, 2, 4, 1, 9, 2 — shard budget 100 (one shard),
+    // seq budget 5: [3,2] fills pack 0 exactly, [4,1] pack 1, the
+    // 9-token doc overflows any pack so packs alone as 2, trailing 2
+    // opens pack 3 (greedy never reopens earlier packs).
+    val docs = Seq(
+      (1L, "g1", "one two three"),
+      (2L, "g1", "four five"),
+      (3L, "g1", "six seven eight nine"),
+      (4L, "g1", "ten"),
+      (5L, "g1", "a b c d e f g h i"),
+      (6L, "g1", "tail doc"),
+    ).toDF("id", "grp", "text")
+    val packed = CorpusOps.packSequences(docs, "id", "text", "grp",
+      shardTokens = 100, seqTokens = 5)
+    val byId = packed.select("id", "shard", "pack").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byId == Map(1L -> (0L, 0L), 2L -> (0L, 0L), 3L -> (0L, 1L),
+      4L -> (0L, 1L), 5L -> (0L, 2L), 6L -> (0L, 3L)), byId.toString)
+
+    // pure function of (id order, token counts): partitioning is irrelevant
+    val reshuffled = CorpusOps.packSequences(docs.repartition(5, col("id")),
+        "id", "text", "grp", shardTokens = 100, seqTokens = 5)
+      .select("id", "shard", "pack").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(reshuffled == byId)
+  }
+
+  test("packSequences on a corpus: budgets hold, packing matches the serial rule per shard") {
+    // 200 docs, varied lengths, two groups; small budgets force many
+    // shards and multi-doc packs
+    val docs = (0L until 200L).map { i =>
+      (i, if (i % 3 == 0) "gA" else "gB", Seq.fill((i % 7 + 1).toInt)("w").mkString(" "))
+    }.toDF("id", "grp", "text")
+    val rows = CorpusOps.packSequences(docs, "id", "text", "grp",
+        shardTokens = 40, seqTokens = 10)
+      .select("id", "grp", "tokens", "shard", "pack").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+    // every multi-doc pack fits the sequence budget; a pack exceeds it
+    // only when it is a single oversized document (none here: max 7 < 10)
+    val packTotals = rows.groupBy(r => (r._2, r._4, r._5)).values
+    assert(packTotals.forall(_.map(_._3).sum <= 10))
+
+    // serial greedy replay per (group, shard) in id order reproduces
+    // every pack id — the exact rule the recursive-CTE oracle runs
+    rows.groupBy(r => (r._2, r._4)).foreach { case (_, shardRows) =>
+      var pack = -1L; var fill = 0L
+      shardRows.sortBy(_._1).foreach { case (_, _, t, _, gotPack) =>
+        if (pack < 0L || fill + t > 10L) { pack += 1L; fill = t } else fill += t
+        assert(gotPack == pack)
+      }
+    }
+  }
 }
