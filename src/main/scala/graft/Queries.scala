@@ -1617,6 +1617,60 @@ object Queries {
         .select(col("doc_id"), col("source"), col("tokens"), col("shard"), col("pack"))
     },
 
+    // §2.70: CCNet-style perplexity scoring — unigram LM trained on the
+    // trusted slice (lang='en'), every document scored against it with
+    // add-1 smoothing; non-English docs land on the OOV floor and score
+    // visibly higher. Both sides replay the identical closed-form
+    // arithmetic, so the score (6dp) hash-matches.
+    "d31_perplexity" -> oq(
+      """WITH tk AS (
+        |  SELECT doc_id, lang, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents
+        |), lm AS (
+        |  SELECT token, count(*) AS c FROM tk WHERE lang = 'en' GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM lm
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2
+        |)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(-sum(tf * ln((coalesce(c, 0) + 1.0) / (n + v))) / sum(tf), 6) AS xent
+        |FROM tf LEFT JOIN lm USING (token) CROSS JOIN tot
+        |GROUP BY doc_id""") { (s, dir) =>
+      val d = docs(s, dir)
+      val lm = graft.text.CorpusOps.unigramLm(d.where(col("lang") === "en"), "text")
+      graft.text.CorpusOps.crossEntropyScore(d, "doc_id", "text", lm)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("cross_entropy"), 6).as("xent"))
+    },
+
+    // §2.71: fixed-token chunking with overlap (chunk=32, overlap=8 →
+    // stride=24). Chunk boundaries are pure integer arithmetic and the
+    // chunk text is an exact token slice, so the oracle hash-compares
+    // strings — no FP anywhere.
+    "t11_chunk" -> oq(
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, tk, len(tk) AS n FROM tk WHERE len(tk) > 0
+        |), c AS (
+        |  SELECT doc_id, tk, n,
+        |    unnest(range(0, (greatest(n - 32, 0) + 23) // 24 + 1)) AS k
+        |  FROM n
+        |)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+        |  CAST(k * 24 + 1 AS BIGINT) AS start_token,
+        |  CAST(least(32, n - k * 24) AS BIGINT) AS chunk_tokens,
+        |  array_to_string(list_slice(tk, k * 24 + 1, least(k * 24 + 32, n)), ' ')
+        |    AS chunk_text
+        |FROM c""") { (s, dir) =>
+      graft.text.CorpusOps.chunkDocs(docs(s, dir), "doc_id", "text",
+        chunkTokens = 32, overlapTokens = 8)
+    },
+
     // §2.61: keep-rate-calibrated quality filter — the threshold is the
     // exact 25th percentile of the 6dp-rounded score (Spark `percentile`
     // and DuckDB `quantile_cont` share the interpolated definition over

@@ -490,4 +490,97 @@ object CorpusOps {
       .select(col("__bl_id")).distinct()
     df.join(blocked, df(idCol) === col("__bl_id"), "left_anti")
   }
+
+  /** Unigram language model trained on a reference corpus: one row per
+    * token with its raw count — the model half of CCNet-style perplexity
+    * filtering (Wenzek et al. 2020: score web text against an LM trained
+    * on a trusted corpus; low perplexity ≈ "reads like the reference").
+    * The reference trains 5-gram KenLM models; with no external model
+    * files available the unigram form keeps the scoring engine-exact and
+    * oracle-replayable while preserving the operational shape (train on
+    * a trusted slice, score everything, filter on the score).
+    *
+    * Scale shape: one explode + one map-side-combinable count aggregation;
+    * the result is vocab-sized (Zipf — millions of rows at 100 TB, never
+    * corpus-sized). Tokenization matches the text-analysis family:
+    * whitespace tokens of lowercased trimmed text.
+    */
+  def unigramLm(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextFunctions.wsTokens(lower(trim(col(textCol))))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("token_count"))
+
+  /** Per-document cross-entropy (and perplexity) under an add-α-smoothed
+    * unigram LM:  H(d) = −(1/|d|) Σ_t tf_t · ln((c_t + α)/(N + αV)),
+    * ppl = e^H, with N = Σ counts and V = |vocab| of the LM; tokens the
+    * LM never saw take the α-floor (c = 0). Deterministic double
+    * arithmetic — the gate replays the identical formula in DuckDB.
+    * Documents with zero tokens are absent from the output (their score
+    * is undefined, not 0 — filter empties with a length rule first).
+    *
+    * Scale shape: per-doc term counts (one map-side-combined shuffle on
+    * (id, token)) → equi-join against the vocab-sized LM (AQE broadcasts
+    * it when it fits; never corpus×corpus) → one per-doc sum. N and V
+    * reduce to a single driver row (two scalars, not data). The same
+    * shape as tfidfTopTerms — the LM is the only non-corpus input, so
+    * scoring 100 TB is one pass over the corpus plus a vocab join.
+    */
+  def crossEntropyScore(df: DataFrame, idCol: String, textCol: String,
+                        lm: DataFrame, alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"smoothing alpha must be positive, got $alpha")
+    val totals = lm.agg(sum(col("token_count")).cast("double").as("n"),
+      count(lit(1)).cast("double").as("v")).head()
+    val denom = totals.getDouble(0) + alpha * totals.getDouble(1)
+    val tf = df.select(col(idCol).as("__id"),
+        explode(TextFunctions.wsTokens(lower(trim(col(textCol))))).as("token"))
+      .groupBy(col("__id"), col("token")).agg(count(lit(1)).as("__tf"))
+    val logp = log((coalesce(col("token_count"), lit(0L)).cast("double") + alpha) / denom)
+    tf.join(lm, Seq("token"), "left")
+      .withColumn("__lp", logp)
+      .groupBy(col("__id"))
+      .agg(sum(col("__tf")).as("n_tokens"),
+        (-sum(col("__tf").cast("double") * col("__lp")) / sum(col("__tf")).cast("double"))
+          .as("cross_entropy"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("cross_entropy"),
+        exp(col("cross_entropy")).as("ppl"))
+  }
+
+  /** Fixed-token chunking with overlap — the context-window prep step
+    * (RAG passage extraction, long-document training windows). Token
+    * k·stride+1 starts chunk k (1-based token positions, 0-based chunk
+    * ids, stride = chunkTokens − overlapTokens); chunks run while their
+    * start covers un-emitted tokens, so every token lands in ≥1 chunk,
+    * consecutive full chunks share exactly `overlapTokens` tokens, and
+    * the final chunk may be short. Zero-token documents yield no rows.
+    * The chunk count is pure integer arithmetic
+    * (⌈max(0, n−chunk)/stride⌉ + 1), so the boundaries replay exactly on
+    * any engine.
+    *
+    * Scale shape: a pure per-row transform — tokens → sequence of chunk
+    * starts → explode. No shuffle, no state, embarrassingly parallel;
+    * output size = input tokens × (1 + overlap/stride). The one
+    * watch-item at 100 TB is row width, not the operator: chunk text is
+    * re-materialized per chunk, so overlap inflates storage by a known
+    * constant factor the caller chose.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens must be in [0, chunkTokens), got $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val nc = (floor((greatest(col("__n") - lit(chunkTokens), lit(0)) + lit(stride - 1))
+      / lit(stride)) + lit(1)).cast("int")
+    df.select(col(idCol).as("__id"), TextFunctions.wsTokens(col(textCol)).as("__tk"))
+      .withColumn("__n", size(col("__tk")))
+      .where(col("__n") > 0)
+      .select(col("__id"), col("__tk"), col("__n"),
+        explode(transform(sequence(lit(0), nc - 1), k => k * stride + 1)).as("__start"))
+      .select(col("__id").as(idCol),
+        ((col("__start") - 1) / stride).cast("long").as("chunk_id"),
+        col("__start").cast("long").as("start_token"),
+        least(lit(chunkTokens), col("__n") - col("__start") + 1).cast("long")
+          .as("chunk_tokens"),
+        array_join(slice(col("__tk"), col("__start"), lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
 }

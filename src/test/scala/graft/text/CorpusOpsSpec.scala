@@ -349,4 +349,59 @@ class CorpusOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("crossEntropyScore: hand-computed add-1 smoothing, OOV floor, empty doc absent") {
+    // LM corpus: "a a b" -> counts {a:2, b:1}, N=3, V=2, denom=5
+    val ref = Seq((10L, "a a b")).toDF("id", "text")
+    val lm = CorpusOps.unigramLm(ref, "text")
+    assert(lm.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 2L, "b" -> 1L))
+
+    // doc 1 "a b a": H = -(2·ln(3/5) + 1·ln(2/5))/3
+    // doc 2 "z":     all-OOV floor H = -ln(1/5)
+    // doc 3 "":      zero tokens -> absent
+    val docs = Seq((1L, "a b a"), (2L, "z"), (3L, "  ")).toDF("id", "text")
+    val out = CorpusOps.crossEntropyScore(docs, "id", "text", lm)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val h1 = -(2 * math.log(3.0 / 5) + math.log(2.0 / 5)) / 3
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - h1) < 1e-12)
+    assert(math.abs(out(1L)._3 - math.exp(h1)) < 1e-12)
+    assert(out(2L)._1 == 1L && math.abs(out(2L)._2 - (-math.log(1.0 / 5))) < 1e-12)
+
+    // in-distribution text scores strictly below out-of-distribution
+    assert(out(1L)._2 < out(2L)._2)
+  }
+
+  test("chunkDocs: boundaries, overlap sharing, short docs, token coverage") {
+    // chunk=4, overlap=1 -> stride=3; 10 tokens -> starts 1,4,7 (chunk 3
+    // short by... n-start+1 = 4 exactly); 11 tokens -> starts 1,4,7,10
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (2L, "short doc"),
+      (3L, ""),
+    ).toDF("id", "text")
+    val out = CorpusOps.chunkDocs(docs, "id", "text", chunkTokens = 4, overlapTokens = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 1L, 4L), (1L, 4L, 4L), (2L, 7L, 4L)))
+    assert(d1.map(_._5).toSeq == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(d1.sliding(2).forall { case Array(a, b) =>
+      a._5.split(" ").takeRight(1).sameElements(b._5.split(" ").take(1)) })
+
+    // short doc: one chunk, full text, length = token count
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 1L, 2L, "short doc")))
+    // empty doc yields nothing
+    assert(!out.exists(_._1 == 3L))
+
+    // coverage: stitching non-overlap prefixes + the last chunk restores the doc
+    val stitched = (d1.dropRight(1).map(_._5.split(" ").dropRight(1)) :+
+      d1.last._5.split(" ")).flatten.mkString(" ")
+    assert(stitched == "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")
+  }
 }
