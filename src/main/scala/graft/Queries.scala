@@ -1645,6 +1645,59 @@ object Queries {
           round(col("cross_entropy"), 6).as("xent"))
     },
 
+    // §2.72: corpus-level boilerplate line removal (RefinedWeb line
+    // dedup). The synthetic corpus has no newlines, so the gate builds
+    // lines on BOTH sides (the d23/t03 convention): a universal nav
+    // line, a per-source copyright line (25 docs each — over the
+    // minDocs=10 bar), and 8-token body lines (unique). The rule must
+    // strip exactly the first two from every document.
+    "d32_line_boilerplate" -> oq(
+      """WITH tk AS (
+        |  SELECT doc_id, source, list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents
+        |), built AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    'nav menu home about contact',
+        |    concat('copyright ', source),
+        |    array_to_string(list_transform(range(0, (len(tk) + 7) // 8),
+        |      g -> array_to_string(list_slice(tk, g * 8 + 1, least(g * 8 + 8, len(tk))), ' ')),
+        |      chr(10))) AS text
+        |  FROM tk
+        |), ls AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM built
+        |), keys AS (
+        |  SELECT DISTINCT doc_id, trim(l) AS k
+        |  FROM (SELECT doc_id, unnest(ls) AS l FROM ls)
+        |  WHERE len(trim(l)) >= 1
+        |), bp AS (
+        |  SELECT k FROM keys GROUP BY k HAVING count(*) >= 10
+        |), bpl AS (
+        |  SELECT coalesce(list(k), []) AS bp FROM bp
+        |)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(ls, l -> len(trim(l)) < 1
+        |    OR NOT list_contains(bp, trim(l))), chr(10)) AS clean_text,
+        |  CAST(len(list_filter(ls, l -> len(trim(l)) < 1
+        |    OR NOT list_contains(bp, trim(l)))) AS BIGINT) AS n_kept,
+        |  CAST(len(ls) - len(list_filter(ls, l -> len(trim(l)) < 1
+        |    OR NOT list_contains(bp, trim(l)))) AS BIGINT) AS n_removed
+        |FROM ls CROSS JOIN bpl""") { (s, dir) =>
+      import graft.text.TextFunctions
+      val tk = TextFunctions.wsTokens(trim(col("text")))
+      val n = size(tk)
+      val nb = floor((n + lit(7)) / lit(8)).cast("int")
+      val body = transform(sequence(lit(0), nb - 1),
+        g => array_join(slice(tk, g * 8 + 1, lit(8)), " "))
+      val built = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          lit("nav menu home about contact"),
+          concat(lit("copyright "), col("source")),
+          array_join(body, "\n")).as("text"))
+      graft.text.CorpusOps.removeBoilerplateLines(built, "doc_id", "text",
+        minDocs = 10)
+    },
+
     // §2.71: fixed-token chunking with overlap (chunk=32, overlap=8 →
     // stride=24). Chunk boundaries are pure integer arithmetic and the
     // chunk text is an exact token slice, so the oracle hash-compares

@@ -491,6 +491,57 @@ object CorpusOps {
     df.join(blocked, df(idCol) === col("__bl_id"), "left_anti")
   }
 
+  /** Corpus-level boilerplate line removal (the RefinedWeb/CCNet line
+    * dedup rule): a line whose trimmed text appears in at least
+    * `minDocs` DISTINCT documents is boilerplate (nav menus, cookie
+    * banners, copyright footers) and is stripped from every document.
+    * Lines shorter than `minChars` after trimming never participate —
+    * they are kept verbatim (an empty spacer line "appears" everywhere
+    * but is formatting, not boilerplate). Line order is preserved;
+    * documents whose every line is boilerplate come back with empty
+    * text, not dropped (dropping is a separate quality rule).
+    *
+    * Returns (idCol, clean_text, n_kept, n_removed).
+    *
+    * Scale shape: posexplode lines → per-line distinct-doc counts (two
+    * map-side-combinable aggregations — (doc, line) dedup then line
+    * count) → the boilerplate table (df ≥ minDocs — tiny by Zipf: the
+    * whole point is that boilerplate repeats) left-joined back as a
+    * drop marker (AQE broadcasts it when it fits; a marker, not an
+    * anti-join, so removals stay countable) → per-doc reassembly, a
+    * collect_list bounded by the document's own line count. The corpus
+    * shuffles on the line key once and on the doc id once (the line
+    * scan computes twice — count branch + mark branch — persist
+    * upstream if the input is expensive); nothing corpus-sized reaches
+    * the driver.
+    */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                             minDocs: Int, minChars: Int = 1): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    val lines = df.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__key",
+        when(length(trim(col("__line"))) >= minChars, trim(col("__line"))))
+    val common = lines.where(col("__key").isNotNull)
+      .select(col("__id"), col("__key")).distinct()
+      .groupBy(col("__key")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDocs)
+      .select(col("__key").as("__bp"))
+    val marked = lines.join(common, col("__key") === col("__bp"), "left")
+      .withColumn("__drop", col("__bp").isNotNull)
+    marked.groupBy(col("__id"))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(!col("__drop"),
+            struct(col("__pos"), col("__line"))))),
+          s => s.getField("__line"))).as("clean_text"),
+        sum(when(!col("__drop"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_removed"))
+      .select(col("__id").as(idCol), col("clean_text"), col("n_kept"),
+        col("n_removed"))
+  }
+
   /** Unigram language model trained on a reference corpus: one row per
     * token with its raw count — the model half of CCNet-style perplexity
     * filtering (Wenzek et al. 2020: score web text against an LM trained

@@ -350,6 +350,30 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("removeBoilerplateLines: distinct-doc counting, trim matching, minChars guard") {
+    val docs = Seq(
+      (1L, "HEADER\nunique one\n\nHEADER"), // boilerplate twice in one doc: counted once, both removed
+      (2L, "HEADER\nunique two"),
+      (3L, "no header here\nunique three"),
+      (4L, "  HEADER  \nunique four"),      // trim-matched
+    ).toDF("id", "text")
+    val out = CorpusOps.removeBoilerplateLines(docs, "id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // HEADER appears in 3 distinct docs (>= 2) -> stripped everywhere;
+    // the empty line is under minChars and survives verbatim
+    assert(out(1L) == (("unique one\n", 2L, 2L)), out(1L).toString)
+    assert(out(2L) == (("unique two", 1L, 1L)))
+    assert(out(3L) == (("no header here\nunique three", 2L, 0L)))
+    assert(out(4L) == (("unique four", 1L, 1L)))
+
+    // raising minChars above the key length exempts it from the rule
+    val kept = CorpusOps.removeBoilerplateLines(docs, "id", "text",
+        minDocs = 2, minChars = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(kept.values.forall(_ == 0L), kept.toString)
+  }
+
   test("crossEntropyScore: hand-computed add-1 smoothing, OOV floor, empty doc absent") {
     // LM corpus: "a a b" -> counts {a:2, b:1}, N=3, V=2, denom=5
     val ref = Seq((10L, "a a b")).toDF("id", "text")
