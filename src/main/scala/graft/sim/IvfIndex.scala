@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   *    so any later session — or any number of query workloads — searches
   *    without touching the raw corpus or retraining;
   *  - `search` answers an arbitrary query set: broadcast centroid
-  *    ranking picks each query's nProbe cells (map-side), the
-  *    posting-list equi-join on cell id yields candidates, and an exact
-  *    cosine rerank orders them.
+  *    ranking picks each query's nProbe cells (map-side), and the
+  *    posting-list equi-join on cell id scores each candidate with the
+  *    exact cosine inline — postings carry vector + norm precisely so
+  *    no pair-sized row ever carries one.
   *
   * 100 TB shape: the posting table is the only big artifact and it
   * shuffles once at build; searches move only (query, cid) pairs plus
@@ -39,19 +40,22 @@ final class IvfIndex private (val centroids: DataFrame, val postings: DataFrame)
     require(k > 0 && nProbe > 0)
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
-    val probes = Similarity.rankCentroids(q, centroids, nProbe)
-    val idCond = if (excludeSelf) col("p.id") =!= col("b.id") else lit(true)
-    val cands = probes.as("p")
-      .join(postings.select("id", "cid").as("b"),
-        col("p.cid") === col("b.cid") && idCond)
-      .select(col("p.id").as("id1"), col("b.id").as("id2"))
-      .dropDuplicates("id1", "id2")
+    // query vectors attach to the LINEAR probe table (|queries|×nProbe
+    // rows); postings already carry their vector + norm, so the cell
+    // equi-join scores each candidate inline and only slim (id1, id2, cos)
+    // rows exist pair-wise — the former id-pair + two vector join-backs
+    // sorted candidate×vector rows, which is what spilled >70 GB at 100×
+    // data. No pair dedup is needed: each posting lives in exactly one
+    // cell and a query's probed cells are distinct.
+    val probes = Similarity.rankCentroids(q, centroids, nProbe).join(q, "id")
+      .select(col("id").as("id1"), col("cid"),
+        col("v").as("v1"), col("nrm").as("nrm1"))
+    val idCond = if (excludeSelf) col("p.id1") =!= col("y.id") else lit(true)
     val w = Window.partitionBy(col("id1")).orderBy(col("cos").desc, col("id2").asc)
-    cands
-      .join(q.as("x"), col("id1") === col("x.id"))
-      .join(postings.as("y"), col("id2") === col("y.id"))
-      .select(col("id1"), col("id2"),
-        (Similarity.dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
+    probes.as("p")
+      .join(postings.as("y"), col("p.cid") === col("y.cid") && idCond)
+      .select(col("p.id1").as("id1"), col("y.id").as("id2"),
+        (Similarity.dot(col("p.v1"), col("y.v")) / (col("p.nrm1") * col("y.nrm"))).as("cos"))
       .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
   }

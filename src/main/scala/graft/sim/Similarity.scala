@@ -80,47 +80,50 @@ object Similarity {
   def hyperplaneBucket(vec: Column, numPlanes: Int, seed: Int = 0): Column =
     graft.functions.VectorFunctions.hyperplaneBucket(vec, numPlanes, seed)
 
-  /** Candidate id pairs from shared hyperplane buckets: `numTables`
-    * independent plane sets; the band explode carries ONLY
-    * (id, table, bucket) — vectors never ride through the bucket shuffle.
-    * `keepSelf=false` emits each unordered pair once (id1 < id2).
+  /** Scored candidate pairs from shared hyperplane buckets: `numTables`
+    * independent plane sets; vectors ride the LINEAR band explode
+    * (n × numTables rows) so the exact cosine is computed right where the
+    * bucket join co-locates the two vectors. Nothing PAIR-sized ever
+    * carries a vector: the join output is slim (id1, id2, cos) rows.
+    *
+    * The previous shape (slim id-pair candidates + a two-sided vector
+    * join-back) was measured catastrophically worse at 100× data: the
+    * second join-back sort-merge-sorted candidate×vector rows — billions
+    * of ~300-byte rows — spilling >70 GB where this shape sorts only the
+    * n×numTables banded rows (~GBs, linear in n). Candidates duplicated
+    * across tables cost one extra codegen'd dot product each; callers
+    * dedup the slim output where it is cheapest (after their threshold
+    * filter, or before top-k ranking).
     */
-  private def lshCandidatePairs(v: DataFrame, numPlanes: Int, numTables: Int,
-                                ordered: Boolean): DataFrame = {
-    val tabled = v.select(col("id"),
+  private def lshScoredPairs(v: DataFrame, numPlanes: Int, numTables: Int,
+                             ordered: Boolean): DataFrame = {
+    val tabled = v.select(col("id"), col("v"), col("nrm"),
       explode(array((0 until numTables).map(t =>
         struct(lit(t).as("t"),
           hyperplaneBucket(col("v"), numPlanes, seed = t).as("bucket"))): _*)).as("tb"))
-      .select(col("id"), col("tb.t"),
+      .select(col("id"), col("v"), col("nrm"), col("tb.t"),
         xxhash64(concat_ws(":", col("tb.t"), col("tb.bucket"))).as("bucket"))
     val a = tabled.alias("a"); val b = tabled.alias("b")
     val idCond =
       if (ordered) col("a.id") =!= col("b.id") else col("a.id") < col("b.id")
     a.join(b, col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") && idCond)
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .dropDuplicates("id1", "id2")
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
   }
 
-  /** Exact cosine for candidate id pairs, joining vectors back by id — each
-    * vector crosses the wire once per side (equi-join, AQE-plannable).
-    */
-  private def rerank(cands: DataFrame, v: DataFrame): DataFrame =
-    cands
-      .join(v.as("x"), col("id1") === col("x.id"))
-      .join(v.as("y"), col("id2") === col("y.id"))
-      .select(col("id1"), col("id2"),
-        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
-
-  /** ANN via hyperplane LSH: candidates from shared buckets (several
-    * independent tables to boost recall), exact cosine rerank, top-k.
+  /** ANN via hyperplane LSH: scored candidates from shared buckets
+    * (several independent tables to boost recall; cosine computed inline
+    * at the bucket join), cross-table dedup on the slim pair rows, top-k.
     */
   def annLshTopK(df: DataFrame, idCol: String, vecCol: String,
                  k: Int, numPlanes: Int = 12, numTables: Int = 4): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val cands = lshCandidatePairs(v, numPlanes, numTables, ordered = true)
     val w = Window.partitionBy(col("id1")).orderBy(col("cos").desc, col("id2").asc)
-    rerank(cands, v)
+    lshScoredPairs(v, numPlanes, numTables, ordered = true)
+      // same pair from different tables has the identical cosine, so the
+      // dedup key is the pair alone — and it dedups 24-byte rows
+      .dropDuplicates("id1", "id2")
       .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
   }
@@ -162,9 +165,11 @@ object Similarity {
     * centroid refit reuses the posexplode/per-dim-average machinery of
     * `centroids`; the candidate join is an equi-join on the centroid id
     * (each query probes its `nProbe` nearest cells and meets only the
-    * vectors assigned there); the exact rerank joins vectors back by id.
-    * With nProbe = numCentroids the candidate set covers every pair and
-    * the result equals the brute-force top-k (asserted in spec).
+    * vectors assigned there) with the exact cosine computed inline where
+    * the cell join co-locates the two vectors — pair-sized rows are always
+    * slim (id1, id2, cos). With nProbe = numCentroids the candidate set
+    * covers every pair and the result equals the brute-force top-k
+    * (asserted in spec).
     */
   def annIvfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
                  numCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3,
@@ -173,14 +178,24 @@ object Similarity {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
     val cents = trainQuantizer(v, numCentroids, iters, trainCap)
-    val assigned = rankCentroids(v, cents, 1)
-    val probes = rankCentroids(v, cents, nProbe)
-    val cands = probes.as("p")
-      .join(assigned.as("b"), col("p.cid") === col("b.cid") && col("p.id") =!= col("b.id"))
-      .select(col("p.id").as("id1"), col("b.id").as("id2"))
-      .dropDuplicates("id1", "id2")
+    // vectors attach to the LINEAR tables (n postings, n×nProbe probes) so
+    // the exact cosine is computed inside the cell equi-join where the two
+    // vectors meet; only slim (id1, id2, cos) rows exist pair-wise. The
+    // previous shape (id-pair candidates + two vector join-backs) sorted
+    // candidate×vector rows at 100× data — >70 GB of spill for the same
+    // answer. No pair dedup is needed: each id2 lives in exactly one cell
+    // and a query's probed cells are distinct.
+    val postings = rankCentroids(v, cents, 1).join(v, "id")
+      .select(col("id").as("id2"), col("cid"),
+        col("v").as("v2"), col("nrm").as("nrm2"))
+    val probes = rankCentroids(v, cents, nProbe).join(v, "id")
+      .select(col("id").as("id1"), col("cid"),
+        col("v").as("v1"), col("nrm").as("nrm1"))
     val w = Window.partitionBy(col("id1")).orderBy(col("cos").desc, col("id2").asc)
-    rerank(cands, v)
+    probes.join(postings, "cid")
+      .where(col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"),
+        (dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2"))).as("cos"))
       .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
   }
@@ -292,14 +307,17 @@ object Similarity {
     if (numTables <= 0) guardQuadratic(df, "cosineDupPairs(numTables=0)", maxExactBytes)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val cands =
+    val scored =
       if (numTables <= 0) { // exact all-pairs (test/recall-baseline mode)
         val a = v.alias("a"); val b = v.alias("b")
         a.join(b, col("a.id") < col("b.id"))
-          .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      } else lshCandidatePairs(v, numPlanes, numTables, ordered = false)
-    rerank(cands, v)
-      .where(col("cos") >= threshold)
+          .select(col("a.id").as("id1"), col("b.id").as("id2"),
+            (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      } else lshScoredPairs(v, numPlanes, numTables, ordered = false)
+    // threshold first, THEN cross-table dedup: the surviving dup set is
+    // tiny, so the dedup never touches the full candidate stream
+    scored.where(col("cos") >= threshold)
+      .dropDuplicates("id1", "id2")
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
   }
 
@@ -336,10 +354,13 @@ object Similarity {
           .withColumn("nrm", norm(col("v")))
         v.join(rankCentroids(v, trainQuantizer(v, numClusters, iters, trainCap), 1), "id")
     }
+    // the cluster equi-join already co-locates both vectors — score inline
+    // (the former id-pair + vector-join-back shape re-shuffled every
+    // candidate pair twice more for nothing)
     val a = withC.alias("a"); val b = withC.alias("b")
-    val cands = a.join(b, col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-    rerank(cands, withC.select("id", "v", "nrm"))
+    a.join(b, col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
       .where(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
   }
