@@ -621,7 +621,11 @@ object Queries {
 
     // §2.39: SimHash near-dup (rows-only)
     "d04_simhash" -> nq { (s, dir) =>
-      graft.dedup.Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+      val d = docs(s, dir)
+      // banding width sized from the corpus: past ~2M docs the narrow
+      // 16-bit bands' random collisions dominate (see wideHammingBands)
+      graft.dedup.Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3,
+        wide = graft.dedup.Dedup.wideHammingBands(graft.dedup.Dedup.approxRowCount(d)))
     },
 
     // §2.54: train/eval DECONTAMINATION — drop training docs sharing ≥4
@@ -1243,11 +1247,11 @@ object Queries {
       // pool makes the hamming pair join quadratic in the corpus
       // (measured 10.6× wall on 3× rows at the 30× scale point)
       val d = docs(s, dir)
-      val media = withSharedScenes(d, "doc_id",
-        nScenes = suggestedScenes(graft.dedup.Dedup.approxRowCount(d)))
+      val n = graft.dedup.Dedup.approxRowCount(d)
+      val media = withSharedScenes(d, "doc_id", nScenes = suggestedScenes(n))
       graft.dedup.Dedup.hammingPairs64(
         imageDHash(media.repartition(col("media_id"))), "media_id", "dhash",
-        maxHamming = 3)
+        maxHamming = 3, wide = graft.dedup.Dedup.wideHammingBands(n))
         .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
     },
 
@@ -1260,11 +1264,11 @@ object Queries {
       import graft.multimodal.Multimodal._
       // same corpus-sized scene pool as m03 (see the comment there)
       val d = docs(s, dir)
-      val media = withSharedAudioScenes(d, "doc_id",
-        nScenes = suggestedScenes(graft.dedup.Dedup.approxRowCount(d)))
+      val n = graft.dedup.Dedup.approxRowCount(d)
+      val media = withSharedAudioScenes(d, "doc_id", nScenes = suggestedScenes(n))
       graft.dedup.Dedup.hammingPairs64(
         audioFingerprint(media.repartition(col("media_id"))), "media_id", "afp",
-        maxHamming = 3)
+        maxHamming = 3, wide = graft.dedup.Dedup.wideHammingBands(n))
         .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
     },
 

@@ -530,38 +530,84 @@ object Dedup {
     * generic 64-bit banding join over the text simhash.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame =
+                   maxHamming: Int = 3, wide: Boolean = false): DataFrame =
     hammingPairs64(
       df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh")),
-      "id", "sh", maxHamming)
+      "id", "sh", maxHamming, wide)
+
+  /** Whether `hammingPairs64` should use the wide 20-table banding for a
+    * corpus of `n` hashes. Narrow 16-bit bands admit ~4·n²/2¹⁶ random
+    * candidate pairs — past a few million rows that term dominates the
+    * true near-dup pairs and the join goes quadratic; the wide scheme's
+    * ~32-bit keys defer that crossover by ~2¹⁶×, for 5× the (slim)
+    * banded rows. Same fixed-structure-vs-corpus-size reasoning as
+    * `Similarity.suggestedPlanes` / `Multimodal.suggestedScenes`.
+    */
+  def wideHammingBands(n: Long): Boolean = n >= 2L * 1000 * 1000
 
   /** Pairs of rows whose 64-bit hashes differ in ≤ maxHamming bits —
-    * the shared engine under text simhash AND image dHash dedup. Buckets
-    * on the 4 16-bit quarters of the hash (pigeonhole: any pair with ≤3
-    * differing bits agrees on at least one quarter), so the join key is
-    * a 16-bit band — no cross join; only (id, hash, band) rows shuffle.
-    * NULL hashes (e.g. undecodable images) drop out.
+    * the shared engine under text simhash, image dHash AND audio
+    * fingerprint dedup. Pigeonhole banding in one of two regimes:
+    *
+    *  - narrow (default): the 4 16-bit quarters of the hash — any pair
+    *    with ≤3 differing bits agrees on at least one quarter.
+    *  - wide (`wide = true`, chosen by [[wideHammingBands]] at corpus
+    *    scale): 6 blocks of 11/10 bits and one table per 3-subset of
+    *    blocks (C(6,3) = 20) — ≤3 bad bits dirty at most 3 blocks, so
+    *    at least one 3-subset is clean and its packed ~32-bit key
+    *    agrees (the block-permutation scheme of Manku, Jain & Das
+    *    Sarma, WWW'07 §3). 5× the banded rows, 2¹⁶× fewer random
+    *    collisions.
+    *
+    * Each pair is emitted at its FIRST agreeing table only — a
+    * predicate on the two hashes, which are co-located at the band
+    * join — and the hamming threshold is applied there too, so pairs
+    * never pay a deduplicating exchange and only true near-dup pairs
+    * leave the join stage (random band collisions die inline, the same
+    * restructure the ANN rerank got). NULL hashes (e.g. undecodable
+    * images) drop out.
     */
   def hammingPairs64(df: DataFrame, idCol: String, hashCol: String,
-                     maxHamming: Int = 3): DataFrame = {
-    // Pigeonhole over 4 bands is only complete for ≤3 differing bits; a
-    // larger radius would silently drop pairs spread across all quarters.
+                     maxHamming: Int = 3, wide: Boolean = false): DataFrame = {
+    // Both schemes are only complete for ≤3 differing bits; a larger
+    // radius would silently drop pairs spread across all bands/blocks.
     require(maxHamming >= 0 && maxHamming <= 3,
-      s"hammingPairs64 supports maxHamming in [0,3] (4-band pigeonhole), got $maxHamming")
+      s"hammingPairs64 supports maxHamming in [0,3] (pigeonhole banding), got $maxHamming")
+    val blocks: Seq[(Int, Int)] = // (bit offset, bit length)
+      if (wide) Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
+      else Seq((0, 16), (16, 16), (32, 16), (48, 16))
+    val tables: Seq[Seq[Int]] =
+      if (wide) blocks.indices.combinations(3).map(_.toSeq).toSeq
+      else blocks.indices.map(Seq(_))
+    def blockVal(sh: Column, b: Int): Column = {
+      val (off, len) = blocks(b)
+      shiftright(sh, off).bitwiseAND((1L << len) - 1L)
+    }
+    // The table's blocks packed into one long (block values are ≤16 bits
+    // and narrow tables are single-block, so 16-bit lanes always fit).
+    def tableKey(sh: Column, t: Int): Column =
+      tables(t).zipWithIndex.map { case (b, i) =>
+        shiftleft(blockVal(sh, b), i * 16)
+      }.reduce(_ bitwiseOR _)
     val hashed = df.select(col(idCol).as("id"), col(hashCol).as("sh"))
       .where(col("sh").isNotNull)
     val banded = hashed.select(col("id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(3)),
-        q => struct(q.as("q"),
-          call_function("shiftright", col("sh"), q * 16).bitwiseAND(0xFFFFL).as("band")))).as("bq"))
-      .select(col("id"), col("sh"), col("bq.q"), col("bq.band"))
+      explode(array(tables.indices.map(t =>
+        struct(lit(t).as("t"), tableKey(col("sh"), t).as("band"))): _*)).as("tb"))
+      .select(col("id"), col("sh"), col("tb.t"), col("tb.band"))
     val a = banded.alias("a"); val b = banded.alias("b")
-    a.join(b, col("a.q") === col("b.q") && col("a.band") === col("b.band") &&
-        col("a.id") < col("b.id"))
+    // the first table on which this pair's keys agree — a function of
+    // the two hashes, so each qualifying pair survives exactly one t
+    val firstAgree = tables.indices.reverse.foldLeft(lit(tables.size): Column) {
+      (rest, t) =>
+        when(tableKey(col("a.sh"), t) === tableKey(col("b.sh"), t), lit(t))
+          .otherwise(rest)
+    }
+    a.join(b, col("a.t") === col("b.t") && col("a.band") === col("b.band") &&
+        col("a.id") < col("b.id") && col("a.t") === firstAgree &&
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming)
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-      .dropDuplicates("id1", "id2")
-      .where(col("hamming") <= maxHamming)
   }
 
   /** Edit-distance (Levenshtein ≤ `maxDist`) pairs over the DISTINCT

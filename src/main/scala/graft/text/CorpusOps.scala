@@ -280,10 +280,16 @@ object CorpusOps {
     // increasing by 1 per row within a partition)
     val tallies = local.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__c"), min(col("__mid")).as("__m0"))
-    val offsets = tallies.as("a")
-      .join(tallies.as("b"), col("b.__pid") < col("a.__pid"), "left")
-      .groupBy(col("a.__pid").as("__pid"), col("a.__m0").as("__m0"))
-      .agg(coalesce(sum(col("b.__c")), lit(0L)).as("__off"))
+    // prefix-sum over the one-row-per-partition tallies via an explicit
+    // single-partition window (bounded by parallelism, never the data);
+    // the previous inequality self-join planned as an O(P²)
+    // BroadcastNestedLoopJoin
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("__pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = tallies
+      .withColumn("__off", coalesce(sum(col("__c")).over(wt), lit(0L)))
+      .drop("__c")
     local.join(broadcast(offsets), Seq("__pid"))
       .withColumn(posCol, col("__off") + (col("__mid") - col("__m0")))
       .drop("__ek", "__pid", "__mid", "__m0", "__off")

@@ -250,6 +250,34 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)))
   }
 
+  test("narrow and wide hamming banding agree with brute force, each pair once") {
+    // 40 base hashes + derived near-dups with 0..3 flipped bits, the
+    // flips spread across different 11-bit blocks and 16-bit quarters so
+    // both pigeonhole layouts are exercised at their completeness edge;
+    // a few far pairs (flips in every block) must NOT appear.
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(40)(rnd.nextLong())
+    val rows = base.zipWithIndex.flatMap { case (h, i) =>
+      val id = i.toLong * 10
+      Seq(id -> h,
+        (id + 1) -> (h ^ (1L << (i % 64))),                        // 1 bit
+        (id + 2) -> (h ^ (1L << (i % 11)) ^ (1L << (22 + i % 11))), // 2 bits, 2 blocks
+        (id + 3) -> (h ^ (1L << 5) ^ (1L << 30) ^ (1L << 60)),      // 3 bits, 3 blocks/quarters
+        (id + 4) -> (h ^ 0x0101010101010101L))                      // 8 bits — beyond radius
+    }
+    val df = rows.toDF("id", "h")
+    def brute(maxH: Int) = (for {
+      (a, ha) <- rows; (b, hb) <- rows if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= maxH
+    } yield (a, b)).toSet
+    for (wide <- Seq(false, true); maxH <- Seq(0, 3)) {
+      val got = Dedup.hammingPairs64(df, "id", "h", maxH, wide)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.toSet.size, s"duplicate pairs (wide=$wide)")
+      assert(got.toSet == brute(maxH), s"parity failed (wide=$wide, maxH=$maxH)")
+    }
+  }
+
   test("editDistancePairs equals brute-force levenshtein at both radii") {
     val vocab = Seq("cat", "cut", "cats", "at", "kitten", "sitten", "abc",
       "cba", "spark", "shark", "", "a").toDF("w")
