@@ -145,5 +145,19 @@ class EventsSpec extends SparkSpec {
     plan.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
       assert(l.contains("__b"), s"unpartitioned window in plan line: $l")
     }
+    // ...and the bucket-offset prefix sum plans as a window, never a
+    // nested-loop join (the O(B²) shape PlanAudit rejects)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("runningTotal: a null-ordered bucket sorts first and carries into later buckets") {
+    val df = Seq((Option.empty[Long], 5L), (Some(1L), 7L), (Some(2L), 11L))
+      .toDF("o", "n")
+    val got = Events.runningTotal(df, "o", "n", bucket = col("o"), outCol = "cum")
+      .collect().map(r => Option(r.get(0)).map(_.toString).orNull -> r.getLong(2)).toMap
+    // nulls-first running total: 5, 5+7, 5+7+11 — the null bucket's
+    // total participates downstream (the inequality-join formulation
+    // silently dropped it)
+    assert(got == Map((null: String) -> 5L, "1" -> 12L, "2" -> 23L), got.toString)
   }
 }
