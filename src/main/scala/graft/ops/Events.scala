@@ -176,7 +176,13 @@ object Events {
       .partitionBy(lit(0)).orderBy(col("__b"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val offsets = totals.withColumn("__off", sum(col("__t")).over(wt)).drop("__t")
-    local.join(broadcast(offsets), Seq("__b"))
+      .withColumnRenamed("__b", "__ob")
+    // Null-safe equality (<=>): a plain equi-join on Seq("__b") silently
+    // drops the NULL bucket (NULL never equals NULL), losing rows the
+    // contract promises to keep. <=> is still a hash-joinable key, so
+    // this stays a BroadcastHashJoin.
+    local.join(broadcast(offsets), col("__b") <=> col("__ob"))
+      .drop("__ob")
       .withColumn(outCol,
         when(col("__off").isNull, col("__cum")).otherwise(col("__cum") + col("__off")))
       .drop("__b", "__cum", "__off")

@@ -11,18 +11,25 @@ import graft.cube._
   * concrete cube wiring for the test star schema.
   */
 object Tpch {
-  /** Load a test table. The events table carries TIMESTAMP(NANOS) which
-    * Spark's parquet reader rejects; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` and we rebuild a proper
-    * µs TimestampType column here (UTC).
+  /** Load a test table, normalizing the events `ts` column to a UTC
+    * TimestampType regardless of how the parquet writer annotated it:
+    *  - TIMESTAMP(NANOS) → Spark rejects it unless sessions set
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`; we get a LongType
+    *    of epoch-nanos and rebuild µs here.
+    *  - TIMESTAMP(isAdjustedToUTC=false, MICROS) → Spark reads
+    *    TIMESTAMP_NTZ; under the UTC session timezone a plain cast
+    *    reinterprets the wall-clock value as the same UTC instant.
+    * Every query downstream can then assume `ts` is TimestampType.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
+    df.schema.find(_.name == "ts").map(_.dataType) match {
       // Integer `div`, not `/`: epoch-nanos exceed double's 2^53 exact
       // range, so float division can land in the wrong microsecond.
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None    => df
+      case Some(LongType)         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                      => df
     }
   }
 

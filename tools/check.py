@@ -27,6 +27,13 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    # Verify records every thrown query here — including rows-only ones
+    # that have no oracle entry and would otherwise vanish from this
+    # gate's universe entirely.
+    fail_path = f"{out_dir}/_failures.json"
+    if os.path.exists(fail_path):
+        for name, err in sorted(json.load(open(fail_path)).items()):
+            print(f"THREW   {name}: {err}"); n_bad += 1
     for name in sorted(oracle):
         sql = oracle[name]
         spark_dir = f"{out_dir}/{name}"
