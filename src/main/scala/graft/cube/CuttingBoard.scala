@@ -35,6 +35,16 @@ import org.apache.spark.storage.StorageLevel
   * once the board's data is older than the TTL, the next slice() first
   * refreshes — re-invoking `datasetSource` when given — and drops every
   * cached slice (memory and warehouse). `clock` is injectable for tests.
+  *
+  * Warehouse GC: in-memory eviction keeps the parquet table (a future
+  * board may reload it), so a long-lived service accretes tables for
+  * every distinct query it ever materialized. `maxWarehouseSlices` /
+  * `maxWarehouseBytes` bound that: after every materializing write the
+  * least-recently-SERVED tables (manifest mtime, touched on each reuse
+  * hit) are deleted until both budgets hold. Tables backing a slice
+  * still in the in-memory cache are never deleted — the persisted frame
+  * re-reads those files on block eviction — they count toward the
+  * budget but only cold tables are evictable.
   */
 final class CuttingBoard(
     initialDataset: DataFrame,
@@ -45,6 +55,8 @@ final class CuttingBoard(
     maxAgeMillis: Option[Long] = None,
     datasetSource: Option[() => DataFrame] = None,
     clock: () => Long = () => System.currentTimeMillis(),
+    maxWarehouseSlices: Int = Int.MaxValue,
+    maxWarehouseBytes: Long = Long.MaxValue,
 ) {
   /** A cached slice: its query, the persisted frame, its exact row count
     * (known because slices are materialized eagerly on insert) and its
@@ -101,6 +113,9 @@ final class CuttingBoard(
         }
       } catch { case scala.util.control.NonFatal(_) => () }
     }
+    // Tables beyond the reloaded set (or beyond the byte budget) are
+    // dead weight from an earlier, larger board — collect them now.
+    synchronized { gcWarehouse() }
   }
 
   def dataset: DataFrame = current
@@ -141,11 +156,14 @@ final class CuttingBoard(
               val (persisted, rows) = materialize(q, computed)
               synchronized {
                 if (cache.length >= maxSlices) {
-                  // drop the in-memory handle; the parquet table (if any) stays
+                  // drop the in-memory handle; the parquet table (if any)
+                  // stays for a future board, until the warehouse GC
+                  // below reclaims it as LRU
                   cache.last.df.unpersist()
                   cache = cache.dropRight(1)
                 }
                 cache = Cached(q, persisted, rows) +: cache
+                gcWarehouse()
               }
               persisted
             } else computed
@@ -159,7 +177,13 @@ final class CuttingBoard(
     * lock here is cheap.
     */
   private def tryServe(q: CubeQuery): Option[DataFrame] = synchronized {
-    reuse(q).map { df => hitCount += 1; df }
+    reuse(q).map { df =>
+      hitCount += 1
+      // LRU recency for the warehouse GC: serving from a slice marks its
+      // manifest as freshly used (reuse() just promoted it to the head).
+      cache.headOption.foreach(c => touchManifest(fingerprint(c.q)))
+      df
+    }
   }
 
   /** Incremental maintenance: the dataset grows by `delta` and every
@@ -204,6 +228,7 @@ final class CuttingBoard(
         Some(Cached(c.q, persisted, rows))
       }
     }
+    gcWarehouse()
   }
 
   /** Materialize a computed slice: warehouse write + read-back when a
@@ -236,11 +261,57 @@ final class CuttingBoard(
           .parquet(dst.getAbsolutePath).persist(storageLevel)
         val n = reread.count()
         writeManifest(dir, fp, s"${UrlQueryBuilder.toUrlString(q, cubedef)}\n$n\n${clock()}\n")
+        touchManifest(fp) // GC recency from the injectable clock, not FS time
         (reread, n)
       case None =>
         val p = computed.persist(storageLevel)
         (p, p.count())
     }
+
+  /** Mark a slice's materialization as freshly used (GC recency). Uses
+    * the injectable clock so specs can order evictions deterministically.
+    */
+  private def touchManifest(fp: String): Unit = warehouseDir.foreach { dir =>
+    new java.io.File(dir, s"slice_$fp.manifest").setLastModified(clock())
+    ()
+  }
+
+  /** Enforce the warehouse budgets: while the slice count exceeds
+    * `maxWarehouseSlices` or the total table+manifest bytes exceed
+    * `maxWarehouseBytes`, delete the least-recently-served COLD
+    * materialization (manifest mtime order; fingerprints in the
+    * in-memory cache are pinned — their persisted frames lazily re-read
+    * the table files). Caller holds the board lock. Driver-side
+    * directory walking only — the warehouse holds aggregate slices
+    * (bounded by group cardinality), never base data, and runs after a
+    * materializing write, not per serve.
+    */
+  private def gcWarehouse(): Unit = warehouseDir.foreach { dir =>
+    if (maxWarehouseSlices == Int.MaxValue && maxWarehouseBytes == Long.MaxValue) return
+    val pinned = cache.map(c => fingerprint(c.q)).toSet
+    def entries = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("slice_") && f.getName.endsWith(".manifest"))
+      .map { mf =>
+        val fp = mf.getName.stripPrefix("slice_").stripSuffix(".manifest")
+        val table = new java.io.File(dir, s"slice_$fp")
+        (fp, mf.lastModified(), totalBytes(table) + mf.length())
+      }
+    var es = entries
+    var evictable = es.filterNot(e => pinned(e._1)).sortBy(_._2).toList
+    while ((es.length > maxWarehouseSlices || es.map(_._3).sum > maxWarehouseBytes)
+        && evictable.nonEmpty) {
+      val (fp, _, _) = evictable.head
+      evictable = evictable.tail
+      deleteRecursively(new java.io.File(dir, s"slice_$fp"))
+      new java.io.File(dir, s"slice_$fp.manifest").delete()
+      es = es.filterNot(_._1 == fp)
+    }
+  }
+
+  private def totalBytes(f: java.io.File): Long =
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(totalBytes).sum
+    else if (f.exists()) f.length() else 0L
 
   /** Delete one slice's warehouse table + manifest (eviction that must
     * not resurrect on reload — e.g. made stale by `append`).

@@ -545,6 +545,13 @@ object Dedup {
     */
   def wideHammingBands(n: Long): Boolean = n >= 2L * 1000 * 1000
 
+  /** Banding tables a regime explodes per row: 4 single-quarter tables
+    * narrow, C(6,3) = 20 block-subset tables wide. The knob every
+    * hamming-dedup call site (text d04, image m03, audio a02) sizes
+    * through [[wideHammingBands]] — one rule, not per-site constants.
+    */
+  def hammingTableCount(wide: Boolean): Int = if (wide) 20 else 4
+
   /** Pairs of rows whose 64-bit hashes differ in ≤ maxHamming bits —
     * the shared engine under text simhash, image dHash AND audio
     * fingerprint dedup. Pigeonhole banding in one of two regimes:
@@ -579,6 +586,7 @@ object Dedup {
     val tables: Seq[Seq[Int]] =
       if (wide) blocks.indices.combinations(3).map(_.toSeq).toSeq
       else blocks.indices.map(Seq(_))
+    assert(tables.size == hammingTableCount(wide))
     def blockVal(sh: Column, b: Int): Column = {
       val (off, len) = blocks(b)
       shiftright(sh, off).bitwiseAND((1L << len) - 1L)

@@ -141,6 +141,50 @@ object Streams {
       }
       .start()
 
+  /** The t05 corpus pipeline's FILTER stage (quality threshold +
+    * deterministic mixture sampling) as a batch/stream-symmetric
+    * transform: both are pure row predicates — no state, no shuffle —
+    * so applying them per micro-batch is exactly the batch semantics.
+    */
+  def corpusFilter(df: DataFrame, idCol: String, textCol: String, sourceCol: String,
+                   minQuality: Double, mixtureRates: Seq[(String, Double)]): DataFrame =
+    df.where(graft.text.TextFunctions.qualityScore(col(textCol)) >= minQuality)
+      .where(graft.text.CorpusOps.mixtureFilter(col(idCol), col(sourceCol), mixtureRates))
+
+  /** Continuous TRAINING-CORPUS ingest: the full t05 pipeline shape run
+    * per micro-batch — quality + mixture filters, within-batch LSH
+    * self-dedup, novel-vs-everything-kept through the persistent MinHash
+    * index, exactly-once partitioned sink (see [[continuousIngest]] for
+    * the replay/idempotence reasoning, which is unchanged: the filters
+    * are deterministic row predicates, so a replayed batch filters to
+    * the identical survivor set).
+    *
+    * Stream == batch: filters are stateless predicates and the dedup
+    * state is the index itself, so streaming the corpus in id-ordered
+    * micro-batches keeps exactly the docs a single-batch run keeps
+    * (spec-asserted in StreamsSpec).
+    */
+  def continuousCorpusIngest(stream: DataFrame, index: graft.dedup.MinHashIndex,
+                             idCol: String, textCol: String, sourceCol: String,
+                             corpusDir: String, checkpointDir: String,
+                             minQuality: Double = 0.5,
+                             mixtureRates: Seq[(String, Double)] = Seq.empty,
+                             threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val kept = ingestBatch(
+          corpusFilter(batch, idCol, textCol, sourceCol, minQuality, mixtureRates),
+          index, idCol, textCol, threshold)
+        kept.withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(corpusDir)
+        index.add(kept, idCol, textCol)
+      }
+      .start()
+
   /** One ingest step (also the batch/backfill entry point — the stream
     * is this applied per micro-batch): self-dedup, then novel-vs-store.
     */

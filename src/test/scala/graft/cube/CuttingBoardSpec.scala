@@ -348,6 +348,65 @@ class CuttingBoardSpec extends SparkSpec {
     b1.clear(); b2.clear(); b3.clear()
   }
 
+  test("warehouse GC evicts the least-recently-served cold slice past maxWarehouseSlices") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wh-gc").toString
+    val df = Seq(("A", "x", 2020, 1.0), ("B", "y", 2021, 8.0)).toDF("k", "s", "y", "v")
+    val cube = CubeDef(
+      labels = Seq(Label("k"), Label("s"), Label("y")),
+      measures = Seq(Measure("sum_v", col("v"), Agg.Sum)))
+    var now = 1_000_000L
+    // memory holds only ONE slice, so older materializations go cold on
+    // disk — the accretion scenario the GC exists for
+    val board = new CuttingBoard(df, cube, maxSlices = 1,
+      warehouseDir = Some(dir), clock = () => { now += 1000; now },
+      maxWarehouseSlices = 2)
+    def manifests() = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("slice_") && f.getName.endsWith(".manifest"))
+      .map(f => java.nio.file.Files.readAllLines(f.toPath).get(0)).toSet
+    board.slice(CubeQuery().addAxis("k").addValue("sum_v")).collect()
+    board.slice(CubeQuery().addAxis("s").addValue("sum_v")).collect()
+    assert(manifests().size == 2, "two slices fit the budget")
+    board.slice(CubeQuery().addAxis("y").addValue("sum_v")).collect()
+    val left = manifests()
+    assert(left.size == 2, "GC must hold the warehouse at maxWarehouseSlices")
+    assert(!left.exists(_.startsWith("a:k/")), "oldest cold slice (k) evicted")
+    assert(left.exists(_.startsWith("a:s/")) && left.exists(_.startsWith("a:y/")))
+    // tables match manifests — no orphaned parquet dirs
+    val tables = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("slice_")).map(_.getName).toSet
+    assert(tables.map(_ + ".manifest") == new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".manifest")).map(_.getName).toSet)
+    // the evicted query recomputes soundly (miss, correct values)
+    val again = asMap(board.slice(CubeQuery().addAxis("k").addValue("sum_v")))
+    assert(again("A") == 1.0 && again("B") == 8.0)
+    board.clear()
+  }
+
+  test("warehouse GC byte budget never deletes tables pinned by the in-memory cache") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wh-gcb").toString
+    val df = Seq(("A", "x", 2020, 1.0), ("B", "y", 2021, 8.0)).toDF("k", "s", "y", "v")
+    val cube = CubeDef(
+      labels = Seq(Label("k"), Label("s"), Label("y")),
+      measures = Seq(Measure("sum_v", col("v"), Agg.Sum)))
+    var now = 1_000_000L
+    // 1-byte budget: EVERYTHING is over budget, so only pinning protects
+    val board = new CuttingBoard(df, cube, maxSlices = 1,
+      warehouseDir = Some(dir), clock = () => { now += 1000; now },
+      maxWarehouseBytes = 1L)
+    val q1 = CubeQuery().addAxis("k").addValue("sum_v")
+    val q2 = CubeQuery().addAxis("s").addValue("sum_v")
+    board.slice(q1).collect()
+    board.slice(q2).collect() // q1 went cold → evicted; q2 pinned in memory
+    val names = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".manifest"))
+      .map(f => java.nio.file.Files.readAllLines(f.toPath).get(0)).toSet
+    assert(names.size == 1 && names.head.startsWith("a:s/"),
+      s"only the pinned slice survives a 1-byte budget, got $names")
+    // and the pinned slice still serves correctly from its table
+    assert(asMap(board.slice(q2)) == Map("x" -> 1.0, "y" -> 8.0))
+    board.clear()
+  }
+
   test("a torn manifest never hides valid persisted slices (atomic manifest write)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wh-torn").toString
     val df = Seq(("A", "x", 2020, 1.0), ("B", "x", 2020, 2.0)).toDF("k", "s", "y", "v")

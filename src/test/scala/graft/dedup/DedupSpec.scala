@@ -250,6 +250,15 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)))
   }
 
+  test("hamming banding regime is corpus-sized: narrow at gate scale, wide past 2M") {
+    // the single sizing rule every hamming call site (d04/m03/a02) uses
+    assert(!Dedup.wideHammingBands(10 * 1000), "gate-scale corpora stay narrow")
+    assert(!Dedup.wideHammingBands(1999999))
+    assert(Dedup.wideHammingBands(2L * 1000 * 1000))
+    assert(Dedup.hammingTableCount(Dedup.wideHammingBands(10 * 1000)) == 4)
+    assert(Dedup.hammingTableCount(Dedup.wideHammingBands(5L * 1000 * 1000)) == 20)
+  }
+
   test("narrow and wide hamming banding agree with brute force, each pair once") {
     // 40 base hashes + derived near-dups with 0..3 flipped bits, the
     // flips spread across different 11-bit blocks and 16-bit quarters so

@@ -275,6 +275,57 @@ class StreamsSpec extends SparkSpec {
     assert(re.filterNovel(again, "doc_id", "text").count() == 0L)
   }
 
+  test("continuous corpus ingest (t05 shape): streamed micro-batches keep exactly the batch survivors") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-corpus-ingest").toString
+    val seedDoc = "the quick brown fox jumps over the lazy dog and it is a fine day for all of the animals in the field"
+    val seed = Seq((1L, seedDoc, "web")).toDF("doc_id", "text", "source")
+    // high-quality bodies: long, stopword-rich, punctuation-light — they
+    // clear the 0.5 threshold; JUNK does not (short + punctuation-heavy).
+    // The two keepers share only stopwords, so their shingle Jaccard is
+    // far below the dedup threshold.
+    val harvest = "the harvest would come early this year for everyone and it was a time " +
+      "of great joy in the village as the people gathered to celebrate the season with " +
+      "food and song for all of the families who had worked in the fields"
+    val lanterns = "the lanterns were lit along the harbour wall at dusk and it is said " +
+      "that the ships would find their way home by that light in the dark of the winter " +
+      "nights when the storms came down from the north and covered the coast"
+    val junk = "!!! ??? ,,, ;;; buy now !!!"
+    val rates = Seq("web" -> 1.0, "spam" -> 0.0)
+    val batch1 = Seq(
+      (10L, harvest, "web"),                                   // keep
+      (11L, harvest + ".", "web"),                             // ~10 → self-dedup drop
+      (12L, junk, "web"),                                      // quality drop
+      (13L, lanterns + " for a while", "spam"),                // mixture drop
+      (14L, seedDoc + " today", "web"))                        // ~seed → index drop
+    val batch2 = Seq(
+      (20L, harvest.replace("everyone", "everybody"), "web"),  // ~10 (kept in b1) → drop
+      (21L, lanterns, "web"),                                  // keep
+      (22L, junk + " limited offer", "web"))                   // quality drop
+    // STREAM: two micro-batches through the persistent index
+    val idxS = graft.dedup.MinHashIndex.create(spark, s"$base/idxS", seed,
+      "doc_id", "text", buckets = 4)
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streams.continuousCorpusIngest(
+      mem.toDF().toDF("doc_id", "text", "source"), idxS, "doc_id", "text", "source",
+      s"$base/corpus", s"$base/ckpt", minQuality = 0.5, mixtureRates = rates)
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$base/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    // BATCH: the same docs in ONE ingest step against a fresh same-seed index
+    val idxB = graft.dedup.MinHashIndex.create(spark, s"$base/idxB", seed,
+      "doc_id", "text", buckets = 4)
+    val all = (batch1 ++ batch2).toDF("doc_id", "text", "source")
+    val batched = Streams.ingestBatch(
+      Streams.corpusFilter(all, "doc_id", "text", "source", 0.5, rates),
+      idxB, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batched, s"stream=$streamed batch=$batched")
+    assert(streamed == Set(10L, 21L), s"survivor set wrong: $streamed")
+  }
+
   test("a replayed micro-batch is idempotent: same kept-set after index.add, sink partition replaced") {
     // foreachBatch is at-least-once: the batch can re-run AFTER its
     // index.add committed. The replay must (a) recompute the identical
