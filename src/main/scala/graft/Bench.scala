@@ -89,8 +89,13 @@ object Bench {
     // per-run-invariant and computed once.
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(3)
+    // SPARK_GRAFT_BENCH_ONLY=a02_audio_dedup,d07_ann_lsh: restrict to a
+    // subset for targeted regression adjudication (unset = full bench).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(q => benchExclude(q._1)).map { case (name, fn) =>
+      .filterNot(q => benchExclude(q._1))
+      .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
       var plan = "err"
       val walls = Seq.newBuilder[Double]
       var failed = false
