@@ -5,12 +5,15 @@ oracles are intentionally quadratic and priced out of DuckDB at 10x+).
 
 Usage: python3 tools/scalecheck.py <scaledSfDir> <verifyOutDir> [skip,..] [only,..]
 
-Type fidelity: the driver's events.ts is parquet TIMESTAMP(NANOS),
-which Spark reads as LONG (nanosAsLong) and ScaleUp therefore rewrites
-as untyped INT64 — Spark-side semantics are identical at every scale,
-but DuckDB would see BIGINT and every ts oracle would mis-bind. The
-view layer restores the declared type (make_timestamp_ns) so oracles
-run against the same schema the driver's data presents.
+Type fidelity: the driver's events.ts is parquet
+TIMESTAMP(isAdjustedToUTC=false, MICROS) — DuckDB reads it as
+TIMESTAMP directly and ScaleUp preserves the same annotation
+(pyarrow-verified), so no view rewrite is needed and the scale gate
+exercises the identical Tpch.table NTZ branch as the driver gate. The
+BIGINT branch below covers the legacy TIMESTAMP(NANOS) era, where
+Spark read the column as LONG (nanosAsLong) and ScaleUp rewrote it as
+untyped INT64; the view layer restores the declared type so old
+replicas still check.
 
 Default skips (all-pairs forms, O(n^2) at scale; their operators have
 linear scale paths that ARE checked):
