@@ -301,12 +301,14 @@ object CorpusOps {
     * scoring terms per document (score 6dp-rounded; ties by term text,
     * so the cut is deterministic and engine-portable).
     *
-    * Scale shape: explode tokens → one (doc, term) count aggregation
-    * (map-side combined) → term document-frequency table joined back
-    * (vocab-sized — an equi-join on the term, AQE picks broadcast when
-    * it fits; NEVER the corpus against itself) → top-k window per doc.
-    * N is one scalar count. No collect of anything vocab- or
-    * corpus-sized.
+    * Scale shape: explode tokens → ONE (doc, term) count aggregation
+    * (map-side combined); document frequency derives from that same
+    * aggregate (tf is one row per (doc, term), so df = rows per term)
+    * instead of a second tokenize+explode+distinct pass over the corpus
+    * — the base text scans exactly once. The vocab-sized df table joins
+    * back by term (AQE picks broadcast when it fits; NEVER the corpus
+    * against itself) → top-k window per doc. N is one scalar count. No
+    * collect of anything vocab- or corpus-sized.
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
@@ -316,8 +318,7 @@ object CorpusOps {
         explode(TextFunctions.wsTokens(lower(trim(col(textCol))))).as("term"))
     val tf = terms.groupBy(col("__id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = terms.select(col("__id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
     val scored = tf.join(dfreq, "term")
       .withColumn("tfidf",
         round(col("tf").cast("double") * log(lit(n.toDouble) / col("__df")), 6))
