@@ -336,30 +336,34 @@ object CorpusOps {
     *       tf·(k1+1) / (tf + k1·(1−b + b·len/avgdl))
     * Documents matching no query term are absent (score 0).
     *
-    * Scale shape: the corpus tokenizes once; only rows whose term is IN
-    * the query set survive to the (doc, term) count; the per-term df
-    * table is |query| rows (broadcast); doc lengths join back by id and
-    * avgdl/N are two scalars. Exact double arithmetic in an
-    * engine-shared evaluation order, so the score replays hash-exact.
+    * Scale shape: the corpus tokenizes ONCE into a slim per-doc frame
+    * (id, length, query-term hits — localCheckpoint'd, like d19's
+    * inverted index, so the N/avgdl scalar actions and the scoring job
+    * all read the materialized slim rows instead of re-tokenizing the
+    * text per action); the per-term df table derives from the (doc,
+    * term) count itself and is |query| rows (broadcast). Exact double
+    * arithmetic in an engine-shared evaluation order, so the score
+    * replays hash-exact.
     */
   def bm25Scores(df: DataFrame, idCol: String, textCol: String,
                  queryTerms: Seq[String], k1: Double = 1.2,
                  b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "empty query")
     val toks = TextFunctions.wsTokens(lower(trim(col(textCol))))
-    val base = df.select(col(idCol).as("__id"), toks.as("__tk"))
-    val dl = base.select(col("__id"), size(col("__tk")).cast("long").as("__dl"))
-    val n = dl.count()
-    val avgdl = dl.agg(avg(col("__dl"))).head().getDouble(0)
-    val terms = base.select(col("__id"), explode(col("__tk")).as("term"))
-      .where(col("term").isin(queryTerms: _*))
-    val tf = terms.groupBy(col("__id"), col("term")).agg(count(lit(1)).as("__tf"))
-    val dfreq = terms.select(col("__id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val perDoc = df.select(col(idCol).as("__id"),
+        size(toks).cast("long").as("__dl"),
+        filter(toks, t => t.isin(queryTerms: _*)).as("__qtk"))
+      .localCheckpoint()
+    val n = perDoc.count()
+    val avgdl = perDoc.agg(avg(col("__dl"))).head().getDouble(0)
+    val tf = perDoc.select(col("__id"), col("__dl"), explode(col("__qtk")).as("term"))
+      .groupBy(col("__id"), col("term"))
+      .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
     val idf = log(lit(1.0) + (lit(n) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
     val sat = col("__tf").cast("double") * lit(k1 + 1.0) /
       (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / lit(avgdl)))
-    tf.join(broadcast(dfreq), "term").join(dl, "__id")
+    tf.join(broadcast(dfreq), "term")
       .groupBy(col("__id"))
       .agg(round(sum(idf * sat), 6).as("bm25"))
       .select(col("__id").as(idCol), col("bm25"))
