@@ -939,6 +939,48 @@ object Queries {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // §2.54c: GPT-3-style contamination EXCISION — any 13-token window
+    // of a train doc that also occurs in the eval set (doc_id % 50 = 0,
+    // the d17 split) is removed plus a 2-token margin, instead of
+    // dropping the whole doc. The oracle replays the same lowercased
+    // windows as strings and rebuilds the text with an indexed
+    // list_filter; untouched docs must round-trip byte-identical.
+    "d33_excise_contamination" -> oq(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS ltk,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents
+        |), ev AS (
+        |  SELECT DISTINCT array_to_string(list_slice(ltk, pos, pos + 12), ' ') AS gram
+        |  FROM (SELECT unnest(range(1, greatest(len(ltk) - 12, 0) + 1)) AS pos, ltk
+        |        FROM t WHERE doc_id % 50 = 0)
+        |), g2 AS (
+        |  SELECT doc_id, pos, array_to_string(list_slice(ltk, pos, pos + 12), ' ') AS gram
+        |  FROM (SELECT doc_id, unnest(range(1, greatest(len(ltk) - 12, 0) + 1)) AS pos, ltk
+        |        FROM t WHERE doc_id % 50 <> 0)
+        |), rm AS (
+        |  SELECT DISTINCT doc_id, unnest(range(greatest(pos - 2, 1), pos + 15)) AS tp
+        |  FROM g2 JOIN ev USING (gram)
+        |), rml AS (
+        |  SELECT doc_id, list(tp) AS rl FROM rm GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN rml.doc_id IS NULL THEN d.text
+        |    -- array_to_string([]) is NULL in DuckDB but '' in Spark: a
+        |    -- fully-excised doc is the empty string on both engines
+        |    ELSE coalesce(array_to_string(list_filter(t.tk,
+        |      (x, i) -> NOT list_contains(rml.rl, i)), ' '), '')
+        |  END AS text
+        |FROM documents d JOIN t USING (doc_id) LEFT JOIN rml USING (doc_id)
+        |WHERE d.doc_id % 50 <> 0""") { (s, dir) =>
+      val d = docs(s, dir)
+      graft.dedup.Dedup.exciseContaminatedSpans(
+        d.where(col("doc_id") % 50 =!= 0), d.where(col("doc_id") % 50 === 0),
+        "doc_id", "text", k = 13, margin = 2)
+        .select(col("doc_id"), col("text"))
+    },
+
     // §2.38b: PERSISTENT incremental MinHash index — the even-id half of
     // the corpus is indexed (build + parquet write + load), then the
     // odd-id half arrives as an ingest batch and is LSH-deduped AGAINST

@@ -442,6 +442,53 @@ object Dedup {
       col(idCol) === col("__contaminated_id"), "left_anti")
   }
 
+  /** GPT-3-style contamination EXCISION (reference has no counterpart;
+    * the published span-removal treatment: GPT-3 appendix C removes a
+    * window around each eval collision rather than the whole document):
+    * every k-token window of a training document that also occurs
+    * anywhere in the eval set is removed, plus `margin` tokens on each
+    * side — the pipeline choice when train docs are long and
+    * contamination is local, vs [[decontaminate]] which drops whole
+    * docs. Overlapping contaminated spans merge naturally through the
+    * per-token union, exactly like [[stripDuplicatedSpans]].
+    *
+    * Untouched documents keep their text byte-identical; excised
+    * documents rebuild from their surviving tokens (original case,
+    * single-space joined). Window matching is over lowercased
+    * whitespace tokens — same normalization as the dedup family —
+    * and token indices align because lowercasing never changes token
+    * boundaries.
+    *
+    * Scale shape: only (id, pos, 8-byte hash) rows ever shuffle —
+    * never text; the eval side reduces to a distinct hash set
+    * (equi-join, AQE broadcasts when it fits — the d17/d21 bloom
+    * pre-filter composes here too if eval outgrows that); the removal
+    * set is bounded per doc by its own token count.
+    */
+  def exciseContaminatedSpans(train: DataFrame, evalSet: DataFrame,
+                              idCol: String, textCol: String,
+                              k: Int = 13, margin: Int = 0): DataFrame = {
+    require(k >= 2, s"window size must be >= 2 tokens, got $k")
+    require(margin >= 0, s"margin must be >= 0, got $margin")
+    val evalH = windowHashes(evalSet, idCol, textCol, k).select(col("h")).distinct()
+    val removedStarts = windowHashes(train, idCol, textCol, k)
+      .join(evalH, Seq("h"), "left_semi")
+      .select(col("id"), col("pos"))
+    val removedTokens = removedStarts
+      .select(col("id"), explode(sequence(
+        greatest(col("pos") - margin, lit(1)),
+        col("pos") + (k - 1) + margin)).as("tp"))
+      .groupBy("id").agg(collect_set(col("tp")).as("__rm"))
+      .withColumnRenamed("id", "__rm_id")
+    val cleaned = when(col("__rm").isNull, col(textCol))
+      .otherwise(array_join(
+        filter(wsTokens(col(textCol)), (_, i) => !array_contains(col("__rm"), i + 1)),
+        " "))
+    train.join(removedTokens, col(idCol) === col("__rm_id"), "left")
+      .select(train.columns.map(c =>
+        if (c == textCol) cleaned.as(textCol) else col(c)): _*)
+  }
+
   /** Position-stamped hashes of every k-token window of every document —
     * the inverted index under SUBSTRING-level dedup (published
     * training-data pipelines remove any long token span appearing more

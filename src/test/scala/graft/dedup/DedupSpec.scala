@@ -56,6 +56,48 @@ class DedupSpec extends SparkSpec {
     assert(all == Set(2L, 3L, 4L, 5L))
   }
 
+  test("contamination excision removes the eval-overlapping span plus margin, token-exact") {
+    // eval holds tokens e1..e5; the train doc embeds them verbatim with
+    // clean prefix/suffix; a second train doc is untouched and carries
+    // odd whitespace that must round-trip byte-identical
+    val evalSet = Seq((100L, "e1 e2 e3 e4 e5")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "p1 p2 p3 p4 e1 e2 e3 e4 e5 s1 s2 s3 s4"),
+      (2L, "  clean   doc\twith  odd   spacing  ")).toDF("doc_id", "text")
+    val got = Dedup.exciseContaminatedSpans(train, evalSet, "doc_id", "text",
+      k = 5, margin = 1).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // window [e1..e5] at pos 5; margin 1 removes p4 and s1 too
+    assert(got(1L) == "p1 p2 p3 s2 s3 s4", got(1L))
+    assert(got(2L) == "  clean   doc\twith  odd   spacing  ", "untouched text must be byte-identical")
+
+    // margin clamps at the document start (contamination at pos 1): the
+    // left margin has nothing to remove, the right margin eats tail1 and
+    // tail2 (positions 6-8 requested, 6-7 exist) — an over-long margin
+    // never errors, and a doc can excise to empty
+    val t2 = Seq((3L, "e1 e2 e3 e4 e5 tail1 tail2")).toDF("doc_id", "text")
+    val g2 = Dedup.exciseContaminatedSpans(t2, evalSet, "doc_id", "text",
+      k = 5, margin = 3).collect().head.getString(1)
+    assert(g2 == "", g2)
+    // margin 1 keeps tail2
+    val g2b = Dedup.exciseContaminatedSpans(t2, evalSet, "doc_id", "text",
+      k = 5, margin = 1).collect().head.getString(1)
+    assert(g2b == "tail2", g2b)
+
+    // overlapping contaminated windows merge: eval covers two windows
+    // sharing 4 tokens; the union removes 6 tokens once
+    val ev2 = Seq((101L, "a b c d e"), (102L, "b c d e f")).toDF("doc_id", "text")
+    val t3 = Seq((4L, "x a b c d e f y")).toDF("doc_id", "text")
+    val g3 = Dedup.exciseContaminatedSpans(t3, ev2, "doc_id", "text",
+      k = 5, margin = 0).collect().head.getString(1)
+    assert(g3 == "x y", g3)
+
+    // matching is case-insensitive but the rebuild keeps original case
+    val t4 = Seq((5L, "Pre E1 E2 E3 E4 E5 Post")).toDF("doc_id", "text")
+    val g4 = Dedup.exciseContaminatedSpans(t4, evalSet, "doc_id", "text",
+      k = 5, margin = 0).collect().head.getString(1)
+    assert(g4 == "Pre Post", g4)
+  }
+
   test("bloom-pruned decontamination: identical results, probe in the plan") {
     val evalSet = docs.where(col("doc_id") === 1L)
     val train = docs.where(col("doc_id") =!= 1L)
