@@ -2410,6 +2410,167 @@ object Queries {
         .select(col("o_orderdate_month"), col("n_orders"), col("cum_orders"))
     },
 
+    // §2.73: C4-style heuristic cleaning (Raffel et al. 2020 §2.2). The
+    // synthetic corpus has no newlines or punctuation, so the gate
+    // builds line structure on BOTH sides (the d32 convention):
+    // a universal "javascript…" line (must be line-dropped everywhere),
+    // 4-token body lines with a terminal "." except every 5th line
+    // (bare lines must fail the punctuation rule), and deterministic
+    // doc-level "lorem ipsum" / "{" injections (those docs must fail
+    // wholesale). Every rule fires on known rows; text round-trips
+    // byte-identically through both engines.
+    "t12_c4_filters" -> oq(
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents
+        |), built AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    'javascript required for this site.',
+        |    array_to_string(list_transform(range(0, (len(tk) + 3) // 4),
+        |      g -> array_to_string(list_slice(tk, g * 4 + 1, least(g * 4 + 4, len(tk))), ' ')
+        |           || (CASE WHEN g % 5 = 4 THEN '' ELSE '.' END)), chr(10)),
+        |    CASE WHEN doc_id % 41 = 0 THEN 'this page contains lorem ipsum text.' END,
+        |    CASE WHEN doc_id % 43 = 0 THEN 'embedded code sample { }.' END) AS text
+        |  FROM tk
+        |), k AS (
+        |  SELECT doc_id, text, list_filter(string_split(text, chr(10)), x ->
+        |    regexp_matches(trim(x), '[.!?"]$')
+        |    AND len(list_filter(string_split_regex(trim(x), '\s+'), w -> len(w) > 0)) >= 3
+        |    AND NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM built
+        |), c AS (
+        |  SELECT doc_id, text, kept,
+        |    coalesce(array_to_string(kept, chr(10)), '') AS ct
+        |  FROM k
+        |)
+        |SELECT doc_id, ct AS clean_text,
+        |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        |  CAST(len(regexp_replace(ct, '[^.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+        |  (len(regexp_replace(ct, '[^.!?]', '', 'g')) >= 5
+        |   AND NOT contains(lower(text), 'lorem ipsum')
+        |   AND NOT contains(lower(text), '{')) AS keep
+        |FROM c""") { (s, dir) =>
+      import graft.text.TextFunctions
+      val tk = TextFunctions.wsTokens(trim(col("text")))
+      val n = size(tk)
+      val nb = floor((n + lit(3)) / lit(4)).cast("int")
+      val body = transform(sequence(lit(0), nb - 1),
+        g => concat(array_join(slice(tk, g * 4 + 1, lit(4)), " "),
+          when(g % 5 === 4, lit("")).otherwise(lit("."))))
+      val built = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          lit("javascript required for this site."),
+          array_join(body, "\n"),
+          when(col("doc_id") % 41 === 0, lit("this page contains lorem ipsum text.")),
+          when(col("doc_id") % 43 === 0, lit("embedded code sample { }."))).as("text"))
+      graft.text.CorpusOps.c4Filters(built, "doc_id", "text")
+    },
+
+    // §2.74: quality-ranked canonical dedup — near-dup clusters (the
+    // d15 recursive-CTE oracle) keep their HIGHEST-quality member (the
+    // d09 score, 6dp-rounded so the ranking replays engine-exactly;
+    // ties to min id), everything unclustered survives untouched.
+    "d34_dedup_best_quality" -> oq(
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 1)),
+        |      i -> array_to_string(list_slice(tk, i, i+2), ' '))) AS sset
+        |  FROM toks
+        |), ex AS (
+        |  SELECT doc_id, len(sset) AS sz, unnest(sset) AS s FROM sh
+        |), pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |  HAVING CAST(count(*) AS DOUBLE)/(a.sz + b.sz - count(*)) >= 0.5
+        |), edges AS (
+        |  SELECT id1 AS src, id2 AS dst FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs
+        |), closure AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT c.id, e.dst FROM closure c JOIN edges e ON c.r = e.src
+        |), cl AS (
+        |  SELECT id, least(id, min(r)) AS cluster_id FROM closure GROUP BY id
+        |), q AS (
+        |  SELECT doc_id,
+        |    round((
+        |      least(CAST(len(list_filter(string_split_regex(trim(text),'\s+'), t -> len(t)>0)) AS DOUBLE)/100.0, 1.0)
+        |      + (1.0 - least(CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |                     / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0))
+        |      + least(CAST(len(list_filter(string_split_regex(lower(trim(text)),'\s+'),
+        |          t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE)
+        |          / greatest(CAST(len(list_filter(string_split_regex(trim(text),'\s+'), t -> len(t)>0)) AS DOUBLE), 1.0) * 5.0, 1.0)
+        |    ) / 3.0, 6) AS q
+        |  FROM documents
+        |), win AS (
+        |  SELECT cluster_id, id AS keep_id FROM (
+        |    SELECT cl.cluster_id, cl.id,
+        |      row_number() OVER (PARTITION BY cl.cluster_id
+        |                         ORDER BY q.q DESC, cl.id ASC) AS rn
+        |    FROM cl JOIN q ON q.doc_id = cl.id)
+        |  WHERE rn = 1
+        |), lose AS (
+        |  SELECT id FROM cl JOIN win USING (cluster_id) WHERE id <> keep_id
+        |)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT id FROM lose)""") { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = graft.dedup.Dedup.minhashLshPairs(
+        d, "doc_id", "text", k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      graft.dedup.Dedup.keepBestInCluster(d, "doc_id", pairs,
+        round(graft.text.TextFunctions.qualityScore(col("text")), 6))
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
+
+    // §2.70b: bigram-LM cross-entropy (the conditional step from d31's
+    // unigram toward CCNet's KenLM — order-sensitive). Train on the
+    // 'en' slice, score everything; closed-form add-1 arithmetic the
+    // oracle replays exactly.
+    "d36_bigram_ppl" -> oq(
+      """WITH tk AS (
+        |  SELECT doc_id, lang, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, lang, tk[pos] AS a, tk[pos+1] AS b
+        |  FROM (SELECT doc_id, lang, unnest(range(1, len(tk))) AS pos, tk
+        |        FROM tk WHERE len(tk) >= 2)
+        |), lm AS (
+        |  SELECT a, b, count(*) AS c FROM bg WHERE lang = 'en' GROUP BY 1, 2
+        |), ctx AS (
+        |  SELECT a, CAST(sum(c) AS DOUBLE) AS ca FROM lm GROUP BY 1
+        |), vv AS (
+        |  SELECT CAST(count(DISTINCT b) AS DOUBLE) AS v FROM lm
+        |), tf AS (
+        |  SELECT doc_id, a, b, count(*) AS tf FROM bg GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  round(-sum(tf * ln((coalesce(c, 0) + 1.0) / (coalesce(ca, 0) + v)))
+        |        / sum(tf), 6) AS xent
+        |FROM tf LEFT JOIN lm USING (a, b) LEFT JOIN ctx USING (a) CROSS JOIN vv
+        |GROUP BY doc_id""") { (s, dir) =>
+      val d = docs(s, dir)
+      val lm = graft.text.CorpusOps.bigramLm(d.where(col("lang") === "en"), "text")
+      graft.text.CorpusOps.bigramCrossEntropy(d, "doc_id", "text", lm)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("cross_entropy"), 6).as("xent"))
+    },
+
+    // §2.75: distributed BPE vocabulary induction (Sennrich 2016) —
+    // 40 merges learned from the corpus word-frequency table. Iterative
+    // argmax has no SQL-expressible oracle (rows-only); BpeSpec pins the
+    // full merge sequence + counts against a serial reference
+    // implementation.
+    "t13_bpe_vocab" -> nq { (s, dir) =>
+      graft.text.Bpe.bpeMerges(s, docs(s, dir), "text", numMerges = 40)
+    },
+
     // §2.34: tumbling-window agg (streaming code path run on batch; oracle)
     "q29_window_tumbling" -> oq(
       """SELECT strftime(to_timestamp(floor(epoch(ts)/900)*900), '%Y-%m-%d %H:%M') AS window_start,

@@ -88,6 +88,45 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
+  /** Quality-ranked canonical selection: given near-dup pairs, keep ONE
+    * document per duplicate cluster — the one with the HIGHEST score
+    * (ties break to the lowest id) — plus every unclustered document
+    * untouched. This is the dedup decision a real pipeline wants:
+    * min-id canonical ([[keepCanonical]]) discards quality information,
+    * while near-dup clusters usually contain one clean original and
+    * several mangled copies.
+    *
+    * `scoreCol` is evaluated against `df`'s rows (e.g.
+    * `round(TextFunctions.qualityScore(col("text")), 6)` — round it so
+    * the ranking replays identically on any engine). Returns the
+    * surviving rows of `df`, original columns intact.
+    *
+    * Scale shape: clusters come from [[duplicateClusters]] (pair-graph
+    * sized, not corpus sized); winners are one `max_by` aggregation over
+    * ONLY the clustered rows (score + negated id packed in a struct —
+    * no window, no row_number shuffle over the full corpus); the final
+    * step is a single left-anti join of the corpus against the
+    * loser-id table (dup-graph sized; AQE broadcasts it when it fits).
+    * Unclustered documents — the overwhelming majority at web scale —
+    * never shuffle at all.
+    */
+  def keepBestInCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+                        scoreCol: org.apache.spark.sql.Column,
+                        id1: String = "id1", id2: String = "id2"): DataFrame = {
+    val clusters = duplicateClusters(pairs, id1, id2) // (id, cluster_id)
+    val scored = df.select(col(idCol).cast("long").as("__did"), scoreCol.as("__score"))
+    val winners = scored.join(clusters, col("__did") === col("id"))
+      .groupBy(col("cluster_id"))
+      // struct compare is lexicographic: max score first, then max(-id)
+      // = min id — deterministic without a second ordering pass.
+      .agg(max_by(col("__did"), struct(col("__score"), negate(col("__did"))))
+        .as("__keep"))
+    val losers = clusters.join(winners, Seq("cluster_id"))
+      .where(col("id") =!= col("__keep"))
+      .select(col("id").as("__lose"))
+    df.join(losers, df(idCol).cast("long") === col("__lose"), "left_anti")
+  }
+
   /** Duplicate clusters from near-dup pairs: every id is labeled with the
     * minimum id reachable through the pair graph (connected components).
     * Iterative min-label propagation PLUS pointer jumping (path halving):

@@ -645,4 +645,117 @@ object CorpusOps {
         array_join(slice(col("__tk"), col("__start"), lit(chunkTokens)), " ")
           .as("chunk_text"))
   }
+
+  /** C4-style heuristic cleaning (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning…", §2.2) — the canonical web-text rule
+    * set, applied line-by-line then document-by-document:
+    *   - keep only lines whose trimmed text ends in a terminal
+    *     punctuation mark (`.` `!` `?` `"`);
+    *   - keep only lines with at least `minWordsPerLine` words;
+    *   - drop any line containing the word "javascript" (case-folded);
+    *   - drop the whole document if any `badSubstrings` entry occurs in
+    *     the case-folded original text (C4 uses "lorem ipsum" and the
+    *     curly brace as a code marker);
+    *   - drop the whole document if fewer than `minSentences` sentences
+    *     survive (sentence count = terminal `.`/`!`/`?` characters in
+    *     the kept text — the replayable proxy for C4's sentence
+    *     splitter).
+    * Returns every input row with (idCol, clean_text, n_lines_kept,
+    * n_sentences, keep) so keep-rate accounting stays possible; filter
+    * on `keep` for the survivor corpus.
+    *
+    * Scale shape: a pure per-row column program — one `filter` HOF over
+    * the split lines, no explode, no shuffle, no state. At 100 TB this
+    * is the cheapest class of operator there is: map-only, codegen'd,
+    * pushed behind whatever scan feeds it.
+    */
+  def c4Filters(df: DataFrame, idCol: String, textCol: String,
+                minWordsPerLine: Int = 3, minSentences: Int = 5,
+                badSubstrings: Seq[String] = Seq("lorem ipsum", "{")): DataFrame = {
+    require(minWordsPerLine >= 1, s"minWordsPerLine must be >= 1, got $minWordsPerLine")
+    require(minSentences >= 0, s"minSentences must be >= 0, got $minSentences")
+    val kept = filter(split(col(textCol), "\n"), l =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(filter(split(trim(l), "\\s+"), w => length(w) > 0)) >= minWordsPerLine &&
+        !lower(l).contains("javascript"))
+    val cleanText = array_join(kept, "\n")
+    val nSentences = length(regexp_replace(cleanText, "[^.!?]", ""))
+    val bad = badSubstrings
+      .map(s => lower(col(textCol)).contains(s.toLowerCase))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    df.select(col(idCol),
+      cleanText.as("clean_text"),
+      size(kept).cast("long").as("n_lines_kept"),
+      nSentences.cast("long").as("n_sentences"),
+      (nSentences >= minSentences && !bad).as("keep"))
+  }
+
+  /** Bigram language model trained on a reference corpus: one row per
+    * observed (prev_token, token) pair with its count. The conditional
+    * step up from [[unigramLm]] toward CCNet's 5-gram KenLM — context
+    * makes the score sensitive to word ORDER, which is what separates
+    * shuffled-token spam from prose a unigram model cannot tell apart.
+    *
+    * Scale shape: one pass — tokens → adjacent pairs via two slices
+    * zipped (no positional self-join) → map-side-combinable count. The
+    * result is bounded by observed bigram vocabulary (Zipf again), never
+    * corpus size.
+    */
+  def bigramLm(df: DataFrame, textCol: String): DataFrame = {
+    val tk = TextFunctions.wsTokens(lower(trim(col(textCol))))
+    df.select(tk.as("__tk")).where(size(col("__tk")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__tk"), lit(1), size(col("__tk")) - 1),
+        slice(col("__tk"), lit(2), size(col("__tk")) - 1),
+        (a, b) => struct(a.as("prev_token"), b.as("token")))).as("__bg"))
+      .select(col("__bg.prev_token").as("prev_token"), col("__bg.token").as("token"))
+      .groupBy(col("prev_token"), col("token"))
+      .agg(count(lit(1)).as("bigram_count"))
+  }
+
+  /** Per-document cross-entropy under an add-α-smoothed bigram LM:
+    *   H(d) = −(1/(n−1)) Σ_{i=2..n} ln((c(w_{i−1} w_i) + α) /
+    *                                    (c(w_{i−1} ·) + αV)),
+    * ppl = e^H, with c(a ·) = Σ_b c(ab) (the LM's prefix totals) and
+    * V = the LM's completion-vocabulary size (distinct second tokens).
+    * Unseen prefixes score the uniform α/(αV) floor. Deterministic
+    * double arithmetic, gate-replayable. Documents with fewer than two
+    * tokens have no bigrams and are absent from the output.
+    *
+    * Scale shape: per-doc bigram counts (one map-side-combined shuffle
+    * on (id, prev, token)) → equi-joins against the LM and its
+    * prefix-total projection (both vocab-sized; AQE broadcasts when they
+    * fit) → one per-doc sum. V reduces to a single driver scalar. Same
+    * join discipline as [[crossEntropyScore]] — scoring 100 TB is one
+    * corpus pass plus vocab-sized joins.
+    */
+  def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
+                         lm: DataFrame, alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"smoothing alpha must be positive, got $alpha")
+    val v = lm.select(col("token")).distinct().count().toDouble
+    val ctx = lm.groupBy(col("prev_token"))
+      .agg(sum(col("bigram_count")).cast("double").as("__ctx"))
+    val tk = TextFunctions.wsTokens(lower(trim(col(textCol))))
+    val tf = df.select(col(idCol).as("__id"), tk.as("__tk"))
+      .where(size(col("__tk")) >= 2)
+      .select(col("__id"), explode(zip_with(
+        slice(col("__tk"), lit(1), size(col("__tk")) - 1),
+        slice(col("__tk"), lit(2), size(col("__tk")) - 1),
+        (a, b) => struct(a.as("prev_token"), b.as("token")))).as("__bg"))
+      .select(col("__id"), col("__bg.prev_token").as("prev_token"),
+        col("__bg.token").as("token"))
+      .groupBy(col("__id"), col("prev_token"), col("token"))
+      .agg(count(lit(1)).as("__tf"))
+    val logp = log((coalesce(col("bigram_count"), lit(0L)).cast("double") + alpha)
+      / (coalesce(col("__ctx"), lit(0.0)) + alpha * v))
+    tf.join(lm, Seq("prev_token", "token"), "left")
+      .join(ctx, Seq("prev_token"), "left")
+      .withColumn("__lp", logp)
+      .groupBy(col("__id"))
+      .agg(sum(col("__tf")).as("n_bigrams"),
+        (-sum(col("__tf").cast("double") * col("__lp")) / sum(col("__tf")).cast("double"))
+          .as("cross_entropy"))
+      .select(col("__id").as(idCol), col("n_bigrams"), col("cross_entropy"),
+        exp(col("cross_entropy")).as("ppl"))
+  }
 }

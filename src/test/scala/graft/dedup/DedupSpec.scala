@@ -355,4 +355,26 @@ class DedupSpec extends SparkSpec {
     assert(Set(("cat", "cut"), ("cat", "cats"), ("at", "cat"),
       ("kitten", "sitten"), ("shark", "spark"), ("abc", "cba")).subsetOf(g2))
   }
+
+  test("keepBestInCluster keeps the highest-score member per cluster, ties to min id, singletons untouched") {
+    val docs = Seq(
+      (1L, "x", 0.3), (2L, "x", 0.9), (3L, "x", 0.5),   // cluster {1,2,3}: 2 wins on score
+      (4L, "y", 0.7), (5L, "y", 0.7),                   // cluster {4,5}: tie -> 4 wins
+      (6L, "z", 0.1)                                    // singleton: kept regardless of score
+    ).toDF("id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val kept = Dedup.keepBestInCluster(docs, "id", pairs, col("score"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 6L), kept.toString)
+  }
+
+  test("keepBestInCluster preserves all original columns and non-clustered rows byte-for-byte") {
+    val docs = Seq(
+      (10L, "keep me", "srcA", 0.2), (11L, "dup hi", "srcB", 0.8),
+      (12L, "dup lo", "srcC", 0.4)).toDF("id", "text", "source", "score")
+    val pairs = Seq((11L, 12L)).toDF("id1", "id2")
+    val kept = Dedup.keepBestInCluster(docs, "id", pairs, col("score"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3))).toSet
+    assert(kept == Set((10L, "keep me", "srcA", 0.2), (11L, "dup hi", "srcB", 0.8)))
+  }
 }

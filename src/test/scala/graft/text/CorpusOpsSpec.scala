@@ -428,4 +428,79 @@ class CorpusOpsSpec extends SparkSpec {
       d1.last._5.split(" ")).flatten.mkString(" ")
     assert(stitched == "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")
   }
+
+  test("c4Filters: line rules (punctuation, min words, javascript) and doc rules (lorem ipsum, brace, min sentences)") {
+    val docs = Seq(
+      // 0: clean doc, 5 dotted lines -> kept intact
+      (0L, (1 to 5).map(i => s"alpha beta gamma line$i.").mkString("\n")),
+      // 1: bare (unpunctuated) + short + javascript lines are stripped,
+      //    5 good lines remain -> keep, clean_text = the good lines only
+      (1L, ((1 to 5).map(i => s"delta epsilon zeta line$i.") ++ Seq(
+        "no terminal punctuation here",
+        "two words.",
+        "javascript must be enabled to view this page.")).mkString("\n")),
+      // 2: good lines but contains lorem ipsum -> dropped wholesale
+      (2L, ((1 to 5).map(i => s"eta theta iota line$i.") :+
+        "classic lorem ipsum filler.").mkString("\n")),
+      // 3: good lines but contains a curly brace -> dropped wholesale
+      (3L, ((1 to 5).map(i => s"kappa lambda mu line$i.") :+
+        "code sample { }.").mkString("\n")),
+      // 4: only 4 sentences survive -> below minSentences=5, dropped
+      (4L, (1 to 4).map(i => s"nu xi omicron line$i.").mkString("\n"))
+    ).toDF("id", "text")
+    val out = CorpusOps.c4Filters(docs, "id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(0L)._4 && out(0L)._2 == 5 && out(0L)._3 == 5)
+    assert(out(0L)._1 == (1 to 5).map(i => s"alpha beta gamma line$i.").mkString("\n"))
+    assert(out(1L)._4 && out(1L)._2 == 5,
+      s"bare/short/javascript lines must strip but doc survives: ${out(1L)}")
+    assert(out(1L)._1 == (1 to 5).map(i => s"delta epsilon zeta line$i.").mkString("\n"))
+    assert(!out(2L)._4, "lorem ipsum doc must drop")
+    assert(!out(3L)._4, "curly-brace doc must drop")
+    assert(!out(4L)._4 && out(4L)._3 == 4, "4 sentences < minSentences=5")
+  }
+
+  test("c4Filters: quote-terminated lines pass; empty survivor set yields empty clean_text") {
+    val docs = Seq(
+      (0L, "he said \"hello there friend.\"\nshe replied \"indeed.\""),
+      (1L, "no punctuation at all\nstill none")
+    ).toDF("id", "text")
+    val out = CorpusOps.c4Filters(docs, "id", "text", minSentences = 1).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(out(0L)._2 == 2 && out(0L)._3)
+    assert(out(1L)._1 == "" && out(1L)._2 == 0 && !out(1L)._3)
+  }
+
+  test("bigramCrossEntropy: closed-form arithmetic on a tiny LM") {
+    val train = Seq("a b a b a c").toDF("text") // bigrams: ab ba ab ba ac -> c(ab)=2 c(ba)=2 c(ac)=1
+    val lm = CorpusOps.bigramLm(train, "text")
+    val got = lm.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a","b") -> 2L, ("b","a") -> 2L, ("a","c") -> 1L))
+    // score "a b" under add-1: V = |{b, a, c}| = 3, c(a.) = 3
+    // P(b|a) = (2+1)/(3+3) = 0.5 -> H = -ln(0.5)
+    val score = CorpusOps.bigramCrossEntropy(Seq((7L, "a b")).toDF("id", "text"), "id", "text", lm)
+      .collect().head
+    assert(score.getLong(1) == 1L)
+    assert(math.abs(score.getDouble(2) - math.log(2.0)) < 1e-12)
+    // unseen prefix scores the uniform floor: P(x|z) = 1/V
+    val floor = CorpusOps.bigramCrossEntropy(Seq((8L, "z x")).toDF("id", "text"), "id", "text", lm)
+      .collect().head
+    assert(math.abs(floor.getDouble(2) - math.log(3.0)) < 1e-12)
+  }
+
+  test("bigramCrossEntropy is word-order sensitive where unigram cannot be") {
+    val train = Seq.fill(50)("the quick brown fox jumps over the lazy dog").toDF("text")
+    val lm = CorpusOps.bigramLm(train, "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "dog lazy the over jumps fox brown quick the")).toDF("id", "text")
+    val h = CorpusOps.bigramCrossEntropy(docs, "id", "text", lm).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(h(1L) < h(2L), s"natural order must score lower cross-entropy: $h")
+    // same tokens -> identical unigram score; the bigram model separates them
+    val ulm = CorpusOps.unigramLm(train, "text")
+    val uh = CorpusOps.crossEntropyScore(docs, "id", "text", ulm).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(uh(1L) - uh(2L)) < 1e-12)
+  }
 }
