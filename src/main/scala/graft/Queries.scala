@@ -2562,6 +2562,30 @@ object Queries {
           round(col("cross_entropy"), 6).as("xent"))
     },
 
+    // §2.76: composition targeting — per-source sampling rates that hit
+    // a 50/30/20 token-share target over three sources, scarcest source
+    // binding at rate 1.0. Closed-form arithmetic both engines replay.
+    "t14_target_mixture" -> oq(
+      """WITH tok AS (
+        |  SELECT source, CAST(sum(CAST(len(list_filter(
+        |    string_split_regex(trim(text), '\s+'), t -> len(t) > 0)) AS BIGINT)) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source
+        |), tgt AS (
+        |  SELECT * FROM (VALUES ('src0', CAST(0.5 AS DOUBLE)),
+        |                        ('src1', CAST(0.3 AS DOUBLE)),
+        |                        ('src2', CAST(0.2 AS DOUBLE))) AS t(source, target_share)
+        |), j AS (
+        |  SELECT source, tokens, target_share FROM tok JOIN tgt USING (source)
+        |), m AS (
+        |  SELECT min(CAST(tokens AS DOUBLE) / target_share) AS tp FROM j
+        |)
+        |SELECT source, tokens, target_share,
+        |  round(least(1.0, target_share * tp / CAST(tokens AS DOUBLE)), 6) AS rate
+        |FROM j CROSS JOIN m""") { (s, dir) =>
+      graft.text.CorpusOps.targetMixtureRates(docs(s, dir), "source", "text",
+        Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+    },
+
     // §2.75: distributed BPE vocabulary induction (Sennrich 2016) —
     // 40 merges learned from the corpus word-frequency table. Iterative
     // argmax has no SQL-expressible oracle (rows-only); BpeSpec pins the

@@ -690,6 +690,47 @@ object CorpusOps {
       (nSentences >= minSentences && !bad).as("keep"))
   }
 
+  /** Composition targeting — derive the per-source sampling rates that
+    * hit a target token-share mixture (the LLaMA/Pile data-mixing
+    * decision) while keeping as much data as possible: with T_i tokens
+    * in source i and target share s_i, the retained total
+    * T' = min_i T_i/s_i makes the scarcest-relative-to-target source
+    * the binding one (rate exactly 1.0) and every other source
+    * downsamples to rate_i = s_i·T'/T_i. Sources not in `targets` are
+    * excluded from the mixture (rate-0 by omission). Feed the rates to
+    * [[mixtureFilter]] for the deterministic per-document decision —
+    * the two operators together turn "I want 50/30/20" into a
+    * reproducible corpus.
+    *
+    * Returns (source, tokens, target_share, rate) — rate in (0, 1],
+    * 6dp-rounded so the arithmetic replays engine-exactly.
+    *
+    * Scale shape: ONE map-side-combinable token-count aggregation over
+    * the corpus (source-grain result), a broadcast-sized join against
+    * the target table, and a single driver scalar (T'). The decision
+    * table is #sources rows; the corpus is touched once.
+    */
+  def targetMixtureRates(df: DataFrame, sourceCol: String, textCol: String,
+                         targets: Seq[(String, Double)]): DataFrame = {
+    require(targets.nonEmpty, "at least one target share")
+    require(targets.forall(_._2 > 0), "target shares must be positive")
+    require(math.abs(targets.map(_._2).sum - 1.0) < 1e-9, "target shares must sum to 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(TextFunctions.tokenCount(col(textCol))).as("tokens"))
+    val tgt = targets.toDF("source", "target_share")
+    val joined = toks.join(broadcast(tgt), Seq("source"))
+    val missing = targets.size - joined.count()
+    require(missing == 0,
+      s"$missing target source(s) absent from the corpus — a share against zero tokens is unsatisfiable")
+    val tp = joined.agg(min(col("tokens").cast("double") / col("target_share")))
+      .head().getDouble(0)
+    joined.select(col("source"), col("tokens"), col("target_share"),
+      round(least(lit(1.0),
+        col("target_share") * tp / col("tokens").cast("double")), 6).as("rate"))
+  }
+
   /** Bigram language model trained on a reference corpus: one row per
     * observed (prev_token, token) pair with its count. The conditional
     * step up from [[unigramLm]] toward CCNet's 5-gram KenLM — context

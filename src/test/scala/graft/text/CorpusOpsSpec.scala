@@ -503,4 +503,39 @@ class CorpusOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(math.abs(uh(1L) - uh(2L)) < 1e-12)
   }
+
+  test("targetMixtureRates: binding source at rate 1.0, closed-form rates, end-to-end composition") {
+    // src A: 1000 docs x 10 tokens; B: 300 x 10; C: 200 x 10
+    val docs = ((1 to 1000).map(i => (i.toLong, "A", Seq.fill(10)("w").mkString(" "))) ++
+      (1 to 300).map(i => (1000L + i, "B", Seq.fill(10)("w").mkString(" "))) ++
+      (1 to 200).map(i => (1300L + i, "C", Seq.fill(10)("w").mkString(" "))))
+      .toDF("id", "source", "text")
+    // target 50/30/20: B is scarcest relative to target (3000/0.3=10000
+    // < A 20000, = C 10000 -> min over both; ties fine). T' = 10000.
+    val rates = CorpusOps.targetMixtureRates(docs, "source", "text",
+      Seq("A" -> 0.5, "B" -> 0.3, "C" -> 0.2)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rates("A")._1 == 10000L && rates("B")._1 == 3000L && rates("C")._1 == 2000L)
+    assert(rates("B")._3 == 1.0, s"binding source must keep everything: $rates")
+    assert(rates("C")._3 == 1.0, s"tied-binding source must keep everything: $rates")
+    assert(math.abs(rates("A")._3 - 0.5) < 1e-9, s"A halves: $rates")
+
+    // end-to-end: apply the rates with mixtureFilter; achieved token
+    // shares land within sampling tolerance of the 50/30/20 target
+    val rateMap = rates.map { case (s, (_, _, r)) => s -> r }.toSeq
+    val kept = docs.where(CorpusOps.mixtureFilter(col("id"), col("source"), rateMap))
+    val keptTok = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) * 10.0).toMap
+    val total = keptTok.values.sum
+    assert(math.abs(keptTok("A") / total - 0.5) < 0.03, keptTok.toString)
+    assert(math.abs(keptTok("B") / total - 0.3) < 0.03, keptTok.toString)
+    assert(math.abs(keptTok("C") / total - 0.2) < 0.03, keptTok.toString)
+  }
+
+  test("targetMixtureRates rejects targets over sources missing from the corpus") {
+    val docs = Seq((1L, "A", "x y z")).toDF("id", "source", "text")
+    intercept[IllegalArgumentException] {
+      CorpusOps.targetMixtureRates(docs, "source", "text", Seq("A" -> 0.5, "NOPE" -> 0.5))
+    }
+  }
 }
