@@ -101,6 +101,67 @@ object IvfIndex {
 
   val DefaultBuckets = 16
 
+  /** Append a batch to a WRITTEN index: vectors are assigned to the
+    * frozen quantizer (standard IVF practice — the coarse centroids are
+    * trained once; re-training would relocate existing postings) and
+    * inserted into the bucketed postings table, so later loads and
+    * searches in any session see them. The batch shuffles once on the
+    * bucket key (insertInto honors the table's bucketing); nothing else
+    * moves.
+    */
+  def addTo(spark: SparkSession, dir: String, batch: DataFrame,
+            idCol: String, vecCol: String): Unit = {
+    val idx = load(spark, dir) // registers/repairs the bucketed table
+    val v = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val posts = Similarity.rankCentroids(v, idx.centroids, 1).join(v, "id")
+      .select(col("id"), col("cid"), col("v"), col("nrm"))
+    val tbl = postingsTable(dir)
+    if (spark.catalog.tableExists(tbl))
+      posts.write.mode("append").insertInto(tbl)
+    else // legacy unbucketed layout: plain parquet append
+      posts.write.mode("append").parquet(s"$dir/postings")
+  }
+
+  /** Assign batch vectors to the index's frozen cells: (idCol, cid).
+    * The map-side max_by pass the ingest loop scopes its SemDedup to.
+    */
+  def assignCells(spark: SparkSession, dir: String, batch: DataFrame,
+                  idCol: String, vecCol: String): DataFrame = {
+    val idx = load(spark, dir)
+    val v = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    Similarity.rankCentroids(v, idx.centroids, 1)
+      .select(col("id").as(idCol), col("cid"))
+  }
+
+  /** Batch rows that have a STORED semantic duplicate: cosine ≥
+    * `threshold` against a posting in the SAME IVF cell (cell-exact,
+    * SemDedup semantics — Abbas et al. 2023). Cell-exact rather than
+    * multi-probe is a correctness choice, not a shortcut: "same
+    * assigned cell" is a SYMMETRIC relation under the frozen quantizer,
+    * so a batch replayed after its `addTo` committed detects exactly
+    * the pairs its first attempt detected (minus id-equal self-matches,
+    * ignored here) — the property the streaming ingest loop's
+    * exactly-once reasoning needs. Searches that want recall over
+    * consistency keep using [[IvfIndex.search]]'s nProbe.
+    *
+    * Returns distinct batch ids with a store duplicate.
+    */
+  def storeDupIds(spark: SparkSession, dir: String, batch: DataFrame,
+                  idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val idx = load(spark, dir)
+    val v = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val cells = Similarity.rankCentroids(v, idx.centroids, 1).join(v, "id")
+    cells.as("q")
+      .join(idx.postings.as("y"),
+        col("q.cid") === col("y.cid") && col("q.id") =!= col("y.id"))
+      .where(Similarity.dot(col("q.v"), col("y.v"))
+        / (col("q.nrm") * col("y.nrm")) >= threshold)
+      .select(col("q.id").as("id")).distinct()
+  }
+
   /** Catalog name for the bucketed postings table — deterministic from the
     * index location so any session over the same dir resolves the same
     * table.

@@ -203,6 +203,69 @@ object Streams {
     index.filterNovel(selfDeduped, idCol, textCol, threshold)
   }
 
+  /** Continuous near-dup-free EMBEDDING ingest — the vector-modality
+    * mirror of [[continuousIngest]]: per micro-batch (1) within-batch
+    * cell-scoped semantic self-dedup (SemDedup over the INDEX's frozen
+    * cells, keep-smallest-id), (2) drop rows with a stored duplicate in
+    * the same cell (IvfIndex.storeDupIds), (3) exactly-once partitioned
+    * corpus sink, (4) IvfIndex.addTo — so batch N+1 dedups against
+    * everything batches 1..N kept, with the state living in the
+    * bucketed postings table, not executor memory.
+    *
+    * Replay idempotence uses the SAME symmetry argument as the MinHash
+    * loop: the detection relation is "assigned to the same cell of a
+    * frozen quantizer" — symmetric — so within-batch dedup catches
+    * exactly the pairs a replayed row could see in the store (its own
+    * id-equal row is ignored), and a replayed batch recomputes the
+    * identical kept set even after its addTo committed. The corpus sink
+    * overwrites its own `ingest_batch=<id>` partition on replay;
+    * duplicate postings from a replayed addTo never change an answer
+    * (they are the same vectors in the same cells), they only cost
+    * bytes until the next index rebuild.
+    *
+    * The index must exist (build+write on a seed corpus first): IVF
+    * needs a trained quantizer, and training on an empty stream prefix
+    * is undefined.
+    */
+  def continuousEmbeddingIngest(stream: DataFrame, indexDir: String,
+                                idCol: String, vecCol: String,
+                                corpusDir: String, checkpointDir: String,
+                                threshold: Double = 0.95): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val kept = embedIngestBatch(batch, indexDir, idCol, vecCol, threshold)
+        kept.withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(corpusDir)
+        graft.sim.IvfIndex.addTo(batch.sparkSession, indexDir, kept, idCol, vecCol)
+      }
+      .start()
+
+  /** One embedding-ingest step (also the batch/backfill entry point):
+    * cell-scoped self-dedup, then novel-vs-store.
+    */
+  def embedIngestBatch(batch: DataFrame, indexDir: String,
+                       idCol: String, vecCol: String,
+                       threshold: Double = 0.95): DataFrame = {
+    val spark = batch.sparkSession
+    // within-batch: SemDedup scoped to the INDEX's cells (not a fresh
+    // clustering — detection must match what the store compare sees)
+    val cells = graft.sim.IvfIndex.assignCells(spark, indexDir, batch, idCol, vecCol)
+    val withCells = batch.join(cells.withColumnRenamed(idCol, "__cell_id"),
+      batch(idCol) === col("__cell_id")).drop("__cell_id")
+    val selfDups = graft.sim.Similarity.semDedupPairs(
+        withCells, idCol, vecCol, threshold, clusterCol = Some("cid"))
+      .select(col("id2").as("__self_dup")).distinct()
+    val selfDeduped = batch.join(selfDups, batch(idCol) === col("__self_dup"), "left_anti")
+    val storeDups = graft.sim.IvfIndex.storeDupIds(
+      spark, indexDir, selfDeduped, idCol, vecCol, threshold)
+      .withColumnRenamed("id", "__store_dup")
+    selfDeduped.join(storeDups, selfDeduped(idCol) === col("__store_dup"), "left_anti")
+  }
+
   /** Session windows with gap timeout — batch/stream symmetric. */
   def sessionAgg(events: DataFrame, tsCol: String, gap: String,
                  watermark: String = "1 hour", streaming: Boolean = false): DataFrame = {

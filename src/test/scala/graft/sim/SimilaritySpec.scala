@@ -420,4 +420,29 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.suggestedPlanes(20000) == 9)
     assert(Similarity.suggestedPlanes(1L << 40) == 20) // hard cap
   }
+
+  test("IvfIndex.addTo appends to the bucketed store; a fresh load searches the increment without rebuild") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-add").toString
+    val seed = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f)), (4L, Array(0f, 0f, 0f, 1f))
+    ).toDF("id", "v")
+    IvfIndex.build(seed, "id", "v", numCentroids = 2, iters = 2).write(dir, buckets = 2)
+    val batch = Seq((10L, Array(0.9f, 0.1f, 0f, 0f))).toDF("id", "v")
+    IvfIndex.addTo(spark, dir, batch, "id", "v")
+    // a FRESH load sees the increment: searching near the added vector
+    // returns it first
+    val got = IvfIndex.load(spark, dir)
+      .search(Seq((99L, Array(0.9f, 0.1f, 0f, 0f))).toDF("id", "v"),
+        "id", "v", k = 1, nProbe = 2)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(got == Set(10L), got.toString)
+    // storeDupIds flags the added vector's near-dup, not an orthogonal probe
+    val probes = Seq((50L, Array(0.91f, 0.09f, 0f, 0f)),
+      (51L, Array(0f, 0f, 0.7f, -0.7f))).toDF("id", "v")
+    val dups = IvfIndex.storeDupIds(spark, dir, probes, "id", "v", 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(dups == Set(50L), dups.toString)
+  }
 }

@@ -361,4 +361,53 @@ class StreamsSpec extends SparkSpec {
     val pairs = idx.pairsAgainst(batch, "doc_id", "text")
     assert(pairs.count() == pairs.dropDuplicates("id", "dup_of").count())
   }
+
+  test("continuous embedding ingest: cell-scoped semantic dedup through the persistent IVF index") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-eingest").toString
+    // seed corpus spanning the cells; the written index is the ONLY state
+    val seed = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f)), (4L, Array(0f, 0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    graft.sim.IvfIndex.build(seed, "vec_id", "embedding", numCentroids = 2, iters = 2)
+      .write(s"$base/idx", buckets = 2)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streams.continuousEmbeddingIngest(
+      mem.toDF().toDF("vec_id", "embedding"), s"$base/idx", "vec_id", "embedding",
+      s"$base/corpus", s"$base/ckpt", threshold = 0.95)
+    // batch 1: a near-dup of seed 1 (drop vs store), a novel vector
+    // (keep), and its within-batch near-dup (keep only the smaller id)
+    mem.addData(
+      (10L, Array(0.999f, 0.001f, 0f, 0f)),   // ~seed 1 -> drop
+      (11L, Array(0.6f, 0.62f, 0.5f, 0f)),     // novel -> keep
+      (12L, Array(0.62f, 0.6f, 0.5f, 0f)))     // ~11 within batch -> drop
+    q.processAllAvailable()
+    // batch 2: a near-dup of what batch 1 KEPT (state crossed batches
+    // through the index) and one more novel vector
+    mem.addData(
+      (20L, Array(0.61f, 0.61f, 0.51f, 0f)),   // ~11 -> drop
+      (21L, Array(0f, 0.7f, 0f, 0.71f)))       // novel -> keep
+    q.processAllAvailable()
+    q.stop()
+    val corpus = spark.read.parquet(s"$base/corpus")
+      .select("vec_id").as[Long].collect().toSet
+    assert(corpus == Set(11L, 21L), corpus.toString)
+    // the index knows everything kept: replaying a kept vector under a
+    // fresh id is no longer novel
+    val again = Seq((30L, Array(0f, 0.7f, 0f, 0.71f))).toDF("vec_id", "embedding")
+    val dup = graft.sim.IvfIndex.storeDupIds(spark, s"$base/idx", again,
+      "vec_id", "embedding", 0.95).collect()
+    assert(dup.map(_.getLong(0)).toSet == Set(30L))
+    // and replaying an ALREADY-INGESTED batch recomputes the identical
+    // kept set (the exactly-once argument: id-equal store rows are
+    // ignored, cell relation is symmetric)
+    val replay = Seq(
+      (10L, Array(0.999f, 0.001f, 0f, 0f)),
+      (11L, Array(0.6f, 0.62f, 0.5f, 0f)),
+      (12L, Array(0.62f, 0.6f, 0.5f, 0f))).toDF("vec_id", "embedding")
+    val keptAgain = Streams.embedIngestBatch(replay, s"$base/idx",
+      "vec_id", "embedding", 0.95).select("vec_id").as[Long].collect().toSet
+    assert(keptAgain == Set(11L), keptAgain.toString)
+  }
 }
