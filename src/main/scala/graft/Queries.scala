@@ -2562,6 +2562,42 @@ object Queries {
           round(col("cross_entropy"), 6).as("xent"))
     },
 
+    // §2.77: token-distribution drift between two snapshots (even vs
+    // odd doc ids) — per-source smoothed KL + Jensen-Shannon over the
+    // union vocabulary; closed-form arithmetic both engines replay.
+    "d37_token_drift" -> oq(
+      """WITH tk AS (
+        |  SELECT source, CAST(doc_id % 2 AS INT) AS b,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> len(x) > 0)) AS token
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, token,
+        |    CAST(sum(1 - b) AS DOUBLE) AS ca, CAST(sum(b) AS DOUBLE) AS cb
+        |  FROM tk GROUP BY 1, 2
+        |), t AS (
+        |  SELECT source, sum(ca) AS na, sum(cb) AS nb,
+        |    CAST(count(*) AS DOUBLE) AS v
+        |  FROM c GROUP BY 1
+        |), p AS (
+        |  SELECT c.source, na, nb, v,
+        |    (ca + 0.5) / (na + 0.5 * v) AS pa,
+        |    (cb + 0.5) / (nb + 0.5 * v) AS pb
+        |  FROM c JOIN t USING (source)
+        |)
+        |SELECT source,
+        |  CAST(na AS BIGINT) AS n_tokens_a, CAST(nb AS BIGINT) AS n_tokens_b,
+        |  CAST(v AS BIGINT) AS vocab,
+        |  round(sum(pb * ln(pb / pa)), 6) AS kl_b_vs_a,
+        |  round(sum(pa * ln(pa / ((pa + pb) / 2))) / 2
+        |      + sum(pb * ln(pb / ((pa + pb) / 2))) / 2, 6) AS js
+        |FROM p GROUP BY source, na, nb, v""") { (s, dir) =>
+      val d = docs(s, dir)
+      graft.text.CorpusOps.tokenDrift(
+        d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+        "source", "text")
+    },
+
     // §2.76: composition targeting — per-source sampling rates that hit
     // a 50/30/20 token-share target over three sources, scarcest source
     // binding at rate 1.0. Closed-form arithmetic both engines replay.

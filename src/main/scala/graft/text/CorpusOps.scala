@@ -690,6 +690,50 @@ object CorpusOps {
       (nSentences >= minSentences && !bad).as("keep"))
   }
 
+  /** Token-distribution drift between two corpus snapshots — the
+    * monitoring op a continuously-crawled corpus needs: per source,
+    * smoothed unigram distributions P_a (baseline) and P_b (current)
+    * over the union vocabulary, reported as KL(P_b ‖ P_a) (how
+    * surprised the old model is by the new data) and the symmetric,
+    * bounded Jensen–Shannon divergence. Add-α smoothing keeps both
+    * well-defined on vocabulary that appears in only one snapshot —
+    * precisely the tokens that constitute drift.
+    *
+    * Returns (source, n_tokens_a, n_tokens_b, vocab, kl_b_vs_a, js),
+    * divergences 6dp-rounded, nats.
+    *
+    * Scale shape: ONE pass over both snapshots (union + conditional
+    * count — per-(source, token) rows, map-side combinable), per-source
+    * totals joined back (a #sources-row broadcast), one vocab-sized
+    * per-source sum. Nothing corpus-sized shuffles twice and nothing
+    * reaches the driver.
+    */
+  def tokenDrift(dfA: DataFrame, dfB: DataFrame, sourceCol: String,
+                 textCol: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"smoothing alpha must be positive, got $alpha")
+    val tag = (df: DataFrame, b: Int) => df.select(
+      col(sourceCol).as("source"),
+      explode(TextFunctions.wsTokens(lower(trim(col(textCol))))).as("token"),
+      lit(b).as("__b"))
+    val counts = tag(dfA, 0).unionAll(tag(dfB, 1))
+      .groupBy(col("source"), col("token"))
+      .agg(sum(lit(1) - col("__b")).cast("double").as("ca"),
+        sum(col("__b")).cast("double").as("cb"))
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        count(lit(1)).cast("double").as("v"))
+    val pa = (col("ca") + alpha) / (col("na") + lit(alpha) * col("v"))
+    val pb = (col("cb") + alpha) / (col("nb") + lit(alpha) * col("v"))
+    val m = (pa + pb) / 2
+    counts.join(broadcast(totals), Seq("source"))
+      .groupBy(col("source"), col("na"), col("nb"), col("v"))
+      .agg(round(sum(pb * log(pb / pa)), 6).as("kl_b_vs_a"),
+        round(sum(pa * log(pa / m)) / 2 + sum(pb * log(pb / m)) / 2, 6).as("js"))
+      .select(col("source"), col("na").cast("long").as("n_tokens_a"),
+        col("nb").cast("long").as("n_tokens_b"), col("v").cast("long").as("vocab"),
+        col("kl_b_vs_a"), col("js"))
+  }
+
   /** Composition targeting — derive the per-source sampling rates that
     * hit a target token-share mixture (the LLaMA/Pile data-mixing
     * decision) while keeping as much data as possible: with T_i tokens

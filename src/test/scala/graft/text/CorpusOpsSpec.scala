@@ -538,4 +538,26 @@ class CorpusOpsSpec extends SparkSpec {
       CorpusOps.targetMixtureRates(docs, "source", "text", Seq("A" -> 0.5, "NOPE" -> 0.5))
     }
   }
+
+  test("tokenDrift: identical snapshots diverge zero, drifted snapshots positive, JS symmetric and bounded") {
+    val a = Seq((1L, "s", "x x y z"), (2L, "s", "x y y z")).toDF("id", "source", "text")
+    val same = CorpusOps.tokenDrift(a, a, "source", "text").collect().head
+    assert(same.getAs[Double]("kl_b_vs_a") == 0.0 && same.getAs[Double]("js") == 0.0)
+    assert(same.getAs[Long]("n_tokens_a") == 8L && same.getAs[Long]("vocab") == 3L)
+
+    val b = Seq((3L, "s", "q q q r"), (4L, "s", "q r r r")).toDF("id", "source", "text")
+    val drift = CorpusOps.tokenDrift(a, b, "source", "text").collect().head
+    assert(drift.getAs[Double]("kl_b_vs_a") > 0.1, drift.toString)
+    assert(drift.getAs[Double]("js") > 0.1 && drift.getAs[Double]("js") <= math.log(2) + 1e-9)
+    // JS is symmetric; KL is not
+    val rev = CorpusOps.tokenDrift(b, a, "source", "text").collect().head
+    assert(math.abs(rev.getAs[Double]("js") - drift.getAs[Double]("js")) < 1e-9)
+
+    // per-source isolation: a drifted source alongside a stable one
+    val a2 = a.unionAll(Seq((5L, "t", "m m n")).toDF("id", "source", "text"))
+    val b2 = b.unionAll(Seq((6L, "t", "m m n")).toDF("id", "source", "text"))
+    val by = CorpusOps.tokenDrift(a2, b2, "source", "text").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("js")).toMap
+    assert(by("t") == 0.0 && by("s") > 0.1, by.toString)
+  }
 }
