@@ -47,5 +47,8 @@ def main(base_path, new_path, min_ratio=2.0):
               f"{flagged} above {min_ratio}x; totals {base.get('value')} -> {new.get('value')}")
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2],
-         float(sys.argv[3]) if len(sys.argv) > 3 else 2.0)
+    try:
+        main(sys.argv[1], sys.argv[2],
+             float(sys.argv[3]) if len(sys.argv) > 3 else 2.0)
+    except BrokenPipeError:  # piped to head
+        pass
