@@ -162,6 +162,107 @@ object IvfIndex {
       .select(col("q.id").as("id")).distinct()
   }
 
+  /** Per-cell occupancy of a written index: (cid, n_postings) for EVERY
+    * trained cell, including empty ones (a zero-occupancy cell is the
+    * strongest drift signal there is — the quantizer wastes a centroid on
+    * a region the corpus has left). One aggregation over the postings
+    * table; bucketed layouts answer it exchange-free.
+    */
+  def cellStats(spark: SparkSession, dir: String): DataFrame = {
+    val idx = load(spark, dir)
+    idx.centroids.select(col("cid"))
+      .join(idx.postings.groupBy(col("cid")).agg(count(lit(1)).as("n_postings")),
+        Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("n_postings"), lit(0L)).as("n_postings"))
+  }
+
+  /** Occupancy skew = max cell occupancy / mean occupancy (mean over ALL
+    * trained cells, empty included). 1.0 = perfectly balanced; k means
+    * the hottest cell's posting list — and every search that probes it —
+    * is k× the design size. Continuous ingest drives this up when the
+    * embedding distribution drifts away from the frozen quantizer
+    * (the vector-space mirror of d37's token drift): new vectors pile
+    * into the few cells nearest the new region. Two scalars from one
+    * aggregation — cheap enough to check on every compaction cycle.
+    */
+  def occupancySkew(spark: SparkSession, dir: String): Double = {
+    val r = cellStats(spark, dir)
+      .agg(max(col("n_postings")).cast("double").as("mx"),
+        avg(col("n_postings")).as("mean")).head()
+    if (r.isNullAt(1) || r.getDouble(1) == 0.0) 1.0
+    else r.getDouble(0) / r.getDouble(1)
+  }
+
+  /** Compact an ingest-fragmented index into a fresh index dir. Every
+    * `addTo` micro-batch appends one file set per bucket write — after a
+    * day of streaming ingest the postings table is thousands of KB-sized
+    * files, and every search pays a task + footer parse per file (the
+    * Sources.compact small-files tax, verbatim). This rewrites the
+    * postings ONCE through the same bucketed writer (`write`), so the
+    * compacted index keeps the exchange-free search property.
+    *
+    * Write-then-swap stays with the caller (the Sources.compact
+    * contract): `dstDir` is a complete, self-contained index — flip the
+    * search path to it, then delete `srcDir` at leisure. An in-place
+    * rewrite that crashes mid-way loses the index; a new dir never can.
+    * Callers coordinating with live ingest must quiesce `addTo` over the
+    * copy window — batches appended to `srcDir` after the snapshot read
+    * are not in `dstDir`. Returns (filesBefore, filesAfter) for the
+    * postings table.
+    */
+  def compactTo(spark: SparkSession, srcDir: String, dstDir: String,
+                buckets: Int = DefaultBuckets): (Int, Int) = {
+    // read the postings as a PLAIN parquet scan, not the catalog's
+    // bucketed table: the bucketed scan CLAIMS HashPartitioning(cid, b),
+    // which makes the optimizer elide the repartition below as redundant —
+    // and then the auto-bucketed-scan rule (no join/agg to exploit it)
+    // falls back to packed plain-file reads, so tasks end up holding
+    // arbitrary bucket mixes and the writer emits one file per
+    // (task × bucket) instead of the floor
+    val posts = spark.read.parquet(s"$srcDir/postings")
+    val before = posts.inputFiles.length
+    // align rows to their bucket's task before the bucketed write:
+    // repartition's HashPartitioning and the bucket spec share the same
+    // murmur3+pmod placement, so each task holds exactly one bucket and
+    // writes exactly one file — files out = non-empty buckets, the
+    // floor any bucketed layout can reach
+    new IvfIndex(spark.read.parquet(s"$srcDir/centroids"),
+        posts.repartition(buckets, col("cid")))
+      .write(dstDir, buckets)
+    (before, load(spark, dstDir).postings.inputFiles.length)
+  }
+
+  /** Re-train the quantizer over the index's CURRENT vector population
+    * and emit a rebuilt index at `dstDir` — the drift answer `addTo`'s
+    * frozen-quantizer contract defers. Freezing centroids is what makes
+    * incremental ingest cheap and replay-idempotent, but after enough
+    * drift the cell sizes skew (`occupancySkew`) and searches over the
+    * hot cells degrade toward brute force. The rebuild is the standard
+    * IVF response (FAISS retrain): one pass over the postings (which
+    * carry every vector — the raw corpus is never touched), Lloyd on a
+    * bounded sample, reassign, rewrite bucketed.
+    *
+    * Same write-then-swap contract as [[compactTo]]; after the flip,
+    * searches and further `addTo` batches use the NEW cells — cell-exact
+    * dedup (`storeDupIds`) stays symmetric because old and new batches
+    * now assign against the same retrained centroid table.
+    */
+  def rebuildTo(spark: SparkSession, srcDir: String, dstDir: String,
+                numCentroids: Int = 0, iters: Int = 3,
+                trainCap: Long = 1000000L,
+                buckets: Int = DefaultBuckets): Unit = {
+    val idx = load(spark, srcDir)
+    val k =
+      if (numCentroids > 0) numCentroids
+      // default: re-size to the GROWN corpus — ~√n cells (the e02 sizing
+      // rule), so a 100× ingest since build gets 10× the cells instead
+      // of 100×-deep posting lists
+      else Similarity.suggestedCentroids(
+        graft.dedup.Dedup.approxRowCount(idx.postings))
+    build(idx.postings.select(col("id"), col("v")), "id", "v",
+      k, iters, trainCap).write(dstDir, buckets)
+  }
+
   /** Catalog name for the bucketed postings table — deterministic from the
     * index location so any session over the same dir resolves the same
     * table.

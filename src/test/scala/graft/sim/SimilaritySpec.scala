@@ -445,4 +445,96 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(dups == Set(50L), dups.toString)
   }
+
+  test("compactTo collapses ingest-fragmented postings; search and bucketing survive") {
+    val src = java.nio.file.Files.createTempDirectory("graft-ivf-frag").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-ivf-cpt").toString
+    IvfIndex.build(clustered, "vec_id", "embedding",
+      numCentroids = 8, iters = 2, trainCap = 60).write(src, buckets = 4)
+    // five micro-batch appends — each insertInto commits its own file set,
+    // the streaming small-files tax in miniature
+    for (b <- 0 until 5) {
+      val batch = clustered.where(col("vec_id") % 5 === b)
+        .select((col("vec_id") + 1000L * (b + 1)).as("vec_id"), col("embedding"))
+      IvfIndex.addTo(spark, src, batch, "vec_id", "embedding")
+    }
+    val (before, after) = IvfIndex.compactTo(spark, src, dst, buckets = 4)
+    assert(before > after, s"files before=$before after=$after")
+    assert(after <= 4, s"compacted to $after files (4 buckets)")
+    // the compacted index is the SAME index: identical search results
+    val q = clustered.limit(40)
+    val a = IvfIndex.load(spark, src).search(q, "vec_id", "embedding", k = 3,
+      nProbe = 8, excludeSelf = true).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = IvfIndex.load(spark, dst).search(q, "vec_id", "embedding", k = 3,
+      nProbe = 8, excludeSelf = true).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)
+    // and it kept the exchange-free bucketed layout
+    val agg = IvfIndex.load(spark, dst).postings
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(agg.collect().map(_.getLong(1)).sum == 480L) // 240 built + 240 added
+  }
+
+  test("occupancySkew spikes when ingest concentrates into one frozen cell") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-ivf-drift").toString
+    IvfIndex.build(clustered, "vec_id", "embedding",
+      numCentroids = 8, iters = 2, trainCap = 60).write(src, buckets = 4)
+    // cellStats covers EVERY trained cell, including empty ones
+    assert(IvfIndex.cellStats(spark, src).count() == 8L)
+    val skew0 = IvfIndex.occupancySkew(spark, src)
+    // pathological ingest: 120 near-identical vectors in one novel
+    // direction — under the frozen quantizer they all land in whichever
+    // cell is nearest, and the monitor must flag the hot cell
+    val rnd = new scala.util.Random(99)
+    val center = Array.fill(16)(rnd.nextGaussian())
+    val cn = math.sqrt(center.map(x => x * x).sum)
+    val blob = (0 until 120).map { i =>
+      val v = center.map(x => x / cn + rnd.nextGaussian() * 0.02)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      ((5000 + i).toLong, v.map(x => (x / n).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    IvfIndex.addTo(spark, src, blob, "vec_id", "embedding")
+    val skew1 = IvfIndex.occupancySkew(spark, src)
+    assert(skew1 > skew0 * 1.5, f"skew $skew0%.2f -> $skew1%.2f must rise")
+  }
+
+  test("rebuildTo after region drift: more cells, shallower hot cell, still exact") {
+    val src = java.nio.file.Files.createTempDirectory("graft-ivf-rb-src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-ivf-rb-dst").toString
+    // 40 tight clusters with TRANSPOSED ids (id = member*40 + cluster) so
+    // the deterministic lowest-id k-means init spans distinct clusters —
+    // consecutive ids walk across clusters, the shape a shuffled corpus
+    // table has in practice
+    // generator id = cluster*12 + member  ->  transposed = member*40 + cluster
+    val all40 = clusteredCorpus(40, 12, 7)
+      .select(((col("vec_id") % 12) * 40 + floor(col("vec_id") / 12)).cast("long")
+        .as("vec_id"), col("embedding"))
+    val original = all40.where(col("vec_id") % 40 < 20)  // clusters 0..19
+    val drifted = all40.where(col("vec_id") % 40 >= 20)  // novel region
+    // quantizer trained on the ORIGINAL corpus only, deliberately coarse
+    IvfIndex.build(original, "vec_id", "embedding",
+      numCentroids = 6, iters = 3, trainCap = 600).write(src, buckets = 4)
+    IvfIndex.addTo(spark, src, drifted, "vec_id", "embedding")
+    def maxOcc(dir: String): Long = IvfIndex.cellStats(spark, dir)
+      .agg(max(col("n_postings"))).head().getLong(0)
+    val hotBefore = maxOcc(src) // 480 rows over 6 frozen cells: >= 80 deep
+    IvfIndex.rebuildTo(spark, src, dst, iters = 3)
+    val rebuilt = IvfIndex.load(spark, dst)
+    // default sizing is ~sqrt(n) over an APPROX row count (sampled on
+    // stats-less tables) — range-check rather than pin the sample noise
+    val cells = rebuilt.centroids.count().toInt
+    assert(cells >= 16 && cells <= 32, s"cells=$cells for n=480")
+    val hotAfter = maxOcc(dst)
+    assert(hotAfter < hotBefore,
+      s"rebuild must shrink the hottest posting list: $hotBefore -> $hotAfter")
+    // the rebuilt index still answers exactly at full probe width over the
+    // UNION corpus (the vectors all live in the postings — no corpus reread)
+    val brute = top5Map(Similarity.cosineTopK(all40, "vec_id", "embedding", k = 5))
+    val full = top5Map(rebuilt.search(all40, "vec_id", "embedding", k = 5,
+      nProbe = cells, excludeSelf = true))
+    assert(full == brute)
+  }
 }
