@@ -2598,6 +2598,88 @@ object Queries {
         "source", "text")
     },
 
+    // §2.79: DSIR importance weights (Xie et al. 2023) — every document
+    // weighted by target-likeness (target LM = src0, raw LM = the whole
+    // corpus) under add-0.5-smoothed unigram LMs on the union
+    // vocabulary. Closed-form arithmetic both engines replay.
+    "d38_dsir_weights" -> oq(
+      """WITH tk AS (
+        |  SELECT doc_id, source, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents
+        |), tgt AS (
+        |  SELECT token, CAST(count(*) AS DOUBLE) AS ct
+        |  FROM tk WHERE source = 'src0' GROUP BY 1
+        |), raw AS (
+        |  SELECT token, CAST(count(*) AS DOUBLE) AS cr FROM tk GROUP BY 1
+        |), j AS (
+        |  SELECT token, coalesce(ct, 0) AS ct, cr
+        |  FROM raw LEFT JOIN tgt USING (token)
+        |), t AS (
+        |  SELECT sum(ct) AS nt, sum(cr) AS nr, CAST(count(*) AS DOUBLE) AS v
+        |  FROM j
+        |), w AS (
+        |  SELECT token, ln((ct + 0.5) / (nt + 0.5 * v))
+        |              - ln((cr + 0.5) / (nr + 0.5 * v)) AS w
+        |  FROM j CROSS JOIN t
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2
+        |)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(sum(tf * w), 6) AS log_weight
+        |FROM tf JOIN w USING (token)
+        |GROUP BY doc_id""") { (s, dir) =>
+      val d = docs(s, dir)
+      graft.text.CorpusOps.importanceWeights(d, "doc_id", "text",
+        graft.text.CorpusOps.unigramLm(d.where(col("source") === "src0"), "text"),
+        graft.text.CorpusOps.unigramLm(d, "text"))
+        .select(col("doc_id"), col("n_tokens"), round(col("log_weight"), 6).as("log_weight"))
+    },
+
+    // §2.80: Naive-Bayes quality classifier (the GPT-3 curated-vs-crawl
+    // filter, Brown et al. 2020 appendix A) — train on src0 (positive)
+    // vs the rest (negative), score EVERY document with its posterior
+    // log-odds. Training is two count aggregations, so the whole
+    // train+score loop replays closed-form in the oracle.
+    "t15_nb_quality" -> oq(
+      """WITH tk AS (
+        |  SELECT doc_id, source, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents
+        |), pos AS (
+        |  SELECT token, CAST(count(*) AS DOUBLE) AS cp
+        |  FROM tk WHERE source = 'src0' GROUP BY 1
+        |), neg AS (
+        |  SELECT token, CAST(count(*) AS DOUBLE) AS cn
+        |  FROM tk WHERE source <> 'src0' GROUP BY 1
+        |), j AS (
+        |  SELECT token, coalesce(cp, 0) AS cp, coalesce(cn, 0) AS cn
+        |  FROM pos FULL OUTER JOIN neg USING (token)
+        |), t AS (
+        |  SELECT sum(cp) AS np, sum(cn) AS nn, CAST(count(*) AS DOUBLE) AS v
+        |  FROM j
+        |), dc AS (
+        |  SELECT CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS DOUBLE) AS dp,
+        |         CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS DOUBLE) AS dn
+        |  FROM documents
+        |), w AS (
+        |  SELECT token, ln((cp + 0.5) / (np + 0.5 * v))
+        |              - ln((cn + 0.5) / (nn + 0.5 * v)) AS w
+        |  FROM j CROSS JOIN t
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2
+        |)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(ln(dp / dn) + sum(tf * w), 6) AS score
+        |FROM tf JOIN w USING (token) CROSS JOIN dc
+        |GROUP BY doc_id, dp, dn""") { (s, dir) =>
+      val d = docs(s, dir)
+      val model = graft.text.CorpusOps.NbClassifier.train(
+        d.where(col("source") === "src0"), d.where(col("source") =!= "src0"), "text")
+      graft.text.CorpusOps.NbClassifier.score(d, "doc_id", "text", model)
+        .select(col("doc_id"), col("n_tokens"), round(col("score"), 6).as("score"))
+    },
+
     // §2.76: composition targeting — per-source sampling rates that hit
     // a 50/30/20 token-share target over three sources, scarcest source
     // binding at rate 1.0. Closed-form arithmetic both engines replay.

@@ -843,4 +843,147 @@ object CorpusOps {
       .select(col("__id").as(idCol), col("n_bigrams"), col("cross_entropy"),
         exp(col("cross_entropy")).as("ppl"))
   }
+
+  /** Token-level smoothed log-probability CONTRAST between two unigram
+    * LMs over their union vocabulary: (token, w) with
+    *   w = ln((c_A + α)/(N_A + αV)) − ln((c_B + α)/(N_B + αV)),
+    * plus the OOV floor (the same expression at c = 0) for tokens
+    * neither LM saw. The shared union vocabulary V is what makes the
+    * two distributions comparable — the [[tokenDrift]] convention.
+    * Both DSIR weighting and the NB classifier are per-doc sums over
+    * exactly this table, so they share it.
+    */
+  private def logProbContrast(lmA: DataFrame, lmB: DataFrame, alpha: Double)
+      : (DataFrame, Double) = {
+    val joined = lmA.select(col("token"), col("token_count").as("__ca"))
+      .join(lmB.select(col("token"), col("token_count").as("__cb")),
+        Seq("token"), "full_outer")
+      .select(col("token"), coalesce(col("__ca"), lit(0L)).cast("double").as("__ca"),
+        coalesce(col("__cb"), lit(0L)).cast("double").as("__cb"))
+    val t = joined.agg(sum(col("__ca")).as("na"), sum(col("__cb")).as("nb"),
+      count(lit(1)).cast("double").as("v")).head()
+    val (na, nb, v) = (t.getDouble(0), t.getDouble(1), t.getDouble(2))
+    val denomA = na + alpha * v; val denomB = nb + alpha * v
+    val w = joined.select(col("token"),
+      (log((col("__ca") + alpha) / denomA) - log((col("__cb") + alpha) / denomB))
+        .as("w"))
+    (w, math.log(alpha / denomA) - math.log(alpha / denomB))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", arXiv:2302.03169):
+    * per-document log importance weight
+    *   lw(d) = Σ_t tf_t · (ln p_target(t) − ln p_raw(t))
+    * under add-α-smoothed unigram LMs sharing the union vocabulary —
+    * the select-web-data-that-looks-like-the-target primitive. The
+    * paper scores hashed bigram features under two bag-of-ngrams LMs;
+    * the word-unigram form keeps the score engine-exact and
+    * oracle-replayable while preserving the contract (train two cheap
+    * LMs, weight every raw doc by target-likeness). Documents with zero
+    * tokens are absent (their weight is undefined, not 0).
+    *
+    * Returns (idCol, n_tokens, log_weight).
+    *
+    * Scale shape: the two LMs are vocab-sized inputs; their full-outer
+    * contrast join is vocab×vocab-key (Zipf, never corpus-sized); then
+    * ONE corpus pass — per-doc term counts, a vocab-sized equi-join
+    * (AQE broadcasts when it fits), one per-doc sum. The same join
+    * discipline as [[crossEntropyScore]]; weighting 100 TB of raw crawl
+    * is one pass over it.
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+                        targetLm: DataFrame, rawLm: DataFrame,
+                        alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"smoothing alpha must be positive, got $alpha")
+    val (w, floor) = logProbContrast(targetLm, rawLm, alpha)
+    val tf = df.select(col(idCol).as("__id"),
+        explode(TextFunctions.wsTokens(lower(trim(col(textCol))))).as("token"))
+      .groupBy(col("__id"), col("token")).agg(count(lit(1)).as("__tf"))
+    tf.join(w, Seq("token"), "left")
+      .groupBy(col("__id"))
+      .agg(sum(col("__tf")).as("n_tokens"),
+        sum(col("__tf").cast("double") * coalesce(col("w"), lit(floor)))
+          .as("log_weight"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("log_weight"))
+  }
+
+  /** DSIR selection: sample exactly `n` documents without replacement
+    * with inclusion probability ∝ exp(log importance weight) — the
+    * resampling half of Xie et al. 2023. Gumbel-top-k on the LOG
+    * weights (key = lw + Gumbel noise, the n largest win) is the
+    * numerically safe form of the [[weightedSample]] A-ES draw:
+    * exp(lw) over- and under-flows doubles for strongly target-like or
+    * target-unlike documents, while lw − ln(−ln u) never leaves double
+    * range. The noise u is the same pure function of (seed, id) as
+    * every sampler here — the SAME n docs win on any partitioning, any
+    * engine, any re-run.
+    *
+    * Scale shape: [[importanceWeights]]'s one corpus pass + a pure
+    * column key + TakeOrdered(n) — per-partition top-n, driver merge of
+    * n rows per partition; no global sort.
+    */
+  def importanceResample(df: DataFrame, idCol: String, textCol: String,
+                         targetLm: DataFrame, rawLm: DataFrame,
+                         n: Int, seed: Long, alpha: Double = 0.5): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    val lw = importanceWeights(df, idCol, textCol, targetLm, rawLm, alpha)
+    // u in (0,1) — strictly open: u=1 would make the Gumbel key +inf and
+    // that row would win every draw regardless of weight
+    val u = (conv(substring(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long").cast("double") + 0.5) / 4294967296.0
+    df.join(lw.select(col(idCol), col("log_weight")), Seq(idCol))
+      .withColumn("__gk", col("log_weight") - log(-log(u)))
+      .orderBy(col("__gk").desc, col(idCol).asc)
+      .limit(n)
+      .drop("__gk")
+  }
+
+  /** Naive-Bayes quality classifier over word unigrams — the
+    * train-on-curated-vs-crawl filter of the GPT-3/CCNet lineage
+    * (Brown et al. 2020 train a linear classifier with curated corpora
+    * as positives and raw Common Crawl as negatives, then keep
+    * high-scoring documents). Multinomial NB makes the whole loop
+    * closed-form: the model IS two token-count aggregations, so
+    * training is deterministic, incremental (counts add), and
+    * oracle-replayable — no gradient loop, no learned state outside the
+    * weight table.
+    *
+    * `train` returns the vocab-sized per-token log-odds table
+    *   w(t) = ln p(t|pos) − ln p(t|neg)   (add-α, union vocabulary)
+    * with the class-prior log-odds ln(nPos/nNeg) and the OOV floor.
+    * `score` emits each document's posterior log-odds
+    *   score(d) = prior + Σ_t tf_t · w(t)
+    * — positive means "more curated-like than crawl-like"; threshold or
+    * feed it to [[calibratedQualityFilter]]'s keep-rate machinery.
+    * Zero-token documents are absent from `score` output.
+    *
+    * Scale shape: training = two corpus passes producing vocab-sized
+    * tables (map-side-combinable counts); scoring = ONE corpus pass +
+    * a vocab-sized join + per-doc sum, the [[crossEntropyScore]] shape.
+    */
+  object NbClassifier {
+    final case class Model(tokenLogOdds: DataFrame, prior: Double, oovFloor: Double)
+
+    def train(positive: DataFrame, negative: DataFrame, textCol: String,
+              alpha: Double = 0.5): Model = {
+      require(alpha > 0, s"smoothing alpha must be positive, got $alpha")
+      val nPos = positive.count(); val nNeg = negative.count()
+      require(nPos > 0 && nNeg > 0, s"both classes need documents: pos=$nPos neg=$nNeg")
+      val (w, floor) = logProbContrast(
+        unigramLm(positive, textCol), unigramLm(negative, textCol), alpha)
+      Model(w, math.log(nPos.toDouble / nNeg), floor)
+    }
+
+    def score(df: DataFrame, idCol: String, textCol: String, model: Model): DataFrame = {
+      val tf = df.select(col(idCol).as("__id"),
+          explode(TextFunctions.wsTokens(lower(trim(col(textCol))))).as("token"))
+        .groupBy(col("__id"), col("token")).agg(count(lit(1)).as("__tf"))
+      tf.join(model.tokenLogOdds, Seq("token"), "left")
+        .groupBy(col("__id"))
+        .agg(sum(col("__tf")).as("n_tokens"),
+          (lit(model.prior) + sum(col("__tf").cast("double")
+            * coalesce(col("w"), lit(model.oovFloor)))).as("score"))
+        .select(col("__id").as(idCol), col("n_tokens"), col("score"))
+    }
+  }
 }

@@ -560,4 +560,67 @@ class CorpusOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getAs[Double]("js")).toMap
     assert(by("t") == 0.0 && by("s") > 0.1, by.toString)
   }
+
+  test("importanceWeights: closed-form DSIR log weights over the union vocabulary") {
+    val docs = Seq((1L, "a a b"), (2L, "c c c"), (3L, "   ")).toDF("id", "text")
+    val target = CorpusOps.unigramLm(docs.where(col("id") === 1), "text")
+    val raw = CorpusOps.unigramLm(docs, "text")
+    val got = CorpusOps.importanceWeights(docs, "id", "text", target, raw)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // union vocab {a,b,c}: ct=(2,1,0), cr=(2,1,3); Nt=3, Nr=6, V=3, α=0.5
+    val wA = math.log(2.5 / 4.5) - math.log(2.5 / 7.5) // = w(b)
+    val wC = math.log(0.5 / 4.5) - math.log(3.5 / 7.5)
+    assert(got.keySet == Set(1L, 2L)) // the zero-token doc is absent
+    assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - (2 * wA + wA)) < 1e-9)
+    assert(got(2L)._1 == 3L && math.abs(got(2L)._2 - 3 * wC) < 1e-9)
+    // target-like docs weigh higher than target-unlike ones
+    assert(got(1L)._2 > 0 && got(2L)._2 < 0)
+  }
+
+  test("importanceResample picks target-like docs, deterministically, any partitioning") {
+    val docs = ((0 until 10).map(i => (i.toLong, "a a a"))
+      ++ (10 until 20).map(i => (i.toLong, "z z z"))).toDF("id", "text")
+    val target = CorpusOps.unigramLm(docs.where(col("id") < 10), "text")
+    val raw = CorpusOps.unigramLm(docs, "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CorpusOps.importanceResample(d, "id", "text", target, raw, n = 5, seed = 42L)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val won = run(docs)
+    // a z-doc outscores an a-doc only with probability ~e^-12 — the draw
+    // must land entirely in the target-like half
+    assert(won.size == 5 && won.forall(_ < 10L), won.toString)
+    // pure function of (seed, id): same winners on a re-run and on a
+    // different physical partitioning
+    assert(run(docs) == won && run(docs.repartition(7)) == won)
+    // a different seed is a different (but equally deterministic) draw
+    val won2 = CorpusOps.importanceResample(docs, "id", "text", target, raw,
+      n = 5, seed = 43L).select("id").collect().map(_.getLong(0)).toSet
+    assert(won2.size == 5 && won2.forall(_ < 10L))
+  }
+
+  test("NbClassifier: closed-form log-odds, sign separates the classes, OOV floor") {
+    val pos = Seq((1L, "good fine"), (2L, "good good")).toDF("id", "text")
+    val neg = Seq((3L, "spam bad"), (4L, "bad bad")).toDF("id", "text")
+    val m = CorpusOps.NbClassifier.train(pos, neg, "text")
+    // union vocab {good,fine,spam,bad}: cp=(3,1,0,0), cn=(0,0,1,3);
+    // Np=Nn=4, V=4 → both denoms 6, prior = ln(2/2) = 0, floor = 0
+    assert(m.prior == 0.0 && math.abs(m.oovFloor) < 1e-12)
+    val w = m.tokenLogOdds.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(w("good") - math.log(7.0)) < 1e-9)
+    assert(math.abs(w("fine") - math.log(3.0)) < 1e-9)
+    assert(math.abs(w("bad") + math.log(7.0)) < 1e-9)
+    val scores = CorpusOps.NbClassifier.score(
+        pos.unionAll(neg).unionAll(Seq((5L, "good bad zzz")).toDF("id", "text")),
+        "id", "text", m)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(math.abs(scores(1L)._2 - math.log(21.0)) < 1e-9) // w(good)+w(fine)
+    assert(scores(1L)._2 > 0 && scores(2L)._2 > 0) // curated-like
+    assert(scores(3L)._2 < 0 && scores(4L)._2 < 0) // crawl-like
+    // unseen token takes the floor: good + bad + floor = 0 here
+    assert(scores(5L)._1 == 3L && math.abs(scores(5L)._2) < 1e-9)
+    // empty classes are a caller error, not a NaN model
+    intercept[IllegalArgumentException] {
+      CorpusOps.NbClassifier.train(pos.where(col("id") < 0), neg, "text")
+    }
+  }
 }
