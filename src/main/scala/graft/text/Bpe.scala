@@ -185,14 +185,59 @@ object Bpe {
     sym
   }
 
+  /** Min-rank encoder: repeatedly merge the lowest-rank adjacent pair
+    * present (all its occurrences, left-to-right) until none of the
+    * learned pairs remains — the GPT-2-tokenizer apply loop. Provably
+    * identical to [[encodeWord]]'s apply-every-merge-in-rank-order
+    * (BpeSpec pins the parity): a merge of rank k can only CREATE
+    * pairs involving its merged symbol, and any learned pair containing
+    * that symbol was necessarily learned after it (the symbol did not
+    * exist before merge k), so no pair of rank < k ever appears after
+    * rank k applies — skipping straight to the next present rank is
+    * safe. Cost is O(|word|² ) scans instead of O(|merges|·|word|):
+    * with a 50k-merge learned vocab that is the difference between
+    * ~10 and ~500k symbol comparisons per word.
+    */
+  def rankEncode(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
+    var sym = (word.split("").filter(_.nonEmpty) :+ EndOfWord).toBuffer
+    var done = sym.length < 2
+    while (!done) {
+      // lowest-rank pair present in the current symbol sequence
+      var best = Int.MaxValue
+      var a: String = null; var b: String = null
+      var i = 0
+      while (i < sym.length - 1) {
+        val r = ranks.getOrElse((sym(i), sym(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; a = sym(i); b = sym(i + 1) }
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        // merge ALL occurrences of the winning pair, left-to-right
+        // greedily — the same single-pass semantics as mergePair
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        sym.foreach { x =>
+          if (out.nonEmpty && out.last == a && x == b) out(out.length - 1) = a + b
+          else out += x
+        }
+        sym = out
+        done = sym.length < 2
+      }
+    }
+    sym.toSeq
+  }
+
   /** Tokenize a text column with a learned merge table. The merge list
     * is driver-collected (tokenizer-sized — tens of thousands of rows,
-    * never data-sized) and broadcast inside the UDF closure; encoding
-    * is per-word with a word-level memo per partition, so the cost is
-    * O(distinct words per partition), not O(tokens).
+    * never data-sized) and carried as a rank map inside the UDF
+    * closure; each word encodes via [[rankEncode]] (cost independent of
+    * vocab size) with a word-level memo per task, so the cost is
+    * O(distinct words per partition), not O(tokens × merges).
     */
   def encodeUdf(merges: Seq[(String, String)])
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
     // The memo lives in the closure: one copy per task after
     // deserialization, shared across that task's rows (single-threaded),
     // so repeated words encode once per partition, not once per token.
@@ -200,7 +245,7 @@ object Bpe {
     udf { (text: String) =>
       if (text == null) null
       else text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
-        .flatMap(w => memo.getOrElseUpdate(w, encodeWord(w, merges)))
+        .flatMap(w => memo.getOrElseUpdate(w, rankEncode(w, ranks)))
     }
   }
 }

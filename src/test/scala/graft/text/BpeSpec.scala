@@ -113,4 +113,32 @@ class BpeSpec extends SparkSpec {
       assert(toks == want)
     }
   }
+
+  test("rankEncode (min-rank loop) == encodeWord (rank-order application), incl. adversarial merges") {
+    // learned merges from the corpus: the realistic case
+    val df = corpus.toDF("text")
+    val learned = Bpe.bpeMerges(spark, df, "text", numMerges = 20)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val learnedRanks = learned.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val words = corpus.flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty).distinct
+    words.foreach { w =>
+      assert(Bpe.rankEncode(w, learnedRanks) == Bpe.encodeWord(w, learned), s"word=$w")
+    }
+    // adversarial hand-built tables: self-merges, chained merges whose
+    // later ranks consume earlier outputs, and merges that never fire
+    val nasty = Seq(("a", "a"), ("aa", "a"), ("aa", "aa"), ("b", "a"),
+      ("ba", "aa"), ("c", Bpe.EndOfWord), ("aaa", "c"))
+    val nastyRanks = nasty.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    for (w <- Seq("a", "aa", "aaa", "aaaa", "aaaaa", "aaaaaaa", "baa", "baaa",
+        "abc", "cab", "bac", "aabaa", "c", "bbbb", "")) {
+      assert(Bpe.rankEncode(w, nastyRanks) == Bpe.encodeWord(w, nasty), s"word=$w")
+    }
+    // random fuzz over a 3-letter alphabet
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 500) {
+      val w = (0 until (1 + rnd.nextInt(12))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      assert(Bpe.rankEncode(w, nastyRanks) == Bpe.encodeWord(w, nasty), s"word=$w")
+      assert(Bpe.rankEncode(w, learnedRanks) == Bpe.encodeWord(w, learned), s"word=$w")
+    }
+  }
 }
