@@ -2680,6 +2680,31 @@ object Queries {
         .select(col("doc_id"), col("n_tokens"), round(col("score"), 6).as("score"))
     },
 
+    // §2.81: corpus datasheet card — the per-source release-table
+    // numbers (docs, tokens, token quantiles, language share, exact-dup
+    // ratio), one row per source, exact by design.
+    "t16_corpus_card" -> oq(
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> len(t) > 0)) AS BIGINT) AS toks,
+        |    CAST(len(text) AS DOUBLE) AS chars,
+        |    md5(text) AS digest,
+        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS inlang
+        |  FROM documents
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  round(avg(toks), 2) AS mean_tokens,
+        |  round(quantile_cont(toks, 0.5), 2) AS p50_tokens,
+        |  round(avg(chars), 2) AS mean_chars,
+        |  round(avg(inlang), 6) AS lang_share,
+        |  round(1.0 - CAST(count(DISTINCT digest) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE), 6) AS exact_dup_ratio
+        |FROM d GROUP BY source""") { (s, dir) =>
+      graft.text.CorpusOps.corpusCard(docs(s, dir), "source", "text", "lang")
+    },
+
     // §2.76: composition targeting — per-source sampling rates that hit
     // a 50/30/20 token-share target over three sources, scarcest source
     // binding at rate 1.0. Closed-form arithmetic both engines replay.

@@ -986,4 +986,41 @@ object CorpusOps {
         .select(col("__id").as(idCol), col("n_tokens"), col("score"))
     }
   }
+
+  /** Corpus datasheet card (Gebru et al. 2021 "Datasheets for
+    * Datasets"; the per-source summary tables of the Dolma/RefinedWeb
+    * reports): one row per source with the numbers every dataset release
+    * publishes —
+    *   n_docs, n_tokens, mean/median tokens per doc, mean chars,
+    *   lang share (fraction of docs in `lang`), and the exact-duplicate
+    *   ratio 1 − distinct(text)/n_docs (by content digest).
+    * Deterministic arithmetic end to end, so the whole card
+    * oracle-replays.
+    *
+    * Scale shape: ONE pass over the corpus — per-row token/char counts
+    * are map-side column expressions feeding a source-grain aggregate.
+    * The exact distinct-digest count and the exact median are the two
+    * shuffle-bearing members (Spark plans the distinct via Expand, the
+    * percentile collects per-group values); both are exact by design
+    * because a RELEASED datasheet should not carry sketch error. For an
+    * in-flight 100 TB monitor, swap approx_count_distinct and the KLL
+    * percentiles (q31/q36 machinery) — same card, sketch-cheap.
+    */
+  def corpusCard(df: DataFrame, sourceCol: String, textCol: String,
+                 langCol: String, lang: String = "en"): DataFrame = {
+    val toks = TextFunctions.tokenCount(col(textCol))
+    df.select(col(sourceCol).as("source"),
+        toks.as("__toks"), length(col(textCol)).cast("double").as("__chars"),
+        md5(col(textCol)).as("__digest"),
+        when(col(langCol) === lang, 1.0).otherwise(0.0).as("__inlang"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__toks")).as("n_tokens"),
+        round(avg(col("__toks")), 2).as("mean_tokens"),
+        round(expr("percentile(__toks, 0.5)"), 2).as("p50_tokens"),
+        round(avg(col("__chars")), 2).as("mean_chars"),
+        round(avg(col("__inlang")), 6).as("lang_share"),
+        round(lit(1.0) - countDistinct(col("__digest")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("exact_dup_ratio"))
+  }
 }

@@ -623,4 +623,27 @@ class CorpusOpsSpec extends SparkSpec {
       CorpusOps.NbClassifier.train(pos.where(col("id") < 0), neg, "text")
     }
   }
+
+  test("corpusCard: per-source datasheet numbers, closed form") {
+    val docs = Seq(
+      (1L, "web", "en", "one two three"),
+      (2L, "web", "en", "one two three"),    // exact dup of 1
+      (3L, "web", "de", "eins zwei"),
+      (4L, "books", "en", "a b c d e f")
+    ).toDF("id", "source", "lang", "text")
+    val card = CorpusOps.corpusCard(docs, "source", "text", "lang")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val web = card("web")
+    assert(web.getAs[Long]("n_docs") == 3L)
+    assert(web.getAs[Long]("n_tokens") == 8L)           // 3 + 3 + 2
+    assert(web.getAs[Double]("mean_tokens") == 2.67)
+    assert(web.getAs[Double]("p50_tokens") == 3.0)      // median of (3,3,2)
+    assert(web.getAs[Double]("mean_chars") == 11.67)    // (13 + 13 + 9) / 3
+    assert(math.abs(web.getAs[Double]("lang_share") - 2.0 / 3) < 1e-6)
+    assert(math.abs(web.getAs[Double]("exact_dup_ratio") - 1.0 / 3) < 1e-6)
+    val books = card("books")
+    assert(books.getAs[Long]("n_docs") == 1L && books.getAs[Long]("n_tokens") == 6L)
+    assert(books.getAs[Double]("exact_dup_ratio") == 0.0)
+    assert(books.getAs[Double]("lang_share") == 1.0)
+  }
 }
