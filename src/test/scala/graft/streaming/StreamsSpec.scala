@@ -410,4 +410,41 @@ class StreamsSpec extends SparkSpec {
       "vec_id", "embedding", 0.95).select("vec_id").as[Long].collect().toSet
     assert(keptAgain == Set(11L), keptAgain.toString)
   }
+
+  test("embedding-index maintenance mid-stream: compact + rebuild, ingest continues") {
+    // the ops loop the maintenance primitives exist for: ingest
+    // fragments and skews the index -> compact, rebuild into a fresh
+    // dir -> flip the ingest to the new dir; dedup state survives
+    // because the postings ARE the state
+    val base = java.nio.file.Files.createTempDirectory("graft-emaint").toString
+    val seed = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f)), (4L, Array(0f, 0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    graft.sim.IvfIndex.build(seed, "vec_id", "embedding", numCentroids = 2, iters = 2)
+      .write(s"$base/idx0", buckets = 2)
+    // two ingest steps through the batch entry point (same loop the
+    // stream runs), each committing via addTo
+    val b1 = Seq((10L, Array(0.999f, 0.001f, 0f, 0f)),   // ~seed 1 -> drop
+      (11L, Array(0.6f, 0.62f, 0.5f, 0f))).toDF("vec_id", "embedding") // keep
+    val kept1 = Streams.embedIngestBatch(b1, s"$base/idx0", "vec_id", "embedding", 0.95)
+    graft.sim.IvfIndex.addTo(spark, s"$base/idx0", kept1, "vec_id", "embedding")
+    // maintenance: compact the fragmented postings, then rebuild the
+    // quantizer over the grown population, each into a fresh dir
+    graft.sim.IvfIndex.compactTo(spark, s"$base/idx0", s"$base/idx1", buckets = 2)
+    graft.sim.IvfIndex.rebuildTo(spark, s"$base/idx1", s"$base/idx2",
+      numCentroids = 2, iters = 2)
+    // dedup state survived both hops: near-dups of the seed AND of the
+    // batch-1 keeper are still caught by the rebuilt index
+    val probes = Seq((90L, Array(0.999f, 0.001f, 0f, 0f)),  // ~seed 1
+      (91L, Array(0.61f, 0.61f, 0.5f, 0f)),                  // ~11
+      (92L, Array(0f, 0.7f, 0f, 0.71f))).toDF("vec_id", "embedding") // novel
+    val dups = graft.sim.IvfIndex.storeDupIds(spark, s"$base/idx2", probes,
+      "vec_id", "embedding", 0.95).collect().map(_.getLong(0)).toSet
+    assert(dups == Set(90L, 91L), dups.toString)
+    // and ingest continues against the rebuilt dir
+    val kept2 = Streams.embedIngestBatch(probes, s"$base/idx2",
+      "vec_id", "embedding", 0.95).select("vec_id").as[Long].collect().toSet
+    assert(kept2 == Set(92L), kept2.toString)
+  }
 }
