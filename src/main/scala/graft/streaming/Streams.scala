@@ -275,4 +275,39 @@ object Streams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("sum_value"))
   }
+
+  /** Continuous token-distribution drift monitor — the streaming face
+    * of [[graft.text.CorpusOps.tokenDrift]]: each micro-batch of
+    * incoming documents is compared against a FROZEN reference snapshot
+    * (read once, cached as a DataFrame the foreachBatch closure reuses)
+    * and one drift row per (batch_id, source) appends to the monitor
+    * table — per-source smoothed KL + JS over the union vocabulary,
+    * stamped with the batch id. The crawl-operations loop this feeds:
+    * alert when js exceeds a bar, then re-calibrate the affected
+    * source's filters/mixture (d37's batch analysis, continuously).
+    *
+    * The reference is deliberately a snapshot, not a running average —
+    * drift measured against a moving baseline goes blind to slow
+    * drift (the boiled-frog failure); re-baselining is an explicit
+    * operator decision (point `refDf` at a newer snapshot).
+    *
+    * Scale shape per batch: tokenDrift's ONE union pass over
+    * (reference + batch). The reference side re-tokenizes per batch —
+    * persist `refDf` so at least its scan is memory-served; when
+    * batches are tiny against a huge reference, the right refactor is
+    * a pre-aggregated (source, token, count) reference table, which is
+    * mechanical on top of tokenDrift's count frame.
+    */
+  def continuousDriftMonitor(stream: DataFrame, refDf: DataFrame,
+                             sourceCol: String, textCol: String,
+                             monitorDir: String, checkpointDir: String,
+                             alpha: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.text.CorpusOps.tokenDrift(refDf, batch, sourceCol, textCol, alpha)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(monitorDir)
+      }
+      .start()
 }

@@ -447,4 +447,29 @@ class StreamsSpec extends SparkSpec {
       "vec_id", "embedding", 0.95).select("vec_id").as[Long].collect().toSet
     assert(kept2 == Set(92L), kept2.toString)
   }
+
+  test("continuous drift monitor: per-batch JS vs a frozen reference, drifted batch flagged") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val ref = Seq((1L, "web", "the quick brown fox jumps the lazy dog"),
+      (2L, "web", "the dog and the fox run the yard")).toDF("id", "source", "text")
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streams.continuousDriftMonitor(
+      mem.toDF().toDF("id", "source", "text"), ref, "source", "text",
+      s"$base/monitor", s"$base/ckpt")
+    // batch 0: in-distribution (same vocabulary, similar frequencies)
+    mem.addData((10L, "web", "the quick dog and the lazy fox"))
+    q.processAllAvailable()
+    // batch 1: drifted (disjoint vocabulary — a crawl gone wrong)
+    mem.addData((20L, "web", "zzz qqq vvv kkk zzz qqq www uuu"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(s"$base/monitor")
+      .select("batch_id", "source", "js").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(rows.keySet == Set((0L, "web"), (1L, "web")), rows.toString)
+    // the drifted batch's divergence must dwarf the in-distribution one
+    assert(rows((1L, "web")) > 3 * rows((0L, "web")),
+      s"js0=${rows((0L, "web"))} js1=${rows((1L, "web"))}")
+  }
 }
