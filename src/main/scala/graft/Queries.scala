@@ -2738,6 +2738,70 @@ object Queries {
       graft.text.Bpe.bpeMerges(s, docs(s, dir), "text", numMerges = 40)
     },
 
+    // §2.83: encoding-corruption signals (ftfy-class diagnostics) —
+    // replacement-char / control-char / mojibake-lead fractions per
+    // document. The corpus is clean, so both engines deterministically
+    // inject the same corruption (the d32/t12 convention) and must
+    // report the identical fractions.
+    "d40_encoding" -> oq(
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    text || CASE
+        |      WHEN doc_id % 3 = 0 THEN chr(65533) || chr(195) || chr(169)
+        |      WHEN doc_id % 5 = 0 THEN chr(7) || chr(31)
+        |      ELSE '' END AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+        |  round((length(t) - length(regexp_replace(t, '\x{FFFD}', '', 'g')))
+        |    / CAST(length(t) AS DOUBLE), 6) AS replacement_frac,
+        |  round((length(t) - length(regexp_replace(t,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g')))
+        |    / CAST(length(t) AS DOUBLE), 6) AS control_frac,
+        |  round((length(t) - length(regexp_replace(t, '[\x{00C2}\x{00C3}]', '', 'g')))
+        |    / CAST(length(t) AS DOUBLE), 6) AS mojibake_frac
+        |FROM c""") { (s, dir) =>
+      val corrupt = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit("\uFFFD\u00C3\u00A9"))
+          .when(col("doc_id") % 5 === 0, lit("\u0007\u001F"))
+          .otherwise(lit("")))
+      docs(s, dir).select(col("doc_id"),
+          graft.text.TextFunctions.encodingSignals(corrupt).as("e"))
+        .select(col("doc_id"), col("e.n_chars").as("n_chars"),
+          col("e.replacement_frac").as("replacement_frac"),
+          col("e.control_frac").as("control_frac"),
+          col("e.mojibake_frac").as("mojibake_frac"))
+    },
+
+    // §2.82: rolling z-score anomaly detection per user — each event
+    // scored against its own 20-event preceding window, |z| >= 3 (or a
+    // zero-variance break) flagged with evidence. Deterministic frame
+    // order (ts, event_id) makes every score engine-replayable.
+    "q54_anomaly" -> oq(
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+        |  round(prior_mean, 6) AS prior_mean,
+        |  round(prior_std, 6) AS prior_std,
+        |  prior_n, round(z, 6) AS z
+        |FROM (
+        |  SELECT user_id, ts, event_id, value,
+        |    avg(value) OVER w AS prior_mean,
+        |    stddev_samp(value) OVER w AS prior_std,
+        |    count(value) OVER w AS prior_n,
+        |    CASE WHEN stddev_samp(value) OVER w > 0
+        |      THEN (value - avg(value) OVER w) / stddev_samp(value) OVER w
+        |    END AS z
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        |)
+        |WHERE prior_n >= 5
+        |  AND ((z IS NULL AND value <> prior_mean) OR abs(z) >= 3)""") { (s, dir) =>
+      graft.ops.Events.rollingAnomalies(ev(s, dir), "user_id", "ts", "event_id",
+        "value", lookback = 20, zThreshold = 3.0, minPrior = 5)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("value"), col("prior_mean"), col("prior_std"), col("prior_n"), col("z"))
+    },
+
     // §2.34: tumbling-window agg (streaming code path run on batch; oracle)
     "q29_window_tumbling" -> oq(
       """SELECT strftime(to_timestamp(floor(epoch(ts)/900)*900), '%Y-%m-%d %H:%M') AS window_start,

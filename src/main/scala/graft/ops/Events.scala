@@ -202,4 +202,55 @@ object Events {
         col(s"n$i").as("n_keys"))
     }: _*)).as("s")).select(col("s.step"), col("s.step_name"), col("s.n_keys"))
   }
+
+  /** Rolling z-score anomalies per key: each event's value is scored
+    * against the mean/stddev of its own key's `lookback` PRECEDING
+    * events (rows-between frame, never the current row — a point must
+    * not vouch for itself), and events with |z| ≥ `zThreshold` are
+    * returned with their evidence (prior mean/std/n). Events with fewer
+    * than `minPrior` predecessors are unscored (a 2-point history is
+    * not a baseline); a zero prior stddev with a deviating value is the
+    * textbook change-point and is emitted with a NULL z rather than an
+    * infinity.
+    *
+    * Determinism: the frame orders by (ts, id) — the id tiebreaker
+    * makes the window contents, and therefore every score, a pure
+    * function of the data on any engine and any partitioning.
+    *
+    * Scale shape: ONE shuffle on the key + an in-partition sort
+    * (WindowExec); the frame is rows-bounded so state per key is O(
+    * lookback). Use a high-cardinality key (user, session, device) —
+    * a handful of giant keys would serialize into few partitions, the
+    * usual window-skew caveat, in which case pre-bucket by (key, day)
+    * to bound the sort runs.
+    */
+  def rollingAnomalies(df: DataFrame, keyCol: String, tsCol: String,
+                       idCol: String, valCol: String,
+                       lookback: Int = 20, zThreshold: Double = 3.0,
+                       minPrior: Int = 5): DataFrame = {
+    require(lookback >= 2, s"lookback must be >= 2, got $lookback")
+    require(minPrior >= 2 && minPrior <= lookback,
+      s"minPrior must be in [2, lookback], got $minPrior")
+    require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-lookback, -1)
+    val v = col(valCol).cast("double")
+    val scored = df
+      .withColumn("__mean", avg(v).over(w))
+      .withColumn("__std", stddev_samp(v).over(w))
+      .withColumn("__n", count(v).over(w))
+      .where(col("__n") >= minPrior)
+    val z = (v - col("__mean")) / col("__std")
+    scored
+      .withColumn("__z", when(col("__std") > 0, z))
+      .where((col("__z").isNull && v =!= col("__mean")) ||
+        (abs(col("__z")) >= zThreshold))
+      .select(col(keyCol), col(tsCol), col(idCol), v.as("value"),
+        round(col("__mean"), 6).as("prior_mean"),
+        round(col("__std"), 6).as("prior_std"),
+        col("__n").as("prior_n"),
+        round(col("__z"), 6).as("z"))
+  }
 }

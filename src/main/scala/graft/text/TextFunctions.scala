@@ -209,4 +209,32 @@ object TextFunctions {
     */
   def minShingleFingerprint(text: Column, k: Int): Column =
     array_min(transform(shingleSet(text, k), s => md5(s)))
+
+  /** Encoding-corruption signals — the ftfy-class diagnostics every web
+    * pipeline filters on (Dolma's "UTF-8 garbage" rules): per document,
+    * the character fractions of
+    *  - U+FFFD replacement characters (a decoder already gave up),
+    *  - C0/C1 control characters excluding tab/newline/carriage-return
+    *    (binary-in-text / wrong-charset tells),
+    *  - Â/Ã lead bytes (U+00C2/U+00C3 — the classic UTF-8-read-as-
+    *    Latin-1 mojibake signature: 'é' becomes 'Ã©').
+    * Each via one codegen'd regexp_replace length-difference — a pure
+    * map over the corpus, the cheapest operator class at 100 TB.
+    * Fractions are 6dp-rounded over the RAW char count; empty/NULL
+    * texts score zero. Filter on any fraction > 0 for the strict form,
+    * or feed the fractions to calibratedQualityFilter.
+    */
+  def encodingSignals(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val n = length(t)
+    val nd = n.cast("double")
+    def frac(pattern: String): Column =
+      when(n === 0, 0.0).otherwise(
+        round((n - length(regexp_replace(t, pattern, ""))).cast("double") / nd, 6))
+    struct(
+      n.cast("long").as("n_chars"),
+      frac("\\uFFFD").as("replacement_frac"),
+      frac("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]").as("control_frac"),
+      frac("[\\u00C2\\u00C3]").as("mojibake_frac"))
+  }
 }

@@ -160,4 +160,43 @@ class EventsSpec extends SparkSpec {
     // silently dropped it)
     assert(got == Map((null: String) -> 5L, "1" -> 12L, "2" -> 23L), got.toString)
   }
+
+  test("rollingAnomalies: spike flagged with exact z, short history unscored, zero-variance break") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    // user 1: stable 10.0 +/- 1.0 alternating, then a spike at t=20
+    val stable = (1L to 19L).map(i =>
+      (1L, ts(i), i, if (i % 2 == 0) 11.0 else 9.0))
+    val spike = Seq((1L, ts(20), 20L, 25.0))
+    // user 2: CONSTANT series then a level break -> zero prior std, NULL z
+    val const = (1L to 9L).map(i => (2L, ts(i), 100 + i, 5.0)) :+
+      (2L, ts(10), 110L, 6.0)
+    // user 3: only 3 events — never enough history to score
+    val short3 = (1L to 3L).map(i => (3L, ts(i), 200 + i, 999.0 * i))
+    val df = (stable ++ spike ++ const ++ short3)
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = Events.rollingAnomalies(df, "user_id", "ts", "event_id", "value",
+      lookback = 20, zThreshold = 3.0, minPrior = 5)
+      .collect().map(r => r.getLong(2) -> r).toMap
+    // the spike: prior = 19 alternating values (10 nines, 9 elevens)
+    // mean = (10*9 + 9*11)/19, std = stddev_samp; z = (25 - mean)/std
+    val prior = (1 to 19).map(i => if (i % 2 == 0) 11.0 else 9.0)
+    val m = prior.sum / prior.size
+    val sd = math.sqrt(prior.map(x => (x - m) * (x - m)).sum / (prior.size - 1))
+    assert(got.contains(20L), got.keySet.toString)
+    val s = got(20L)
+    assert(math.abs(s.getAs[Double]("prior_mean") - math.rint(m * 1e6) / 1e6) < 1e-9)
+    assert(s.getAs[Long]("prior_n") == 19L)
+    assert(math.abs(s.getAs[Double]("z") - ((25.0 - m) / sd)) < 1e-5)
+    // the level break on a constant series: emitted with NULL z
+    assert(got.contains(110L))
+    assert(got(110L).getAs[Double]("prior_std") == 0.0 && got(110L).isNullAt(7))
+    // in-band rows and short histories are absent
+    assert(got.keySet == Set(20L, 110L), got.keySet.toString)
+    // determinism across partitionings
+    val again = Events.rollingAnomalies(df.repartition(7), "user_id", "ts",
+      "event_id", "value", 20, 3.0, 5)
+      .collect().map(_.getLong(2)).toSet
+    assert(again == Set(20L, 110L))
+  }
 }

@@ -106,4 +106,28 @@ class TextFunctionsSpec extends SparkSpec {
     val r = df.select(fingerprint($"a") === fingerprint($"b")).collect()(0)
     assert(r.getBoolean(0))
   }
+
+  test("encodingSignals: replacement/control/mojibake fractions, clean and empty texts") {
+    // 10 chars: 1 replacement char, 1 BEL control, Ã + the Latin-1 tail
+    // of a mojibake'd é — tab/newline must NOT count as control
+    val corrupted = "ab\uFFFD\u00C3\u00A9cd\u0007" + "\t\n"
+    val row = one(TextFunctions.encodingSignals(lit(corrupted)))
+      .getStruct(0)
+    assert(row.getAs[Long]("n_chars") == 10L)
+    assert(row.getAs[Double]("replacement_frac") == 0.1)
+    assert(row.getAs[Double]("control_frac") == 0.1)  // BEL only, not \t\n
+    assert(row.getAs[Double]("mojibake_frac") == 0.1) // the Ã lead, not ©
+    // C1 range counts too (0x7F-0x9F)
+    val c1 = one(TextFunctions.encodingSignals(lit("\u007F\u0085xyz")))
+      .getStruct(0)
+    assert(c1.getAs[Double]("control_frac") == 0.4)
+    // clean, empty and NULL texts all score zero
+    for (t <- Seq(lit("plain ascii, nothing wrong."), lit(""),
+        lit(null).cast("string"))) {
+      val r = one(TextFunctions.encodingSignals(t)).getStruct(0)
+      assert(r.getAs[Double]("replacement_frac") == 0.0)
+      assert(r.getAs[Double]("control_frac") == 0.0)
+      assert(r.getAs[Double]("mojibake_frac") == 0.0)
+    }
+  }
 }
