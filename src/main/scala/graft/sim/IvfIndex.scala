@@ -263,6 +263,48 @@ object IvfIndex {
       k, iters, trainCap).write(dstDir, buckets)
   }
 
+  /** Generation pointer for a MANAGED index location: `baseDir/_current`
+    * names the generation subdirectory (`gen-<n>`) that readers and
+    * ingest should use. The pointer is one small file created with
+    * overwrite — atomic on local/HDFS (create+rename) and on object
+    * stores (PUT) — so the compact/rebuild dir-swap is a single safe
+    * cutover: write the new generation completely, then flip the
+    * pointer; a crash before the flip leaves the old generation live.
+    */
+  def writeGenerationPointer(spark: SparkSession, baseDir: String, gen: String): Unit = {
+    require(gen.nonEmpty && !gen.contains("/"), s"generation must be a bare dir name: $gen")
+    val p = new org.apache.hadoop.fs.Path(s"$baseDir/_current")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(gen.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The generation subdir the pointer names, or None when unmanaged. */
+  def currentGeneration(spark: SparkSession, baseDir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$baseDir/_current")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](256)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim).filter(_.nonEmpty)
+      } finally in.close()
+    }
+  }
+
+  /** Resolved index dir of a managed location: `baseDir/<current gen>`.
+    * Throws when no pointer exists — a managed reader must not guess.
+    */
+  def currentIndexDir(spark: SparkSession, baseDir: String): String =
+    currentGeneration(spark, baseDir) match {
+      case Some(g) => s"$baseDir/$g"
+      case None => throw new IllegalStateException(
+        s"no generation pointer at $baseDir/_current — initialize with " +
+          "build(...).write(s\"$baseDir/gen-0\") + writeGenerationPointer(spark, baseDir, \"gen-0\")")
+    }
+
   /** Catalog name for the bucketed postings table — deterministic from the
     * index location so any session over the same dir resolves the same
     * table.

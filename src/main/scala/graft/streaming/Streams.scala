@@ -244,6 +244,65 @@ object Streams {
       }
       .start()
 
+  /** [[continuousEmbeddingIngest]] with the maintenance loop CLOSED —
+    * the hands-off form: the index lives under `baseDir/<generation>`
+    * behind IvfIndex's `_current` pointer, and every `maintainEvery`
+    * batches the loop checks occupancy skew and rewrites the index into
+    * a fresh generation — a full quantizer rebuild (which also
+    * compacts) when `occupancySkew ≥ skewThreshold`, a compaction alone
+    * (the micro-batch small-files tax) otherwise — then flips the
+    * pointer. Initialize once with
+    * `build(seed).write(s"$baseDir/gen-0")` +
+    * `writeGenerationPointer(spark, baseDir, "gen-0")`.
+    *
+    * Replay safety: the new generation's name is a pure function of the
+    * batch id (`gen-<batchId+1>`), so a replayed maintenance batch
+    * rewrites the SAME generation dir (overwrite) and re-flips the
+    * pointer to the same value — idempotent like the ingest itself. The
+    * pointer flip is one small-file overwrite (atomic on local/HDFS/
+    * object stores); a crash mid-rebuild leaves the old generation
+    * live and the half-written one unreferenced.
+    *
+    * Dedup semantics across the hop are unchanged because the postings
+    * ARE the state: a rebuild re-trains cells over the same vector
+    * population, and cell-exact matching stays symmetric under the NEW
+    * quantizer for every batch after the flip (batches never compare
+    * against two generations at once — each foreachBatch resolves the
+    * pointer exactly once).
+    */
+  def continuousEmbeddingIngestManaged(stream: DataFrame, baseDir: String,
+                                       idCol: String, vecCol: String,
+                                       corpusDir: String, checkpointDir: String,
+                                       threshold: Double = 0.95,
+                                       maintainEvery: Int = 10,
+                                       skewThreshold: Double = 4.0): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(maintainEvery >= 1, s"maintainEvery must be >= 1, got $maintainEvery")
+    require(skewThreshold > 1.0, s"skewThreshold must be > 1, got $skewThreshold")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val indexDir = graft.sim.IvfIndex.currentIndexDir(spark, baseDir)
+        val kept = embedIngestBatch(batch, indexDir, idCol, vecCol, threshold)
+        kept.withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(corpusDir)
+        graft.sim.IvfIndex.addTo(spark, indexDir, kept, idCol, vecCol)
+        if ((batchId + 1) % maintainEvery == 0) {
+          val gen = s"gen-${batchId + 1}"
+          val dst = s"$baseDir/$gen"
+          if (graft.sim.IvfIndex.occupancySkew(spark, indexDir) >= skewThreshold)
+            graft.sim.IvfIndex.rebuildTo(spark, indexDir, dst)
+          else
+            graft.sim.IvfIndex.compactTo(spark, indexDir, dst)
+          graft.sim.IvfIndex.writeGenerationPointer(spark, baseDir, gen)
+        }
+      }
+      .start()
+  }
+
   /** One embedding-ingest step (also the batch/backfill entry point):
     * cell-scoped self-dedup, then novel-vs-store.
     */
@@ -302,10 +361,26 @@ object Streams {
                              sourceCol: String, textCol: String,
                              monitorDir: String, checkpointDir: String,
                              alpha: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    continuousDriftMonitorFromCounts(stream,
+      graft.text.CorpusOps.tokenDriftCounts(refDf, sourceCol, textCol)
+        .localCheckpoint(true), // tokenize the reference ONCE, not per batch
+      sourceCol, textCol, monitorDir, checkpointDir, alpha)
+
+  /** [[continuousDriftMonitor]] against a PRE-AGGREGATED reference —
+    * `refCounts` is a (source, token, c) frame (CorpusOps.
+    * tokenDriftCounts), e.g. a materialized parquet table from the
+    * snapshot build. Each micro-batch pays only its own tokenization
+    * plus a vocab-key join; the reference corpus is never re-read.
+    */
+  def continuousDriftMonitorFromCounts(stream: DataFrame, refCounts: DataFrame,
+                                       sourceCol: String, textCol: String,
+                                       monitorDir: String, checkpointDir: String,
+                                       alpha: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.text.CorpusOps.tokenDrift(refDf, batch, sourceCol, textCol, alpha)
+        graft.text.CorpusOps.tokenDriftFromCounts(refCounts, batch,
+            sourceCol, textCol, alpha)
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(monitorDir)
       }

@@ -719,6 +719,47 @@ object CorpusOps {
       .groupBy(col("source"), col("token"))
       .agg(sum(lit(1) - col("__b")).cast("double").as("ca"),
         sum(col("__b")).cast("double").as("cb"))
+    driftFromJointCounts(counts, alpha)
+  }
+
+  /** Per-(source, token) counts of a snapshot — the pre-aggregated form
+    * [[tokenDriftFromCounts]] consumes. Materialize this ONCE for a
+    * reference snapshot (vocab-sized, Zipf) and every later drift
+    * comparison pays only the other side's tokenization.
+    */
+  def tokenDriftCounts(df: DataFrame, sourceCol: String, textCol: String): DataFrame =
+    df.select(col(sourceCol).as("source"),
+        explode(TextFunctions.wsTokens(lower(trim(col(textCol))))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+
+  /** [[tokenDrift]] against a PRE-AGGREGATED reference: `refCounts` is
+    * a (source, token, c) frame from [[tokenDriftCounts]]. Identical
+    * output to `tokenDrift(refSnapshot, dfB, …)` (spec-pinned), but the
+    * reference corpus is never re-tokenized — the continuous-monitor
+    * shape, where one frozen snapshot is compared against every
+    * micro-batch. One pass over `dfB` + a vocab-key full-outer join +
+    * the same per-source sum.
+    */
+  def tokenDriftFromCounts(refCounts: DataFrame, dfB: DataFrame,
+                           sourceCol: String, textCol: String,
+                           alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"smoothing alpha must be positive, got $alpha")
+    val cb = tokenDriftCounts(dfB, sourceCol, textCol)
+      .withColumnRenamed("c", "__cb")
+    val counts = refCounts
+      .select(col("source"), col("token"), col("c").as("__ca"))
+      .join(cb, Seq("source", "token"), "full_outer")
+      .select(col("source"), col("token"),
+        coalesce(col("__ca"), lit(0L)).cast("double").as("ca"),
+        coalesce(col("__cb"), lit(0L)).cast("double").as("cb"))
+    driftFromJointCounts(counts, alpha)
+  }
+
+  /** Shared tail of [[tokenDrift]]/[[tokenDriftFromCounts]]: per-source
+    * totals + smoothed KL/JS over a (source, token, ca, cb) frame.
+    */
+  private def driftFromJointCounts(counts: DataFrame, alpha: Double): DataFrame = {
     val totals = counts.groupBy(col("source"))
       .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
         count(lit(1)).cast("double").as("v"))

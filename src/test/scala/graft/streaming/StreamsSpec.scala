@@ -448,6 +448,50 @@ class StreamsSpec extends SparkSpec {
     assert(kept2 == Set(92L), kept2.toString)
   }
 
+  test("managed embedding ingest: maintenance rewrites a new generation and flips the pointer") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-emanaged").toString
+    val seed = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f)), (4L, Array(0f, 0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    // a managed reader must refuse to guess before initialization
+    intercept[IllegalStateException] {
+      graft.sim.IvfIndex.currentIndexDir(spark, s"$base/idx")
+    }
+    graft.sim.IvfIndex.build(seed, "vec_id", "embedding", numCentroids = 2, iters = 2)
+      .write(s"$base/idx/gen-0", buckets = 2)
+    graft.sim.IvfIndex.writeGenerationPointer(spark, s"$base/idx", "gen-0")
+    assert(graft.sim.IvfIndex.currentIndexDir(spark, s"$base/idx") == s"$base/idx/gen-0")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streams.continuousEmbeddingIngestManaged(
+      mem.toDF().toDF("vec_id", "embedding"), s"$base/idx", "vec_id", "embedding",
+      s"$base/corpus", s"$base/ckpt", threshold = 0.95,
+      maintainEvery = 2, skewThreshold = 1.5)
+    // batch 0: near-dup of seed 1 (drop) + a novel keeper; no maintenance
+    mem.addData((10L, Array(0.999f, 0.001f, 0f, 0f)),
+      (11L, Array(0.6f, 0.62f, 0.5f, 0f)))
+    q.processAllAvailable()
+    assert(graft.sim.IvfIndex.currentGeneration(spark, s"$base/idx").contains("gen-0"))
+    // batch 1: one more novel vector; (1+1) % 2 == 0 -> maintenance fires
+    mem.addData((20L, Array(0f, 0.7f, 0f, 0.71f)))
+    q.processAllAvailable()
+    assert(graft.sim.IvfIndex.currentGeneration(spark, s"$base/idx").contains("gen-2"))
+    // batch 2 runs against the NEW generation: near-dups of the seed AND
+    // of both pre-flip keepers are still dropped (the postings are the
+    // state; they crossed the hop), a novel vector still lands
+    mem.addData(
+      (30L, Array(0.999f, 0.001f, 0f, 0f)),  // ~seed 1 -> drop
+      (31L, Array(0.61f, 0.61f, 0.5f, 0f)),   // ~11 -> drop
+      (32L, Array(0f, 0.71f, 0f, 0.7f)),      // ~20 -> drop
+      (33L, Array(0.5f, -0.5f, 0.5f, -0.5f))) // novel -> keep
+    q.processAllAvailable()
+    q.stop()
+    val corpus = spark.read.parquet(s"$base/corpus")
+      .select("vec_id").as[Long].collect().toSet
+    assert(corpus == Set(11L, 20L, 33L), corpus.toString)
+  }
+
   test("continuous drift monitor: per-batch JS vs a frozen reference, drifted batch flagged") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-drift").toString

@@ -561,6 +561,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(by("t") == 0.0 && by("s") > 0.1, by.toString)
   }
 
+  test("tokenDriftFromCounts == tokenDrift, row for row (pre-aggregated reference)") {
+    val a = Seq((1L, "s", "x x y z"), (2L, "s", "x y y z"),
+      (3L, "t", "m m n")).toDF("id", "source", "text")
+    val b = Seq((4L, "s", "q q q r"), (5L, "t", "m n n")).toDF("id", "source", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSet
+    val direct = rows(CorpusOps.tokenDrift(a, b, "source", "text"))
+    val viaCounts = rows(CorpusOps.tokenDriftFromCounts(
+      CorpusOps.tokenDriftCounts(a, "source", "text"), b, "source", "text"))
+    assert(viaCounts == direct, s"direct=$direct via=$viaCounts")
+  }
+
   test("importanceWeights: closed-form DSIR log weights over the union vocabulary") {
     val docs = Seq((1L, "a a b"), (2L, "c c c"), (3L, "   ")).toDF("id", "text")
     val target = CorpusOps.unigramLm(docs.where(col("id") === 1), "text")
