@@ -265,18 +265,27 @@ object IvfIndex {
 
   /** Generation pointer for a MANAGED index location: `baseDir/_current`
     * names the generation subdirectory (`gen-<n>`) that readers and
-    * ingest should use. The pointer is one small file created with
-    * overwrite — atomic on local/HDFS (create+rename) and on object
-    * stores (PUT) — so the compact/rebuild dir-swap is a single safe
+    * ingest should use. The flip is write-to-temp + rename-over: the
+    * full content lands in `_current.tmp` first, then a single
+    * FileContext rename (Rename.OVERWRITE) replaces `_current`, so a
+    * concurrent [[currentGeneration]] reader sees either the old
+    * pointer or the complete new one, never a zero-length/partial file
+    * (rename is atomic on local and HDFS; object stores with
+    * non-atomic rename should front this with their own conditional
+    * PUT). The compact/rebuild dir-swap is therefore a single safe
     * cutover: write the new generation completely, then flip the
     * pointer; a crash before the flip leaves the old generation live.
     */
   def writeGenerationPointer(spark: SparkSession, baseDir: String, gen: String): Unit = {
     require(gen.nonEmpty && !gen.contains("/"), s"generation must be a bare dir name: $gen")
+    val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(s"$baseDir/_current")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val tmp = new org.apache.hadoop.fs.Path(s"$baseDir/_current.tmp")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(tmp, true)
     try out.write(gen.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** The generation subdir the pointer names, or None when unmanaged. */

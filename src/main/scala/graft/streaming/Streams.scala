@@ -256,12 +256,21 @@ object Streams {
     * `writeGenerationPointer(spark, baseDir, "gen-0")`.
     *
     * Replay safety: the new generation's name is a pure function of the
-    * batch id (`gen-<batchId+1>`), so a replayed maintenance batch
-    * rewrites the SAME generation dir (overwrite) and re-flips the
-    * pointer to the same value — idempotent like the ingest itself. The
-    * pointer flip is one small-file overwrite (atomic on local/HDFS/
-    * object stores); a crash mid-rebuild leaves the old generation
-    * live and the half-written one unreferenced.
+    * batch id (`gen-<batchId+1>`). A crash mid-rebuild leaves the old
+    * generation live and the half-written one unreferenced, and the
+    * replayed batch rewrites the SAME generation dir (overwrite) and
+    * flips the pointer as the first attempt would have. A crash AFTER
+    * the pointer flip but before the checkpoint commit is the subtle
+    * case: the replayed batch resolves `indexDir` to the NEW generation,
+    * so re-running maintenance would compact/rebuild with src == dst
+    * (an overwrite of a table being read). The maintenance block guards
+    * on exactly that — when the resolved index dir already IS the
+    * target generation the work is provably done (the pointer only ever
+    * flips after a complete generation write), so it skips straight
+    * through. Ingest itself replays against the new generation, which
+    * is harmless: `storeDupIds` ignores id-equal matches, so the kept
+    * set is identical, and re-`addTo`d postings are the same vectors in
+    * the same cells (bytes until the next compaction, never answers).
     *
     * Dedup semantics across the hop are unchanged because the postings
     * ARE the state: a rebuild re-trains cells over the same vector
@@ -281,26 +290,46 @@ object Streams {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val indexDir = graft.sim.IvfIndex.currentIndexDir(spark, baseDir)
-        val kept = embedIngestBatch(batch, indexDir, idCol, vecCol, threshold)
-        kept.withColumn("ingest_batch", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("ingest_batch")
-          .parquet(corpusDir)
-        graft.sim.IvfIndex.addTo(spark, indexDir, kept, idCol, vecCol)
-        if ((batchId + 1) % maintainEvery == 0) {
-          val gen = s"gen-${batchId + 1}"
-          val dst = s"$baseDir/$gen"
-          if (graft.sim.IvfIndex.occupancySkew(spark, indexDir) >= skewThreshold)
-            graft.sim.IvfIndex.rebuildTo(spark, indexDir, dst)
-          else
-            graft.sim.IvfIndex.compactTo(spark, indexDir, dst)
-          graft.sim.IvfIndex.writeGenerationPointer(spark, baseDir, gen)
-        }
+        managedIngestStep(batch, batchId, baseDir, idCol, vecCol, corpusDir,
+          threshold, maintainEvery, skewThreshold)
       }
       .start()
+  }
+
+  /** One micro-batch of [[continuousEmbeddingIngestManaged]] — extracted
+    * so the crash/replay matrix is directly testable: a spec can run a
+    * batch id twice (simulating the checkpoint-uncommitted replay after
+    * any crash point) and assert the second run is a no-op. See the
+    * managed-loop scaladoc for the replay-safety argument each branch
+    * implements.
+    */
+  def managedIngestStep(batch: DataFrame, batchId: Long, baseDir: String,
+                        idCol: String, vecCol: String, corpusDir: String,
+                        threshold: Double, maintainEvery: Int,
+                        skewThreshold: Double): Unit = {
+    val spark = batch.sparkSession
+    val indexDir = graft.sim.IvfIndex.currentIndexDir(spark, baseDir)
+    val kept = embedIngestBatch(batch, indexDir, idCol, vecCol, threshold)
+    kept.withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(corpusDir)
+    graft.sim.IvfIndex.addTo(spark, indexDir, kept, idCol, vecCol)
+    if ((batchId + 1) % maintainEvery == 0) {
+      val gen = s"gen-${batchId + 1}"
+      val dst = s"$baseDir/$gen"
+      // Replay guard (see scaladoc): pointer already at the target
+      // generation ⇒ a prior attempt finished maintenance before the
+      // checkpoint committed; re-running would compact src == dst.
+      if (indexDir != dst) {
+        if (graft.sim.IvfIndex.occupancySkew(spark, indexDir) >= skewThreshold)
+          graft.sim.IvfIndex.rebuildTo(spark, indexDir, dst)
+        else
+          graft.sim.IvfIndex.compactTo(spark, indexDir, dst)
+        graft.sim.IvfIndex.writeGenerationPointer(spark, baseDir, gen)
+      }
+    }
   }
 
   /** One embedding-ingest step (also the batch/backfill entry point):

@@ -492,6 +492,61 @@ class StreamsSpec extends SparkSpec {
     assert(corpus == Set(11L, 20L, 33L), corpus.toString)
   }
 
+  test("managed ingest crash recovery: replay after pointer flip is a no-op; crash before flip redoes maintenance") {
+    // The two crash windows of the maintenance hop, driven through the
+    // SAME step function the stream's foreachBatch runs:
+    //   (a) crash AFTER writeGenerationPointer but BEFORE the streaming
+    //       checkpoint commits -> the batch replays with the pointer
+    //       already at the target generation; the guard must skip
+    //       maintenance (re-running would compact src == dst) and the
+    //       replayed ingest must keep the identical set.
+    //   (b) crash AFTER the gen-N dir is written but BEFORE the pointer
+    //       flip -> the old generation is still live; the replayed batch
+    //       must redo maintenance over the half-committed dst (overwrite)
+    //       and flip.
+    val base = java.nio.file.Files.createTempDirectory("graft-ecrash").toString
+    val seed = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f)), (4L, Array(0f, 0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    graft.sim.IvfIndex.build(seed, "vec_id", "embedding", numCentroids = 2, iters = 2)
+      .write(s"$base/idx/gen-0", buckets = 2)
+    graft.sim.IvfIndex.writeGenerationPointer(spark, s"$base/idx", "gen-0")
+    def step(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      Streams.managedIngestStep(df, id, s"$base/idx", "vec_id", "embedding",
+        s"$base/corpus", threshold = 0.95, maintainEvery = 2, skewThreshold = 1.5)
+    val b0 = Seq((10L, Array(0.999f, 0.001f, 0f, 0f)),   // ~seed 1 -> drop
+      (11L, Array(0.6f, 0.62f, 0.5f, 0f))).toDF("vec_id", "embedding")
+    step(b0, 0L)
+    // --- scenario (b): maintenance batch crashes between gen-2 write and
+    // pointer flip. Simulate the torn state: write gen-2, leave pointer.
+    val b1 = Seq((20L, Array(0f, 0.7f, 0f, 0.71f))).toDF("vec_id", "embedding")
+    graft.sim.IvfIndex.compactTo(spark, s"$base/idx/gen-0", s"$base/idx/gen-2", buckets = 2)
+    assert(graft.sim.IvfIndex.currentGeneration(spark, s"$base/idx").contains("gen-0"))
+    // replay of batch 1 from the checkpoint: old generation still live,
+    // maintenance must redo the hop (overwriting the torn gen-2) + flip
+    step(b1, 1L)
+    assert(graft.sim.IvfIndex.currentGeneration(spark, s"$base/idx").contains("gen-2"))
+    // dedup continuity across the recovered hop: pre-flip keepers are
+    // still detected by the recovered generation
+    val probes = Seq((90L, Array(0.999f, 0.001f, 0f, 0f)),  // ~seed 1
+      (91L, Array(0.61f, 0.61f, 0.5f, 0f)),                  // ~11
+      (92L, Array(0f, 0.71f, 0f, 0.7f))).toDF("vec_id", "embedding") // ~20
+    val dups = graft.sim.IvfIndex.storeDupIds(spark, s"$base/idx/gen-2", probes,
+      "vec_id", "embedding", 0.95).collect().map(_.getLong(0)).toSet
+    assert(dups == Set(90L, 91L, 92L), dups.toString)
+    // --- scenario (a): the flip happened but the checkpoint didn't
+    // commit -> batch 1 replays with the pointer ALREADY at gen-2. Before
+    // the guard this threw ("cannot overwrite a path being read from");
+    // now it must be a clean no-op on the pointer and keep the same set.
+    step(b1, 1L)
+    assert(graft.sim.IvfIndex.currentGeneration(spark, s"$base/idx").contains("gen-2"))
+    val corpus = spark.read.parquet(s"$base/corpus")
+    val survivors = corpus.select("vec_id").as[Long].collect().toSeq
+    // no duplicate survivors: each kept id appears exactly once
+    assert(survivors.sorted == Seq(11L, 20L), survivors.toString)
+  }
+
   test("continuous drift monitor: per-batch JS vs a frozen reference, drifted batch flagged") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-drift").toString
