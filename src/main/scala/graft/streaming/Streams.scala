@@ -389,11 +389,22 @@ object Streams {
   def continuousDriftMonitor(stream: DataFrame, refDf: DataFrame,
                              sourceCol: String, textCol: String,
                              monitorDir: String, checkpointDir: String,
-                             alpha: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+                             alpha: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery = {
+    // Tokenize the reference ONCE and materialize it DURABLY. A
+    // localCheckpoint would pin the counts in executor memory with no
+    // lineage to recompute — in a long-running stream, any executor
+    // loss/decommission would fail every later micro-batch with
+    // missing-block errors. The `_`-prefixed subdir is invisible to
+    // parquet readers of `monitorDir`, and the written table survives
+    // executor churn AND a monitor restart (overwritten fresh per
+    // start, since refDf is this invocation's frozen snapshot).
+    val refDir = s"$monitorDir/_ref_counts"
+    graft.text.CorpusOps.tokenDriftCounts(refDf, sourceCol, textCol)
+      .write.mode("overwrite").parquet(refDir)
     continuousDriftMonitorFromCounts(stream,
-      graft.text.CorpusOps.tokenDriftCounts(refDf, sourceCol, textCol)
-        .localCheckpoint(true), // tokenize the reference ONCE, not per batch
+      refDf.sparkSession.read.parquet(refDir),
       sourceCol, textCol, monitorDir, checkpointDir, alpha)
+  }
 
   /** [[continuousDriftMonitor]] against a PRE-AGGREGATED reference —
     * `refCounts` is a (source, token, c) frame (CorpusOps.

@@ -194,7 +194,14 @@ object Bpe {
     * that symbol was necessarily learned after it (the symbol did not
     * exist before merge k), so no pair of rank < k ever appears after
     * rank k applies — skipping straight to the next present rank is
-    * safe. Cost is O(|word|² ) scans instead of O(|merges|·|word|):
+    * safe. PRECONDITION: that argument assumes the creation-order
+    * invariant of a LEARNED table (every composite symbol in a rank-r
+    * pair is the output of some rank-<r merge — always true of
+    * [[bpeMerges]] output). A hand-built table violating it (e.g.
+    * rank 0 = ("ab","c"), rank 1 = ("a","b")) makes the two encoders
+    * diverge; [[validateMerges]] checks the invariant and [[encodeUdf]]
+    * enforces it at construction. Cost is O(|word|² ) scans instead of
+    * O(|merges|·|word|):
     * with a 50k-merge learned vocab that is the difference between
     * ~10 and ~500k symbol comparisons per word.
     */
@@ -234,8 +241,32 @@ object Bpe {
     * vocab size) with a word-level memo per task, so the cost is
     * O(distinct words per partition), not O(tokens × merges).
     */
+  /** Check the learned-BPE creation-order invariant [[rankEncode]]'s
+    * min-rank shortcut depends on: processing pairs in rank order, every
+    * component must be a base symbol (single character or the
+    * [[EndOfWord]] marker) or the concatenation output of an
+    * earlier-rank merge. Tables from [[bpeMerges]] satisfy this by
+    * construction; hand-built tables that don't would make
+    * [[rankEncode]] and [[encodeWord]] diverge, so fail fast with the
+    * offending rank named.
+    */
+  def validateMerges(merges: Seq[(String, String)]): Unit = {
+    val produced = scala.collection.mutable.HashSet.empty[String]
+    def base(s: String) = s.length == 1 || s == EndOfWord || produced(s)
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      require(base(a) && base(b),
+        s"merge table violates the creation-order invariant at rank $r: " +
+          s"pair ($a, $b) references a composite symbol no earlier merge " +
+          "produces — rankEncode/encodeWord parity holds only for tables " +
+          "from bpeMerges (or any table where every composite component " +
+          "is an earlier merge's output)")
+      produced += (a + b)
+    }
+  }
+
   def encodeUdf(merges: Seq[(String, String)])
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    validateMerges(merges) // once, driver-side, O(|merges|)
     val ranks: Map[(String, String), Int] =
       merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
     // The memo lives in the closure: one copy per task after

@@ -903,7 +903,14 @@ object CorpusOps {
         coalesce(col("__cb"), lit(0L)).cast("double").as("__cb"))
     val t = joined.agg(sum(col("__ca")).as("na"), sum(col("__cb")).as("nb"),
       count(lit(1)).cast("double").as("v")).head()
-    val (na, nb, v) = (t.getDouble(0), t.getDouble(1), t.getDouble(2))
+    val v = t.getDouble(2)
+    // v == 0 ⇒ both sums are NULL and getDouble would NPE opaquely —
+    // fail with the actual cause instead (e.g. an all-null/whitespace
+    // text column fed to importanceWeights or nbTrain)
+    require(v > 0,
+      "logProbContrast: empty union vocabulary — both LMs contain zero " +
+        "tokens; train them on text with at least one non-whitespace token")
+    val (na, nb) = (t.getDouble(0), t.getDouble(1))
     val denomA = na + alpha * v; val denomB = nb + alpha * v
     val w = joined.select(col("token"),
       (log((col("__ca") + alpha) / denomA) - log((col("__cb") + alpha) / denomB))

@@ -141,4 +141,22 @@ class BpeSpec extends SparkSpec {
       assert(Bpe.rankEncode(w, learnedRanks) == Bpe.encodeWord(w, learned), s"word=$w")
     }
   }
+
+  test("validateMerges: learned tables pass; invariant-violating tables fail fast in encodeUdf") {
+    // learned tables satisfy the creation-order invariant by construction
+    val df = corpus.toDF("text")
+    val learned = Bpe.bpeMerges(spark, df, "text", numMerges = 20)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    Bpe.validateMerges(learned)
+    // chained composites built strictly from earlier ranks also pass
+    Bpe.validateMerges(Seq(("a", "a"), ("aa", "a"), ("aa", "aa"), ("b", "a"),
+      ("ba", "aa"), ("c", Bpe.EndOfWord), ("aaa", "c")))
+    // the divergence table: rank 0 consumes "ab", which only rank 1
+    // produces — rankEncode would yield ["abc"] where encodeWord yields
+    // ["ab","c"]. Must be rejected with the offending rank named.
+    val bad = Seq(("ab", "c"), ("a", "b"))
+    val e = intercept[IllegalArgumentException] { Bpe.validateMerges(bad) }
+    assert(e.getMessage.contains("rank 0"), e.getMessage)
+    intercept[IllegalArgumentException] { Bpe.encodeUdf(bad) }
+  }
 }

@@ -588,6 +588,14 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(2L)._1 == 3L && math.abs(got(2L)._2 - 3 * wC) < 1e-9)
     // target-like docs weigh higher than target-unlike ones
     assert(got(1L)._2 > 0 && got(2L)._2 < 0)
+    // empty union vocabulary (all-whitespace text -> both LMs empty)
+    // fails with the actual cause, not an opaque NPE from a NULL sum
+    val blank = Seq((1L, "   "), (2L, "\t")).toDF("id", "text")
+    val emptyLm = CorpusOps.unigramLm(blank, "text")
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.importanceWeights(blank, "id", "text", emptyLm, emptyLm).collect()
+    }
+    assert(e.getMessage.contains("union vocabulary"), e.getMessage)
   }
 
   test("importanceResample picks target-like docs, deterministically, any partitioning") {
