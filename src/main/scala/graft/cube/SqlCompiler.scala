@@ -27,8 +27,11 @@ package graft.cube
   * Sum/Min/Max/Count/CountDistinct/Avg measures, ordering with the
   * Slicer's null placement, limit/offset. match/nmatch compile only for
   * a `dialect` with a regex spelling (no spelling is shared: Spark has
-  * regexp_like, DuckDB has regexp_matches, and Postgres `~` is POSIX —
-  * different regex semantics — so it stays unsupported there). Anything
+  * regexp_like, DuckDB has regexp_matches, Postgres has `~` — and the
+  * Postgres dialect additionally VALIDATES the pattern down to the
+  * Java∩POSIX-ARE-identical subset, refusing with the pattern named
+  * otherwise; the reference pushes raw Python-re patterns into `~`
+  * unvalidated, bacon/cubedef.py:369-380). Anything
   * else — set labels as axes, pivots, sketch accumulators — throws
   * `IllegalArgumentException`; callers fall back to the Catalyst path,
   * exactly as the reference falls back from its SQL strategy to the
@@ -45,9 +48,11 @@ object SqlCompiler {
   sealed abstract class Dialect(val name: String) {
     /** Partial-match regex predicate (Python `re.search` semantics: true
       * when the pattern matches anywhere), or None when this dialect has
-      * no spelling with those semantics.
+      * no spelling with those semantics. `pattern` is the RAW pattern —
+      * the dialect renders its own literal (escaping differs) and may
+      * validate pattern compatibility (Postgres does).
       */
-    def regexMatch(e: String, patternLit: String): Option[String]
+    def regexMatch(e: String, pattern: String): Option[String]
     /** Universal quantification over an array: SQL that is TRUE iff
       * `pred` (with `x` as the element variable) holds for EVERY element,
       * quantifying vacuously TRUE over empty AND NULL arrays (the
@@ -57,9 +62,24 @@ object SqlCompiler {
     def listForall(arr: String, pred: String): Option[String]
     /** Regex split to array — the one function set labels are built from
       * (`split(col, re)`). Spark's `split` is Java-regex; DuckDB's is
-      * `regexp_split_to_array` (RE2); no spelling is shared.
+      * `regexp_split_to_array` (RE2); no spelling is shared. `rawPattern`
+      * carries the unescaped pattern when the split's pattern argument is
+      * a string literal — dialects that validate pattern compatibility
+      * (Postgres) need it and refuse a non-literal pattern.
       */
-    def splitRegex(e: String, patternLit: String): Option[String]
+    def splitRegex(e: String, patternLit: String,
+                   rawPattern: Option[String] = None): Option[String]
+    /** Membership of a scalar literal in an array/set expression, with
+      * make_set's null contract (NULL array = ∅ contains nothing →
+      * coalesce FALSE). `array_contains` is shared by Spark and DuckDB
+      * (where it aliases list_contains); Postgres spells it `= ANY`.
+      */
+    def arrayContains(arr: String, valueLit: String): String =
+      s"coalesce(array_contains($arr, $valueLit), FALSE)"
+    /** The dialect's spelling of the string type in CAST. `STRING` is an
+      * alias accepted by Spark and DuckDB; Postgres needs TEXT.
+      */
+    def stringTypeName: String = "STRING"
     /** Row-multiplying element stream of a set expression with make_set
       * semantics (NULL → ∅, '' discarded, duplicates collapsed), for a
       * set label used as an AXIS. Spark spells it explode() in the select
@@ -101,16 +121,16 @@ object SqlCompiler {
     case object Portable extends Dialect("portable") {
       def regexMatch(e: String, p: String): Option[String] = None
       def listForall(arr: String, pred: String): Option[String] = None
-      def splitRegex(e: String, p: String): Option[String] = None
+      def splitRegex(e: String, p: String, raw: Option[String]): Option[String] = None
       def unnestSet(arr: String): Option[String] = None
     }
     case object SparkSql extends Dialect("spark") {
       def regexMatch(e: String, p: String): Option[String] =
-        Some(s"regexp_like($e, $p)") // Java regex, find-anywhere
+        Some(s"regexp_like($e, ${stringLit(p)})") // Java regex, find-anywhere
       def listForall(arr: String, pred: String): Option[String] =
         // forall(NULL, ...) is NULL -> coalesce TRUE (make_set(NULL) = ∅)
         Some(s"coalesce(forall($arr, x -> $pred), TRUE)")
-      def splitRegex(e: String, p: String): Option[String] =
+      def splitRegex(e: String, p: String, raw: Option[String]): Option[String] =
         Some(s"split($e, $p)")
       def unnestSet(arr: String): Option[String] =
         Some(s"explode(array_distinct(array_remove(coalesce($arr, array()), '')))")
@@ -120,32 +140,126 @@ object SqlCompiler {
     }
     case object DuckDb extends Dialect("duckdb") {
       def regexMatch(e: String, p: String): Option[String] =
-        Some(s"regexp_matches($e, $p)") // RE2, find-anywhere
+        Some(s"regexp_matches($e, ${stringLit(p)})") // RE2, find-anywhere
       def listForall(arr: String, pred: String): Option[String] =
         // bool_and of an empty transform is NULL -> coalesce TRUE, same
         // vacuous-truth contract as the Spark spelling
         Some(s"coalesce(list_aggregate(list_transform($arr, x -> $pred), 'bool_and'), TRUE)")
-      def splitRegex(e: String, p: String): Option[String] =
+      def splitRegex(e: String, p: String, raw: Option[String]): Option[String] =
         Some(s"regexp_split_to_array($e, $p)")
       def unnestSet(arr: String): Option[String] =
         Some(s"unnest(list_distinct(list_filter(coalesce($arr, []), x -> x <> '')))")
       override def stringLit(s: String): String = "'" + s.replace("'", "''") + "'"
       override def quoteIdent(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
     }
-    /** Postgres `~` is POSIX ERE — classes like \d and lazy quantifiers
-      * behave differently from the Java/RE2 patterns graft queries carry,
-      * so regex filters refuse rather than silently change meaning; it
-      * also has no tested lambda/split spelling here.
+    /** The reference's primary SQL target (bacon/sql.py renders cube
+      * queries as Postgres SQL; match/nmatch compile to `~`/`!~`,
+      * bacon/cubedef.py:369-380 — with NO pattern validation). graft is
+      * stricter: Postgres `~` is Spencer ARE, whose semantics diverge
+      * from the Java/RE2 patterns graft queries carry on class
+      * shorthands (\d, \w), lazy quantifiers, lookaround, class
+      * intersection and bracket escapes — so [[requirePostgresSafeRegex]]
+      * accepts only the structurally-identical subset and throws with the
+      * pattern named otherwise (the caller falls back to Catalyst).
+      * Accepted patterns are prefixed with ARE's `(?p)` (partial
+      * newline-sensitivity: `.`/brackets stop matching \n while ^/$ stay
+      * string anchors) which is exactly Java's default contract. One
+      * documented residue: Java's `$` also matches just before a FINAL
+      * trailing newline; ARE's does not — visible only on subjects
+      * ending in a literal '\n'.
+      *
+      * Set ops: membership spells `= ANY`, universal quantification an
+      * unnest anti-EXISTS (vacuously TRUE over NULL/empty — unnest of an
+      * empty/NULL array yields no rows), set axes an ARRAY(SELECT
+      * DISTINCT …) unnest in the select list (PG10+ SRF semantics: zero
+      * elements remove the row, matching explode).
       */
     case object Postgres extends Dialect("postgres") {
-      def regexMatch(e: String, p: String): Option[String] = None
-      def listForall(arr: String, pred: String): Option[String] = None
-      def splitRegex(e: String, p: String): Option[String] = None
-      def unnestSet(arr: String): Option[String] = None // PG unnest is untested here
+      def regexMatch(e: String, p: String): Option[String] = {
+        requirePostgresSafeRegex(p)
+        Some(s"$e ~ ${stringLit("(?p)" + p)}")
+      }
+      def listForall(arr: String, pred: String): Option[String] =
+        Some(s"(NOT EXISTS (SELECT 1 FROM unnest($arr) AS __fa(x) WHERE NOT ($pred)))")
+      def splitRegex(e: String, p: String, raw: Option[String]): Option[String] = {
+        val r = raw.getOrElse(throw new IllegalArgumentException(
+          "split() with a non-literal pattern is not postgres-compilable " +
+            "(POSIX-safety validation needs the raw pattern)"))
+        requirePostgresSafeRegex(r)
+        Some(s"regexp_split_to_array($e, ${stringLit("(?p)" + r)})")
+      }
+      def unnestSet(arr: String): Option[String] =
+        Some(s"unnest(ARRAY(SELECT DISTINCT __u.x FROM unnest($arr) AS __u(x) WHERE __u.x <> ''))")
+      override def arrayContains(arr: String, valueLit: String): String =
+        s"coalesce($valueLit = ANY($arr), FALSE)"
+      override def stringTypeName: String = "TEXT"
       // standard_conforming_strings (on since PG 9.1): backslash literal
       override def stringLit(s: String): String = "'" + s.replace("'", "''") + "'"
       override def quoteIdent(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
     }
+  }
+
+  /** Accept only regex constructs whose meaning is identical under Java
+    * regex (what graft's Catalyst path executes) and Postgres ARE with
+    * the `(?p)` prefix: literals, `.`, anchors, alternation, grouping
+    * `(...)`, greedy `* + ?` and numeric `{m[,n]}` bounds, bracket
+    * expressions without escapes/POSIX-classes/`&&`, and escaped
+    * punctuation (`\.` etc. — literal in both). Everything else —
+    * `\d`-style class shorthands (ARE has them but with subtly different
+    * class definitions), `\b` (ARE: backspace; Java: word boundary!),
+    * lazy quantifiers, `(?...)` groups, backreference digits, bracket
+    * escapes (POSIX: literal backslash), `[[:alpha:]]` (Java: error),
+    * class intersection `&&` — throws with the pattern and reason named,
+    * so the caller falls back to the Catalyst path instead of silently
+    * changing meaning.
+    */
+  private[cube] def requirePostgresSafeRegex(p: String): Unit = {
+    def fail(why: String): Nothing = throw new IllegalArgumentException(
+      s"regex pattern '$p' is not postgres-compilable: $why — Java and POSIX-ARE " +
+        "semantics diverge on this construct; rewrite the pattern or run the " +
+        "filter on the Catalyst/Slicer path")
+    var i = 0
+    var inClass = false
+    var classStart = -1
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (!inClass) c match {
+        case '\\' =>
+          if (i + 1 >= p.length) fail("trailing backslash")
+          val n = p.charAt(i + 1)
+          if (n.isLetterOrDigit)
+            fail(s"escape \\$n (class shorthands, \\b, and backreferences are engine-specific)")
+          i += 1
+        case '[' =>
+          inClass = true; classStart = i
+        case '(' =>
+          if (i + 1 < p.length && p.charAt(i + 1) == '?')
+            fail("'(?' group (flags, lookaround and non-capturing groups differ)")
+        case '*' | '+' | '?' =>
+          if (i + 1 < p.length && p.charAt(i + 1) == '?') fail("lazy quantifier")
+        case '{' =>
+          val j = p.indexOf('}', i)
+          if (j < 0 || !p.substring(i + 1, j).matches("\\d+(,\\d*)?"))
+            fail("'{' outside a numeric {m[,n]} bound (literal-brace handling differs)")
+          if (j + 1 < p.length && p.charAt(j + 1) == '?') fail("lazy quantifier")
+          i = j
+        case _ => ()
+      } else c match {
+        case '\\' => fail("backslash inside [...] (literal in POSIX, escape in Java)")
+        case '[' if i + 1 < p.length && ":.=".contains(p.charAt(i + 1)) =>
+          fail("POSIX [[:class:]]/collating syntax (Java has none)")
+        case '&' if i + 1 < p.length && p.charAt(i + 1) == '&' =>
+          fail("'&&' inside [...] (Java class intersection, POSIX literal)")
+        case ']' =>
+          val leading = i == classStart + 1 ||
+            (p.charAt(classStart + 1) == '^' && i == classStart + 2)
+          if (leading) fail("']' as the first bracket element (literal in POSIX, error in Java)")
+          inClass = false
+        case _ => ()
+      }
+      i += 1
+    }
+    if (inClass) fail("unbalanced '['")
   }
 
   /** Render `q` over `table`. `roundDp` optionally wraps a measure in
@@ -195,7 +309,7 @@ object SqlCompiler {
       else {
         val pvSql =
           if (q.pivot.size == 1) labelSql(cube, q.pivot.head, dialect)
-          else q.pivot.map(p => s"CAST(${labelSql(cube, p, dialect)} AS STRING)")
+          else q.pivot.map(p => s"CAST(${labelSql(cube, p, dialect)} AS ${dialect.stringTypeName})")
             .mkString("concat_ws('/', ", ", ", ")")
         val measures = if (q.values.nonEmpty) q.values else Vector("count")
         for (v <- pivotValues; m <- measures) yield {
@@ -319,7 +433,7 @@ object SqlCompiler {
     */
   private def filterSql(cube: CubeDef, f: Filter, dialect: Dialect): String = {
     val e = labelSql(cube, f.name, dialect)
-    def regex: String = dialect.regexMatch(e, lit(f.value.toString, dialect)).getOrElse(
+    def regex: String = dialect.regexMatch(e, f.value.toString).getOrElse(
       throw new IllegalArgumentException(
         s"filter op '${f.op}' has no regex spelling in dialect '${dialect.name}' " +
           "(use Dialect.SparkSql / Dialect.DuckDb, or fall back to Catalyst)"))
@@ -368,9 +482,9 @@ object SqlCompiler {
     require(!raw.contains(null), s"set filter '$op' with a NULL element is not SQL-compilable")
     val stringy = raw.forall(_.isInstanceOf[String])
     val vs = raw.distinct.filterNot(v => stringy && v == "")
-    // array_contains(NULL, v) is NULL in both engines; make_set(NULL) = ∅
-    // must not contain anything -> coalesce FALSE
-    def contains(v: Any) = s"coalesce(array_contains($arr, ${lit(v, dialect)}), FALSE)"
+    // array_contains(NULL, v) / v = ANY(NULL) is NULL; make_set(NULL) = ∅
+    // must not contain anything -> the dialect spelling coalesces FALSE
+    def contains(v: Any) = dialect.arrayContains(arr, lit(v, dialect))
     def hasAll = if (vs.isEmpty) "TRUE" else vs.map(contains).mkString("(", " AND ", ")")
     def hasAny = if (vs.isEmpty) "FALSE" else vs.map(contains).mkString("(", " OR ", ")")
     // col ⊆ S: every element is in S — with a NULL element never matching
@@ -441,7 +555,7 @@ object SqlCompiler {
       case a: AttributeReference => a.name
       case a: UnresolvedAttribute => a.nameParts.mkString(".")
       case l: Literal => literalSql(l, dialect)
-      case c: Cast => s"CAST(${renderExpr(c.child, dialect)} AS ${castTypeSql(c.dataType)})"
+      case c: Cast => s"CAST(${renderExpr(c.child, dialect)} AS ${castTypeSql(c.dataType, dialect)})"
       case f: UnresolvedFunction =>
         val name = f.nameParts.last
         lazy val args = f.arguments.map(renderExpr(_, dialect))
@@ -452,12 +566,17 @@ object SqlCompiler {
         if (name == "split" &&
             (f.arguments.length == 2 ||
              (f.arguments.length == 3 && (f.arguments(2) match {
-               case Literal(-1, _) => true; case _ => false }))))
-          dialect.splitRegex(args(0), args(1)).getOrElse(
+               case Literal(-1, _) => true; case _ => false })))) {
+          val rawPattern = f.arguments(1) match {
+            case Literal(s, _: org.apache.spark.sql.types.StringType) if s != null =>
+              Some(s.toString)
+            case _ => None
+          }
+          dialect.splitRegex(args(0), args(1), rawPattern).getOrElse(
             throw new IllegalArgumentException(
               s"split() has no spelling in dialect '${dialect.name}' " +
                 "(use Dialect.SparkSql / Dialect.DuckDb, or fall back to Catalyst)"))
-        else if (infixOps(name) && args.length == 2) s"(${args(0)} $name ${args(1)})"
+        } else if (infixOps(name) && args.length == 2) s"(${args(0)} $name ${args(1)})"
         else if (portableFns(name.toLowerCase)) s"${name.toLowerCase}(${args.mkString(", ")})"
         else throw new IllegalArgumentException(
           s"function '$name' is not portable-SQL-compilable")
@@ -488,14 +607,15 @@ object SqlCompiler {
     }
   }
 
-  private def castTypeSql(dt: org.apache.spark.sql.types.DataType): String = {
+  private def castTypeSql(dt: org.apache.spark.sql.types.DataType,
+                          dialect: Dialect): String = {
     import org.apache.spark.sql.types._
     dt match {
       case LongType => "BIGINT"
       case IntegerType => "INTEGER"
-      case DoubleType => "DOUBLE"
-      case FloatType => "FLOAT"
-      case StringType => "STRING" // alias accepted by both Spark and DuckDB
+      case DoubleType => if (dialect == Dialect.Postgres) "DOUBLE PRECISION" else "DOUBLE"
+      case FloatType => if (dialect == Dialect.Postgres) "REAL" else "FLOAT"
+      case StringType => dialect.stringTypeName // STRING: Spark/DuckDB alias; PG: TEXT
       case DateType => "DATE"
       case TimestampType => "TIMESTAMP"
       case BooleanType => "BOOLEAN"

@@ -189,12 +189,92 @@ class SqlCompilerSpec extends SparkSpec {
     assert(duck.contains("(NOT regexp_matches(s, 'x') OR s IS NULL)"), "\n" + duck)
     assert(SqlCompiler.compile(cube, m, "t", dialect = SqlCompiler.Dialect.SparkSql)
       .contains("regexp_like(k, 'A')"))
-    // portable/Postgres have no partial-match spelling → throw, so the
-    // caller falls back to Catalyst instead of silently changing meaning
-    for (d <- Seq(SqlCompiler.Dialect.Portable, SqlCompiler.Dialect.Postgres))
-      intercept[IllegalArgumentException] {
-        SqlCompiler.compile(cube, m, "t", dialect = d)
-      }
+    // portable has no partial-match spelling → throw, so the caller
+    // falls back to Catalyst instead of silently changing meaning
+    intercept[IllegalArgumentException] {
+      SqlCompiler.compile(cube, m, "t", dialect = SqlCompiler.Dialect.Portable)
+    }
+    // Postgres compiles the validated subset to `~` with the (?p)
+    // prefix (Java-default newline semantics), nmatch keeping NULLs
+    val pg = SqlCompiler.compile(cube, nm, "t", dialect = SqlCompiler.Dialect.Postgres)
+    assert(pg.contains("(NOT s ~ '(?p)x' OR s IS NULL)"), "\n" + pg)
+    assert(SqlCompiler.compile(cube, m, "t", dialect = SqlCompiler.Dialect.Postgres)
+      .contains("k ~ '(?p)A'"))
+  }
+
+  test("Postgres regex validation: Java∩ARE-identical subset passes, divergent constructs throw with the pattern named") {
+    import SqlCompiler.requirePostgresSafeRegex
+    // structurally identical in Java and (?p)-prefixed ARE
+    for (p <- Seq("abc", "^[123]-", "a.c*d+e?", "(foo|bar)baz", "x{2,3}y{4}z{1,}",
+        "[a-z0-9_.-]+@[a-z]+", "[^abc]", "end$", """1\.5""", """a\(b\)c""", "don't"))
+      requirePostgresSafeRegex(p)
+    // each divergent construct refuses, naming the pattern
+    val bad = Seq(
+      """^\d-URGENT""" -> "\\d",          // class shorthand
+      """\bword\b""" -> "\\b",            // Java word boundary = ARE backspace!
+      "a*?b" -> "lazy",                   // lazy quantifier
+      "a{2,3}?b" -> "lazy",
+      "(?i)abc" -> "'(?'",                // embedded flags
+      "(?:ab)+" -> "'(?'",                // non-capturing group
+      "(?=x)y" -> "'(?'",                 // lookahead
+      """[\d]""" -> "backslash inside",   // bracket escape
+      "[[:alpha:]]+" -> "[[:",            // POSIX class
+      "[a&&b]" -> "'&&'",                 // Java class intersection
+      "[]x]" -> "']'",                    // leading ] literal in POSIX only
+      "a{x}" -> "numeric",                // literal-brace divergence
+      "unclosed[ab" -> "unbalanced",
+      "trailing\\" -> "trailing")
+    bad.foreach { case (p, why) =>
+      val e = intercept[IllegalArgumentException] { requirePostgresSafeRegex(p) }
+      assert(e.getMessage.contains(p) || e.getMessage.toLowerCase.contains(why.toLowerCase),
+        s"pattern=$p message=${e.getMessage}")
+      assert(e.getMessage.contains("postgres"), e.getMessage)
+    }
+  }
+
+  test("Postgres dialect golden renderings mirror the s01-s07 gate shapes") {
+    import SqlCompiler.Dialect.Postgres
+    // s01 shape (portable surface) compiles unchanged semantics for PG
+    val s01 = graft.Queries.s01Sql
+    assert(s01.contains("date_trunc('month', o_orderdate)"))
+    // s02 shape: match + nmatch over the validated subset → ~ with (?p)
+    val s02 = graft.Queries.s02Sql(Postgres)
+    assert(s02.contains("o_orderpriority ~ '(?p)^[123]-'"), "\n" + s02)
+    assert(s02.contains("(NOT o_orderstatus ~ '(?p)F' OR o_orderstatus IS NULL)"), "\n" + s02)
+    // s03 shape: membership ops → `= ANY` with the make_set null contract,
+    // split constructor → regexp_split_to_array with the validated pattern
+    val s03 = graft.Queries.s03Sql(Postgres)
+    assert(s03.contains("coalesce('red' = ANY(regexp_split_to_array(p_name, '(?p) ')), FALSE)"),
+      "\n" + s03)
+    assert(s03.contains("NOT (coalesce('small' = ANY("), "\n" + s03)
+    // s04 shape: universal quantification → unnest anti-EXISTS
+    val s04 = graft.Queries.s04Sql(Postgres)
+    assert(s04.contains("NOT EXISTS (SELECT 1 FROM unnest(") &&
+      s04.contains("AS __fa(x) WHERE NOT (x IS NOT NULL AND (x IN ("), "\n" + s04)
+    // s05 shape: the \d pattern is OUTSIDE the identical subset — the
+    // compile refuses specifically, naming the pattern (not wholesale)
+    val e = intercept[IllegalArgumentException] { graft.Queries.s05Sql(Postgres) }
+    assert(e.getMessage.contains("""^\d-(URGENT|HIGH)"""), e.getMessage)
+    // s06 shape: pivot FILTER-ed aggregates with PG identifier quoting
+    val s06 = graft.Queries.s06Sql(Postgres)
+    assert(s06.contains("FILTER (WHERE o_orderpriority IS NOT DISTINCT FROM '1-URGENT')"),
+      "\n" + s06)
+    assert(s06.contains("AS \"1-URGENT_n_orders\""), "\n" + s06)
+    // s07 shape: set axis → SRF unnest of a deduped, ''-filtered ARRAY()
+    val s07 = graft.Queries.s07Sql(Postgres)
+    assert(s07.contains(
+      "unnest(ARRAY(SELECT DISTINCT __u.x FROM unnest(regexp_split_to_array(p_name, '(?p) ')) " +
+        "AS __u(x) WHERE __u.x <> '')) AS \"name_words\""), "\n" + s07)
+    // a non-literal split pattern cannot be validated → refuse
+    val dynCube = CubeDef(
+      labels = Seq(Label("k"),
+        Label("dyn", expr("split(tg, s)"), isSet = true)),
+      measures = Seq(Measure("n", lit(1), Agg.Count)))
+    intercept[IllegalArgumentException] {
+      SqlCompiler.compile(dynCube,
+        CubeQuery().addAxis("k").addValue("n")
+          .addFilter("dyn", Seq("red"), FilterOp.HasAny), "t", dialect = Postgres)
+    }
   }
 
   test("string literals escape per-dialect: backslashes survive Spark's parser") {
