@@ -131,8 +131,32 @@ object Bench {
     // emit shutdown noise) that the driver's tail parse always sees.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    // Per-round history: BENCH.json is overwritten every run, and the
+    // driver's BENCH_r{N}.json artifact only keeps a 2000-char stdout
+    // tail — too small for 127 per-query medians — so full-bench runs
+    // APPEND their complete line (timestamped, with the git HEAD when
+    // resolvable) to BENCH_LOG.jsonl beside the out file. The log is
+    // committed with the round, so cross-round per-query regression
+    // triage is a jq filter, not git archaeology. Targeted
+    // SPARK_GRAFT_BENCH_ONLY runs skip the log (partial totals would
+    // read as regressions).
+    if (only.isEmpty) {
+      val head =
+        try {
+          val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+            .redirectErrorStream(true).start()
+          val s = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+          if (p.waitFor() == 0 && s.matches("[0-9a-f]+")) s else "unknown"
+        } catch { case _: Throwable => "unknown" }
+      val ts = java.time.Instant.now().getEpochSecond
+      val rec = json.stripSuffix("\n").patch(1, s""""ts":$ts,"head":"$head",""", 0)
+      val dir = Option(java.nio.file.Paths.get(out).getParent)
+        .getOrElse(java.nio.file.Paths.get("."))
+      java.nio.file.Files.writeString(dir.resolve("BENCH_LOG.jsonl"), rec + "\n",
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    }
     spark.stop()
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries_run":${results.size},"reps":$reps,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries_run":${results.size},"reps":$reps,"sf":"$sfDir","detail":"BENCH.json + BENCH_LOG.jsonl (per-query medians + plan hashes)"}""")
   }
 }
