@@ -27,6 +27,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The two sanctioned BoundedSpine windows (q35/t08 — O(B) spines,
+    // see graft.ops.BoundedSpine) would spam ~10 "No Partition Defined"
+    // WindowExec warnings per bench, burying real ones. Silence the
+    // logger here; the LOUD gate for a NEW unpartitioned window is
+    // PlanAudit's empty-partition-spec check, which fails the audit for
+    // anything outside the BoundedSpine whitelist.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // Warm the session (codegen, parquet footer reads, shuffle machinery)
     // so the first timed query doesn't absorb ~5s of one-time cost.
     SparkEntry.queries.get("q01_agg_basic").foreach { fn =>

@@ -23,6 +23,13 @@ object PlanAudit {
     "d05_embed_dup", "d06_cosine_topk", "e02_ann_ivf", "e03_ann_index",
     "q53_mutual_info")
 
+  /** Queries whose (only) unpartitioned windows are
+    * [[graft.ops.BoundedSpine.prefixSum]] call sites — O(B) spines by
+    * the documented contract (Bench silences the WindowExec warning;
+    * THIS check is where a NEW unpartitioned window fails loudly).
+    */
+  private val KnownBoundedSpine = Set("q35_running_total", "t08_epoch_shuffle")
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
@@ -34,12 +41,31 @@ object PlanAudit {
     var unexpected = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val qe = fn(spark, dir).queryExecution
+        val plan = qe.executedPlan.toString
         val hits = Seq("BroadcastNestedLoopJoin", "CartesianProduct").filter(plan.contains)
         if (hits.nonEmpty && !KnownBenign(name)) {
           unexpected += 1
           println(s"PLAN-SMELL $name: ${hits.mkString(",")}")
         }
+        // Unpartitioned windows move ALL rows to one partition — a
+        // cluster-killer unless the frame is a bounded spine
+        // (BoundedSpine's contract). lit(0) partition keys fold to an
+        // EMPTY logical partitionSpec, so this catches the sanctioned
+        // shape and any new accidental global window alike.
+        val unpartWindows = qe.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+        }
+        if (unpartWindows.nonEmpty && !KnownBoundedSpine(name)) {
+          unexpected += 1
+          println(s"PLAN-SMELL $name: ${unpartWindows.size} unpartitioned window(s) " +
+            "outside the BoundedSpine whitelist")
+        } else if (unpartWindows.nonEmpty)
+          // visible proof the detector fires on the sanctioned shape —
+          // if a whitelisted query ever STOPS printing this line, the
+          // whitelist entry is stale and should be removed
+          println(s"PLAN-OK $name: ${unpartWindows.size} bounded-spine window(s)")
       } catch { case e: Throwable =>
         println(s"PLAN-ERR $name: ${String.valueOf(e.getMessage).take(80)}")
       }

@@ -165,16 +165,12 @@ object Events {
     // (already windowed) branch, so the expensive shuffle subtree is
     // shared/reused, never a second base scan with fresh partitioning
     val totals = local.groupBy(col("__b")).agg(max(col("__cum")).as("__t"))
-    // Prefix-sum the per-bucket totals with an EXPLICIT single-partition
-    // window: `totals` is bucket-grain (bounded by the time grain, never
-    // the data), so one partition is the right plan — and it stays
-    // O(B log B) on a fine grain where the previous inequality self-join
-    // (a BroadcastNestedLoopJoin, O(B²)) would blow up. NULL buckets
-    // sort first and their totals now carry into later buckets, which is
-    // what a running total over "nulls first" ordering means.
-    val wt = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy(col("__b"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // Prefix-sum the per-bucket totals over the bucket-grain spine
+    // (BoundedSpine contract: bounded by the time grain, never the
+    // data; the previous inequality self-join planned O(B²)). NULL
+    // buckets sort first and their totals carry into later buckets,
+    // which is what a running total over "nulls first" ordering means.
+    val wt = BoundedSpine.prefixSum(col("__b"))
     val offsets = totals.withColumn("__off", sum(col("__t")).over(wt)).drop("__t")
       .withColumnRenamed("__b", "__ob")
     // Null-safe equality (<=>): a plain equi-join on Seq("__b") silently

@@ -280,13 +280,11 @@ object CorpusOps {
     // increasing by 1 per row within a partition)
     val tallies = local.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__c"), min(col("__mid")).as("__m0"))
-    // prefix-sum over the one-row-per-partition tallies via an explicit
-    // single-partition window (bounded by parallelism, never the data);
-    // the previous inequality self-join planned as an O(P²)
-    // BroadcastNestedLoopJoin
-    val wt = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy(col("__pid"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // prefix-sum over the one-row-per-partition tallies via the
+    // partition-grain spine (BoundedSpine contract: bounded by
+    // parallelism, never the data; the previous inequality self-join
+    // planned as an O(P²) BroadcastNestedLoopJoin)
+    val wt = graft.ops.BoundedSpine.prefixSum(col("__pid"))
     val offsets = tallies
       .withColumn("__off", coalesce(sum(col("__c")).over(wt), lit(0L)))
       .drop("__c")
