@@ -2562,6 +2562,43 @@ object Queries {
           round(col("cross_entropy"), 6).as("xent"))
     },
 
+    // §2.70c: trigram perplexity — one context order closer to CCNet's
+    // 5-gram KenLM, engine-exact closed form DuckDB replays. The Spark
+    // side runs the HASHED-context form (the 100 TB shape: 8-byte
+    // context keys through the joins); scores are identical to the
+    // string-keyed form the oracle computes (collision-free at any
+    // realistic vocab — CorpusOpsSpec pins parity).
+    "d41_trigram_ppl" -> oq(
+      """WITH tk AS (
+        |  SELECT doc_id, lang, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents
+        |), tg AS (
+        |  SELECT doc_id, lang, tk[pos] AS a, tk[pos+1] AS b, tk[pos+2] AS c
+        |  FROM (SELECT doc_id, lang, unnest(range(1, len(tk) - 1)) AS pos, tk
+        |        FROM tk WHERE len(tk) >= 3)
+        |), lm AS (
+        |  SELECT a, b, c, count(*) AS n FROM tg WHERE lang = 'en' GROUP BY 1, 2, 3
+        |), ctx AS (
+        |  SELECT a, b, CAST(sum(n) AS DOUBLE) AS cab FROM lm GROUP BY 1, 2
+        |), vv AS (
+        |  SELECT CAST(count(DISTINCT c) AS DOUBLE) AS v FROM lm
+        |), tf AS (
+        |  SELECT doc_id, a, b, c, count(*) AS tf FROM tg GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+        |  round(-sum(tf * ln((coalesce(n, 0) + 1.0) / (coalesce(cab, 0) + v)))
+        |        / sum(tf), 6) AS xent
+        |FROM tf LEFT JOIN lm USING (a, b, c) LEFT JOIN ctx USING (a, b) CROSS JOIN vv
+        |GROUP BY doc_id""") { (s, dir) =>
+      val d = docs(s, dir)
+      val lm = graft.text.CorpusOps.trigramLm(d.where(col("lang") === "en"), "text")
+      graft.text.CorpusOps.trigramCrossEntropy(d, "doc_id", "text", lm,
+          hashContext = true)
+        .select(col("doc_id"), col("n_trigrams"),
+          round(col("cross_entropy"), 6).as("xent"))
+    },
+
     // §2.77: token-distribution drift between two snapshots (even vs
     // odd doc ids) — per-source smoothed KL + Jensen-Shannon over the
     // union vocabulary; closed-form arithmetic both engines replay.

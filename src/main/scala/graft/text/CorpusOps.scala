@@ -837,6 +837,95 @@ object CorpusOps {
       .agg(count(lit(1)).as("bigram_count"))
   }
 
+  /** Trigram language model trained on a reference corpus: one row per
+    * observed (prev2_token, prev_token, token) triple with its count —
+    * one more context order toward CCNet's 5-gram KenLM (Wenzek et al.
+    * 2019, "CCNet: Extracting High Quality Monolingual Datasets from
+    * Web Crawl Data"): a bigram model scores word PAIRS, a trigram
+    * model starts scoring phrase structure, which separates
+    * template-stitched spam (plausible pairs, implausible runs) from
+    * prose.
+    *
+    * Scale shape: identical to [[bigramLm]] with one more shifted
+    * slice — tokens → adjacent triples via three zipped slices (no
+    * positional self-join) → map-side-combinable count. The result is
+    * bounded by observed trigram vocabulary (Zipf), never corpus size.
+    */
+  def trigramLm(df: DataFrame, textCol: String): DataFrame = {
+    val tk = TextFunctions.wsTokens(lower(trim(col(textCol))))
+    df.select(tk.as("__tk")).where(size(col("__tk")) >= 3)
+      .select(
+        slice(col("__tk"), lit(1), size(col("__tk")) - 2).as("__a"),
+        slice(col("__tk"), lit(2), size(col("__tk")) - 2).as("__b"),
+        slice(col("__tk"), lit(3), size(col("__tk")) - 2).as("__c"))
+      .select(explode(arrays_zip(col("__a"), col("__b"), col("__c"))).as("__tg"))
+      .select(col("__tg.__a").as("prev2_token"), col("__tg.__b").as("prev_token"),
+        col("__tg.__c").as("token"))
+      .groupBy(col("prev2_token"), col("prev_token"), col("token"))
+      .agg(count(lit(1)).as("trigram_count"))
+  }
+
+  /** Per-document cross-entropy under an add-α-smoothed trigram LM:
+    *   H(d) = −(1/(n−2)) Σ_{i=3..n} ln((c(w_{i−2} w_{i−1} w_i) + α) /
+    *                                    (c(w_{i−2} w_{i−1} ·) + αV)),
+    * ppl = e^H, with c(ab ·) = Σ_c c(abc) (the LM's context totals) and
+    * V = the LM's completion-vocabulary size (distinct third tokens).
+    * Unseen contexts score the uniform α/(αV) floor. Deterministic
+    * double arithmetic, gate-replayable; documents with fewer than
+    * three tokens are absent.
+    *
+    * `hashContext = true` is the 100 TB form: the (prev2, prev) context
+    * pair is packed to ONE 64-bit xxhash key before the joins, so the
+    * shuffled rows carry 8 bytes of context instead of two strings, and
+    * the context-total aggregation groups on a fixed-width long. Scores
+    * are identical absent a 64-bit collision (CorpusOpsSpec pins
+    * hashed == unhashed on real text); the oracle replays the exact
+    * string-keyed form.
+    *
+    * Scale shape: per-doc trigram counts (one map-side-combined
+    * shuffle) → equi-joins against the LM and its context-total
+    * projection (both vocab-sized; AQE broadcasts when they fit) → one
+    * per-doc sum. Same join discipline as [[bigramCrossEntropy]].
+    */
+  def trigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
+                          lm: DataFrame, alpha: Double = 1.0,
+                          hashContext: Boolean = false): DataFrame = {
+    require(alpha > 0, s"smoothing alpha must be positive, got $alpha")
+    val v = lm.select(col("token")).distinct().count().toDouble
+    val keys = if (hashContext) Seq("__ck") else Seq("prev2_token", "prev_token")
+    def keyed(d: DataFrame): DataFrame =
+      if (hashContext)
+        d.withColumn("__ck", xxhash64(col("prev2_token"), col("prev_token")))
+          .drop("prev2_token", "prev_token")
+      else d
+    val lmK = keyed(lm)
+    val ctx = lmK.groupBy(keys.map(col): _*)
+      .agg(sum(col("trigram_count")).cast("double").as("__ctx"))
+    val tk = TextFunctions.wsTokens(lower(trim(col(textCol))))
+    val tf = keyed(df.select(col(idCol).as("__id"), tk.as("__tk"))
+      .where(size(col("__tk")) >= 3)
+      .select(col("__id"),
+        slice(col("__tk"), lit(1), size(col("__tk")) - 2).as("__a"),
+        slice(col("__tk"), lit(2), size(col("__tk")) - 2).as("__b"),
+        slice(col("__tk"), lit(3), size(col("__tk")) - 2).as("__c"))
+      .select(col("__id"), explode(arrays_zip(col("__a"), col("__b"), col("__c"))).as("__tg"))
+      .select(col("__id"), col("__tg.__a").as("prev2_token"),
+        col("__tg.__b").as("prev_token"), col("__tg.__c").as("token")))
+      .groupBy((Seq("__id") ++ keys :+ "token").map(col): _*)
+      .agg(count(lit(1)).as("__tf"))
+    val logp = log((coalesce(col("trigram_count"), lit(0L)).cast("double") + alpha)
+      / (coalesce(col("__ctx"), lit(0.0)) + alpha * v))
+    tf.join(lmK, keys :+ "token", "left")
+      .join(ctx, keys, "left")
+      .withColumn("__lp", logp)
+      .groupBy(col("__id"))
+      .agg(sum(col("__tf")).as("n_trigrams"),
+        (-sum(col("__tf").cast("double") * col("__lp")) / sum(col("__tf")).cast("double"))
+          .as("cross_entropy"))
+      .select(col("__id").as(idCol), col("n_trigrams"), col("cross_entropy"),
+        exp(col("cross_entropy")).as("ppl"))
+  }
+
   /** Per-document cross-entropy under an add-α-smoothed bigram LM:
     *   H(d) = −(1/(n−1)) Σ_{i=2..n} ln((c(w_{i−1} w_i) + α) /
     *                                    (c(w_{i−1} ·) + αV)),

@@ -488,6 +488,68 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(floor.getDouble(2) - math.log(3.0)) < 1e-12)
   }
 
+  test("trigramCrossEntropy: closed-form arithmetic on a tiny LM, hashed == unhashed") {
+    val train = Seq("a b c a b c").toDF("text") // trigrams: abc abc(x? ) -> see below
+    val lm = CorpusOps.trigramLm(train, "text")
+    // tokens [a,b,c,a,b,c] -> triples (a,b,c) (b,c,a) (c,a,b) (a,b,c)
+    val got = lm.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(got == Map(("a","b","c") -> 2L, ("b","c","a") -> 1L, ("c","a","b") -> 1L))
+    // score "a b c d" under add-1: V = |{c, a, b}| = 3
+    //   (a,b,c): c=2, ctx(a,b)=2 -> P = (2+1)/(2+3) = 3/5
+    //   (b,c,d): c=0, ctx(b,c)=1 -> P = (0+1)/(1+3) = 1/4
+    //   H = -(ln 0.6 + ln 0.25)/2
+    val doc = Seq((7L, "a b c d")).toDF("id", "text")
+    val score = CorpusOps.trigramCrossEntropy(doc, "id", "text", lm).collect().head
+    assert(score.getLong(1) == 2L)
+    val want = -(math.log(0.6) + math.log(0.25)) / 2
+    assert(math.abs(score.getDouble(2) - want) < 1e-12)
+    // unseen context scores the uniform floor: P = 1/V
+    val floor = CorpusOps.trigramCrossEntropy(
+      Seq((8L, "x y z")).toDF("id", "text"), "id", "text", lm).collect().head
+    assert(floor.getLong(1) == 1L)
+    assert(math.abs(floor.getDouble(2) - math.log(3.0)) < 1e-12)
+    // the hashed-context scale form scores identically (no collisions)
+    val docs2 = Seq((7L, "a b c d"), (8L, "x y z"),
+      (9L, "a b c a b c a"), (10L, "c a b c")).toDF("id", "text")
+    val plain = CorpusOps.trigramCrossEntropy(docs2, "id", "text", lm)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val hashed = CorpusOps.trigramCrossEntropy(docs2, "id", "text", lm, hashContext = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(plain.keySet == hashed.keySet)
+    plain.foreach { case (k, (n, h)) =>
+      assert(hashed(k)._1 == n && math.abs(hashed(k)._2 - h) < 1e-12, s"id=$k")
+    }
+    // docs with < 3 tokens are absent
+    assert(CorpusOps.trigramCrossEntropy(
+      Seq((1L, "a b")).toDF("id", "text"), "id", "text", lm).count() == 0L)
+  }
+
+  test("trigram context adds discrimination over bigram on pair-preserving rephrasings") {
+    // train "a b a c a b a c": doc2 below uses only PAIRS the corpus
+    // contains (ac, ca, ab), but its TRIPLES (aca, cab) are the rare
+    // ones — the phrase-order signal a bigram model mostly misses.
+    // Closed-form check (α=1): trigram V=3, doc1 triples aba (c=2,
+    // ctx(ab)=2), bac (c=2, ctx(ba)=2) → H1 = −ln(3/5); doc2 triples
+    // aca (c=1, ctx(ac)=1), cab (c=1, ctx(ca)=1) → H2 = −ln(1/2).
+    // Trigram gap = ln(6/5); the bigram gap on the same docs is only
+    // ln(6/5)/2.
+    val train = Seq("a b a c a b a c").toDF("text")
+    val blm = CorpusOps.bigramLm(train, "text")
+    val tlm = CorpusOps.trigramLm(train, "text")
+    val docs = Seq((1L, "a b a c"), (2L, "a c a b")).toDF("id", "text")
+    val bh = CorpusOps.bigramCrossEntropy(docs, "id", "text", blm).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val th = CorpusOps.trigramCrossEntropy(docs, "id", "text", tlm).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(th(1L) - math.log(5.0 / 3)) < 1e-12, th.toString)
+    assert(math.abs(th(2L) - math.log(2.0)) < 1e-12, th.toString)
+    val triGap = th(2L) - th(1L)
+    val biGap = bh(2L) - bh(1L)
+    assert(math.abs(triGap - math.log(1.2)) < 1e-12)
+    assert(triGap > biGap + 1e-12, s"triGap=$triGap biGap=$biGap")
+  }
+
   test("bigramCrossEntropy is word-order sensitive where unigram cannot be") {
     val train = Seq.fill(50)("the quick brown fox jumps over the lazy dog").toDF("text")
     val lm = CorpusOps.bigramLm(train, "text")
