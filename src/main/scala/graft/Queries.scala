@@ -1242,6 +1242,50 @@ object Queries {
       graft.dedup.Dedup.duplicateClustersStar(pairs)
     },
 
+    // §2.37d: connected components on a PLANTED GIANT COMPONENT with
+    // power-law-style hub skew — the web-corpus dup-graph shape the
+    // synthetic near-dup graphs (tiny clusters) never exercise. The
+    // graph is pure doc_id arithmetic, so the oracle is CLOSED FORM
+    // (no recursive CTE — a transitive closure over a giant component
+    // would be O(n·diameter) rows and die at scale):
+    //  - giant (~33% of docs, >80% of graph nodes): every doc_id % 3 == 0,
+    //    chained (g, g+3) for DEPTH (forces O(log diameter) contraction
+    //    rounds) plus a block-hub edge (g, g - g % 300) for SKEW (hub
+    //    degree ~100x the mean — the shape AQE's skew-join handling and
+    //    the contraction's re-point joins must survive); labels collapse
+    //    to the global min multiple of 3.
+    //  - background: (i, i+3) two-node pairs at i % 30 == 1, so the gate
+    //    also proves small components stay separate next to the giant.
+    // duplicateClustersStar's maxIter throw IS the round-count gate: a
+    // contraction that stops halving distances fails the query, at any
+    // sf. DedupSpec additionally pins the round bound explicitly.
+    "d42_cc_giant" -> oq(
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |mm AS (SELECT min(CASE WHEN doc_id % 3 = 0 THEN doc_id END) AS m0,
+        |              max(doc_id) AS mx FROM ids)
+        |SELECT doc_id AS id,
+        |  CASE WHEN doc_id % 3 = 0 THEN (SELECT m0 FROM mm)
+        |       WHEN doc_id % 30 = 1 THEN doc_id
+        |       ELSE doc_id - 3 END AS cluster_id
+        |FROM ids
+        |WHERE doc_id % 3 = 0
+        |   OR (doc_id % 30 = 1 AND doc_id + 3 <= (SELECT mx FROM mm))
+        |   OR (doc_id % 30 = 4 AND doc_id - 3 >= 0)""") { (s, dir) =>
+      val ids = docs(s, dir).select(col("doc_id"))
+      val mx = ids.agg(max(col("doc_id"))).head().getLong(0)
+      val g = ids.where(col("doc_id") % 3 === 0)
+      val chain = g.where(col("doc_id") + 3 <= mx)
+        .select(col("doc_id").as("id1"), (col("doc_id") + 3).as("id2"))
+      val hubs = g.select(col("doc_id").as("id1"),
+        (col("doc_id") - col("doc_id") % 300).as("id2"))
+      val background = ids
+        .where(col("doc_id") % 30 === 1 && col("doc_id") + 3 <= mx)
+        .select(col("doc_id").as("id1"), (col("doc_id") + 3).as("id2"))
+      val pairs = chain.unionByName(hubs).unionByName(background)
+        .where(col("id1") =!= col("id2"))
+      graft.dedup.Dedup.duplicateClustersStar(pairs)
+    },
+
     // §2.40b: per-label embedding centroids (element-wise mean), emitted
     // as (label, dim, value) scalars for the oracle compare
     // `+ 0.0` on both sides normalizes IEEE negative zero: Spark's round

@@ -196,6 +196,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("duplicateClustersStar: planted giant component with hub skew, bounded rounds") {
+    // The web-corpus dup-graph shape (d42_cc_giant's in-memory twin): a
+    // GIANT component holding ~33% of 3000 ids — a depth-providing
+    // chain over the multiples of 3 plus block hubs of degree ~100
+    // (~50x the mean degree: the power-law skew the contraction's
+    // re-point joins must survive) — next to 2-node background pairs.
+    val n = 3000L
+    val giant = (0L until n by 3).toSeq
+    val chain = giant.dropRight(1).map(g => (g, g + 3))
+    val hubs = giant.map(g => (g, g - g % 300)).filter { case (a, b) => a != b }
+    val background = (1L until n - 3 by 30).map(i => (i, i + 3))
+    val pairs = (chain ++ hubs ++ background).toDF("id1", "id2")
+    val labels = Dedup.duplicateClustersStar(pairs, maxIter = 14).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every giant node collapses to the global min; the giant holds
+    // >= 30% of all ids; small components stay separate beside it
+    assert(giant.forall(g => labels(g) == 0L),
+      giant.filter(g => labels(g) != 0L).take(5).toString)
+    assert(giant.size * 10 >= 3 * n, s"giant=${giant.size} of $n")
+    background.foreach { case (i, j) =>
+      assert(labels(i) == i && labels(j) == i, s"pair ($i,$j): ${labels(i)},${labels(j)}")
+    }
+    assert(labels.size == giant.size + 2 * background.size)
+    // round bound: block-hop diameter ~ n/300 = 10 -> the alternating
+    // large/small-star contraction must stay logarithmic, not walk the
+    // chain; 10 rounds is ~2x the measured count (5), far under the
+    // linear regime
+    assert(Dedup.lastConvergenceRounds <= 10,
+      s"expected O(log diameter) rounds on the hubbed giant, used ${Dedup.lastConvergenceRounds}")
+  }
+
   test("duplicateClusters throws instead of returning partial labels at maxIter") {
     // a path graph 0-1-2-...-9 needs ~8 propagation rounds to pull the
     // far end down to label 0; maxIter=3 must fail loudly, not silently
