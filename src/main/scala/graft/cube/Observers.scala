@@ -81,37 +81,107 @@ object Observers {
 
   /** Excel export (the reference's excel observer,
     * bacon/observers/excel.py) as SpreadsheetML 2003 XML — opens in
-    * Excel/LibreOffice, zero external dependencies. Numeric columns
-    * become typed Number cells so spreadsheet aggregation works.
+    * Excel/LibreOffice, zero external dependencies. Carries the
+    * reference's STYLE layer (excel.py:34-40's easyxf table):
+    *  - `title`: bold, centered column headers, frozen via
+    *    WorksheetOptions FreezePanes (WSWrapper.freeze_titles)
+    *  - `value`: #,##0.00 number format on measure cells
+    *  - `total`: bold + #,##0.00 on the optional totals row
+    *  - `ldate`: DD/MM/YY on date/timestamp labels, emitted as typed
+    *    DateTime cells
+    * plus content-sized column widths (WSWrapper.autofit — SpreadsheetML
+    * has no true autofit, so widths are estimated from the longest
+    * rendered value). Numeric columns are typed Number cells so
+    * spreadsheet aggregation works.
     */
-  def toExcelXml(slice: DataFrame, sheetName: String = "slice"): String = {
+  def toExcelXml(slice: DataFrame, sheetName: String = "slice",
+                 totals: Option[DataFrame] = None): String = {
+    import org.apache.spark.sql.types.{DateType, TimestampType, NumericType}
     def esc(s: String): String = s
       .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
-    val numeric = slice.schema.fields.map(f => f.dataType match {
-      case _: org.apache.spark.sql.types.NumericType => true
-      case _ => false
-    })
+    val fields = slice.schema.fields
+    val numeric = fields.map(_.dataType.isInstanceOf[NumericType])
+    val dateish = fields.map(f =>
+      f.dataType == DateType || f.dataType == TimestampType)
+    def dateIso(v: Any): String = v match {
+      case d: java.sql.Date => s"${d}T00:00:00.000"
+      case t: java.sql.Timestamp =>
+        t.toLocalDateTime.format(
+          java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS"))
+      case other => String.valueOf(other)
+    }
+    val rows = slice.collect()
+    val totalRows = totals.map(_.collect().toSeq).getOrElse(Seq.empty)
+    // WSWrapper.autofit equivalent: SpreadsheetML has no client-side
+    // autofit for text, so estimate width from the longest rendered
+    // value (~6pt/char, clamped) — the same effect the reference gets.
+    val widths = fields.indices.map { i =>
+      val content = rows.iterator.map(r =>
+        if (r.isNullAt(i)) 0 else String.valueOf(r.get(i)).length)
+      val maxLen = (Iterator(fields(i).name.length) ++ content).max
+      math.min(math.max(maxLen, 4), 60) * 6
+    }
+    def cell(v: Any, i: Int, styleId: Option[String]): String = {
+      val style = styleId.fold("")(s => s""" ss:StyleID="$s"""")
+      if (v == null) s"<Cell$style/>"
+      else if (dateish(i))
+        s"""<Cell$style><Data ss:Type="DateTime">${dateIso(v)}</Data></Cell>"""
+      else if (numeric(i))
+        s"""<Cell$style><Data ss:Type="Number">${String.valueOf(v)}</Data></Cell>"""
+      else
+        s"""<Cell$style><Data ss:Type="String">${esc(String.valueOf(v))}</Data></Cell>"""
+    }
+    /** Data-row style: `value` on numeric cells, `ldate` on date
+      * labels, default on text labels.
+      */
+    def rowXml(r: org.apache.spark.sql.Row): String =
+      fields.indices.map { i =>
+        val style =
+          if (numeric(i)) Some("value")
+          else if (dateish(i)) Some("ldate")
+          else None
+        cell(if (r.isNullAt(i)) null else r.get(i), i, style)
+      }.mkString("<Row>", "", "</Row>\n")
+    // Totals rows align to the slice's columns BY NAME (the totals
+    // frame carries only measures — axis cells render empty), and are
+    // `total`-styled throughout: the reference writes even the empty
+    // label cells of the totals row bold.
+    val totalFieldIdx = totals.map(_.schema.fieldNames.zipWithIndex.toMap)
+    def totalRowXml(t: org.apache.spark.sql.Row): String =
+      fields.indices.map { i =>
+        val v = totalFieldIdx.get.get(fields(i).name)
+          .map(j => if (t.isNullAt(j)) null else t.get(j)).orNull
+        cell(v, i, Some("total"))
+      }.mkString("<Row>", "", "</Row>\n")
     val sb = new StringBuilder
     sb ++= """<?xml version="1.0"?>""" + "\n"
     sb ++= """<Workbook xmlns="urn:schemas-microsoft-com:office:spreadsheet"""" +
-      """ xmlns:ss="urn:schemas-microsoft-com:office:spreadsheet">""" + "\n"
+      """ xmlns:ss="urn:schemas-microsoft-com:office:spreadsheet"""" +
+      """ xmlns:x="urn:schemas-microsoft-com:office:excel">""" + "\n"
+    // the excel.py:34-40 style table, rendered as a SpreadsheetML part
+    sb ++= """<Styles>""" + "\n"
+    sb ++= """<Style ss:ID="title"><Font ss:Bold="1"/>""" +
+      """<Alignment ss:Horizontal="Center"/></Style>""" + "\n"
+    sb ++= """<Style ss:ID="value"><NumberFormat ss:Format="#,##0.00"/></Style>""" + "\n"
+    sb ++= """<Style ss:ID="total"><Font ss:Bold="1"/>""" +
+      """<NumberFormat ss:Format="#,##0.00"/></Style>""" + "\n"
+    sb ++= """<Style ss:ID="ldate"><NumberFormat ss:Format="DD/MM/YY"/></Style>""" + "\n"
+    sb ++= """</Styles>""" + "\n"
     sb ++= s"""<Worksheet ss:Name="${esc(sheetName)}"><Table>""" + "\n"
+    sb ++= widths.map(w => s"""<Column ss:Width="$w"/>""").mkString("", "", "\n")
     sb ++= slice.columns.map(c =>
-      s"""<Cell><Data ss:Type="String">${esc(c)}</Data></Cell>""")
+      s"""<Cell ss:StyleID="title"><Data ss:Type="String">${esc(c)}</Data></Cell>""")
       .mkString("<Row>", "", "</Row>\n")
-    slice.collect().foreach { r =>
-      sb ++= "<Row>"
-      r.toSeq.zipWithIndex.foreach { case (v, i) =>
-        if (v == null) sb ++= "<Cell/>"
-        else if (numeric(i))
-          sb ++= s"""<Cell><Data ss:Type="Number">${String.valueOf(v)}</Data></Cell>"""
-        else
-          sb ++= s"""<Cell><Data ss:Type="String">${esc(String.valueOf(v))}</Data></Cell>"""
-      }
-      sb ++= "</Row>\n"
-    }
-    sb ++= "</Table></Worksheet></Workbook>\n"
+    rows.foreach(r => sb ++= rowXml(r))
+    totalRows.foreach(r => sb ++= totalRowXml(r))
+    sb ++= "</Table>\n"
+    // freeze_titles: split below row 1, titles stay pinned on scroll
+    sb ++= """<WorksheetOptions xmlns="urn:schemas-microsoft-com:office:excel">""" +
+      """<FreezePanes/><FrozenNoSplit/><SplitHorizontal>1</SplitHorizontal>""" +
+      """<TopRowBottomPane>1</TopRowBottomPane><ActivePane>2</ActivePane>""" +
+      """</WorksheetOptions>""" + "\n"
+    sb ++= "</Worksheet></Workbook>\n"
     sb.result()
   }
 

@@ -55,6 +55,49 @@ class ObserversSpec extends SparkSpec {
     assert(xml.contains("k&lt;&amp;&gt;"))
   }
 
+  test("excel style layer: parsed style ids on title/value/total/date cells, frozen header, widths") {
+    val slice = Slicer.slice(df, cube,
+      CubeQuery().addAxis("k").addValue("sum_v").orderBy("k"))
+    val totals = Slicer.slice(df, cube, CubeQuery().addValue("sum_v"))
+    val xml = Observers.toExcelXml(slice, totals = Some(totals))
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+    // the excel.py:34-40 style table is declared in the Styles part
+    val styles = doc.getElementsByTagName("Style")
+    val ids = (0 until styles.getLength)
+      .map(i => styles.item(i).getAttributes.getNamedItem("ss:ID").getNodeValue).toSet
+    assert(ids == Set("title", "value", "total", "ldate"), ids.toString)
+    // per-cell style ids: row 0 all title; data rows value-styled
+    // measures; the last row is the bold totals row, label cell included
+    val rows = doc.getElementsByTagName("Row")
+    assert(rows.getLength == 4) // header + 2 data + totals
+    def cellStyles(r: Int): Seq[String] = {
+      val cells = rows.item(r).getChildNodes
+      (0 until cells.getLength).map { i =>
+        val a = cells.item(i).getAttributes.getNamedItem("ss:StyleID")
+        if (a == null) "" else a.getNodeValue
+      }
+    }
+    assert(cellStyles(0) == Seq("title", "title"))
+    assert(cellStyles(1) == Seq("", "value"))
+    assert(cellStyles(3) == Seq("total", "total"))
+    // the totals row carries the grand total as a typed Number
+    assert(xml.contains("""<Cell ss:StyleID="total"><Data ss:Type="Number">6.0"""))
+    // number formats: measures #,##0.00, dates DD/MM/YY
+    assert(xml.contains("""<Style ss:ID="value"><NumberFormat ss:Format="#,##0.00"/>"""))
+    assert(xml.contains("DD/MM/YY"))
+    // frozen title row (WSWrapper.freeze_titles)
+    assert(xml.contains("<FreezePanes/>") && xml.contains("<SplitHorizontal>1</SplitHorizontal>"))
+    // autofit estimate: one Column width per column
+    assert(doc.getElementsByTagName("Column").getLength == 2)
+    // date labels render as DateTime cells with the ldate style
+    val dated = Seq((java.sql.Date.valueOf("2024-01-03"), 1.0)).toDF("d", "v")
+    val dx = Observers.toExcelXml(dated)
+    assert(dx.contains(
+      """<Cell ss:StyleID="ldate"><Data ss:Type="DateTime">2024-01-03T00:00:00.000"""),
+      dx.take(800))
+  }
+
   private def parseXml(s: String): org.w3c.dom.Document =
     javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
       .parse(new java.io.ByteArrayInputStream(s"<root>$s</root>".getBytes("UTF-8")))
