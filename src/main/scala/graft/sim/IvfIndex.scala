@@ -263,45 +263,19 @@ object IvfIndex {
       k, iters, trainCap).write(dstDir, buckets)
   }
 
-  /** Generation pointer for a MANAGED index location: `baseDir/_current`
-    * names the generation subdirectory (`gen-<n>`) that readers and
-    * ingest should use. The flip is write-to-temp + rename-over: the
-    * full content lands in `_current.tmp` first, then a single
-    * FileContext rename (Rename.OVERWRITE) replaces `_current`, so a
-    * concurrent [[currentGeneration]] reader sees either the old
-    * pointer or the complete new one, never a zero-length/partial file
-    * (rename is atomic on local and HDFS; object stores with
-    * non-atomic rename should front this with their own conditional
-    * PUT). The compact/rebuild dir-swap is therefore a single safe
-    * cutover: write the new generation completely, then flip the
-    * pointer; a crash before the flip leaves the old generation live.
+  /** Generation pointer for a MANAGED index location — delegates to the
+    * shared [[graft.sources.GenerationPointer]] (atomic temp+rename
+    * flip; see its scaladoc for the read-race argument). The
+    * compact/rebuild dir-swap is a single safe cutover: write the new
+    * generation completely, then flip the pointer; a crash before the
+    * flip leaves the old generation live.
     */
-  def writeGenerationPointer(spark: SparkSession, baseDir: String, gen: String): Unit = {
-    require(gen.nonEmpty && !gen.contains("/"), s"generation must be a bare dir name: $gen")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(s"$baseDir/_current")
-    val tmp = new org.apache.hadoop.fs.Path(s"$baseDir/_current.tmp")
-    val fs = p.getFileSystem(conf)
-    val out = fs.create(tmp, true)
-    try out.write(gen.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
-    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+  def writeGenerationPointer(spark: SparkSession, baseDir: String, gen: String): Unit =
+    graft.sources.GenerationPointer.write(spark, baseDir, gen)
 
   /** The generation subdir the pointer names, or None when unmanaged. */
-  def currentGeneration(spark: SparkSession, baseDir: String): Option[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$baseDir/_current")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val buf = new Array[Byte](256)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim).filter(_.nonEmpty)
-      } finally in.close()
-    }
-  }
+  def currentGeneration(spark: SparkSession, baseDir: String): Option[String] =
+    graft.sources.GenerationPointer.current(spark, baseDir)
 
   /** Resolved index dir of a managed location: `baseDir/<current gen>`.
     * Throws when no pointer exists — a managed reader must not guess.

@@ -95,6 +95,59 @@ object Sources {
     (files.length, spark.read.parquet(dstDir).inputFiles.length)
   }
 
+  /** [[compact]] with the swap protocol PINNED for concurrent readers —
+    * what a live warehouse (a CuttingBoard slice store, a streaming
+    * corpus sink) needs and bare `compact` leaves to the caller. The
+    * table lives under `baseDir/gen-<n>` behind a [[GenerationPointer]];
+    * each maintenance pass compacts the CURRENT generation into
+    * `gen-<n+1>` and flips the pointer only after the write completes.
+    *
+    * Reader-visible transition (the exactly-once argument):
+    *  1. A reader resolves the pointer ONCE (at `resolve`/load time) and
+    *     from then on scans a generation directory that is NEVER mutated
+    *     — its view is a consistent snapshot for the lifetime of the
+    *     query/Dataset, even while a compaction runs and flips.
+    *  2. The flip is one atomic rename ([[GenerationPointer.write]]), so
+    *     a concurrent resolve sees the old generation or the new one,
+    *     never a torn path — and both contain the same rows.
+    *  3. A crash before the flip leaves a torn `gen-<n+1>` UNREFERENCED
+    *     (readers stay on gen-n); the next pass recomputes gen-<n+1>
+    *     with mode(overwrite) and flips — self-healing, same argument
+    *     as the managed IVF ingest loop.
+    *  4. Old generations are retired only by an explicit
+    *     [[retireOldGenerations]], giving in-flight readers whatever
+    *     drain grace the operator chooses; retiring is the ONLY delete
+    *     in the protocol and never touches the current generation.
+    *
+    * Initialize with a first write to `baseDir/gen-0` +
+    * `GenerationPointer.write(spark, baseDir, "gen-0")`. Returns
+    * (filesBefore, filesAfter, newGen).
+    */
+  def compactManaged(spark: SparkSession, baseDir: String,
+                     targetBytes: Long = 128L << 20): (Int, Int, String) = {
+    val cur = GenerationPointer.currentDir(spark, baseDir)
+    val n = cur.substring(cur.lastIndexOf("gen-") + 4).toInt
+    val gen = s"gen-${n + 1}"
+    val (before, after) = compact(spark, cur, s"$baseDir/$gen", targetBytes)
+    GenerationPointer.write(spark, baseDir, gen)
+    (before, after, gen)
+  }
+
+  /** Delete every `gen-*` directory under `baseDir` EXCEPT the current
+    * one. Call only after in-flight readers of older generations have
+    * drained (protocol point 4 above). Returns the retired dir names.
+    */
+  def retireOldGenerations(spark: SparkSession, baseDir: String): Seq[String] = {
+    val cur = GenerationPointer.current(spark, baseDir).getOrElse(
+      throw new IllegalStateException(s"no generation pointer at $baseDir/_current"))
+    val base = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-")
+        && s.getPath.getName != cur)
+      .map { s => fs.delete(s.getPath, true); s.getPath.getName }
+  }
+
   /** (Re)open a table written by `writeBucketed`. The manifest is the
     * source of truth: an existing catalog entry is reused only when its
     * declared bucket count matches — a fresh session has no entry, and a
@@ -122,4 +175,56 @@ object Sources {
     }
     spark.table(table)
   }
+}
+
+/** Generation pointer for a MANAGED table location: `baseDir/_current`
+  * names the generation subdirectory (`gen-<n>`) readers should use —
+  * the shared write-then-swap cutover primitive behind
+  * [[Sources.compactManaged]] and the managed IVF index
+  * ([[graft.sim.IvfIndex]] delegates here). The flip is write-to-temp +
+  * rename-over: the full content lands in `_current.tmp` first, then a
+  * single FileContext rename (Rename.OVERWRITE) replaces `_current`, so
+  * a concurrent reader sees either the old pointer or the complete new
+  * one, never a zero-length/partial file (rename is atomic on local and
+  * HDFS; object stores with non-atomic rename should front this with
+  * their own conditional PUT).
+  */
+object GenerationPointer {
+  def write(spark: SparkSession, baseDir: String, gen: String): Unit = {
+    require(gen.nonEmpty && !gen.contains("/"), s"generation must be a bare dir name: $gen")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$baseDir/_current")
+    val tmp = new org.apache.hadoop.fs.Path(s"$baseDir/_current.tmp")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(gen.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The generation subdir the pointer names, or None when unmanaged. */
+  def current(spark: SparkSession, baseDir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$baseDir/_current")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](256)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim).filter(_.nonEmpty)
+      } finally in.close()
+    }
+  }
+
+  /** Resolved dir of a managed location: `baseDir/<current gen>`.
+    * Throws when no pointer exists — a managed reader must not guess.
+    */
+  def currentDir(spark: SparkSession, baseDir: String): String =
+    current(spark, baseDir) match {
+      case Some(g) => s"$baseDir/$g"
+      case None => throw new IllegalStateException(
+        s"no generation pointer at $baseDir/_current — initialize with a first " +
+          "write to s\"$baseDir/gen-0\" + GenerationPointer.write(spark, baseDir, \"gen-0\")")
+    }
 }

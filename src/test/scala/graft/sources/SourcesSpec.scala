@@ -126,4 +126,43 @@ class SourcesSpec extends SparkSpec {
     assert(stream.schema.map(f => (f.name, f.dataType)) ==
       df.schema.map(f => (f.name, f.dataType))) // nullability may widen
   }
+
+  test("compactManaged: generation swap is invisible to in-flight readers, crash-safe, retirable") {
+    val base = Files.createTempDirectory("graft-cmpmg").toString
+    val rows = (1L to 200L).map(i => (i, s"v$i"))
+    // seed gen-0 FRAGMENTED (many small files — the micro-batch tax)
+    rows.toDF("id", "s").repartition(20)
+      .write.mode("overwrite").parquet(s"$base/gen-0")
+    GenerationPointer.write(spark, base, "gen-0")
+    // reader A resolves the pointer ONCE — its snapshot for the query
+    val dirA = GenerationPointer.currentDir(spark, base)
+    val readerA = spark.read.parquet(dirA)
+    assert(readerA.inputFiles.length == 20)
+    // maintenance: compact into gen-1, flip
+    val (before, after, gen) = Sources.compactManaged(spark, base, targetBytes = 1L << 30)
+    assert(before == 20 && after == 1 && gen == "gen-1")
+    assert(GenerationPointer.current(spark, base).contains("gen-1"))
+    // 1. reader A's generation was never mutated: same rows, same files
+    assert(readerA.collect().map(r => (r.getLong(0), r.getString(1))).toSet == rows.toSet)
+    assert(spark.read.parquet(dirA).inputFiles.length == 20)
+    // 2. a post-flip resolve sees the SAME rows in compacted layout
+    val readerB = spark.read.parquet(GenerationPointer.currentDir(spark, base))
+    assert(readerB.collect().map(r => (r.getLong(0), r.getString(1))).toSet == rows.toSet)
+    assert(readerB.inputFiles.length == 1)
+    // no torn pointer artifacts survive the atomic flip
+    assert(!new java.io.File(s"$base/_current.tmp").exists())
+    // 3. crash window: a torn gen-2 without a flip leaves readers on
+    // gen-1; the next pass overwrites the torn dir and flips
+    rows.take(3).toDF("id", "s").write.mode("overwrite").parquet(s"$base/gen-2")
+    assert(GenerationPointer.currentDir(spark, base).endsWith("gen-1"))
+    val (_, _, gen2) = Sources.compactManaged(spark, base, targetBytes = 1L << 30)
+    assert(gen2 == "gen-2")
+    assert(spark.read.parquet(GenerationPointer.currentDir(spark, base))
+      .collect().map(_.getLong(0)).toSet == rows.map(_._1).toSet)
+    // 4. retirement deletes everything but the current generation
+    val retired = Sources.retireOldGenerations(spark, base)
+    assert(retired.toSet == Set("gen-0", "gen-1"), retired.toString)
+    assert(new java.io.File(s"$base/gen-2").exists())
+    assert(!new java.io.File(s"$base/gen-0").exists())
+  }
 }
