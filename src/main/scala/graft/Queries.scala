@@ -2643,6 +2643,58 @@ object Queries {
           round(col("cross_entropy"), 6).as("xent"))
     },
 
+    // §2.70d: Stupid Backoff (Brants et al. 2007) — the distributed-LM
+    // scoring ladder (trigram ratio, else 0.4x bigram ratio, else
+    // 0.4^2 smoothed unigram), raw counts with no normalization pass;
+    // the closest closed-form stand-in for CCNet's KenLM filter that
+    // DuckDB can replay exactly.
+    "d43_stupid_backoff" -> oq(
+      """WITH tk AS (
+        |  SELECT doc_id, lang, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents
+        |), tg AS (
+        |  SELECT doc_id, lang, tk[pos] AS a, tk[pos+1] AS b, tk[pos+2] AS c
+        |  FROM (SELECT doc_id, lang, unnest(range(1, len(tk) - 1)) AS pos, tk
+        |        FROM tk WHERE len(tk) >= 3)
+        |), uni AS (
+        |  SELECT c, count(*) AS c1
+        |  FROM (SELECT unnest(tk) AS c FROM tk WHERE lang = 'en') GROUP BY 1
+        |), nv AS (
+        |  SELECT CAST(sum(c1) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM uni
+        |), bi AS (
+        |  SELECT tk[pos] AS b, tk[pos+1] AS c, count(*) AS c2
+        |  FROM (SELECT unnest(range(1, len(tk))) AS pos, tk
+        |        FROM tk WHERE lang = 'en' AND len(tk) >= 2)
+        |  GROUP BY 1, 2
+        |), ctx1 AS (
+        |  SELECT b, CAST(sum(c2) AS DOUBLE) AS cb FROM bi GROUP BY 1
+        |), tri AS (
+        |  SELECT a, b, c, count(*) AS c3 FROM tg WHERE lang = 'en' GROUP BY 1, 2, 3
+        |), ctx2 AS (
+        |  SELECT a, b, CAST(sum(c3) AS DOUBLE) AS cab FROM tri GROUP BY 1, 2
+        |), tf AS (
+        |  SELECT doc_id, a, b, c, count(*) AS tf FROM tg GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_scored,
+        |  round(-sum(tf * ln(
+        |    CASE WHEN coalesce(c3, 0) > 0 THEN c3 / cab
+        |         WHEN coalesce(c2, 0) > 0 THEN 0.4 * c2 / cb
+        |         ELSE 0.16 * (coalesce(c1, 0) + 0.5) / (n + 0.5 * v) END))
+        |        / sum(tf), 6) AS score
+        |FROM tf LEFT JOIN tri USING (a, b, c) LEFT JOIN ctx2 USING (a, b)
+        |        LEFT JOIN bi USING (b, c) LEFT JOIN ctx1 USING (b)
+        |        LEFT JOIN uni USING (c) CROSS JOIN nv
+        |GROUP BY doc_id""") { (s, dir) =>
+      val d = docs(s, dir)
+      val en = d.where(col("lang") === "en")
+      val sb = graft.text.CorpusOps.stupidBackoffScore(d, "doc_id", "text",
+        graft.text.CorpusOps.unigramLm(en, "text"),
+        graft.text.CorpusOps.bigramLm(en, "text"),
+        graft.text.CorpusOps.trigramLm(en, "text"))
+      sb.select(col("doc_id"), col("n_scored"), round(col("score"), 6).as("score"))
+    },
+
     // §2.77: token-distribution drift between two snapshots (even vs
     // odd doc ids) — per-source smoothed KL + Jensen-Shannon over the
     // union vocabulary; closed-form arithmetic both engines replay.

@@ -972,6 +972,78 @@ object CorpusOps {
         exp(col("cross_entropy")).as("ppl"))
   }
 
+  /** Stupid Backoff document scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — THE distributed-scale
+    * n-gram scoring method: no normalization pass, no Kneser-Ney
+    * discount table, just raw count ratios with a fixed backoff
+    * penalty, which is why it was built for MapReduce-sized LMs and why
+    * it is the right KenLM stand-in for an engine whose gate must stay
+    * closed-form). Per scored position i (full trigram context, i ≥ 3):
+    *
+    *   S(w | a b) = c₃(a b w) / ctx₂(a b)                if c₃ > 0
+    *              = 0.4 · c₂(b w) / ctx₁(b)              elif c₂ > 0
+    *              = 0.4² · (c₁(w) + α) / (N + αV)        else
+    *
+    * with ctx₂/ctx₁ the LMs' own context totals (Σ over completions),
+    * and the final tier add-α-smoothed so OOV tokens score finite (the
+    * one graft addition to Brants' raw c₁/N — a pure backoff ladder
+    * would take ln 0 on unseen words). backoff = 0.4 is the paper's
+    * value. Returns (idCol, n_scored, score) with
+    * score = −(1/n_scored) Σ ln S — documents under three tokens are
+    * absent, like [[trigramCrossEntropy]].
+    *
+    * Scale shape: ONE corpus pass to per-doc trigram-grain counts, then
+    * five vocab-sized equi-joins (trigram LM, its context totals,
+    * bigram LM, its context totals, unigram counts — AQE broadcasts
+    * each when it fits) and one per-doc sum; N and V are one driver
+    * scalar aggregate. Scoring 100 TB is one pass plus Zipf-bounded
+    * joins — exactly the property Brants designed for.
+    */
+  def stupidBackoffScore(df: DataFrame, idCol: String, textCol: String,
+                         uniLm: DataFrame, biLm: DataFrame, triLm: DataFrame,
+                         backoff: Double = 0.4, alpha: Double = 0.5): DataFrame = {
+    require(backoff > 0 && backoff <= 1, s"backoff must be in (0,1], got $backoff")
+    require(alpha > 0, s"smoothing alpha must be positive, got $alpha")
+    val nv = uniLm.agg(sum(col("token_count")).cast("double"),
+      count(lit(1)).cast("double")).head()
+    require(!nv.isNullAt(0) && nv.getDouble(1) > 0,
+      "stupidBackoffScore: empty unigram LM — train on non-empty text")
+    val (n, v) = (nv.getDouble(0), nv.getDouble(1))
+    val ctx2 = triLm.groupBy(col("prev2_token"), col("prev_token"))
+      .agg(sum(col("trigram_count")).cast("double").as("__ctx2"))
+    val ctx1 = biLm.groupBy(col("prev_token"))
+      .agg(sum(col("bigram_count")).cast("double").as("__ctx1"))
+    val tk = TextFunctions.wsTokens(lower(trim(col(textCol))))
+    val tf = df.select(col(idCol).as("__id"), tk.as("__tk"))
+      .where(size(col("__tk")) >= 3)
+      .select(col("__id"),
+        slice(col("__tk"), lit(1), size(col("__tk")) - 2).as("__a"),
+        slice(col("__tk"), lit(2), size(col("__tk")) - 2).as("__b"),
+        slice(col("__tk"), lit(3), size(col("__tk")) - 2).as("__c"))
+      .select(col("__id"), explode(arrays_zip(col("__a"), col("__b"), col("__c"))).as("__tg"))
+      .select(col("__id"), col("__tg.__a").as("prev2_token"),
+        col("__tg.__b").as("prev_token"), col("__tg.__c").as("token"))
+      .groupBy(col("__id"), col("prev2_token"), col("prev_token"), col("token"))
+      .agg(count(lit(1)).as("__tf"))
+    val s = when(coalesce(col("trigram_count"), lit(0L)) > 0,
+        col("trigram_count").cast("double") / col("__ctx2"))
+      .when(coalesce(col("bigram_count"), lit(0L)) > 0,
+        lit(backoff) * col("bigram_count").cast("double") / col("__ctx1"))
+      .otherwise(lit(backoff * backoff) *
+        (coalesce(col("token_count"), lit(0L)).cast("double") + alpha) / (n + alpha * v))
+    tf.join(triLm, Seq("prev2_token", "prev_token", "token"), "left")
+      .join(ctx2, Seq("prev2_token", "prev_token"), "left")
+      .join(biLm, Seq("prev_token", "token"), "left")
+      .join(ctx1, Seq("prev_token"), "left")
+      .join(uniLm, Seq("token"), "left")
+      .withColumn("__ls", log(s))
+      .groupBy(col("__id"))
+      .agg(sum(col("__tf")).as("n_scored"),
+        (-sum(col("__tf").cast("double") * col("__ls")) / sum(col("__tf")).cast("double"))
+          .as("score"))
+      .select(col("__id").as(idCol), col("n_scored"), col("score"))
+  }
+
   /** Token-level smoothed log-probability CONTRAST between two unigram
     * LMs over their union vocabulary: (token, w) with
     *   w = ln((c_A + α)/(N_A + αV)) − ln((c_B + α)/(N_B + αV)),

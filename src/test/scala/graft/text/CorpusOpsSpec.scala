@@ -525,6 +525,42 @@ class CorpusOpsSpec extends SparkSpec {
       Seq((1L, "a b")).toDF("id", "text"), "id", "text", lm).count() == 0L)
   }
 
+  test("stupidBackoffScore: each tier of the ladder, closed form") {
+    // train "a b c a b c": tri abc:2 bca:1 cab:1; bi ab:2 bc:2 ca:1;
+    // uni a:2 b:2 c:2 (N=6, V=3)
+    val train = Seq("a b c a b c").toDF("text")
+    val uni = CorpusOps.unigramLm(train, "text")
+    val bi = CorpusOps.bigramLm(train, "text")
+    val tri = CorpusOps.trigramLm(train, "text")
+    def score(docs: Seq[(Long, String)]) =
+      CorpusOps.stupidBackoffScore(docs.toDF("id", "text"), "id", "text", uni, bi, tri)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // trigram tier: (a,b,c) seen -> S = c3/ctx2 = 2/2 = 1 -> ln 1 = 0
+    // unigram tier: (b,c,d): c3=0, bi (c,d)=0 -> 0.4^2*(0+0.5)/(6+1.5)
+    val got = score(Seq((7L, "a b c d")))
+    val sUni = 0.16 * 0.5 / 7.5
+    assert(got(7L)._1 == 2L)
+    assert(math.abs(got(7L)._2 - (-(math.log(1.0) + math.log(sUni)) / 2)) < 1e-12)
+    // bigram tier: (x,b,c): c3=0 but bi (b,c)=2, ctx1(b)=2
+    //   -> S = 0.4 * 2/2 = 0.4
+    val gotB = score(Seq((8L, "x b c")))
+    assert(gotB(8L)._1 == 1L && math.abs(gotB(8L)._2 - (-math.log(0.4))) < 1e-12)
+    // unigram tier with a SEEN token: (x,y,a): c3=0, bi (y,a)=0,
+    //   c1(a)=2 -> S = 0.16*(2+0.5)/7.5
+    val gotU = score(Seq((9L, "x y a")))
+    assert(math.abs(gotU(9L)._2 - (-math.log(0.16 * 2.5 / 7.5))) < 1e-12)
+    // in-domain text outscores (lower score) shuffled/OOV text
+    val cmp = score(Seq((1L, "a b c a b c"), (2L, "q w e r t y")))
+    assert(cmp(1L)._2 < cmp(2L)._2)
+    // documents under three tokens are absent; empty LM refuses
+    assert(score(Seq((3L, "a b"))).isEmpty)
+    val blank = Seq((1L, " ")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      CorpusOps.stupidBackoffScore(blank, "id", "text",
+        CorpusOps.unigramLm(blank, "text"), bi, tri)
+    }
+  }
+
   test("trigram context adds discrimination over bigram on pair-preserving rephrasings") {
     // train "a b a c a b a c": doc2 below uses only PAIRS the corpus
     // contains (ac, ca, ab), but its TRIPLES (aca, cab) are the rare
