@@ -1788,6 +1788,56 @@ object Queries {
         minDocs = 10)
     },
 
+    // §2.72b: CCNet paragraph dedup (Wenzek et al. 2019 §3.2 — the
+    // highest-yield crawl filter): every duplicated normalized line
+    // keeps only its (doc, pos)-first occurrence corpus-wide. Same
+    // synthetic lined corpus as d32 (guaranteed cross-doc duplicate
+    // lines), different semantics: keep-first-drop-rest of EVERY dup,
+    // vs d32's drop-all-of-frequent.
+    "d44_paragraph_dedup" -> oq(
+      """WITH tk AS (
+        |  SELECT doc_id, source, list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents
+        |), built AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    'nav menu home about contact',
+        |    concat('copyright ', source),
+        |    array_to_string(list_transform(range(0, (len(tk) + 7) // 8),
+        |      g -> array_to_string(list_slice(tk, g * 8 + 1, least(g * 8 + 8, len(tk))), ' ')),
+        |      chr(10))) AS text
+        |  FROM tk
+        |), lines AS (
+        |  SELECT doc_id, pos, l,
+        |    CASE WHEN len(trim(l)) >= 5 THEN lower(trim(l)) END AS k
+        |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l,
+        |               generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        |        FROM built)
+        |), ranked AS (
+        |  SELECT doc_id, pos, l, k,
+        |    row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+        |  FROM lines
+        |)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN k IS NULL OR rn = 1 THEN l END,
+        |    chr(10) ORDER BY pos), '') AS clean_text,
+        |  CAST(sum(CASE WHEN k IS NULL OR rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN k IS NULL OR rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+        |FROM ranked GROUP BY doc_id""") { (s, dir) =>
+      import graft.text.TextFunctions
+      val tk = TextFunctions.wsTokens(trim(col("text")))
+      val n = size(tk)
+      val nb = floor((n + lit(7)) / lit(8)).cast("int")
+      val body = transform(sequence(lit(0), nb - 1),
+        g => array_join(slice(tk, g * 8 + 1, lit(8)), " "))
+      val built = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          lit("nav menu home about contact"),
+          concat(lit("copyright "), col("source")),
+          array_join(body, "\n")).as("text"))
+      graft.text.CorpusOps.dedupParagraphs(built, "doc_id", "text", minChars = 5)
+    },
+
     // §2.71: fixed-token chunking with overlap (chunk=32, overlap=8 →
     // stride=24). Chunk boundaries are pure integer arithmetic and the
     // chunk text is an exact token slice, so the oracle hash-compares

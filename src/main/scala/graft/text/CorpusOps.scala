@@ -524,6 +524,52 @@ object CorpusOps {
     * upstream if the input is expensive); nothing corpus-sized reaches
     * the driver.
     */
+  /** CCNet-style corpus-wide PARAGRAPH dedup (Wenzek et al. 2019 §3.2:
+    * sharded paragraph-hash dedup is CCNet's first and highest-yield
+    * filter — ~70% of raw crawl text is duplicated paragraphs): every
+    * line whose normalized form (lower + trim, ≥ `minChars` chars)
+    * appears elsewhere in the corpus keeps ONLY its first occurrence —
+    * the (doc, position)-minimal one, a deterministic stand-in for
+    * CCNet's shard order — and later copies are dropped. Differs from
+    * [[removeBoilerplateLines]] on both axes: that operator drops ALL
+    * occurrences, and only of lines frequent across ≥ minDocs distinct
+    * documents; this one drops every copy but the first, of every
+    * duplicated line. Short/blank lines (< minChars) are structure, not
+    * content, and always survive. Line order is preserved.
+    *
+    * Returns (idCol, clean_text, n_kept, n_removed).
+    *
+    * Scale shape: one exploded pass → map-side-combinable min(struct)
+    * per normalized line → ONE equi-join back on the line key (Zipf-
+    * bounded; the blank-line hot keys are already excluded by minChars,
+    * and AQE splits any residual skew) → per-doc reassembly. No
+    * windows, no self-joins; deduping 100 TB is two shuffles.
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      minChars: Int = 5): DataFrame = {
+    require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    val lines = df.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__key",
+        when(length(trim(col("__line"))) >= minChars, lower(trim(col("__line")))))
+    val first = lines.where(col("__key").isNotNull)
+      .groupBy(col("__key"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+    val marked = lines.join(first, Seq("__key"), "left")
+      .withColumn("__keep", col("__key").isNull ||
+        (col("__first.__id") === col("__id") && col("__first.__pos") === col("__pos")))
+    marked.groupBy(col("__id"))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__pos"), col("__line"))))),
+          s => s.getField("__line"))).as("clean_text"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_removed"))
+      .select(col("__id").as(idCol), col("clean_text"), col("n_kept"),
+        col("n_removed"))
+  }
+
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
                              minDocs: Int, minChars: Int = 1): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")

@@ -525,6 +525,27 @@ class CorpusOpsSpec extends SparkSpec {
       Seq((1L, "a b")).toDF("id", "text"), "id", "text", lm).count() == 0L)
   }
 
+  test("dedupParagraphs: keep-first semantics, case/trim normalization, short lines immune") {
+    val docs = Seq(
+      (1L, "dup line x\nunique a\nab"),
+      (2L, "unique b\n Dup Line X \ndup line x\nab"),
+      (3L, "same line here\nsame line here")).toDF("id", "text")
+    val got = CorpusOps.dedupParagraphs(docs, "id", "text", minChars = 5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1 owns the first occurrence of the dup; everything kept
+    assert(got(1L) == (("dup line x\nunique a\nab", 3L, 0L)), got(1L).toString)
+    // doc 2 loses BOTH later copies (case/whitespace-normalized match);
+    // the short "ab" line is structure and always survives
+    assert(got(2L) == (("unique b\nab", 2L, 2L)), got(2L).toString)
+    // within-doc duplicates: first position wins
+    assert(got(3L) == (("same line here", 1L, 1L)), got(3L).toString)
+    // vs removeBoilerplateLines: that form drops ALL occurrences of
+    // frequent lines — this one always preserves exactly one copy
+    val all = CorpusOps.dedupParagraphs(docs, "id", "text", minChars = 5)
+      .agg(sum(col("n_kept"))).head().getLong(0)
+    assert(all == 6L) // 9 lines - 3 dropped copies
+  }
+
   test("stupidBackoffScore: each tier of the ladder, closed form") {
     // train "a b c a b c": tri abc:2 bca:1 cab:1; bi ab:2 bc:2 ca:1;
     // uni a:2 b:2 c:2 (N=6, V=3)
