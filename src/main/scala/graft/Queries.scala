@@ -1322,6 +1322,23 @@ object Queries {
         k = 5, nProbe = 4, excludeSelf = true)
     },
 
+    // §2.42e: product quantization + ADC (Jégou et al. 2011 — FAISS
+    // IVF-PQ's codebook half): 64 float dims compress to 8 codes, the
+    // query scores every row through a driver-built m×k lookup table
+    // (pure codegen array-aggregate, no join, no vector column in the
+    // scan). Rows-only: per-subspace Lloyd training is iterative;
+    // PqSpec pins codebook shape, cluster purity and the k-dial.
+    "e07_pq_adc" -> nq { (s, dir) =>
+      val e = emb(s, dir)
+      val books = graft.sim.Pq.train(e, "vec_id", "embedding", m = 8, k = 16,
+        iters = 3)
+      val codes = graft.sim.Pq.encode(e, "vec_id", "embedding", books)
+      val q = e.where(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.sim.Pq.adcTopK(codes.where(col("vec_id") =!= 0L), "vec_id",
+        q, books, k = 10)
+    },
+
     // §2.47c: cross-format image dedup — the same scene re-encoded under
     // different formats (byte-wise unrelated PNG/GIF/BMP/JPEG payloads)
     // is found by 64-bit perceptual dHash + the banding hamming join

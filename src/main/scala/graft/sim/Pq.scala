@@ -1,0 +1,151 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search" — the codebook half of FAISS's IVF-PQ, the
+  * canonical 100 TB ANN layout): the vector is split into `m`
+  * subvectors, each quantized by its own `k`-centroid L2 codebook, so a
+  * d-dim float vector compresses to m small codes (m bytes at k ≤ 256 —
+  * 32× smaller than 64 float32 dims) while asymmetric distance
+  * computation (ADC) still approximates exact L2 by summing per-
+  * subspace lookup-table entries.
+  *
+  * Complements the existing ANN tiers: [[Similarity.quantizeInt8]] is
+  * 4× lossless-ish scalar compression, IVF prunes WHICH vectors are
+  * scored; PQ shrinks WHAT is scored per vector. Composing IVF cells
+  * with PQ codes is exactly FAISS IVFADC.
+  *
+  * Scale shape:
+  *  - `train`: ALL m subspace k-means run in the SAME distributed
+  *    Lloyd passes — one exploded (id, sub, subv) frame, assignment =
+  *    one broadcast join against the (m·k)-row codebook table + one
+  *    map-side-combinable argmin, refit = one per-(sub, code)
+  *    mean — per iteration, independent of m. Training data is
+  *    capped by `trainCap` (sampled), like IVF.
+  *  - `encode`: one corpus pass — explode, broadcast-join the m·k
+  *    codebooks, argmin per (id, sub), reassemble ordered by sub.
+  *    Codes-only output: the float vectors never ship again.
+  *  - `adcTopK`: the query's m×k lookup table is built DRIVER-side
+  *    (m·k subvector distances — tiny) and carried as a literal, so
+  *    scoring is a pure codegen'd array-aggregate over each row's
+  *    codes: no join, no vector column, one narrow pass + top-k.
+  */
+object Pq {
+
+  /** Train per-subspace L2 codebooks: returns (sub, code, cv) with
+    * `sub` ∈ [0, m), `code` ∈ [1, k] and `cv` the dsub-dim centroid.
+    * `dim` must divide evenly by `m`. Deterministic: sampled training
+    * set (seed 42, like IVF), lowest-id init per subspace.
+    */
+  def train(df: DataFrame, idCol: String, vecCol: String,
+            m: Int, k: Int, iters: Int = 5,
+            trainCap: Long = 1000000L): DataFrame = {
+    require(m > 0 && k > 0 && iters >= 1)
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim=$dim must divide evenly into m=$m subspaces")
+    val dsub = dim / m
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val trainV = {
+      val stats = v.queryExecution.optimizedPlan.stats
+      val estRows = stats.rowCount.map(_.toLong).getOrElse(v.count())
+      if (estRows <= trainCap) v
+      else v.sample(withReplacement = false,
+          math.min(1.0, trainCap.toDouble / estRows), seed = 42L)
+        .localCheckpoint(true)
+    }
+    val sub = subvectors(trainV, dsub, m).localCheckpoint(true)
+    // init: the k lowest-id training subvectors PER subspace — the same
+    // deterministic init as the IVF quantizer, one frame for all m
+    var books = sub
+      .groupBy(col("sub"))
+      .agg(slice(array_sort(collect_list(struct(col("id"), col("subv")))), 1, k)
+        .as("__cands"))
+      .select(col("sub"), posexplode(col("__cands")).as(Seq("__p", "__c")))
+      .select(col("sub"), (col("__p") + 1).cast("int").as("code"),
+        col("__c.subv").as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = assign(sub, books)
+      books = Similarity.centroids(
+          assigned.join(sub, Seq("id", "sub"))
+            .select(concat_ws(":", col("sub"), col("code")).as("__g"), col("subv")),
+          "__g", "subv")
+        .select(split(col("grp"), ":").getItem(0).cast("int").as("sub"),
+          split(col("grp"), ":").getItem(1).cast("int").as("code"),
+          transform(col("centroid"), x => x.cast("float")).as("cv"))
+        .localCheckpoint(true)
+    }
+    books
+  }
+
+  /** Encode every vector to its m-code array (1-based codes, ordered by
+    * subspace). Returns (idCol, codes: Array[Int]).
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+             codebooks: DataFrame): DataFrame = {
+    val mk = codebooks.agg(max(col("sub")), max(size(col("cv")))).head()
+    val (m, dsub) = (mk.getInt(0) + 1, mk.getInt(1))
+    val sub = subvectors(df.select(col(idCol).as("id"), col(vecCol).as("v")), dsub, m)
+    assign(sub, codebooks)
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+      .select(col("id").as(idCol), col("codes"))
+  }
+
+  /** ADC top-k: approximate L2 distances of `query` to every encoded
+    * row by summing the per-subspace query↔centroid distances its codes
+    * select. `codebooks` is collected driver-side (m·k rows — the
+    * lookup table IS the method; never data-sized). Returns
+    * (idCol, d2) rows, the k smallest.
+    */
+  def adcTopK(codes: DataFrame, idCol: String, query: Array[Float],
+              codebooks: DataFrame, k: Int): DataFrame = {
+    val rows = codebooks.collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val dsub = query.length / m
+    require(query.length == m * dsub, s"query dim ${query.length} != m*dsub")
+    val kCodes = rows.map(_.getInt(1)).max
+    val lut = Array.fill(m, kCodes)(Float.MaxValue)
+    rows.foreach { r =>
+      val (s, c) = (r.getInt(0), r.getInt(1))
+      val cv = r.getSeq[Float](2)
+      var d = 0.0f
+      var i = 0
+      while (i < dsub) {
+        val diff = query(s * dsub + i) - cv(i); d += diff * diff; i += 1
+      }
+      lut(s)(c - 1) = d
+    }
+    val lutCol = typedlit(lut.map(_.toSeq).toSeq)
+    val contrib = transform(col("codes"),
+      (c, i) => element_at(element_at(lutCol, (i + 1).cast("int")), c))
+    codes
+      .withColumn("d2", aggregate(contrib, lit(0.0f), (acc, x) => acc + x))
+      .select(col(idCol), col("d2"))
+      .orderBy(col("d2").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** (id, sub, subv): the m dsub-wide slices of each vector. */
+  private def subvectors(v: DataFrame, dsub: Int, m: Int): DataFrame =
+    v.select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("v"), s * dsub + 1, lit(dsub)))).as(Seq("sub", "subv")))
+
+  /** Argmin L2 code per (id, sub): broadcast the (m·k)-row codebook
+    * table, one distance expression, map-side-combinable min(struct).
+    */
+  private def assign(sub: DataFrame, codebooks: DataFrame): DataFrame = {
+    val d2 = aggregate(
+      zip_with(col("subv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0f), (acc, x) => acc + x)
+    sub.join(broadcast(codebooks), Seq("sub"))
+      .withColumn("__d2", d2)
+      .groupBy(col("id"), col("sub"))
+      .agg(min(struct(col("__d2"), col("code"))).as("__best"))
+      .select(col("id"), col("sub"), col("__best.code").as("code"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // same planted-cluster shape as SimilaritySpec: 16 dims, in-cluster
+  // cosine ≈ 0.96-0.99 over random background
+  private def clusteredCorpus(nClusters: Int, members: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    val dim = 16
+    def unit(v: Array[Double]) = { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    val rows = for {
+      c <- 0 until nClusters
+      center = unit(Array.fill(dim)(rnd.nextGaussian()))
+      m <- 0 until members
+    } yield {
+      val noisy = unit(center.zip(Array.fill(dim)(rnd.nextGaussian() * 0.05))
+        .map { case (a, b) => a + b })
+      ((c * members + m).toLong, noisy.map(_.toFloat).toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+  private lazy val clustered = clusteredCorpus(20, 12, 42)
+  private lazy val local: Map[Long, Array[Float]] = clustered.collect()
+    .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+  test("train/encode: m*k codebooks, m codes per vector, codes in range") {
+    val books = Pq.train(clustered, "vec_id", "embedding", m = 4, k = 16, iters = 3)
+    val rows = books.collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).distinct.length == rows.length)
+    assert(rows.map(_.getInt(0)).toSet == Set(0, 1, 2, 3))
+    assert(rows.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 16))
+    assert(rows.forall(_.getSeq[Float](2).length == 4)) // dsub = 16/4
+    val codes = Pq.encode(clustered, "vec_id", "embedding", books).collect()
+    assert(codes.length == 240)
+    // 4 small codes replace 16 float32 dims — the compression the
+    // method exists for
+    assert(codes.forall(_.getSeq[Int](1).length == 4))
+    assert(codes.forall(_.getSeq[Int](1).forall(c => c >= 1 && c <= 16)))
+  }
+
+  test("ADC candidate quality: retrieved top-5 stay in the query's cluster; quantization error is small") {
+    // PQ is a CANDIDATE-GENERATION compressor: every member of a planted
+    // cluster quantizes to (nearly) the same codes, so ADC cannot — and
+    // need not — resolve the fine ranking WITHIN a cluster (ties broken
+    // by id). The property the method is used for is that the retrieved
+    // set lands in the right cluster, the exact-rerank step's input.
+    val books = Pq.train(clustered, "vec_id", "embedding", m = 4, k = 16, iters = 3)
+    val codes = Pq.encode(clustered, "vec_id", "embedding", books).localCheckpoint(true)
+    val queries = (0 until 10).map(c => (c * 12).toLong) // one per cluster
+    val purities = queries.map { qid =>
+      val got = Pq.adcTopK(codes.where(col("vec_id") =!= qid), "vec_id",
+        local(qid), books, k = 5).collect().map(_.getLong(0))
+      got.count(id => id / 12 == qid / 12).toDouble / got.length
+    }
+    val purity = purities.sum / purities.size
+    // and the fine-ranking recall, recorded for the record (ties make
+    // it ~membership-random; the rerank step restores it)
+    def exactL2Top5(q: Array[Float], self: Long): Seq[Long] =
+      local.toSeq.filter(_._1 != self).map { case (id, v) =>
+        id -> v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sortBy { case (id, d) => (d, id) }.take(5).map(_._1)
+    val recalls = queries.map { qid =>
+      val got = Pq.adcTopK(codes.where(col("vec_id") =!= qid), "vec_id",
+        local(qid), books, k = 5).collect().map(_.getLong(0)).toSet
+      val want = exactL2Top5(local(qid), qid)
+      want.count(got).toDouble / want.size
+    }
+    info(f"PQ ADC cluster purity@5 = $purity%.4f, within-cluster recall@5 = ${recalls.sum / recalls.size}%.4f (10 queries, m=4 k=16)")
+    assert(purity >= 0.9, f"ADC top-5 cluster purity = $purity%.4f")
+    // quantization error: mean ADC self-distance (vector vs its own
+    // codes) is bounded by the in-cluster spread — the codes still
+    // carry the cluster geometry after 32x size reduction
+    def meanSelfErr(bk: org.apache.spark.sql.DataFrame,
+                    cd: org.apache.spark.sql.DataFrame): Float = {
+      val errs = queries.map { qid =>
+        Pq.adcTopK(cd.where(col("vec_id") === qid), "vec_id",
+          local(qid), bk, k = 1).collect().head.getFloat(1)
+      }
+      errs.sum / errs.size
+    }
+    // k=16 codes must merge some of the 20 planted cluster centers per
+    // subspace, so the error sits above the 0.05-noise radius but far
+    // below the ~2.0 cross-cluster distance; doubling the codebook
+    // resolves the merges and the error must drop with it — the
+    // code-budget/accuracy dial PQ exists to turn
+    val err16 = meanSelfErr(books, codes)
+    val books32 = Pq.train(clustered, "vec_id", "embedding", m = 4, k = 32, iters = 3)
+    val codes32 = Pq.encode(clustered, "vec_id", "embedding", books32)
+      .localCheckpoint(true)
+    val err32 = meanSelfErr(books32, codes32)
+    info(f"mean ADC self-quantization d2: k=16 $err16%.5f -> k=32 $err32%.5f")
+    assert(err16 < 0.5f, f"k=16 quantization error $err16%.5f")
+    assert(err32 < err16, f"k=32 ($err32%.5f) must beat k=16 ($err16%.5f)")
+  }
+}
