@@ -1339,6 +1339,20 @@ object Queries {
         q, books, k = 10)
     },
 
+    // §2.42f: the FULL FAISS-IVFADC composition — IVF cells prune which
+    // rows are touched, PQ codes shrink what is scored, exact rerank
+    // restores the fine ranking (PqSpec: == brute force at full probe,
+    // recall@5 1.0 at nProbe 3/8). Rows-only: two iterative Lloyd
+    // trainings inside.
+    "e08_ivfadc" -> nq { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.sim.Pq.ivfAdcTopK(e.where(col("vec_id") =!= 0L), "vec_id",
+        "embedding", q, k = 10, m = 8, codesPerSub = 16,
+        numCentroids = 16, nProbe = 4, candidates = 50, iters = 2)
+    },
+
     // §2.47c: cross-format image dedup — the same scene re-encoded under
     // different formats (byte-wise unrelated PNG/GIF/BMP/JPEG payloads)
     // is found by 64-bit perceptual dHash + the banding hamming join

@@ -129,6 +129,59 @@ object Pq {
       .limit(k)
   }
 
+  /** FAISS IVFADC with exact rerank — the full composition of the three
+    * ANN tiers: the IVF coarse quantizer prunes WHICH rows are touched
+    * (only the query's `nProbe` nearest cells), the PQ codes shrink
+    * WHAT is scored per touched row (ADC over m codes, no vector
+    * bytes), and the exact rerank restores the fine ranking ADC ties
+    * away — the top `candidates` ADC hits re-score against their true
+    * float vectors (one id-equi-join against the corpus, candidate-
+    * sized) and the best `k` by exact L2 win.
+    *
+    * Cell assignment reuses the IVF machinery ([[Similarity]]'s
+    * broadcast-centroid argmax); the query's probe cells are chosen
+    * DRIVER-side against the collected centroid table (numCentroids
+    * rows — never data-sized). One corpus pass to train+encode (cached
+    * by the caller in real use via [[train]]/[[encode]]), one narrow
+    * codes scan per query, one candidate-sized join.
+    */
+  def ivfAdcTopK(df: DataFrame, idCol: String, vecCol: String,
+                 query: Array[Float], k: Int,
+                 m: Int = 8, codesPerSub: Int = 16,
+                 numCentroids: Int = 16, nProbe: Int = 4,
+                 candidates: Int = 100, iters: Int = 3,
+                 trainCap: Long = 1000000L): DataFrame = {
+    require(k <= candidates, s"k=$k > candidates=$candidates")
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val cents = Similarity.trainQuantizer(v, numCentroids, iters, trainCap)
+    val cells = Similarity.rankCentroids(v, cents, 1)
+    val books = train(df, idCol, vecCol, m, codesPerSub, iters, trainCap)
+    val codes = encode(df, idCol, vecCol, books).withColumnRenamed(idCol, "id")
+    // the query's nProbe nearest cells, picked on the driver from the
+    // numCentroids-row centroid table (same cosine ranking the
+    // assignment pass used)
+    val qn = math.sqrt(query.map(x => x.toDouble * x).sum)
+    val probeCids = cents.collect().map { r =>
+      val cv = r.getSeq[Float](1)
+      val cn = r.getAs[Number](2).doubleValue()
+      val d = cv.indices.map(i => cv(i).toDouble * query(i)).sum
+      (d / (qn * cn), r.getInt(0))
+    }.sortBy { case (cos, cid) => (-cos, cid) }.take(nProbe).map(_._2)
+    val pruned = codes.join(
+      cells.where(col("cid").isin(probeCids.toSeq: _*)).select(col("id")), Seq("id"))
+    val cand = adcTopK(pruned, "id", query, books, candidates)
+    // exact rerank: candidate-sized equi-join back to the float vectors
+    val qCol = typedlit(query.toSeq)
+    cand.join(v.select(col("id"), col("v")), Seq("id"))
+      .withColumn("exact_d2", aggregate(
+        zip_with(col("v"), qCol, (a, b) => (a - b) * (a - b)),
+        lit(0.0f), (acc, x) => acc + x))
+      .select(col("id").as(idCol), col("exact_d2"))
+      .orderBy(col("exact_d2").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** (id, sub, subv): the m dsub-wide slices of each vector. */
   private def subvectors(v: DataFrame, dsub: Int, m: Int): DataFrame =
     v.select(col("id"), posexplode(
