@@ -21,7 +21,9 @@ import org.apache.spark.sql.SparkSession
 object PlanAudit {
   private val KnownBenign = Set(
     "d05_embed_dup", "d06_cosine_topk", "e02_ann_ivf", "e03_ann_index",
-    "e08_ivfadc", // same rankCentroids vectors × broadcast(≤16-row centroid table) pass as e02/e03
+    // same rankCentroids vectors × broadcast(≤16-row centroid table)
+    // pass as e02/e03
+    "e08_ivfadc", "e09_ivfadc_residual",
     "q53_mutual_info")
 
   /** Queries whose (only) unpartitioned windows are

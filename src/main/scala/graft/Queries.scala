@@ -693,6 +693,54 @@ object Queries {
         .select(col("doc_id"), col("source"))
     },
 
+    // §2.54d: contamination MATRIX — the audit table behind d17: per
+    // (eval set, training source), how many training docs share ≥4
+    // distinct 3-shingles with THAT set and what fraction of the source
+    // that is. Two stand-in benchmark sets (doc_id % 50 = 0 → benchA,
+    // = 1 → benchB); train = everything else. Hits count per set, the
+    // same per-set decision decontaminate would make against each set
+    // alone. Oracle replays the shingle semi-join + matrix arithmetic.
+    "d45_contamination_matrix" -> oq(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 1)),
+        |      i -> array_to_string(list_slice(tk, i, i+2), ' '))) AS sset
+        |  FROM toks
+        |), ex AS (
+        |  SELECT doc_id, unnest(sset) AS s FROM sh
+        |), ev AS (
+        |  SELECT DISTINCT CASE WHEN doc_id % 50 = 0 THEN 'benchA' ELSE 'benchB' END AS eval_set, s
+        |  FROM ex WHERE doc_id % 50 <= 1
+        |), hits AS (
+        |  SELECT ev.eval_set, e.doc_id
+        |  FROM ex e JOIN ev ON e.s = ev.s
+        |  WHERE e.doc_id % 50 >= 2
+        |  GROUP BY ev.eval_set, e.doc_id
+        |  HAVING count(DISTINCT e.s) >= 4
+        |), tot AS (
+        |  SELECT source, count(*) AS n_docs FROM documents
+        |  WHERE doc_id % 50 >= 2 GROUP BY source
+        |), m AS (
+        |  SELECT h.eval_set, d.source, count(*) AS n_contaminated
+        |  FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+        |  GROUP BY h.eval_set, d.source
+        |)
+        |SELECT m.eval_set, m.source, m.n_contaminated, t.n_docs,
+        |round(CAST(m.n_contaminated AS DOUBLE) / t.n_docs, 6) AS frac
+        |FROM m JOIN tot t ON m.source = t.source""") { (s, dir) =>
+      val d = docs(s, dir)
+      val eval = d.where(col("doc_id") % 50 <= 1)
+        .withColumn("eval_set",
+          when(col("doc_id") % 50 === 0, lit("benchA")).otherwise(lit("benchB")))
+      val train = d.where(col("doc_id") % 50 >= 2)
+      graft.dedup.Dedup.contaminationMatrix(train, eval, "doc_id", "text",
+        "eval_set", "source", k = 3, minShingles = 4)
+    },
+
     // §2.40: embedding cosine near-dup pairs. numTables=0 = exact
     // all-pairs mode so the oracle validates values, and θ=0.45 sits
     // inside the synthetic embeddings' cosine range (max ≈ 0.51 at
@@ -1353,6 +1401,22 @@ object Queries {
         numCentroids = 16, nProbe = 4, candidates = 50, iters = 2)
     },
 
+    // §2.42g: IVFADC with RESIDUAL encoding (faiss.IndexIVFPQ's actual
+    // storage): PQ codebooks quantize v − centroid(cell(v)), ADC scores
+    // through per-probed-cell LUTs (nProbe·m·k floats, driver-built);
+    // pruning is a FILTER on the codes table's own cid — no join.
+    // Rows-only: two iterative Lloyd trainings; PqSpec pins == brute
+    // force at full probe and the ADC-error drop vs the non-residual
+    // form on clustered data.
+    "e09_ivfadc_residual" -> nq { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.sim.Pq.ivfAdcResidualTopK(e.where(col("vec_id") =!= 0L), "vec_id",
+        "embedding", q, k = 10, m = 8, codesPerSub = 16,
+        numCentroids = 16, nProbe = 4, candidates = 50, iters = 2)
+    },
+
     // §2.47c: cross-format image dedup — the same scene re-encoded under
     // different formats (byte-wise unrelated PNG/GIF/BMP/JPEG payloads)
     // is found by 64-bit perceptual dHash + the banding hamming join
@@ -1489,6 +1553,49 @@ object Queries {
         .withColumn("split", graft.text.CorpusOps.splitColumn(col("doc_id"), corpusSplits))
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    },
+
+    // §2.49b: LEAKAGE-SAFE split — near-dup clusters co-travel to one
+    // split (the split key is the doc's connected-component label;
+    // pairs from the MinHash-LSH path, recall 1.0 at these parameters —
+    // the d15 argument), unclustered docs split by their own id, which
+    // IS their singleton component label. The oracle replays CC via the
+    // d15 recursive CTE + the exact splitSql rule over the same key.
+    "t17_leakage_split" -> oq(
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk
+         |  FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 1)),
+         |      i -> array_to_string(list_slice(tk, i, i+2), ' '))) AS sset
+         |  FROM toks
+         |), ex AS (
+         |  SELECT doc_id, len(sset) AS sz, unnest(sset) AS s FROM sh
+         |), pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+         |  HAVING CAST(count(*) AS DOUBLE)/(a.sz + b.sz - count(*)) >= 0.5
+         |), edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairs
+         |  UNION SELECT id2, id1 FROM pairs
+         |), closure AS (
+         |  SELECT src AS id, dst AS r FROM edges
+         |  UNION
+         |  SELECT c.id, e.dst FROM closure c JOIN edges e ON c.r = e.src
+         |), cc AS (
+         |  SELECT id, least(id, min(r)) AS cluster_id FROM closure GROUP BY id
+         |)
+         |SELECT d.doc_id,
+         |${graft.text.CorpusOps.splitSql("coalesce(cc.cluster_id, d.doc_id)", corpusSplits)} AS split
+         |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id""") { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = graft.dedup.Dedup.minhashLshPairs(
+        d, "doc_id", "text", k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      graft.text.CorpusOps.leakageSafeSplit(d, pairs, "doc_id", corpusSplits)
+        .select(col("doc_id"), col("split"))
     },
 
     // §2.50: token-budget shard assignment — per-source deterministic-order
@@ -1950,6 +2057,81 @@ object Queries {
       graft.text.CorpusOps.filterByDomainBlocklist(d, "doc_id", "url", bl)
         .select(col("doc_id"), col("source"),
           graft.text.CorpusOps.urlHost(col("url")).as("domain"))
+    },
+
+    // §2.57b: URL canonicalization + canonical-URL dedup — both sides
+    // synthesize the same deterministic messy URLs (the t06/t03
+    // convention): mixed case, default ports, userinfo, tracker params,
+    // unsorted query params, fragments, duplicate + trailing slashes,
+    // scheme-less forms. Groups 0↔1 and 3↔4 canonicalize identically
+    // (min doc_id survives, n_dups = 2); groups 2 and 5 stay unique.
+    // The oracle replays the EXACT normalization rule in DuckDB, so the
+    // canonical key is proven engine-portable.
+    "t18_url_canonical" -> oq(
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    CASE CAST(doc_id % 6 AS INT)
+         |      WHEN 0 THEN 'HTTPS://WWW.Example.COM:443//docs//' || (doc_id // 6) || '/?utm_source=rss&b=2&a=1#sec2'
+         |      WHEN 1 THEN 'https://www.example.com/docs/' || (doc_id // 6) || '?a=1&b=2'
+         |      WHEN 2 THEN 'http://user:pw@' || source || '.example.com:8080/p/' || doc_id || '?fbclid=abc'
+         |      WHEN 3 THEN 'example.com/p/' || (doc_id // 6)
+         |      WHEN 4 THEN 'http://example.com:80/p/' || (doc_id // 6) || '/'
+         |      ELSE 'https://' || source || '.example.com/q?id=' || doc_id || '&utm_medium=em&igshid=9'
+         |    END AS url
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id,
+         |    CASE WHEN regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = '' THEN 'http'
+         |         ELSE lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) END AS scheme,
+         |    regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$$', '') AS nofrag
+         |  FROM u
+         |), p AS (
+         |  SELECT doc_id, scheme,
+         |    regexp_extract(nofrag, '^(?:[^/@?#]*@)?([^/?#]*)', 1) AS hostport,
+         |    regexp_extract(nofrag, '^(?:[^/@?#]*@)?[^/?#]*([^#]*)', 1) AS pathq
+         |  FROM c
+         |), n AS (
+         |  SELECT doc_id, scheme,
+         |    lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+         |    CASE WHEN regexp_extract(hostport, ':([0-9]+)$$', 1) = ''
+         |           OR (scheme = 'http' AND regexp_extract(hostport, ':([0-9]+)$$', 1) = '80')
+         |           OR (scheme = 'https' AND regexp_extract(hostport, ':([0-9]+)$$', 1) = '443')
+         |         THEN '' ELSE ':' || regexp_extract(hostport, ':([0-9]+)$$', 1) END AS portpart,
+         |    CASE WHEN regexp_replace(regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/{2,}', '/', 'g'), '/+$$', '') = ''
+         |         THEN '/'
+         |         ELSE regexp_replace(regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/{2,}', '/', 'g'), '/+$$', '') END AS path,
+         |    coalesce(array_to_string(list_sort(list_filter(string_split(regexp_extract(pathq, '\\?(.*)$$', 1), '&'),
+         |      x -> x <> ''
+         |        AND NOT list_contains(['fbclid','gclid','msclkid','mc_eid','igshid'], regexp_extract(x, '^([^=]*)', 1))
+         |        AND NOT starts_with(regexp_extract(x, '^([^=]*)', 1), 'utm_'))), '&'), '') AS q
+         |  FROM p
+         |), canon AS (
+         |  SELECT doc_id,
+         |    scheme || '://' || host || portpart || path ||
+         |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+         |  FROM n
+         |)
+         |SELECT min(doc_id) AS doc_id, canonical_url, count(*) AS n_dups
+         |FROM canon GROUP BY canonical_url""") { (s, dir) =>
+      val n6 = floor(col("doc_id") / 6).cast("long").cast("string")
+      val url = when(col("doc_id") % 6 === 0,
+          concat(lit("HTTPS://WWW.Example.COM:443//docs//"), n6,
+            lit("/?utm_source=rss&b=2&a=1#sec2")))
+        .when(col("doc_id") % 6 === 1,
+          concat(lit("https://www.example.com/docs/"), n6, lit("?a=1&b=2")))
+        .when(col("doc_id") % 6 === 2,
+          concat(lit("http://user:pw@"), col("source"), lit(".example.com:8080/p/"),
+            col("doc_id").cast("string"), lit("?fbclid=abc")))
+        .when(col("doc_id") % 6 === 3,
+          concat(lit("example.com/p/"), n6))
+        .when(col("doc_id") % 6 === 4,
+          concat(lit("http://example.com:80/p/"), n6, lit("/")))
+        .otherwise(
+          concat(lit("https://"), col("source"), lit(".example.com/q?id="),
+            col("doc_id").cast("string"), lit("&utm_medium=em&igshid=9")))
+      graft.text.CorpusOps.dedupByCanonicalUrl(
+          docs(s, dir).withColumn("url", url), "doc_id", "url")
+        .select(col("doc_id"), col("canonical_url"), col("n_dups"))
     },
 
     // §2.51: PII redaction — emails/IPv4/long digit runs replaced as a
@@ -2950,6 +3132,83 @@ object Queries {
     // implementation.
     "t13_bpe_vocab" -> nq { (s, dir) =>
       graft.text.Bpe.bpeMerges(s, docs(s, dir), "text", numMerges = 40)
+    },
+
+    // §2.75b: unigram-LM (SentencePiece) vocabulary induction — the
+    // top-down EM+prune counterpart to t13's bottom-up BPE, plus the
+    // Viterbi apply path over a deterministic 1% document sample.
+    // Rows-only: iterative EM has no SQL oracle; UnigramSpec pins
+    // serial↔distributed parity and the lattice arithmetic by hand.
+    "t19_unigram_vocab" -> nq { (s, dir) =>
+      val d = docs(s, dir)
+      val vocab = graft.text.Unigram.train(s, d, "text", vocabSize = 150,
+        maxPieceLen = 6, seedSize = 1200, emIters = 2)
+      val pieces = vocab.collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
+      val enc = graft.text.Unigram.encodeUdf(pieces)
+      d.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id"), size(enc(col("text"))).as("n_pieces"))
+    },
+
+    // §2.72c: HTML main-text extraction — both engines wrap the corpus
+    // in identical deterministic markup (script/style payloads,
+    // comments, entities, nav div — the t03/d40 injection convention)
+    // and must recover the identical extracted text: the md5 proves
+    // the whole rule chain (element removal, block→newline, tag strip,
+    // entity decode order, whitespace normalization) matches char for
+    // char.
+    "t20_html_extract" -> oq(
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc</title><style type="text/css">p { color: red; }</style>'
+        |    || '<script>var x = 1 < 2; // ' || doc_id || '</script></head><body>'
+        |    || '<h1>Doc ' || doc_id || '</h1><p class="main">' || text || '</p>'
+        |    || '<!-- crawl ' || doc_id || ' --><div id="nav">Home &amp; &lt;About&gt;&nbsp;' || source || '</div>'
+        |    || '</body></html>' AS html
+        |  FROM documents
+        |), e AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(
+        |        regexp_replace(regexp_replace(regexp_replace(
+        |        regexp_replace(regexp_replace(regexp_replace(
+        |        regexp_replace(regexp_replace(regexp_replace(
+        |        regexp_replace(regexp_replace(
+        |          html,
+        |          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |          '(?i)<(?:br\s*/?|/p|/div|/h[1-6]|/li|/tr)>', chr(10), 'g'),
+        |          '<[^>]+>', ' ', 'g'),
+        |          '&lt;', '<', 'g'),
+        |          '&gt;', '>', 'g'),
+        |          '&quot;', '"', 'g'),
+        |          '&#39;', CHR(39), 'g'),
+        |          '&nbsp;', ' ', 'g'),
+        |          '&amp;', '&', 'g'),
+        |          '[ \t]+', ' ', 'g'),
+        |          ' ?\n ?', chr(10), 'g'),
+        |          '\n{3,}', chr(10) || chr(10), 'g'),
+        |      '^\s+|\s+$', '', 'g'
+        |    ) AS extracted
+        |  FROM h
+        |)
+        |SELECT doc_id, md5(extracted) AS text_md5,
+        |CAST(length(extracted) AS BIGINT) AS n_chars
+        |FROM e""") { (s, dir) =>
+      val html = concat(
+        lit("<html><head><title>Doc</title><style type=\"text/css\">p { color: red; }</style>"),
+        lit("<script>var x = 1 < 2; // "), col("doc_id").cast("string"),
+        lit("</script></head><body>"),
+        lit("<h1>Doc "), col("doc_id").cast("string"),
+        lit("</h1><p class=\"main\">"), col("text"), lit("</p>"),
+        lit("<!-- crawl "), col("doc_id").cast("string"),
+        lit(" --><div id=\"nav\">Home &amp; &lt;About&gt;&nbsp;"), col("source"),
+        lit("</div></body></html>"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.text.CorpusOps.extractHtmlText(html).as("x"))
+        .select(col("doc_id"), md5(col("x")).as("text_md5"),
+          length(col("x")).cast("long").as("n_chars"))
     },
 
     // §2.83: encoding-corruption signals (ftfy-class diagnostics) —

@@ -481,6 +481,61 @@ object Dedup {
       col(idCol) === col("__contaminated_id"), "left_anti")
   }
 
+  /** Contamination MATRIX — the audit report behind [[decontaminate]]:
+    * for every (eval set, training group) cell, how many training
+    * documents are contaminated (≥ `minShingles` distinct k-shingles
+    * shared with ANY document of THAT eval set) and what fraction of
+    * the group that is. This is the table a release datasheet prints
+    * ("GSM8K overlaps 0.3% of web, 4.1% of forums") and the tool for
+    * deciding WHICH benchmark forces a decontamination pass — dropping
+    * first and asking later wastes data when only one source is dirty.
+    *
+    * Hit counting is per eval set: a training doc sharing 3 shingles
+    * with benchA and 3 different ones with benchB is contaminated by
+    * neither at minShingles=4 — exactly the per-set decision
+    * [[decontaminate]] would make run against each set alone.
+    *
+    * Returns (evalSetCol, groupCol, n_contaminated, n_docs, frac
+    * rounded 6dp); (set, group) cells with zero contamination are
+    * ABSENT (the all-pairs zero matrix of two dimension tables is the
+    * caller's trivial join). Sorted output left to the caller.
+    *
+    * Scale shape: identical to [[decontaminate]] — eval shingles are
+    * benchmark-sized and broadcast (now keyed (set, hash)); the corpus
+    * explodes once and meets them on 8-byte hashes; per-(set, doc)
+    * distinct-hit counts then collapse to the (set, group) grain, which
+    * is tiny. The group totals are one map-side-combined count. For a
+    * non-broadcastable eval side, compose the d21 bloom pre-filter
+    * upstream the same way.
+    */
+  def contaminationMatrix(train: DataFrame, evalSet: DataFrame,
+                          idCol: String, textCol: String,
+                          evalSetCol: String, groupCol: String,
+                          k: Int = 3, minShingles: Int = 4): DataFrame = {
+    require(minShingles >= 1, s"minShingles must be >= 1, got $minShingles")
+    val evalSh = evalSet
+      .select(col(evalSetCol).as("__set"), explode(shingleSet(col(textCol), k)).as("sh0"))
+      .select(col("__set"), xxhash64(col("sh0")).as("ev_sh")).distinct()
+    val trainSh = train
+      .select(col(idCol).as("__id"), col(groupCol).as("__grp"),
+        explode(shingleSet(col(textCol), k)).as("sh0"))
+      .select(col("__id"), col("__grp"), xxhash64(col("sh0")).as("sh"))
+    val contaminated = trainSh
+      .join(broadcast(evalSh), col("sh") === col("ev_sh"))
+      .groupBy(col("__set"), col("__id"), col("__grp"))
+      .agg(countDistinct(col("sh")).as("__hits"))
+      .where(col("__hits") >= minShingles)
+    val totals = train.groupBy(col(groupCol).as("__grp"))
+      .agg(count(lit(1)).as("n_docs"))
+    contaminated
+      .groupBy(col("__set"), col("__grp"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .join(totals, Seq("__grp"))
+      .select(col("__set").as(evalSetCol), col("__grp").as(groupCol),
+        col("n_contaminated"), col("n_docs"),
+        round(col("n_contaminated").cast("double") / col("n_docs"), 6).as("frac"))
+  }
+
   /** GPT-3-style contamination EXCISION (reference has no counterpart;
     * the published span-removal treatment: GPT-3 appendix C removes a
     * window around each eval collision rather than the whole document):

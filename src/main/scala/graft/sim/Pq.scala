@@ -103,23 +103,7 @@ object Pq {
     */
   def adcTopK(codes: DataFrame, idCol: String, query: Array[Float],
               codebooks: DataFrame, k: Int): DataFrame = {
-    val rows = codebooks.collect()
-    val m = rows.map(_.getInt(0)).max + 1
-    val dsub = query.length / m
-    require(query.length == m * dsub, s"query dim ${query.length} != m*dsub")
-    val kCodes = rows.map(_.getInt(1)).max
-    val lut = Array.fill(m, kCodes)(Float.MaxValue)
-    rows.foreach { r =>
-      val (s, c) = (r.getInt(0), r.getInt(1))
-      val cv = r.getSeq[Float](2)
-      var d = 0.0f
-      var i = 0
-      while (i < dsub) {
-        val diff = query(s * dsub + i) - cv(i); d += diff * diff; i += 1
-      }
-      lut(s)(c - 1) = d
-    }
-    val lutCol = typedlit(lut.map(_.toSeq).toSeq)
+    val lutCol = typedlit(lutArray(query, codebooks.collect()).map(_.toSeq).toSeq)
     val contrib = transform(col("codes"),
       (c, i) => element_at(element_at(lutCol, (i + 1).cast("int")), c))
     codes
@@ -161,17 +145,117 @@ object Pq {
     // the query's nProbe nearest cells, picked on the driver from the
     // numCentroids-row centroid table (same cosine ranking the
     // assignment pass used)
+    val probeCids = probeCells(cents.collect(), query, nProbe)
+    val pruned = codes.join(
+      cells.where(col("cid").isin(probeCids.toSeq: _*)).select(col("id")), Seq("id"))
+    val cand = adcTopK(pruned, "id", query, books, candidates)
+    exactRerank(cand, v, idCol, query, k)
+  }
+
+  /** FAISS IVFADC proper — RESIDUAL encoding (Jégou et al. 2011 §IV.B,
+    * what faiss.IndexIVFPQ actually stores): the PQ codebooks quantize
+    * `v − centroid(cell(v))` instead of `v`. Residual energy is a
+    * fraction of vector energy once the coarse quantizer has explained
+    * the cell structure, so the same m×k code budget buys a finer
+    * grid — on clustered data the ADC error drops and recall rises at
+    * identical storage (PqSpec measures both against the non-residual
+    * [[ivfAdcTopK]]).
+    *
+    * The price is query-side only: ADC needs ONE lookup table per
+    * probed cell (the query's residual differs per cell), so the
+    * literal carried into the scan is nProbe·m·k floats instead of
+    * m·k — still driver-built, still tiny, and the scan itself stays
+    * a narrow codes-only pass selected by the row's own cell id (the
+    * codes table carries cid, so pruning is a FILTER, not a join).
+    * Same exact rerank as [[ivfAdcTopK]].
+    */
+  def ivfAdcResidualTopK(df: DataFrame, idCol: String, vecCol: String,
+                         query: Array[Float], k: Int,
+                         m: Int = 8, codesPerSub: Int = 16,
+                         numCentroids: Int = 16, nProbe: Int = 4,
+                         candidates: Int = 100, iters: Int = 3,
+                         trainCap: Long = 1000000L): DataFrame = {
+    require(k <= candidates, s"k=$k > candidates=$candidates")
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val cents = Similarity.trainQuantizer(v, numCentroids, iters, trainCap)
+    val cells = Similarity.rankCentroids(v, cents, 1)
+    // residuals: one corpus pass — cell assignment equi-join + a
+    // broadcast join against the numCentroids-row centroid table
+    val resid = v.join(cells, Seq("id"))
+      .join(broadcast(cents.select(col("cid"), col("cv").as("__ccv"))), Seq("cid"))
+      .select(col("id"), col("cid"),
+        zip_with(col("v"), col("__ccv"), (a, b) => a - b).as("rv"))
+    val books = train(resid, "id", "rv", m, codesPerSub, iters, trainCap)
+    val codes = encode(resid, "id", "rv", books)
+      .join(resid.select(col("id"), col("cid")), Seq("id"))
+    val centRows = cents.collect()
+    val probeCids = probeCells(centRows, query, nProbe)
+    // per-probed-cell LUTs over the query's residual against THAT cell
+    val centVecs = centRows.map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    val bookRows = books.collect()
+    val lutByCid: Map[Int, Seq[Seq[Float]]] = probeCids.map { cid =>
+      val cv = centVecs(cid)
+      val qr = Array.tabulate(query.length)(i => query(i) - cv(i))
+      cid -> lutArray(qr, bookRows).map(_.toSeq).toSeq
+    }.toMap
+    val lutCol = typedlit(lutByCid)
+    val contrib = transform(col("codes"),
+      (c, i) => element_at(element_at(
+        element_at(lutCol, col("cid")), (i + 1).cast("int")), c))
+    val cand = codes.where(col("cid").isin(probeCids.toSeq: _*))
+      .withColumn("d2", aggregate(contrib, lit(0.0f), (acc, x) => acc + x))
+      .select(col("id"), col("d2"))
+      .orderBy(col("d2").asc, col("id").asc)
+      .limit(candidates)
+    exactRerank(cand, v, idCol, query, k)
+  }
+
+  /** The nProbe nearest cells to `query`, ranked driver-side over the
+    * collected numCentroids-row centroid table — the same cosine
+    * ranking the assignment pass uses, never data-sized.
+    */
+  private def probeCells(centRows: Array[org.apache.spark.sql.Row],
+                         query: Array[Float], nProbe: Int): Array[Int] = {
     val qn = math.sqrt(query.map(x => x.toDouble * x).sum)
-    val probeCids = cents.collect().map { r =>
+    centRows.map { r =>
       val cv = r.getSeq[Float](1)
       val cn = r.getAs[Number](2).doubleValue()
       val d = cv.indices.map(i => cv(i).toDouble * query(i)).sum
       (d / (qn * cn), r.getInt(0))
     }.sortBy { case (cos, cid) => (-cos, cid) }.take(nProbe).map(_._2)
-    val pruned = codes.join(
-      cells.where(col("cid").isin(probeCids.toSeq: _*)).select(col("id")), Seq("id"))
-    val cand = adcTopK(pruned, "id", query, books, candidates)
-    // exact rerank: candidate-sized equi-join back to the float vectors
+  }
+
+  /** The m×k ADC lookup table for one query (or query residual):
+    * lut(s)(code−1) = ‖query_sub(s) − codebook(s, code)‖². Driver-side
+    * arithmetic over the collected m·k codebook rows.
+    */
+  private def lutArray(query: Array[Float],
+                       rows: Array[org.apache.spark.sql.Row]): Array[Array[Float]] = {
+    val m = rows.map(_.getInt(0)).max + 1
+    val dsub = query.length / m
+    require(query.length == m * dsub, s"query dim ${query.length} != m*dsub")
+    val kCodes = rows.map(_.getInt(1)).max
+    val lut = Array.fill(m, kCodes)(Float.MaxValue)
+    rows.foreach { r =>
+      val (s, c) = (r.getInt(0), r.getInt(1))
+      val cv = r.getSeq[Float](2)
+      var d = 0.0f
+      var i = 0
+      while (i < dsub) {
+        val diff = query(s * dsub + i) - cv(i); d += diff * diff; i += 1
+      }
+      lut(s)(c - 1) = d
+    }
+    lut
+  }
+
+  /** Exact rerank: the candidate ids equi-join back to their float
+    * vectors (candidate-sized, AQE broadcasts it) and the best k by
+    * true L2 win, ties toward the lower id.
+    */
+  private def exactRerank(cand: DataFrame, v: DataFrame, idCol: String,
+                          query: Array[Float], k: Int): DataFrame = {
     val qCol = typedlit(query.toSeq)
     cand.join(v.select(col("id"), col("v")), Seq("id"))
       .withColumn("exact_d2", aggregate(

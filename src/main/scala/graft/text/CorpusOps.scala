@@ -60,6 +60,41 @@ object CorpusOps {
     s"CASE ${whens.mkString(" ")} ELSE '${named.last._1}' END"
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * land in the SAME split, or the held-out set silently overlaps the
+    * training set and eval scores inflate (the classic web-corpus
+    * mistake — [[splitColumn]] alone splits by document id, so two
+    * near-identical crawls of one page can straddle the train/test
+    * boundary). Here the split is decided by the document's duplicate-
+    * CLUSTER id (connected components over the near-dup pair graph,
+    * [[graft.dedup.Dedup.duplicateClusters]]), so an entire component
+    * co-travels; documents in no cluster split by their own id —
+    * which IS their singleton component's canonical (min) label, so
+    * the rule is uniformly "split by component label".
+    *
+    * Returns df + `split`. Same determinism contract as
+    * [[splitColumn]]: a pure function of (pair graph, id), stable
+    * across re-runs, partitioning and engines.
+    *
+    * Scale shape: the pair graph is dup-graph-sized (the MinHash-LSH
+    * output, never corpus²); CC is the log-diameter label-propagation
+    * loop; the label table joins back to the corpus on the id — ONE
+    * equi-join (AQE broadcasts when the dup graph is small), then the
+    * split is the usual pure column expression. The unclustered
+    * majority takes the NULL side of the left join and never shuffles
+    * into the CC loop.
+    */
+  def leakageSafeSplit(df: DataFrame, pairs: DataFrame, idCol: String,
+                       weights: Seq[(String, Double)],
+                       id1: String = "id1", id2: String = "id2"): DataFrame = {
+    val cc = graft.dedup.Dedup.duplicateClusters(pairs, id1, id2)
+      .select(col("id").as("__cc_id"), col("cluster_id").as("__cc_label"))
+    df.join(cc, df(idCol) === col("__cc_id"), "left")
+      .withColumn("split",
+        splitColumn(coalesce(col("__cc_label"), df(idCol)), weights))
+      .drop("__cc_id", "__cc_label")
+  }
+
   /** Assign documents to fixed-token-budget shards within each group
     * (source, language, …): deterministic id order, exclusive cumulative
     * token count, `shard = floor(cum_before / maxTokens)` — the shard
@@ -477,6 +512,100 @@ object CorpusOps {
       .otherwise(array(host))
   }
 
+  /** Query-parameter names dropped by [[canonicalizeUrl]]: click/session
+    * trackers that vary per-visit without changing the resource. Kept
+    * deliberately short — dropping a REAL parameter merges distinct
+    * pages, the unrecoverable direction.
+    */
+  val DefaultDropParams: Seq[String] =
+    Seq("fbclid", "gclid", "msclkid", "mc_eid", "igshid")
+
+  /** Parameter-name prefixes dropped by [[canonicalizeUrl]] (the utm_*
+    * campaign family).
+    */
+  val DefaultDropPrefixes: Seq[String] = Seq("utm_")
+
+  /** Canonical form of a URL — the normalization every web-crawl
+    * pipeline runs before URL-level dedup, where the same page hides
+    * behind case, default ports, tracker params, param order, fragments
+    * and trailing slashes:
+    *
+    *  - scheme and host lowercased; scheme-less input resolves as http
+    *  - userinfo stripped; default port dropped (http:80, https:443)
+    *  - path: duplicate slashes collapsed, trailing slash stripped,
+    *    empty path → "/" (path CASE is preserved — paths are
+    *    case-sensitive by spec)
+    *  - query: params split on '&', trackers dropped (exact names in
+    *    `dropParams`, name prefixes in `dropPrefixes`), survivors
+    *    sorted bytewise and rejoined; empty query drops the '?'
+    *  - fragment stripped
+    *
+    * Percent-encoding is NOT normalized (%7E vs ~ stay distinct) —
+    * decoding without re-encoding corrupts reserved characters, and
+    * the false-negative cost of skipping it is tiny next to the rule
+    * set above. NULL in → NULL out.
+    *
+    * Pure codegen'd column expression — regexp splits + array HOFs, no
+    * UDF, no shuffle: the cheapest operator class at 100 TB. The exact
+    * rule replays in DuckDB (the t18 oracle), so canonical keys are
+    * engine-portable.
+    */
+  def canonicalizeUrl(url: Column,
+                      dropParams: Seq[String] = DefaultDropParams,
+                      dropPrefixes: Seq[String] = DefaultDropPrefixes): Column = {
+    val scheme0 = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val scheme = when(scheme0 === "", lit("http")).otherwise(scheme0)
+    val rest = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val nofrag = regexp_replace(rest, "#.*$", "")
+    val hostport = regexp_extract(nofrag, "^(?:[^/@?#]*@)?([^/?#]*)", 1)
+    val host = lower(regexp_extract(hostport, "^([^:]*)", 1))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val portPart = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val pathq = regexp_extract(nofrag, "^(?:[^/@?#]*@)?[^/?#]*([^#]*)", 1)
+    val path0 = regexp_replace(
+      regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/{2,}", "/"),
+      "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val rawQ = regexp_extract(pathq, "\\?(.*)$", 1)
+    val kept = filter(split(rawQ, "&"), p => {
+      val name = regexp_extract(p, "^([^=]*)", 1)
+      val exact = dropParams.map(d => name === lit(d))
+        .foldLeft(lit(false): Column)(_ || _)
+      val pref = dropPrefixes.map(x => name.startsWith(x))
+        .foldLeft(lit(false): Column)(_ || _)
+      p =!= "" && !exact && !pref
+    })
+    val q = array_join(array_sort(kept), "&")
+    concat(scheme, lit("://"), host, portPart, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** URL-level exact dedup by canonical form — the step before any
+    * content dedup in a crawl pipeline (it is ~free and removes the
+    * bulk of recrawl duplicates). Keeps the LOWEST id per canonical
+    * URL (deterministic, engine-portable) and annotates survivors with
+    * `canonical_url` and `n_dups` (group size, 1 = unique).
+    *
+    * Scale shape: one canonical-key aggregation carrying only
+    * (canonical, min id, count) + one id equi-join back to the
+    * surviving rows (AQE broadcasts the winner table when it fits).
+    * The losers never ship their payload columns.
+    */
+  def dedupByCanonicalUrl(df: DataFrame, idCol: String, urlCol: String,
+                          dropParams: Seq[String] = DefaultDropParams,
+                          dropPrefixes: Seq[String] = DefaultDropPrefixes): DataFrame = {
+    val withCanon = df.withColumn("canonical_url",
+      canonicalizeUrl(col(urlCol), dropParams, dropPrefixes))
+    val winners = withCanon.groupBy(col("canonical_url").as("__cu"))
+      .agg(min(col(idCol)).as("__keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("__keep_id"), col("n_dups"))
+    withCanon.join(winners, col(idCol) === col("__keep_id"))
+      .drop("__keep_id")
+  }
+
   /** C4-style URL blocklist filter: drop every row whose URL host — or
     * any registrable suffix of it — appears in `blocklist` (a frame with
     * a `domain` column). Rows with un-parseable URLs are KEPT (absence
@@ -545,6 +674,45 @@ object CorpusOps {
     * and AQE splits any residual skew) → per-doc reassembly. No
     * windows, no self-joins; deduping 100 TB is two shuffles.
     */
+  /** HTML main-text extraction — the step BEFORE every other text
+    * filter when the corpus is raw crawl markup (the trafilatura/
+    * jusText role, reduced to a deterministic closed-form rule chain
+    * so the exact behaviour replays in DuckDB):
+    *
+    *  1. `<script>`/`<style>` elements removed WITH their content
+    *     (code is never corpus text), HTML comments removed
+    *  2. block-closing tags (`</p> </div> </h1..6> </li> </tr>`) and
+    *     `<br>` become newlines — paragraph structure survives for the
+    *     downstream line-grain filters (d32/d44/t12)
+    *  3. every remaining tag strips to a space
+    *  4. the five standard entities + `&nbsp;` decode LAST (decoding
+    *     first would let "&lt;script&gt;" re-enter as markup)
+    *  5. whitespace normalizes: runs of spaces/tabs collapse, line
+    *     edges trim, ≥3 newlines collapse to 2, outer edges trim
+    *
+    * One chain of codegen'd regexp_replace — a pure map over the
+    * corpus, the cheapest operator class at 100 TB. Patterns stay in
+    * the RE2∩Java subset ((?is) flags and lazy quantifiers are exact
+    * in both engines; no backrefs).
+    */
+  def extractHtmlText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)<(?:br\\s*/?|/p|/div|/h[1-6]|/li|/tr)>", "\n")
+    val noTags = regexp_replace(blocks, "<[^>]+>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    val spaces = regexp_replace(ent, "[ \\t]+", " ")
+    val edges = regexp_replace(regexp_replace(spaces, " ?\\n ?", "\n"),
+      "\\n{3,}", "\n\n")
+    // trim() strips only spaces in both engines — newline edges need
+    // the regex form
+    regexp_replace(edges, "^\\s+|\\s+$", "")
+  }
+
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
                       minChars: Int = 5): DataFrame = {
     require(minChars >= 1, s"minChars must be >= 1, got $minChars")

@@ -408,4 +408,29 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3))).toSet
     assert(kept == Set((10L, "keep me", "srcA", 0.2), (11L, "dup hi", "srcB", 0.8)))
   }
+
+  test("contaminationMatrix: per-set hit counting, matrix arithmetic, zero cells absent") {
+    // eval set A = 7 tokens -> 5 three-shingles; B = 6 tokens -> 4
+    val eval = Seq(
+      (1L, "A", "w1 w2 w3 w4 w5 w6 w7"),
+      (2L, "B", "x1 x2 x3 x4 x5 x6")
+    ).toDF("id", "eset", "text")
+    val train = Seq(
+      (10L, "s1", "w1 w2 w3 w4 w5 w6"),    // 4 shingles shared with A -> contaminated
+      (11L, "s1", "w1 w2 w3 w4 w5"),       // 3 with A -> clean at minShingles=4
+      // 3 with A AND 3 with B: hits count PER SET, so 6 total shared
+      // shingles still contaminate NEITHER — the per-set decision
+      // decontaminate would make against each set alone
+      (12L, "s1", "w1 w2 w3 w4 w5 junk x1 x2 x3 x4 x5"),
+      (13L, "s2", "x1 x2 x3 x4 x5 x6 extra") // 4 with B -> contaminated
+    ).toDF("id", "source", "text")
+    val m = Dedup.contaminationMatrix(train, eval, "id", "text",
+        "eset", "source", k = 3, minShingles = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(m.keySet == Set(("A", "s1"), ("B", "s2")), m.toString) // zero cells absent
+    assert(m(("A", "s1")) == ((1L, 3L, 0.333333)), m.toString)
+    assert(m(("B", "s2")) == ((1L, 1L, 1.0)), m.toString)
+  }
 }

@@ -125,4 +125,51 @@ class PqSpec extends SparkSpec {
     info(f"IVFADC+rerank recall@5 = $recall%.4f (8 queries, nProbe 3/8, 40 candidates)")
     assert(recall >= 0.9, f"IVFADC recall@5 = $recall%.4f")
   }
+
+  test("residual IVFADC: full-probe equals brute force; residual codes beat plain ADC at the same budget") {
+    def exactTop(q: Array[Float], self: Long, k: Int): Seq[Long] =
+      local.toSeq.filter(_._1 != self).map { case (id, v) =>
+        id -> v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sortBy { case (id, d) => (d, id) }.take(k).map(_._1)
+    val corpus = clustered.where(col("vec_id") =!= 0L)
+    val q = local(0L)
+    // nothing pruned + exact rerank over everything → brute force
+    val full = Pq.ivfAdcResidualTopK(corpus, "vec_id", "embedding", q, k = 5,
+      m = 4, codesPerSub = 16, numCentroids = 8, nProbe = 8,
+      candidates = 239).collect().map(_.getLong(0)).toSeq
+    assert(full == exactTop(q, 0L, 5), s"full-probe residual IVFADC $full != brute")
+    // ADC fidelity at a fixed code budget: full probe + a candidate pool
+    // barely above k means the rerank can only fix what ADC put in the
+    // pool, so recall isolates CODE quality. Residual energy ≪ vector
+    // energy on clustered data, so the same m×k grid quantizes finer
+    // and the residual form must not lose to the plain one.
+    // numCentroids ~ the planted cluster count puts each cell near one
+    // cluster center, so residuals are the 0.05-noise offsets — the
+    // textbook case where the residual grid is much finer than a
+    // whole-sphere grid at the same m×k budget
+    def poolRecall(residual: Boolean): Double = {
+      val rs = (0 until 10).map { c =>
+        val qid = (c * 12).toLong
+        val body = clustered.where(col("vec_id") =!= qid)
+        val got = (if (residual)
+            Pq.ivfAdcResidualTopK(body, "vec_id", "embedding", local(qid),
+              k = 5, m = 4, codesPerSub = 16, numCentroids = 16, nProbe = 16,
+              candidates = 8)
+          else
+            Pq.ivfAdcTopK(body, "vec_id", "embedding", local(qid),
+              k = 5, m = 4, codesPerSub = 16, numCentroids = 16, nProbe = 16,
+              candidates = 8)).collect().map(_.getLong(0)).toSet
+        val want = exactTop(local(qid), qid, 5)
+        want.count(got).toDouble / want.size
+      }
+      rs.sum / rs.size
+    }
+    val plain = poolRecall(residual = false)
+    val resid = poolRecall(residual = true)
+    info(f"tight-pool recall@5: plain ADC $plain%.4f -> residual ADC $resid%.4f (full probe, 8 candidates, 10 queries)")
+    // one retrieved hit = 0.02 recall here; residual must not lose by
+    // more than sampling noise and must clear an absolute bar
+    assert(resid >= plain - 0.021, f"residual ($resid%.4f) lost to plain ($plain%.4f)")
+    assert(resid >= 0.75, f"residual tight-pool recall@5 = $resid%.4f")
+  }
 }

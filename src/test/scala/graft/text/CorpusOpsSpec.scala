@@ -786,4 +786,94 @@ class CorpusOpsSpec extends SparkSpec {
     assert(books.getAs[Double]("exact_dup_ratio") == 0.0)
     assert(books.getAs[Double]("lang_share") == 1.0)
   }
+
+  test("leakageSafeSplit: near-dup components co-travel; singletons match splitColumn") {
+    val docs = (1L to 10L).toDF("id")
+    // components {1,2,3} (a chain — co-travel must hold transitively,
+    // not just per-pair) and {7,8}; 4,5,6,9,10 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id1", "id2")
+    val got = CorpusOps.leakageSafeSplit(docs, pairs, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 10)
+    // whole component shares one split, decided by its min label
+    def ruleOf(key: Long): String =
+      Seq(key).toDF("k").select(CorpusOps.splitColumn(col("k"), splits))
+        .head().getString(0)
+    assert(Set(got(1L), got(2L), got(3L)).size == 1)
+    assert(got(1L) == ruleOf(1L))
+    assert(got(7L) == got(8L) && got(7L) == ruleOf(7L))
+    // a singleton splits exactly as plain splitColumn would — the rule
+    // degrades to the id-hash split when no dup structure exists
+    Seq(4L, 5L, 6L, 9L, 10L).foreach(id => assert(got(id) == ruleOf(id), s"id=$id"))
+  }
+
+  test("canonicalizeUrl: each normalization rule on hand-built URLs") {
+    def canon(u: String): String =
+      Seq(Tuple1(u)).toDF("u").select(CorpusOps.canonicalizeUrl(col("u")))
+        .head().getString(0)
+    // case, default port, duplicate + trailing slashes, tracker drop,
+    // param sort, fragment — the full rule set at once
+    assert(canon("HTTPS://WWW.Example.COM:443//docs//5/?utm_source=x&b=2&a=1#frag")
+      == "https://www.example.com/docs/5?a=1&b=2")
+    // scheme-less resolves as http
+    assert(canon("example.com/p/3") == "http://example.com/p/3")
+    // userinfo stripped, non-default port kept, empty query drops '?'
+    assert(canon("http://user:pw@Host.com:8080/p?fbclid=z") == "http://host.com:8080/p")
+    // root path normalizes to '/'
+    assert(canon("http://example.com:80/") == "http://example.com/")
+    assert(canon("https://example.com") == "https://example.com/")
+    // https non-default port survives; http's default would not
+    assert(canon("https://example.com:8443/x") == "https://example.com:8443/x")
+    assert(canon("https://example.com:80/x") == "https://example.com:80/x")
+    // params sort bytewise; duplicates survive (they can be meaningful)
+    assert(canon("https://example.com/a/?x=1&x=0") == "https://example.com/a?x=0&x=1")
+    // utm_ prefix family drops, real params stay; path case preserved
+    assert(canon("https://example.com/A?utm_campaign=1&keep=2")
+      == "https://example.com/A?keep=2")
+    // NULL in, NULL out
+    val n = Seq(Tuple1(null: String)).toDF("u")
+      .select(CorpusOps.canonicalizeUrl(col("u"))).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("extractHtmlText: element removal, block newlines, entity order, whitespace rules") {
+    def x(h: String): String =
+      Seq(Tuple1(h)).toDF("h").select(CorpusOps.extractHtmlText(col("h")))
+        .head().getString(0)
+    assert(x("<p>hello world</p>") == "hello world")
+    // script/style go WITH their content; markup inside them never leaks
+    assert(x("<script>var a='<p>x</p>';</script>after") == "after")
+    assert(x("<style>p { color: red; }</style>x") == "x")
+    assert(x("a<!-- hidden\ncomment -->b") == "a b")
+    // block-closing tags preserve paragraph structure as newlines
+    assert(x("<p>one</p><p>two</p>") == "one\ntwo")
+    assert(x("l1<br>l2<BR/>l3") == "l1\nl2\nl3")
+    assert(x("<h2>T</h2>body") == "T\nbody")
+    // empty paragraphs collapse to at most one blank line
+    assert(x("<p>a</p><p></p><p></p><p>b</p>") == "a\n\nb")
+    // entities decode AFTER tag stripping ("&lt;i&gt;" stays text) and
+    // &amp; decodes last ("&amp;lt;" -> the literal string "&lt;")
+    assert(x("&amp;lt;b&amp;gt; &lt;i&gt; &quot;q&quot; &#39;a&#39; x&nbsp;y")
+      == "&lt;b&gt; <i> \"q\" 'a' x y")
+    assert(x("a   b\t\tc") == "a b c")
+    assert(x("  <p> padded </p>  ") == "padded")
+  }
+
+  test("dedupByCanonicalUrl: min-id survivor per canonical key, n_dups, payload intact") {
+    val rows = Seq(
+      (1L, "https://example.com/a?utm_source=x", "p1"),
+      (2L, "https://example.com/b", "p2"),
+      (3L, "HTTPS://Example.com:443/a/", "p3"),  // canonical-equal to 1
+      (4L, "example.com/c", "p4"),
+      (5L, "http://example.com:80/c", "p5")       // canonical-equal to 4
+    ).toDF("id", "url", "payload")
+    val got = CorpusOps.dedupByCanonicalUrl(rows, "id", "url")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("canonical_url"), r.getAs[Long]("n_dups"),
+         r.getAs[String]("payload"))).toMap
+    assert(got.keySet == Set(1L, 2L, 4L))
+    assert(got(1L) == (("https://example.com/a", 2L, "p1")))
+    assert(got(2L) == (("https://example.com/b", 1L, "p2")))
+    assert(got(4L) == (("http://example.com/c", 2L, "p4")))
+  }
 }
