@@ -2083,7 +2083,7 @@ object Queries {
          |  SELECT doc_id,
          |    CASE WHEN regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = '' THEN 'http'
          |         ELSE lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) END AS scheme,
-         |    regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$$', '') AS nofrag
+         |    regexp_replace(regexp_replace(url, '^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//', ''), '#.*$$', '') AS nofrag
          |  FROM u
          |), p AS (
          |  SELECT doc_id, scheme,
@@ -2107,8 +2107,9 @@ object Queries {
          |  FROM p
          |), canon AS (
          |  SELECT doc_id,
-         |    scheme || '://' || host || portpart || path ||
-         |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+         |    CASE WHEN host = '' THEN NULL
+         |         ELSE scheme || '://' || host || portpart || path ||
+         |              CASE WHEN q = '' THEN '' ELSE '?' || q END END AS canonical_url
          |  FROM n
          |)
          |SELECT min(doc_id) AS doc_id, canonical_url, count(*) AS n_dups

@@ -186,6 +186,10 @@ object Pq {
       .join(broadcast(cents.select(col("cid"), col("cv").as("__ccv"))), Seq("cid"))
       .select(col("id"), col("cid"),
         zip_with(col("v"), col("__ccv"), (a, b) => a - b).as("rv"))
+      // reused by train's dim probe + sampling, encode's pass and the
+      // codes-cid join — materialize once instead of re-running the
+      // assignment join per consumer
+      .localCheckpoint(true)
     val books = train(resid, "id", "rv", m, codesPerSub, iters, trainCap)
     val codes = encode(resid, "id", "rv", books)
       .join(resid.select(col("id"), col("cid")), Seq("id"))

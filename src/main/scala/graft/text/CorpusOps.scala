@@ -543,7 +543,10 @@ object CorpusOps {
     * Percent-encoding is NOT normalized (%7E vs ~ stay distinct) —
     * decoding without re-encoding corrupts reserved characters, and
     * the false-negative cost of skipping it is tiny next to the rule
-    * set above. NULL in → NULL out.
+    * set above. Protocol-relative input ("//cdn.example.com/x", the
+    * common crawled-href form) resolves as http like other scheme-less
+    * input. NULL in → NULL out; input with NO host (a bare path like
+    * "/about") → NULL — absence of a canonical key, not a key of "".
     *
     * Pure codegen'd column expression — regexp splits + array HOFs, no
     * UDF, no shuffle: the cheapest operator class at 100 TB. The exact
@@ -555,7 +558,8 @@ object CorpusOps {
                       dropPrefixes: Seq[String] = DefaultDropPrefixes): Column = {
     val scheme0 = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val scheme = when(scheme0 === "", lit("http")).otherwise(scheme0)
-    val rest = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    // strips "scheme://" AND the bare "//" of protocol-relative URLs
+    val rest = regexp_replace(url, "^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//", "")
     val nofrag = regexp_replace(rest, "#.*$", "")
     val hostport = regexp_extract(nofrag, "^(?:[^/@?#]*@)?([^/?#]*)", 1)
     val host = lower(regexp_extract(hostport, "^([^:]*)", 1))
@@ -579,31 +583,43 @@ object CorpusOps {
       p =!= "" && !exact && !pref
     })
     val q = array_join(array_sort(kept), "&")
-    concat(scheme, lit("://"), host, portPart, path,
+    val out = concat(scheme, lit("://"), host, portPart, path,
       when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+    when(host === "", lit(null).cast("string")).otherwise(out)
   }
 
   /** URL-level exact dedup by canonical form — the step before any
     * content dedup in a crawl pipeline (it is ~free and removes the
     * bulk of recrawl duplicates). Keeps the LOWEST id per canonical
     * URL (deterministic, engine-portable) and annotates survivors with
-    * `canonical_url` and `n_dups` (group size, 1 = unique).
+    * `canonical_url` and `n_dups` (group size, 1 = unique). Rows whose
+    * URL has no canonical form (NULL / hostless — see
+    * [[canonicalizeUrl]]) pass through untouched with a NULL key and
+    * n_dups = 1: absence of a key is not evidence of duplication (the
+    * [[filterByDomainBlocklist]] convention).
     *
-    * Scale shape: one canonical-key aggregation carrying only
-    * (canonical, min id, count) + one id equi-join back to the
-    * surviving rows (AQE broadcasts the winner table when it fits).
-    * The losers never ship their payload columns.
+    * Scale shape: the ~15-regexp canonicalization runs ONCE per row,
+    * in the slim (id, canonical) projection that feeds the key
+    * aggregation; the winner table carries only (canonical, min id,
+    * count) and equi-joins back on the id (AQE broadcasts it when it
+    * fits). The losers never ship their payload columns.
     */
   def dedupByCanonicalUrl(df: DataFrame, idCol: String, urlCol: String,
                           dropParams: Seq[String] = DefaultDropParams,
                           dropPrefixes: Seq[String] = DefaultDropPrefixes): DataFrame = {
-    val withCanon = df.withColumn("canonical_url",
-      canonicalizeUrl(col(urlCol), dropParams, dropPrefixes))
-    val winners = withCanon.groupBy(col("canonical_url").as("__cu"))
-      .agg(min(col(idCol)).as("__keep_id"), count(lit(1)).as("n_dups"))
-      .select(col("__keep_id"), col("n_dups"))
-    withCanon.join(winners, col(idCol) === col("__keep_id"))
+    val canon = df.select(col(idCol).as("__cid"),
+      canonicalizeUrl(col(urlCol), dropParams, dropPrefixes).as("canonical_url"))
+    val winners = canon.where(col("canonical_url").isNotNull)
+      .groupBy(col("canonical_url"))
+      .agg(min(col("__cid")).as("__keep_id"), count(lit(1)).as("n_dups"))
+    val kept = df.join(winners, df(idCol) === col("__keep_id"))
       .drop("__keep_id")
+    val passed = df
+      .join(canon.where(col("canonical_url").isNull).select(col("__cid")),
+        df(idCol) === col("__cid"), "left_semi")
+      .withColumn("canonical_url", lit(null).cast("string"))
+      .withColumn("n_dups", lit(1L))
+    kept.unionByName(passed)
   }
 
   /** C4-style URL blocklist filter: drop every row whose URL host — or

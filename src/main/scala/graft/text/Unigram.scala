@@ -189,11 +189,14 @@ object Unigram {
       s"need seedSize >= vocabSize >= 1, got seed=$seedSize vocab=$vocabSize")
     require(shrink > 0.0 && shrink < 1.0, s"shrink in (0,1), got $shrink")
     var lp = seedPieces(wc, maxPieceLen, seedSize)
-    var guard = 0
-    while (lp.size > vocabSize && guard < 100) {
+    // prune never drops single chars, so a vocabSize below the distinct
+    // char count can never be reached — the stall check (no shrink in a
+    // full EM+prune round) terminates that case instead of spinning
+    var prev = -1
+    while (lp.size > vocabSize && lp.size != prev) {
+      prev = lp.size
       for (_ <- 1 to emIters) lp = emStep(wc, lp, maxPieceLen)
       lp = prune(lp, math.max(vocabSize, (lp.size * shrink).toInt))
-      guard += 1
     }
     for (_ <- 1 to emIters) lp = emStep(wc, lp, maxPieceLen)
     lp.toSeq.sortBy(_._1)
@@ -211,6 +214,11 @@ object Unigram {
             vocabSize: Int, maxPieceLen: Int = 8, seedSize: Int = 5000,
             shrink: Double = 0.75, emIters: Int = 2,
             localVocabThreshold: Long = 500000L): DataFrame = {
+    // same contract as serialTrain — the distributed regime must reject
+    // the same bad arguments instead of running them at scale
+    require(vocabSize >= 1 && seedSize >= vocabSize,
+      s"need seedSize >= vocabSize >= 1, got seed=$seedSize vocab=$vocabSize")
+    require(shrink > 0.0 && shrink < 1.0, s"shrink in (0,1), got $shrink")
     import spark.implicits._
     val counts = df
       .select(explode(TextFunctions.wsTokens(lower(trim(col(textCol))))).as("word"))
@@ -239,8 +247,13 @@ object Unigram {
       .groupBy(col("piece"))
       .agg(sum(col("word_count").cast("double")).as("w"))
       .localCheckpoint(true)
-    val chars = weights.where(length(col("piece")) === 1).collect()
-    val multi = weights.where(length(col("piece")) > 1)
+    // char-ness is UTF-16 units (String.length), matching seedPieces'
+    // serial partition exactly — Spark's `length` counts CODEPOINTS,
+    // which would protect supplementary-plane pieces the serial regime
+    // treats as prunable multi-char, breaking the pinned parity
+    val isChar = udf { (s: String) => s.length == 1 }
+    val chars = weights.where(isChar(col("piece"))).collect()
+    val multi = weights.where(!isChar(col("piece")))
       .orderBy(col("w").desc, col("piece").asc)
       .limit(math.max(0, seedSize - chars.length)).collect()
     val seedTotal = (chars ++ multi).map(_.getDouble(1)).sum
@@ -257,11 +270,14 @@ object Unigram {
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
       normalize(agg, protectedChars)
     }
-    var guard = 0
-    while (lp.size > vocabSize && guard < 100) {
+    // same stall-terminated loop as serialTrain — an unreachable
+    // vocabSize (below the protected char count) must not burn guard
+    // rounds of distributed EM jobs
+    var prev = -1
+    while (lp.size > vocabSize && lp.size != prev) {
+      prev = lp.size
       for (_ <- 1 to emIters) lp = distEmStep(lp)
       lp = prune(lp, math.max(vocabSize, (lp.size * shrink).toInt))
-      guard += 1
     }
     for (_ <- 1 to emIters) lp = distEmStep(lp)
     lp.toSeq.sortBy(_._1).toDF("piece", "logprob")

@@ -830,6 +830,14 @@ class CorpusOpsSpec extends SparkSpec {
     // utm_ prefix family drops, real params stay; path case preserved
     assert(canon("https://example.com/A?utm_campaign=1&keep=2")
       == "https://example.com/A?keep=2")
+    // protocol-relative (crawled-href form) resolves as http
+    assert(canon("//cdn.example.com/lib.js?a=1") == "http://cdn.example.com/lib.js?a=1")
+    // hostless input has no canonical key — NULL, not a key of ""
+    Seq("/about", "//", "").foreach { u =>
+      val r = Seq(Tuple1(u)).toDF("u")
+        .select(CorpusOps.canonicalizeUrl(col("u"))).head()
+      assert(r.isNullAt(0), s"'$u' should canonicalize to NULL")
+    }
     // NULL in, NULL out
     val n = Seq(Tuple1(null: String)).toDF("u")
       .select(CorpusOps.canonicalizeUrl(col("u"))).head()
@@ -865,15 +873,21 @@ class CorpusOpsSpec extends SparkSpec {
       (2L, "https://example.com/b", "p2"),
       (3L, "HTTPS://Example.com:443/a/", "p3"),  // canonical-equal to 1
       (4L, "example.com/c", "p4"),
-      (5L, "http://example.com:80/c", "p5")       // canonical-equal to 4
+      (5L, "http://example.com:80/c", "p5"),      // canonical-equal to 4
+      (6L, null: String, "p6"),                   // no URL: must survive
+      (7L, "/bare/path", "p7")                    // hostless: must survive
     ).toDF("id", "url", "payload")
     val got = CorpusOps.dedupByCanonicalUrl(rows, "id", "url")
       .collect().map(r => r.getAs[Long]("id") ->
         (r.getAs[String]("canonical_url"), r.getAs[Long]("n_dups"),
          r.getAs[String]("payload"))).toMap
-    assert(got.keySet == Set(1L, 2L, 4L))
+    assert(got.keySet == Set(1L, 2L, 4L, 6L, 7L))
     assert(got(1L) == (("https://example.com/a", 2L, "p1")))
     assert(got(2L) == (("https://example.com/b", 1L, "p2")))
     assert(got(4L) == (("http://example.com/c", 2L, "p4")))
+    // keyless rows pass through individually — NOT collapsed into one
+    // NULL dedup group
+    assert(got(6L) == ((null, 1L, "p6")))
+    assert(got(7L) == ((null, 1L, "p7")))
   }
 }
