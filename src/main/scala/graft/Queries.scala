@@ -1417,6 +1417,27 @@ object Queries {
         numCentroids = 16, nProbe = 4, candidates = 50, iters = 2)
     },
 
+    // §2.42h: PERSISTENT IVFADC index (faiss.IndexIVFPQ on disk) — the
+    // e03 train/add/search split applied to the PQ tier: build + write
+    // once (coarse centroids, residual codebooks, cid-bucketed codes),
+    // load a fresh handle, search from the stored bytes with NO
+    // retraining — ADC over per-probed-cell LUTs, exact rerank against
+    // the caller's vector table. Rows-only: two iterative Lloyd
+    // trainings inside build; PqSpec pins loaded-search == in-memory
+    // search id-for-id through the parquet round-trip.
+    "e10_pq_index" -> nq { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pq").toString
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.sim.PqIndex.build(e.where(col("vec_id") =!= 0L), "vec_id",
+          "embedding", m = 8, codesPerSub = 16, numCentroids = 16, iters = 2)
+        .write(tmp)
+      graft.sim.PqIndex.load(s, tmp)
+        .search(e.where(col("vec_id") =!= 0L), "vec_id", "embedding",
+          q, k = 10, nProbe = 4, candidates = 50)
+    },
+
     // §2.47c: cross-format image dedup — the same scene re-encoded under
     // different formats (byte-wise unrelated PNG/GIF/BMP/JPEG payloads)
     // is found by 64-bit perceptual dHash + the banding hamming join
@@ -2091,7 +2112,7 @@ object Queries {
          |    regexp_extract(nofrag, '^(?:[^/@?#]*@)?[^/?#]*([^#]*)', 1) AS pathq
          |  FROM c
          |), n AS (
-         |  SELECT doc_id, scheme,
+         |  SELECT doc_id, scheme, hostport,
          |    lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
          |    CASE WHEN regexp_extract(hostport, ':([0-9]+)$$', 1) = ''
          |           OR (scheme = 'http' AND regexp_extract(hostport, ':([0-9]+)$$', 1) = '80')
@@ -2107,7 +2128,7 @@ object Queries {
          |  FROM p
          |), canon AS (
          |  SELECT doc_id,
-         |    CASE WHEN host = '' THEN NULL
+         |    CASE WHEN host = '' OR contains(hostport, '[') THEN NULL
          |         ELSE scheme || '://' || host || portpart || path ||
          |              CASE WHEN q = '' THEN '' ELSE '?' || q END END AS canonical_url
          |  FROM n

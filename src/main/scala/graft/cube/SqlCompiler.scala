@@ -237,11 +237,15 @@ object SqlCompiler {
             fail("'(?' group (flags, lookaround and non-capturing groups differ)")
         case '*' | '+' | '?' =>
           if (i + 1 < p.length && p.charAt(i + 1) == '?') fail("lazy quantifier")
+          if (i + 1 < p.length && p.charAt(i + 1) == '+')
+            fail("possessive quantifier (Java-only; ARE rejects quantifier-after-quantifier)")
         case '{' =>
           val j = p.indexOf('}', i)
           if (j < 0 || !p.substring(i + 1, j).matches("\\d+(,\\d*)?"))
             fail("'{' outside a numeric {m[,n]} bound (literal-brace handling differs)")
           if (j + 1 < p.length && p.charAt(j + 1) == '?') fail("lazy quantifier")
+          if (j + 1 < p.length && p.charAt(j + 1) == '+')
+            fail("possessive quantifier (Java-only; ARE rejects quantifier-after-quantifier)")
           i = j
         case _ => ()
       } else c match {

@@ -301,7 +301,7 @@ object IvfIndex {
     * table is absent or unbucketed. Read through DESCRIBE (public SQL)
     * rather than internal catalog classes.
     */
-  private def catalogBuckets(spark: SparkSession, tbl: String): Option[Int] =
+  private[sim] def catalogBuckets(spark: SparkSession, tbl: String): Option[Int] =
     if (!spark.catalog.tableExists(tbl)) None
     else spark.sql(s"DESCRIBE TABLE EXTENDED $tbl").collect()
       .find(_.getString(0) == "Num Buckets")

@@ -57,14 +57,17 @@ object Pq {
     }
     val sub = subvectors(trainV, dsub, m).localCheckpoint(true)
     // init: the k lowest-id training subvectors PER subspace — the same
-    // deterministic init as the IVF quantizer, one frame for all m
-    var books = sub
-      .groupBy(col("sub"))
-      .agg(slice(array_sort(collect_list(struct(col("id"), col("subv")))), 1, k)
-        .as("__cands"))
-      .select(col("sub"), posexplode(col("__cands")).as(Seq("__p", "__c")))
-      .select(col("sub"), (col("__p") + 1).cast("int").as("code"),
-        col("__c.subv").as("cv"))
+    // deterministic init as the IVF quantizer. Each id contributes
+    // exactly one subvector per subspace, so this is just the slices of
+    // the k lowest-id training vectors: a bounded orderBy/limit (never
+    // an unbounded per-group collect).
+    val initIds = trainV.orderBy(col("id")).limit(k)
+    var books = subvectors(initIds, dsub, m)
+      .select(col("sub"), col("id"), col("subv"))
+      .withColumn("code", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("sub")).orderBy(col("id"))))
+      .select(col("sub"), col("code"), col("subv").as("cv"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val assigned = assign(sub, books)
@@ -141,13 +144,17 @@ object Pq {
     val cents = Similarity.trainQuantizer(v, numCentroids, iters, trainCap)
     val cells = Similarity.rankCentroids(v, cents, 1)
     val books = train(df, idCol, vecCol, m, codesPerSub, iters, trainCap)
+    // cid travels WITH the codes (attached once, at build time — the
+    // same one-corpus-pass join the stored index pays when writing),
+    // so query-time pruning is a FILTER on the codes scan, never a
+    // corpus-wide join against a probed-id list.
     val codes = encode(df, idCol, vecCol, books).withColumnRenamed(idCol, "id")
+      .join(cells.select(col("id"), col("cid")), Seq("id"))
     // the query's nProbe nearest cells, picked on the driver from the
     // numCentroids-row centroid table (same cosine ranking the
     // assignment pass used)
     val probeCids = probeCells(cents.collect(), query, nProbe)
-    val pruned = codes.join(
-      cells.where(col("cid").isin(probeCids.toSeq: _*)).select(col("id")), Seq("id"))
+    val pruned = codes.where(col("cid").isin(probeCids.toSeq: _*))
     val cand = adcTopK(pruned, "id", query, books, candidates)
     exactRerank(cand, v, idCol, query, k)
   }
@@ -219,7 +226,7 @@ object Pq {
     * collected numCentroids-row centroid table — the same cosine
     * ranking the assignment pass uses, never data-sized.
     */
-  private def probeCells(centRows: Array[org.apache.spark.sql.Row],
+  private[sim] def probeCells(centRows: Array[org.apache.spark.sql.Row],
                          query: Array[Float], nProbe: Int): Array[Int] = {
     val qn = math.sqrt(query.map(x => x.toDouble * x).sum)
     centRows.map { r =>
@@ -234,7 +241,7 @@ object Pq {
     * lut(s)(code−1) = ‖query_sub(s) − codebook(s, code)‖². Driver-side
     * arithmetic over the collected m·k codebook rows.
     */
-  private def lutArray(query: Array[Float],
+  private[sim] def lutArray(query: Array[Float],
                        rows: Array[org.apache.spark.sql.Row]): Array[Array[Float]] = {
     val m = rows.map(_.getInt(0)).max + 1
     val dsub = query.length / m
@@ -258,7 +265,7 @@ object Pq {
     * vectors (candidate-sized, AQE broadcasts it) and the best k by
     * true L2 win, ties toward the lower id.
     */
-  private def exactRerank(cand: DataFrame, v: DataFrame, idCol: String,
+  private[sim] def exactRerank(cand: DataFrame, v: DataFrame, idCol: String,
                           query: Array[Float], k: Int): DataFrame = {
     val qCol = typedlit(query.toSeq)
     cand.join(v.select(col("id"), col("v")), Seq("id"))
@@ -271,7 +278,7 @@ object Pq {
   }
 
   /** (id, sub, subv): the m dsub-wide slices of each vector. */
-  private def subvectors(v: DataFrame, dsub: Int, m: Int): DataFrame =
+  private[sim] def subvectors(v: DataFrame, dsub: Int, m: Int): DataFrame =
     v.select(col("id"), posexplode(
         transform(sequence(lit(0), lit(m - 1)),
           s => slice(col("v"), s * dsub + 1, lit(dsub)))).as(Seq("sub", "subv")))
@@ -279,7 +286,7 @@ object Pq {
   /** Argmin L2 code per (id, sub): broadcast the (m·k)-row codebook
     * table, one distance expression, map-side-combinable min(struct).
     */
-  private def assign(sub: DataFrame, codebooks: DataFrame): DataFrame = {
+  private[sim] def assign(sub: DataFrame, codebooks: DataFrame): DataFrame = {
     val d2 = aggregate(
       zip_with(col("subv"), col("cv"), (a, b) => (a - b) * (a - b)),
       lit(0.0f), (acc, x) => acc + x)

@@ -1,0 +1,197 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent IVFADC index — faiss.IndexIVFPQ's on-disk role, on the
+  * [[IvfIndex]] train/add/search contract: the expensive parts (two
+  * Lloyd trainings + the corpus encode pass) run ONCE at `build`, the
+  * artifacts round-trip through parquet, and any later session answers
+  * queries from the stored bytes alone — no retraining, no raw-corpus
+  * scan.
+  *
+  * Stored form is the RESIDUAL encoding ([[Pq.ivfAdcResidualTopK]]'s
+  * math, Jégou et al. 2011 §IV.B — what IndexIVFPQ actually stores):
+  * PQ codebooks quantize `v − centroid(cell(v))`, so the same m×k code
+  * budget buys a finer grid once the coarse quantizer has explained the
+  * cell structure. Three tables:
+  *
+  *  - `centroids` (cid, cv, cnrm): the coarse quantizer —
+  *    numCentroids rows, always driver-collectable;
+  *  - `codebooks` (sub, code, cv): the m residual-space PQ codebooks —
+  *    m·k rows, the ADC lookup tables derive from these per query;
+  *  - `codes` (id, codes, cid): the one data-sized artifact — m small
+  *    ints per corpus row plus its cell id, written BUCKETED by `cid`
+  *    so probe-pruned scans skip both the exchange and (with bucket
+  *    pruning) the untouched buckets.
+  *
+  * 100 TB shape: searches never touch float vectors — the query's
+  * per-probed-cell LUTs (nProbe·m·k floats) are driver-built literals,
+  * pruning is a FILTER on the codes scan's own `cid`, and scoring is a
+  * codegen'd array-aggregate over m codes. The optional exact rerank
+  * ([[PqIndex.search]]) joins only the candidate-sized ADC survivors
+  * back to a caller-supplied vector frame — the index itself stays
+  * codes-only, which is the point of PQ (the FAISS refine split).
+  *
+  * Reference analogue: bacon has no ANN; its cutting-board
+  * materializations play the same build-once/serve-many role for
+  * aggregates (bacon/cube/cutting_board.py).
+  */
+final class PqIndex private[sim] (val centroids: DataFrame,
+                                  val codebooks: DataFrame,
+                                  val codes: DataFrame) {
+
+  /** ADC candidates for one query: (id, d2) — the `candidates` rows
+    * with the smallest summed residual-LUT distances among the query's
+    * `nProbe` nearest cells. The scan is codes-only, pruned by its own
+    * `cid` (a filter, never a join); the per-cell LUT map literal is
+    * built driver-side from the two collected small tables.
+    */
+  def searchAdc(query: Array[Float], candidates: Int,
+                nProbe: Int = 4): DataFrame = {
+    require(candidates > 0 && nProbe > 0)
+    val centRows = centroids.collect()
+    val probeCids = Pq.probeCells(centRows, query, nProbe)
+    val centVecs = centRows.map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    val bookRows = codebooks.collect()
+    val lutByCid: Map[Int, Seq[Seq[Float]]] = probeCids.map { cid =>
+      val cv = centVecs(cid)
+      val qr = Array.tabulate(query.length)(i => query(i) - cv(i))
+      cid -> Pq.lutArray(qr, bookRows).map(_.toSeq).toSeq
+    }.toMap
+    val lutCol = typedlit(lutByCid)
+    val contrib = transform(col("codes"),
+      (c, i) => element_at(element_at(
+        element_at(lutCol, col("cid")), (i + 1).cast("int")), c))
+    codes.where(col("cid").isin(probeCids.toSeq: _*))
+      .withColumn("d2", aggregate(contrib, lit(0.0f), (acc, x) => acc + x))
+      .select(col("id"), col("d2"))
+      .orderBy(col("d2").asc, col("id").asc)
+      .limit(candidates)
+  }
+
+  /** ADC search + exact rerank (the FAISS refine split): the top
+    * `candidates` ADC hits re-score against their true vectors from
+    * `vectors` (candidate-sized equi-join — AQE broadcasts it) and the
+    * best `k` by exact L2 win. `vectors` is caller-supplied because
+    * the index deliberately stores no floats; pass the corpus table
+    * (or an id-keyed vector store).
+    */
+  def search(vectors: DataFrame, idCol: String, vecCol: String,
+             query: Array[Float], k: Int, nProbe: Int = 4,
+             candidates: Int = 100): DataFrame = {
+    require(k <= candidates, s"k=$k > candidates=$candidates")
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    Pq.exactRerank(searchAdc(query, candidates, nProbe), v, idCol, query, k)
+  }
+
+  /** Persist all three tables; a later [[PqIndex.load]] serves searches
+    * from these bytes alone. The codes — the one data-sized artifact —
+    * are written BUCKETED by `cid` (Sources.writeBucketed), so loaded
+    * probe-pruned scans are exchange-free; the two quantizer tables are
+    * plain parquet (they are collected driver-side anyway).
+    */
+  def write(dir: String, buckets: Int = IvfIndex.DefaultBuckets): Unit = {
+    val spark = codes.sparkSession
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    graft.sources.Sources.writeBucketed(
+      codes, "cid", buckets, PqIndex.codesTable(dir), s"$dir/codes")
+    import spark.implicits._
+    Seq(buckets).toDF("buckets").coalesce(1)
+      .write.mode("overwrite").json(s"$dir/meta")
+  }
+}
+
+object PqIndex {
+
+  /** Train the coarse quantizer and the residual PQ codebooks, encode
+    * the full corpus — the corpus is scanned once for residuals (one
+    * assignment pass + one broadcast centroid join) and once for the
+    * encode; both trainings run on the bounded `trainCap` sample.
+    */
+  def build(df: DataFrame, idCol: String, vecCol: String,
+            m: Int = 8, codesPerSub: Int = 16,
+            numCentroids: Int = 16, iters: Int = 3,
+            trainCap: Long = 1000000L): PqIndex = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val cents = Similarity.trainQuantizer(v, numCentroids, iters, trainCap)
+    val resid = residuals(v, cents).localCheckpoint(true)
+    val books = Pq.train(resid, "id", "rv", m, codesPerSub, iters, trainCap)
+    val codes = Pq.encode(resid, "id", "rv", books)
+      .join(resid.select(col("id"), col("cid")), Seq("id"))
+    new PqIndex(cents, books, codes)
+  }
+
+  /** Append a batch to a WRITTEN index: vectors assign to the FROZEN
+    * coarse quantizer and encode against the FROZEN codebooks (standard
+    * IVF-PQ practice — retraining would relocate or re-code existing
+    * rows), then insert into the bucketed codes table. The batch
+    * shuffles once on the bucket key; nothing else moves.
+    */
+  def addTo(spark: SparkSession, dir: String, batch: DataFrame,
+            idCol: String, vecCol: String): Unit = {
+    val idx = load(spark, dir)
+    val v = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val r = residuals(v, idx.centroids)
+    val posts = Pq.encode(r, "id", "rv", idx.codebooks)
+      .join(r.select(col("id"), col("cid")), Seq("id"))
+    val tbl = codesTable(dir)
+    if (spark.catalog.tableExists(tbl))
+      posts.write.mode("append").insertInto(tbl)
+    else
+      posts.write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** (id, cid, rv = v − centroid(cell(v))): cell assignment + one
+    * broadcast join against the centroid table — the residual pass both
+    * build and addTo encode from.
+    */
+  private def residuals(v: DataFrame, cents: DataFrame): DataFrame =
+    v.join(Similarity.rankCentroids(v, cents, 1), Seq("id"))
+      .join(broadcast(cents.select(col("cid"), col("cv").as("__ccv"))), Seq("cid"))
+      .select(col("id"), col("cid"),
+        zip_with(col("v"), col("__ccv"), (a, b) => a - b).as("rv"))
+
+  /** Catalog name for the bucketed codes table — deterministic from the
+    * index location (the [[IvfIndex.postingsTable]] convention).
+    */
+  private[sim] def codesTable(dir: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(dir.getBytes("UTF-8"))
+    "graft_pq_codes_" + d.take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Load a written index: the two quantizer tables as plain parquet,
+    * the codes through a re-registered external bucketed table (the
+    * [[IvfIndex.load]] mechanics — meta file is the source of truth for
+    * the bucket count; a stale or mismatched catalog entry is dropped
+    * and recreated, and an unbucketed legacy layout falls back to the
+    * plain scan rather than a mis-declared bucketing).
+    */
+  def load(spark: SparkSession, dir: String): PqIndex = {
+    val tbl = codesTable(dir)
+    val metaBuckets =
+      try Some(spark.read.json(s"$dir/meta").head().getAs[Long]("buckets").toInt)
+      catch { case scala.util.control.NonFatal(_) => None }
+    val codes = metaBuckets match {
+      case Some(b) =>
+        if (IvfIndex.catalogBuckets(spark, tbl) != Some(b)) {
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          val schema = spark.read.parquet(s"$dir/codes").schema.toDDL
+          val loc = s"$dir/codes".replace("'", "''")
+          spark.sql(
+            s"""CREATE TABLE $tbl ($schema) USING parquet
+               |CLUSTERED BY (cid) SORTED BY (cid) INTO $b BUCKETS
+               |LOCATION '$loc'""".stripMargin)
+        }
+        spark.table(tbl)
+      case None =>
+        if (spark.catalog.tableExists(tbl)) spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.read.parquet(s"$dir/codes")
+    }
+    new PqIndex(spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebooks"), codes)
+  }
+}

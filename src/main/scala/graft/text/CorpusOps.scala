@@ -547,6 +547,10 @@ object CorpusOps {
     * common crawled-href form) resolves as http like other scheme-less
     * input. NULL in → NULL out; input with NO host (a bare path like
     * "/about") → NULL — absence of a canonical key, not a key of "".
+    * Bracketed IPv6 hosts ("http://[::1]/x") also → NULL: the
+    * colon-based port split cannot parse them, and a wrong split would
+    * collapse DISTINCT IPv6 hosts onto one key (the unrecoverable
+    * direction) — no key means the row passes through undeduped.
     *
     * Pure codegen'd column expression — regexp splits + array HOFs, no
     * UDF, no shuffle: the cheapest operator class at 100 TB. The exact
@@ -585,7 +589,8 @@ object CorpusOps {
     val q = array_join(array_sort(kept), "&")
     val out = concat(scheme, lit("://"), host, portPart, path,
       when(q === "", lit("")).otherwise(concat(lit("?"), q)))
-    when(host === "", lit(null).cast("string")).otherwise(out)
+    when(host === "" || hostport.contains("["), lit(null).cast("string"))
+      .otherwise(out)
   }
 
   /** URL-level exact dedup by canonical form — the step before any
@@ -645,51 +650,6 @@ object CorpusOps {
     df.join(blocked, df(idCol) === col("__bl_id"), "left_anti")
   }
 
-  /** Corpus-level boilerplate line removal (the RefinedWeb/CCNet line
-    * dedup rule): a line whose trimmed text appears in at least
-    * `minDocs` DISTINCT documents is boilerplate (nav menus, cookie
-    * banners, copyright footers) and is stripped from every document.
-    * Lines shorter than `minChars` after trimming never participate —
-    * they are kept verbatim (an empty spacer line "appears" everywhere
-    * but is formatting, not boilerplate). Line order is preserved;
-    * documents whose every line is boilerplate come back with empty
-    * text, not dropped (dropping is a separate quality rule).
-    *
-    * Returns (idCol, clean_text, n_kept, n_removed).
-    *
-    * Scale shape: posexplode lines → per-line distinct-doc counts (two
-    * map-side-combinable aggregations — (doc, line) dedup then line
-    * count) → the boilerplate table (df ≥ minDocs — tiny by Zipf: the
-    * whole point is that boilerplate repeats) left-joined back as a
-    * drop marker (AQE broadcasts it when it fits; a marker, not an
-    * anti-join, so removals stay countable) → per-doc reassembly, a
-    * collect_list bounded by the document's own line count. The corpus
-    * shuffles on the line key once and on the doc id once (the line
-    * scan computes twice — count branch + mark branch — persist
-    * upstream if the input is expensive); nothing corpus-sized reaches
-    * the driver.
-    */
-  /** CCNet-style corpus-wide PARAGRAPH dedup (Wenzek et al. 2019 §3.2:
-    * sharded paragraph-hash dedup is CCNet's first and highest-yield
-    * filter — ~70% of raw crawl text is duplicated paragraphs): every
-    * line whose normalized form (lower + trim, ≥ `minChars` chars)
-    * appears elsewhere in the corpus keeps ONLY its first occurrence —
-    * the (doc, position)-minimal one, a deterministic stand-in for
-    * CCNet's shard order — and later copies are dropped. Differs from
-    * [[removeBoilerplateLines]] on both axes: that operator drops ALL
-    * occurrences, and only of lines frequent across ≥ minDocs distinct
-    * documents; this one drops every copy but the first, of every
-    * duplicated line. Short/blank lines (< minChars) are structure, not
-    * content, and always survive. Line order is preserved.
-    *
-    * Returns (idCol, clean_text, n_kept, n_removed).
-    *
-    * Scale shape: one exploded pass → map-side-combinable min(struct)
-    * per normalized line → ONE equi-join back on the line key (Zipf-
-    * bounded; the blank-line hot keys are already excluded by minChars,
-    * and AQE splits any residual skew) → per-doc reassembly. No
-    * windows, no self-joins; deduping 100 TB is two shuffles.
-    */
   /** HTML main-text extraction — the step BEFORE every other text
     * filter when the corpus is raw crawl markup (the trafilatura/
     * jusText role, reduced to a deterministic closed-form rule chain
@@ -729,6 +689,27 @@ object CorpusOps {
     regexp_replace(edges, "^\\s+|\\s+$", "")
   }
 
+  /** CCNet-style corpus-wide PARAGRAPH dedup (Wenzek et al. 2019 §3.2:
+    * sharded paragraph-hash dedup is CCNet's first and highest-yield
+    * filter — ~70% of raw crawl text is duplicated paragraphs): every
+    * line whose normalized form (lower + trim, ≥ `minChars` chars)
+    * appears elsewhere in the corpus keeps ONLY its first occurrence —
+    * the (doc, position)-minimal one, a deterministic stand-in for
+    * CCNet's shard order — and later copies are dropped. Differs from
+    * [[removeBoilerplateLines]] on both axes: that operator drops ALL
+    * occurrences, and only of lines frequent across ≥ minDocs distinct
+    * documents; this one drops every copy but the first, of every
+    * duplicated line. Short/blank lines (< minChars) are structure, not
+    * content, and always survive. Line order is preserved.
+    *
+    * Returns (idCol, clean_text, n_kept, n_removed).
+    *
+    * Scale shape: one exploded pass → map-side-combinable min(struct)
+    * per normalized line → ONE equi-join back on the line key (Zipf-
+    * bounded; the blank-line hot keys are already excluded by minChars,
+    * and AQE splits any residual skew) → per-doc reassembly. No
+    * windows, no self-joins; deduping 100 TB is two shuffles.
+    */
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
                       minChars: Int = 5): DataFrame = {
     require(minChars >= 1, s"minChars must be >= 1, got $minChars")
@@ -754,6 +735,30 @@ object CorpusOps {
         col("n_removed"))
   }
 
+  /** Corpus-level boilerplate line removal (the RefinedWeb/CCNet line
+    * dedup rule): a line whose trimmed text appears in at least
+    * `minDocs` DISTINCT documents is boilerplate (nav menus, cookie
+    * banners, copyright footers) and is stripped from every document.
+    * Lines shorter than `minChars` after trimming never participate —
+    * they are kept verbatim (an empty spacer line "appears" everywhere
+    * but is formatting, not boilerplate). Line order is preserved;
+    * documents whose every line is boilerplate come back with empty
+    * text, not dropped (dropping is a separate quality rule).
+    *
+    * Returns (idCol, clean_text, n_kept, n_removed).
+    *
+    * Scale shape: posexplode lines → per-line distinct-doc counts (two
+    * map-side-combinable aggregations — (doc, line) dedup then line
+    * count) → the boilerplate table (df ≥ minDocs — tiny by Zipf: the
+    * whole point is that boilerplate repeats) left-joined back as a
+    * drop marker (AQE broadcasts it when it fits; a marker, not an
+    * anti-join, so removals stay countable) → per-doc reassembly, a
+    * collect_list bounded by the document's own line count. The corpus
+    * shuffles on the line key once and on the doc id once (the line
+    * scan computes twice — count branch + mark branch — persist
+    * upstream if the input is expensive); nothing corpus-sized reaches
+    * the driver.
+    */
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
                              minDocs: Int, minChars: Int = 1): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")

@@ -172,4 +172,61 @@ class PqSpec extends SparkSpec {
     assert(resid >= plain - 0.021, f"residual ($resid%.4f) lost to plain ($plain%.4f)")
     assert(resid >= 0.75, f"residual tight-pool recall@5 = $resid%.4f")
   }
+
+  private def exactTopK(q: Array[Float], self: Long, k: Int): Seq[Long] =
+    local.toSeq.filter(_._1 != self).map { case (id, v) =>
+      id -> v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.sortBy { case (id, d) => (d, id) }.take(k).map(_._1)
+
+  test("PqIndex: loaded search equals in-memory search id-for-id; full probe equals brute force") {
+    val corpus = clustered.where(col("vec_id") =!= 0L)
+    val q = local(0L)
+    val idx = PqIndex.build(corpus, "vec_id", "embedding",
+      m = 4, codesPerSub = 16, numCentroids = 8, iters = 3)
+    def run(i: PqIndex, nProbe: Int, cand: Int) =
+      i.search(corpus, "vec_id", "embedding", q, k = 5,
+          nProbe = nProbe, candidates = cand)
+        .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    val mem = run(idx, 3, 40)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqidx").toString
+    idx.write(dir)
+    val loaded = PqIndex.load(spark, dir)
+    // round-trip parity: same ids AND same exact-rerank distances — the
+    // stored centroids/codebooks/codes reproduce the in-memory search
+    // bit-for-bit (floats survive parquet exactly)
+    assert(run(loaded, 3, 40) == mem, "loaded search != in-memory search")
+    // nothing pruned + rerank over everything → brute force id-for-id
+    val full = run(loaded, 8, 239).map(_._1)
+    assert(full == exactTopK(q, 0L, 5), s"full-probe loaded search $full != brute")
+    // the loaded codes table must be served through the bucketed
+    // catalog entry (exchange-free probe scans), not a plain file scan
+    assert(spark.catalog.tableExists(PqIndex.codesTable(dir)))
+  }
+
+  test("PqIndex.addTo: appended batch encodes against the frozen quantizers and is searchable") {
+    // build WITHOUT cluster 0's members 1-11, then append them
+    val base = clustered.where(col("vec_id") === 0L || col("vec_id") >= 12L)
+    val batch = clustered.where(col("vec_id") >= 1L && col("vec_id") <= 11L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqadd").toString
+    PqIndex.build(base, "vec_id", "embedding",
+      m = 4, codesPerSub = 16, numCentroids = 8, iters = 3).write(dir)
+    val q = local(0L)
+    val before = PqIndex.load(spark, dir)
+      .search(clustered, "vec_id", "embedding", q, k = 5,
+        nProbe = 8, candidates = 228)
+      .collect().map(_.getLong(0)).toSet
+    assert(!before.exists(id => id >= 1L && id <= 11L),
+      "held-out ids visible before addTo")
+    PqIndex.addTo(spark, dir, batch, "vec_id", "embedding")
+    // self-id 0 is indexed here, so query its own vector against all
+    // 240: brute top-5 including the appended near-duplicates
+    val after = PqIndex.load(spark, dir)
+      .search(clustered, "vec_id", "embedding", q, k = 5,
+        nProbe = 8, candidates = 240)
+      .collect().map(_.getLong(0)).toSeq
+    val want = (local.toSeq.map { case (id, v) =>
+      id -> v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+    }).sortBy { case (id, d) => (d, id) }.take(5).map(_._1)
+    assert(after == want, s"post-addTo full-probe search $after != brute $want")
+  }
 }
