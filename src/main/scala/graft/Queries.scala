@@ -2980,6 +2980,83 @@ object Queries {
       sb.select(col("doc_id"), col("n_scored"), round(col("score"), 6).as("score"))
     },
 
+    // §2.70e: 5-GRAM Stupid Backoff — the full CCNet/KenLM context
+    // order (d43 stops at trigrams), ladder c5→c4→c3→c2→smoothed
+    // unigram with the paper's 0.4 rung per backoff. The oracle replays
+    // the entire five-tier ladder in DuckDB on token-tuple keys (equal
+    // iff graft's space-joined ctx strings are equal — whitespace
+    // tokenization makes the join bijective), so the closed form is
+    // proven engine-portable at every tier.
+    "d46_stupid_backoff_5gram" -> oq(
+      """WITH tk AS (
+        |  SELECT doc_id, lang, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents
+        |), g5 AS (
+        |  SELECT doc_id, lang, tk[pos] AS a, tk[pos+1] AS b, tk[pos+2] AS c,
+        |         tk[pos+3] AS d, tk[pos+4] AS e
+        |  FROM (SELECT doc_id, lang, unnest(range(1, len(tk) - 3)) AS pos, tk
+        |        FROM tk WHERE len(tk) >= 5)
+        |), uni AS (
+        |  SELECT e, count(*) AS c1
+        |  FROM (SELECT unnest(tk) AS e FROM tk WHERE lang = 'en') GROUP BY 1
+        |), nv AS (
+        |  SELECT CAST(sum(c1) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM uni
+        |), bi AS (
+        |  SELECT tk[pos] AS d, tk[pos+1] AS e, count(*) AS c2
+        |  FROM (SELECT unnest(range(1, len(tk))) AS pos, tk
+        |        FROM tk WHERE lang = 'en' AND len(tk) >= 2)
+        |  GROUP BY 1, 2
+        |), ctx1 AS (
+        |  SELECT d, CAST(sum(c2) AS DOUBLE) AS t1 FROM bi GROUP BY 1
+        |), tri AS (
+        |  SELECT tk[pos] AS c, tk[pos+1] AS d, tk[pos+2] AS e, count(*) AS c3
+        |  FROM (SELECT unnest(range(1, len(tk) - 1)) AS pos, tk
+        |        FROM tk WHERE lang = 'en' AND len(tk) >= 3)
+        |  GROUP BY 1, 2, 3
+        |), ctx2 AS (
+        |  SELECT c, d, CAST(sum(c3) AS DOUBLE) AS t2 FROM tri GROUP BY 1, 2
+        |), quad AS (
+        |  SELECT tk[pos] AS b, tk[pos+1] AS c, tk[pos+2] AS d, tk[pos+3] AS e,
+        |         count(*) AS c4
+        |  FROM (SELECT unnest(range(1, len(tk) - 2)) AS pos, tk
+        |        FROM tk WHERE lang = 'en' AND len(tk) >= 4)
+        |  GROUP BY 1, 2, 3, 4
+        |), ctx3 AS (
+        |  SELECT b, c, d, CAST(sum(c4) AS DOUBLE) AS t3 FROM quad GROUP BY 1, 2, 3
+        |), penta AS (
+        |  SELECT a, b, c, d, e, count(*) AS c5 FROM g5 WHERE lang = 'en'
+        |  GROUP BY 1, 2, 3, 4, 5
+        |), ctx4 AS (
+        |  SELECT a, b, c, d, CAST(sum(c5) AS DOUBLE) AS t4 FROM penta GROUP BY 1, 2, 3, 4
+        |), tf AS (
+        |  SELECT doc_id, a, b, c, d, e, count(*) AS tf FROM g5 GROUP BY 1, 2, 3, 4, 5, 6
+        |)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_scored,
+        |  round(-sum(tf * ln(
+        |    CASE WHEN coalesce(c5, 0) > 0 THEN c5 / t4
+        |         WHEN coalesce(c4, 0) > 0 THEN 0.4 * c4 / t3
+        |         WHEN coalesce(c3, 0) > 0 THEN 0.16 * c3 / t2
+        |         WHEN coalesce(c2, 0) > 0 THEN 0.064 * c2 / t1
+        |         ELSE 0.0256 * (coalesce(c1, 0) + 0.5) / (n + 0.5 * v) END))
+        |        / sum(tf), 6) + 0.0 AS score
+        |FROM tf LEFT JOIN penta USING (a, b, c, d, e) LEFT JOIN ctx4 USING (a, b, c, d)
+        |        LEFT JOIN quad USING (b, c, d, e) LEFT JOIN ctx3 USING (b, c, d)
+        |        LEFT JOIN tri USING (c, d, e) LEFT JOIN ctx2 USING (c, d)
+        |        LEFT JOIN bi USING (d, e) LEFT JOIN ctx1 USING (d)
+        |        LEFT JOIN uni USING (e) CROSS JOIN nv
+        |GROUP BY doc_id""") { (s, dir) =>
+      val d = docs(s, dir)
+      val en = d.where(col("lang") === "en")
+      val sb = graft.text.CorpusOps.stupidBackoffScoreN(d, "doc_id", "text",
+        graft.text.CorpusOps.unigramLm(en, "text"),
+        (2 to 5).map(n => graft.text.CorpusOps.ngramLm(en, "text", n)))
+      // + 0.0: a perfectly-predicted doc scores −0.0/n — normalize the
+      // IEEE sign on both sides (the e01 convention)
+      sb.select(col("doc_id"), col("n_scored"),
+        (round(col("score"), 6) + lit(0.0)).as("score"))
+    },
+
     // §2.77: token-distribution drift between two snapshots (even vs
     // odd doc ids) — per-source smoothed KL + Jensen-Shannon over the
     // union vocabulary; closed-form arithmetic both engines replay.

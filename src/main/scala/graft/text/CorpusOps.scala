@@ -1279,6 +1279,137 @@ object CorpusOps {
       .select(col("__id").as(idCol), col("n_scored"), col("score"))
   }
 
+  /** Order-n n-gram language model (n ≥ 2) in CONTEXT-KEYED form: one
+    * row per observed n-gram as (ctx, token, ngram_count), where `ctx`
+    * is the space-joined n−1 preceding tokens — unambiguous because the
+    * tokenizer splits on whitespace, so the joined string biject-maps
+    * to the token tuple. One keyed column instead of n−1 makes the
+    * model order-generic: [[stupidBackoffScoreN]] consumes a LADDER of
+    * these without per-order column names, and the 100 TB form hashes
+    * the single ctx string to an 8-byte join key.
+    *
+    * Scale shape: the [[trigramLm]] pattern at any order — n shifted
+    * slices zipped (no positional self-join), one map-side-combinable
+    * count; result bounded by observed n-gram vocabulary (Zipf), never
+    * corpus size. [[bigramLm]]/[[trigramLm]] remain the named-column
+    * forms the d36/d41 gates replay.
+    */
+  def ngramLm(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"ngramLm order must be >= 2, got $n (unigramLm covers n=1)")
+    val tk = TextFunctions.wsTokens(lower(trim(col(textCol))))
+    val width = size(col("__tk")) - (n - 1)
+    val slices = (0 until n).map(j =>
+      slice(col("__tk"), lit(j + 1), width).as(s"__s$j"))
+    df.select(tk.as("__tk")).where(size(col("__tk")) >= n)
+      .select(slices: _*)
+      .select(explode(arrays_zip((0 until n).map(j => col(s"__s$j")): _*)).as("__g"))
+      .select(
+        concat_ws(" ", (0 until n - 1).map(j => col(s"__g.__s$j")): _*).as("ctx"),
+        col(s"__g.__s${n - 1}").as("token"))
+      .groupBy(col("ctx"), col("token"))
+      .agg(count(lit(1)).as("ngram_count"))
+  }
+
+  /** Stupid Backoff at arbitrary order — the 5-gram CCNet/KenLM context
+    * [[stupidBackoffScore]]'s fixed trigram ladder approximates, still
+    * in Brants et al. 2007's distributed closed form. `ctxLms` is the
+    * ladder of [[ngramLm]] tables in ASCENDING order (bigram first), so
+    * `ctxLms = Seq(ngramLm(ref, t, 2), ..., ngramLm(ref, t, 5))` scores
+    * with full 4-token context. Per scored position (full top-order
+    * context, so docs under `order` tokens are absent):
+    *
+    *   S(w | ctx) = c_o(ctx_{o−1} w) / Σ_w' c_o(ctx_{o−1} w')   if seen
+    *              = 0.4^(o−j) · c_j(ctx_{j−1} w) / Σ ...        first
+    *                seen tier j walking down
+    *              = 0.4^(o−1) · (c₁(w) + α) / (N + αV)          floor
+    *
+    * — identical to the trigram form at `ctxLms.size == 2` (pinned in
+    * CorpusOpsSpec), one more 0.4 rung per extra order.
+    *
+    * `hashContext = true` is the 100 TB form (the d41 machinery
+    * generalized): every tier's ctx string — corpus side and LM side —
+    * packs to ONE 64-bit xxhash key before its joins, so shuffled rows
+    * carry 8 bytes per tier instead of up-to-(o−1) repeated token
+    * strings. Scores identical absent a 64-bit collision; the oracle
+    * replays the string-keyed form.
+    *
+    * Scale shape: ONE corpus pass to per-doc top-order-grain counts
+    * (each row carrying its lower-order ctx keys as derived columns —
+    * no extra passes per tier), then 2·(o−1)+1 vocab-sized equi-joins
+    * (each LM + its context totals + unigrams; AQE broadcasts each when
+    * it fits) and one per-doc sum. N and V are one driver scalar
+    * aggregate. Scoring 100 TB stays one pass plus Zipf-bounded joins —
+    * the property Brants designed for.
+    */
+  def stupidBackoffScoreN(df: DataFrame, idCol: String, textCol: String,
+                          uniLm: DataFrame, ctxLms: Seq[DataFrame],
+                          backoff: Double = 0.4, alpha: Double = 0.5,
+                          hashContext: Boolean = false): DataFrame = {
+    require(backoff > 0 && backoff <= 1, s"backoff must be in (0,1], got $backoff")
+    require(alpha > 0, s"smoothing alpha must be positive, got $alpha")
+    require(ctxLms.nonEmpty, "ctxLms must contain at least the bigram LM")
+    val order = ctxLms.size + 1
+    val nv = uniLm.agg(sum(col("token_count")).cast("double"),
+      count(lit(1)).cast("double")).head()
+    require(!nv.isNullAt(0) && nv.getDouble(1) > 0,
+      "stupidBackoffScoreN: empty unigram LM — train on non-empty text")
+    val (n, v) = (nv.getDouble(0), nv.getDouble(1))
+    // tier L (context length L, 1 ≤ L < order): join key = the last L
+    // context tokens, space-joined (optionally hashed)
+    def ctxKey(c: Column): Column = if (hashContext) xxhash64(c) else c
+    val tk = TextFunctions.wsTokens(lower(trim(col(textCol))))
+    val width = size(col("__tk")) - (order - 1)
+    val slices = (0 until order).map(j =>
+      slice(col("__tk"), lit(j + 1), width).as(s"__s$j"))
+    // one corpus pass: top-order grain with every tier's ctx key as a
+    // derived column of the same row
+    val grain = df.select(col(idCol).as("__id"), tk.as("__tk"))
+      .where(size(col("__tk")) >= order)
+      .select(col("__id") +: slices: _*)
+      .select(col("__id"),
+        explode(arrays_zip((0 until order).map(j => col(s"__s$j")): _*)).as("__g"))
+      .select(Seq(col("__id"), col(s"__g.__s${order - 1}").as("token")) ++
+        (1 until order).map { l =>
+          ctxKey(concat_ws(" ",
+            (order - 1 - l until order - 1).map(j => col(s"__g.__s$j")): _*))
+            .as(s"__ctx$l")
+        }: _*)
+    val tfKeys = Seq("token") ++ (1 until order).map(l => s"__ctx$l")
+    val tf = grain.groupBy((Seq("__id") ++ tfKeys).map(col): _*)
+      .agg(count(lit(1)).as("__tf"))
+    // per-tier LM + context-total frames, keyed to this tier's ctx name
+    val keyedLms = (1 until order).map { l =>
+      val lm = ctxLms(l - 1)
+        .select(ctxKey(col("ctx")).as(s"__ctx$l"), col("token"),
+          col("ngram_count").as(s"__c${l + 1}"))
+      val tot = lm.groupBy(col(s"__ctx$l"))
+        .agg(sum(col(s"__c${l + 1}")).cast("double").as(s"__tot$l"))
+      (lm, tot)
+    }
+    val joined = keyedLms.zipWithIndex.foldLeft(tf) {
+      case (acc, ((lm, tot), i)) =>
+        val l = i + 1
+        acc.join(lm, Seq(s"__ctx$l", "token"), "left")
+          .join(tot, Seq(s"__ctx$l"), "left")
+    }.join(uniLm, Seq("token"), "left")
+    // the backoff ladder, floor first so the highest seen tier wins
+    val floor = lit(math.pow(backoff, order - 1)) *
+      (coalesce(col("token_count"), lit(0L)).cast("double") + alpha) / (n + alpha * v)
+    val s = (1 until order).foldLeft(floor: Column) { (lower, l) =>
+      when(coalesce(col(s"__c${l + 1}"), lit(0L)) > 0,
+        lit(math.pow(backoff, order - 1 - l)) *
+          col(s"__c${l + 1}").cast("double") / col(s"__tot$l"))
+        .otherwise(lower)
+    }
+    joined
+      .withColumn("__ls", log(s))
+      .groupBy(col("__id"))
+      .agg(sum(col("__tf")).as("n_scored"),
+        (-sum(col("__tf").cast("double") * col("__ls")) / sum(col("__tf")).cast("double"))
+          .as("score"))
+      .select(col("__id").as(idCol), col("n_scored"), col("score"))
+  }
+
   /** Token-level smoothed log-probability CONTRAST between two unigram
     * LMs over their union vocabulary: (token, w) with
     *   w = ln((c_A + α)/(N_A + αV)) − ln((c_B + α)/(N_B + αV)),

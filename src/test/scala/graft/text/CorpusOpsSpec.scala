@@ -582,6 +582,62 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("stupidBackoffScoreN: every tier of the 5-gram ladder closed-form; hashed == unhashed; order-3 == fixed trigram form") {
+    // train "the cat sat on the mat": uni the:2 cat sat on mat (N=6,
+    // V=5); the only 5-grams are (the cat sat on the) and
+    // (cat sat on the mat)
+    val train = Seq("the cat sat on the mat").toDF("text")
+    val uni = CorpusOps.unigramLm(train, "text")
+    val lms = (2 to 5).map(n => CorpusOps.ngramLm(train, "text", n))
+    def score(docs: Seq[(Long, String)], hash: Boolean = false) =
+      CorpusOps.stupidBackoffScoreN(docs.toDF("id", "text"), "id", "text",
+          uni, lms, hashContext = hash)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val tiers = Seq(
+      // tier 5: full 5-gram seen → S = c5/t4 = 1/1, score −ln 1 = 0
+      (1L, "the cat sat on the", 1.0),
+      // tier 4: c5=0; 4-gram (sat on the)←(cat sat on) ctx seen → 0.4·1/1
+      (2L, "x cat sat on the", 0.4),
+      // tier 3: c5=c4=0; trigram (sat on)→the → 0.4²·1/1
+      (3L, "x y sat on the", 0.16),
+      // tier 2: down to bigram (on)→the → 0.4³·1/1
+      (4L, "x y z on the", 0.064),
+      // tier 1, unseen token: 0.4⁴·(0+0.5)/(6+0.5·5)
+      (5L, "x y z w q", 0.0256 * 0.5 / 8.5),
+      // tier 1, seen token (the, c1=2): 0.4⁴·(2+0.5)/8.5
+      (6L, "x y z w the", 0.0256 * 2.5 / 8.5))
+    val got = score(tiers.map(t => (t._1, t._2)))
+    tiers.foreach { case (id, txt, sExp) =>
+      assert(got(id)._1 == 1L, s"doc $id '$txt': n_scored ${got(id)._1}")
+      assert(math.abs(got(id)._2 - (-math.log(sExp))) < 1e-12,
+        s"doc $id '$txt': score ${got(id)._2} != ${-math.log(sExp)}")
+    }
+    // hashed contexts reproduce the string-keyed scores
+    val hashed = score(tiers.map(t => (t._1, t._2)), hash = true)
+    tiers.foreach { case (id, _, _) =>
+      assert(math.abs(hashed(id)._2 - got(id)._2) < 1e-12, s"doc $id hashed diverged")
+    }
+    // docs under the top order are absent
+    assert(score(Seq((9L, "the cat sat on"))).isEmpty)
+    // ctxLms of size 2 IS the trigram ladder: equals stupidBackoffScore
+    val docs3 = Seq((1L, "the cat sat on the mat"), (2L, "x b the cat q"),
+      (3L, "q w e r t y"))
+    val viaN = CorpusOps.stupidBackoffScoreN(docs3.toDF("id", "text"), "id",
+        "text", uni, lms.take(2))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val viaFixed = CorpusOps.stupidBackoffScore(docs3.toDF("id", "text"), "id",
+        "text", uni, CorpusOps.bigramLm(train, "text"),
+        CorpusOps.trigramLm(train, "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(viaN.keySet == viaFixed.keySet)
+    viaN.foreach { case (id, (nS, s)) =>
+      assert(nS == viaFixed(id)._1)
+      assert(math.abs(s - viaFixed(id)._2) < 1e-12, s"doc $id: N-form $s != fixed ${viaFixed(id)._2}")
+    }
+    // ngramLm guards its order
+    intercept[IllegalArgumentException] { CorpusOps.ngramLm(train, "text", 1) }
+  }
+
   test("trigram context adds discrimination over bigram on pair-preserving rephrasings") {
     // train "a b a c a b a c": doc2 below uses only PAIRS the corpus
     // contains (ac, ca, ab), but its TRIPLES (aca, cab) are the rare
