@@ -1029,6 +1029,52 @@ object Queries {
         .select(col("doc_id"), col("text"))
     },
 
+    // §2.36d: ExactSubstr dedup (Lee et al. 2021) — every maximal
+    // duplicated run of ≥ 30 tokens excised from all but its canonical
+    // (min (doc_id, pos)) occurrence, text rebuilt, per-doc span/token
+    // accounting. The oracle replays the whole rule as strings: window
+    // grams, min-[id,pos] canonicals, coverage union, gaps-and-islands
+    // span merge, indexed list_filter rebuild — untouched docs must
+    // round-trip byte-identical (the d33 convention). minTokens = 30:
+    // the corpus' planted duplicates are long enough (runs up to ~80
+    // tokens at sf0.01) that the longest-match merge is exercised.
+    "d47_exact_substr" -> oq(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS ltk,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, pos, array_to_string(list_slice(ltk, pos, pos + 29), ' ') AS gram
+        |  FROM (SELECT doc_id, unnest(range(1, greatest(len(ltk) - 29, 0) + 1)) AS pos, ltk FROM t)
+        |), c AS (
+        |  SELECT gram, min([doc_id, pos]) AS cm FROM g GROUP BY gram HAVING count(*) > 1
+        |), rm AS (
+        |  SELECT DISTINCT doc_id, unnest(range(pos, pos + 30)) AS tp
+        |  FROM g JOIN c USING (gram)
+        |  WHERE NOT (doc_id = cm[1] AND pos = cm[2])
+        |), isl AS (
+        |  SELECT doc_id, tp,
+        |    tp - row_number() OVER (PARTITION BY doc_id ORDER BY tp) AS island
+        |  FROM rm
+        |), agg AS (
+        |  SELECT doc_id, list(tp) AS rl, count(DISTINCT island) AS n_spans,
+        |         count(*) AS n_removed
+        |  FROM isl GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN agg.doc_id IS NULL THEN d.text
+        |       ELSE coalesce(array_to_string(list_filter(t.tk,
+        |         (x, i) -> NOT list_contains(agg.rl, i)), ' '), '') END AS text,
+        |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed
+        |FROM documents d JOIN t USING (doc_id) LEFT JOIN agg USING (doc_id)""") { (s, dir) =>
+      graft.dedup.Dedup.exactSubstrDedup(
+          docs(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text", minTokens = 30)
+        .select(col("doc_id"), col("text"), col("n_spans"), col("n_removed"))
+    },
+
     // §2.38b: PERSISTENT incremental MinHash index — the even-id half of
     // the corpus is indexed (build + parquet write + load), then the
     // odd-id half arrives as an ingest batch and is LSH-deduped AGAINST

@@ -667,6 +667,96 @@ object Dedup {
         if (c == textCol) cleaned.as(textCol) else col(c)): _*)
   }
 
+  /** Maximal duplicated token spans at a length threshold (Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better" —
+    * the ExactSubstr pass, arXiv:2107.06499): every maximal substring
+    * of ≥ `minTokens` tokens that occurs verbatim elsewhere in the
+    * corpus, reported per NON-CANONICAL occurrence as
+    * (id, span_start, span_end, span_tokens), positions 1-based
+    * inclusive. The canonical occurrence of each duplicated window —
+    * min (id, pos), the [[stripDuplicatedSpans]] rule — is protected,
+    * so exactly one copy of each duplicated run survives excision.
+    *
+    * The paper finds maximal duplicated substrings with a suffix array;
+    * the distributed equivalent is the fixed-k inverted index plus
+    * longest-match extension by UNION: a token lies inside a maximal
+    * duplicated substring of length ≥ k iff some duplicated k-window
+    * covers it (any longer verbatim match of length L ≥ k is exactly
+    * the union of its L−k+1 shared k-windows), so merging overlapping
+    * covered positions into runs — one gaps-and-islands pass per doc —
+    * recovers the paper's maximal spans without ever materializing
+    * occurrence PAIRS (a window repeated a million times stays one
+    * aggregation row; a pairwise alignment chain would square it).
+    *
+    * Scale shape: only (id, pos, 8-byte hash) rows shuffle — never
+    * text; canonical selection is a per-hash min(struct) aggregation;
+    * the islands window partitions by doc id (bounded by the doc's own
+    * token count).
+    */
+  def exactSubstrSpans(df: DataFrame, idCol: String, textCol: String,
+                       minTokens: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("tp"))
+    excisedTokens(df, idCol, textCol, minTokens)
+      .withColumn("__island", col("tp") - row_number().over(w))
+      .groupBy(col("id"), col("__island"))
+      .agg(min(col("tp")).cast("long").as("span_start"),
+        max(col("tp")).cast("long").as("span_end"),
+        count(lit(1)).as("span_tokens"))
+      .select(col("id"), col("span_start"), col("span_end"), col("span_tokens"))
+  }
+
+  /** ExactSubstr excision (Lee et al. 2021 — see [[exactSubstrSpans]]):
+    * every maximal duplicated run of ≥ `minTokens` tokens is removed
+    * from all but its canonical occurrence, the text rebuilt from the
+    * surviving tokens (original case, single-space joined — a fully
+    * duplicated doc comes back as the empty string, not dropped).
+    * Adds `n_spans` / `n_removed` (0 for untouched docs, whose text
+    * round-trips byte-identical). Differs from [[stripDuplicatedSpans]]
+    * only in the reported span accounting and the Lee-scale default
+    * threshold; the removal rule is the same proven-equivalent union.
+    */
+  def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
+                       minTokens: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("tp"))
+    val marks = excisedTokens(df, idCol, textCol, minTokens)
+      .withColumn("__island", col("tp") - row_number().over(w))
+      .groupBy(col("id"))
+      .agg(collect_set(col("tp")).as("__rm"),
+        countDistinct(col("__island")).as("__n_spans"),
+        count(lit(1)).as("__n_removed"))
+      .withColumnRenamed("id", "__rm_id")
+    val cleaned = when(col("__rm").isNull, col(textCol))
+      .otherwise(array_join(
+        filter(wsTokens(col(textCol)), (_, i) => !array_contains(col("__rm"), i + 1)),
+        " "))
+    df.join(marks, col(idCol) === col("__rm_id"), "left")
+      .select(df.columns.map(c =>
+        if (c == textCol) cleaned.as(textCol) else col(c)) ++ Seq(
+        coalesce(col("__n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("__n_removed"), lit(0L)).as("n_removed")): _*)
+  }
+
+  /** Distinct (id, tp) token positions covered by a duplicated
+    * `minTokens`-window whose canonical (min (id, pos)) occurrence is
+    * elsewhere — the removal set both ExactSubstr forms share.
+    */
+  private def excisedTokens(df: DataFrame, idCol: String, textCol: String,
+                            minTokens: Int): DataFrame = {
+    require(minTokens >= 2, s"window size must be >= 2 tokens, got $minTokens")
+    val sh = windowHashes(df, idCol, textCol, minTokens)
+    val canon = sh.groupBy("h")
+      .agg(min(struct(col("id"), col("pos"))).as("c"), count(lit(1)).as("__n"))
+      .where(col("__n") > 1)
+      .select(col("h"), col("c.id").as("cid"), col("c.pos").as("cpos"))
+    sh.join(canon, "h")
+      .where(!(col("id") === col("cid") && col("pos") === col("cpos")))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (minTokens - 1))).as("tp"))
+      .distinct()
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming: the
     * generic 64-bit banding join over the text simhash.
     */

@@ -303,6 +303,43 @@ class DedupSpec extends SparkSpec {
     assert(cleaned(13L) == "nothing   shared here at all whatsoever")
   }
 
+  test("ExactSubstr: threshold boundary, longest-match merge, span accounting, full excision") {
+    val run = "r1 r2 r3 r4 r5 r6" // 6 tokens — one over the k=5 threshold
+    val runB = "s1 s2 s3 s4 s5" // exactly k tokens
+    val corpus = Seq(
+      (20L, s"$run tail20 x20"), // canonical for run
+      (21L, s"$run tail21 y21"), // loses the run — ONE merged span of 6
+      (22L, "b1 b2 b3 b4 below22 thresh"), // 4 shared tokens — under threshold
+      (23L, "b1 b2 b3 b4 other23 words"), // kept verbatim
+      (24L, s"$runB mid24a mid24b $run"), // canonical for runB; loses run
+      (25L, s"zz $runB qq25"), // loses runB (canonical is 24)
+      (26L, run), // fully duplicated doc -> empty string
+      (27L, s"$run gap27 $runB") // TWO spans around a survivor
+    ).toDF("doc_id", "text")
+
+    val spans = Dedup.exactSubstrSpans(corpus, "doc_id", "text", minTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // overlapping duplicated windows merged to the run's full extent
+    // (6 tokens from 5-windows at pos 1 and 2 — the longest-match
+    // extension), 1-based inclusive positions
+    assert(spans == Set(
+      (21L, 1L, 6L, 6L), (24L, 8L, 13L, 6L), (25L, 2L, 6L, 5L),
+      (26L, 1L, 6L, 6L), (27L, 1L, 6L, 6L), (27L, 8L, 12L, 5L)), spans)
+
+    val cleaned = Dedup.exactSubstrDedup(corpus, "doc_id", "text", minTokens = 5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(cleaned(20L) == (s"$run tail20 x20", 0L, 0L)) // canonical untouched
+    assert(cleaned(21L) == ("tail21 y21", 1L, 6L))
+    assert(cleaned(22L) == ("b1 b2 b3 b4 below22 thresh", 0L, 0L))
+    assert(cleaned(23L) == ("b1 b2 b3 b4 other23 words", 0L, 0L))
+    assert(cleaned(24L) == (s"$runB mid24a mid24b", 1L, 6L))
+    assert(cleaned(25L) == ("zz qq25", 1L, 5L))
+    assert(cleaned(26L) == ("", 1L, 6L)) // empty string, not dropped/NULL
+    assert(cleaned(27L) == ("gap27", 2L, 11L))
+  }
+
   test("simhashPairs rejects maxHamming beyond the 4-band pigeonhole guarantee") {
     intercept[IllegalArgumentException] {
       Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 4)
