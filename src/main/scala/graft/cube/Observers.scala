@@ -723,6 +723,128 @@ object Observers {
     sb.result()
   }
 
+  // ---- Nav widget descriptors (bacon/observers/nav.py:1-142) ----
+
+  /** A navigation widget rendered inside a [[NavPanel]] — the
+    * reference's NavWidget hierarchy (bacon/observers/nav.py:14). Each
+    * widget contributes a typed JSON descriptor with the template URLs
+    * a frontend fills in; the `__from__`/`__to__`/`__PLACEHOLDER__`
+    * markers are the reference's own contract.
+    */
+  sealed trait NavWidget { def label: String }
+
+  /** Two-date range selector over a time-dimension axis
+    * (nav.py:21 DatesRangeWidget). `urls` returns the reference's four
+    * query templates — no value, only start, only end, both — built by
+    * filtering on the sentinel dates 8192-01-01/8192-12-31 through the
+    * REAL typed codec and then template-substituting, exactly as the
+    * reference does (nav.py:48-66): the sentinel guarantees the URL
+    * carries a well-formed date in the right position before the
+    * placeholder replaces it.
+    */
+  final case class DatesRangeWidget(label: String, axis: String,
+                                    toolkit: String = "prototype") extends NavWidget {
+    require(Seq("jquery", "prototype").contains(toolkit),
+      s"toolkit not supported: $toolkit")
+    def urls(nav: Navigator, urlPrefix: String = ""): Seq[String] = {
+      def url(q: CubeQuery): String =
+        urlPrefix + UrlQueryBuilder.toUrlString(q, nav.cubedef)
+      val from = java.time.LocalDate.of(8192, 1, 1)
+      val to = java.time.LocalDate.of(8192, 12, 31)
+      val q0 = nav.removeDimensionFilters(axis)
+      val q1 = q0.addFilter(axis, from, FilterOp.Ge)
+      val q2 = q0.addFilter(axis, to, FilterOp.Le)
+      val q3 = q1.addFilter(axis, to, FilterOp.Le)
+      Seq(url(q0),
+        url(q1).replace("8192-01-01", "__from__"),
+        url(q2).replace("8192-12-31", "__to__"),
+        url(q3).replace("8192-01-01", "__from__").replace("8192-12-31", "__to__"))
+    }
+  }
+
+  /** Free-text filter input on one axis (nav.py:70 StringFilterWidget):
+    * two templates — filters cleared, and filtering on `__PLACEHOLDER__`
+    * with the widget's operator.
+    */
+  final case class StringFilterWidget(label: String, axis: String,
+                                      op: String = FilterOp.Eq) extends NavWidget {
+    def urls(nav: Navigator, urlPrefix: String = ""): Seq[String] = {
+      def url(q: CubeQuery): String =
+        urlPrefix + UrlQueryBuilder.toUrlString(q, nav.cubedef)
+      val q0 = nav.removeDimensionFilters(axis)
+      Seq(url(q0), url(q0.addFilter(axis, "__PLACEHOLDER__", op)))
+    }
+  }
+
+  /** A button redirecting to a query when clicked (nav.py:98 Button /
+    * :113 FixedQueryButton / :122 FilterButton). The three reference
+    * behaviours as one ADT: current query unchanged, a fixed query, or
+    * the current query with one filter swapped (value = [[RemoveFilter]]
+    * clears it — nav.py:124 REMOVE).
+    */
+  sealed trait NavButton {
+    def label: String
+    def imageUrl: Option[String]
+    def query(nav: Navigator): CubeQuery = this match {
+      case PanelButton(_, _)          => nav.query
+      case FixedQueryButton(_, q, _)  => q
+      case FilterButton(_, axis, v, _) =>
+        val q = nav.query.removeFilter(axis)
+        v match {
+          case RemoveFilter => q
+          case value        => q.addFilter(axis, value)
+        }
+    }
+  }
+  case object RemoveFilter
+  final case class PanelButton(label: String,
+                               imageUrl: Option[String] = None) extends NavButton
+  final case class FixedQueryButton(label: String, q: CubeQuery,
+                                    imageUrl: Option[String] = None) extends NavButton
+  final case class FilterButton(label: String, axis: String, value: Any,
+                                imageUrl: Option[String] = None) extends NavButton
+
+  /** Button-group widget (nav.py:92 ButtonsWidget). */
+  final case class ButtonsWidget(label: String,
+                                 buttons: Seq[NavButton]) extends NavWidget
+
+  /** A named container of widgets (nav.py:5 NavPanel). */
+  final case class NavPanel(name: String, widgets: Seq[NavWidget])
+
+  /** The JSON descriptor a frontend binds a [[NavPanel]] to: one typed
+    * object per widget with its template URLs — the rendering of
+    * nav.py's widget surface (each get_urls contract preserved
+    * verbatim, markers included). Companion of [[navJson]], which
+    * carries the axis/filter/value navigation; this carries the custom
+    * panel chrome.
+    */
+  def navPanelJson(panel: NavPanel, nav: Navigator, urlPrefix: String = ""): String = {
+    def url(q: CubeQuery): String =
+      jstr(urlPrefix + UrlQueryBuilder.toUrlString(q, nav.cubedef))
+    val widgets = panel.widgets.map {
+      case w @ DatesRangeWidget(label, axis, toolkit) =>
+        jobj(Seq(
+          "type" -> jstr("dates_range"), "label" -> jstr(label),
+          "axis" -> jstr(axis), "toolkit" -> jstr(toolkit),
+          "urls" -> jarr(w.urls(nav, urlPrefix).map(jstr))))
+      case w @ StringFilterWidget(label, axis, op) =>
+        jobj(Seq(
+          "type" -> jstr("string_filter"), "label" -> jstr(label),
+          "axis" -> jstr(axis), "op" -> jstr(op),
+          "urls" -> jarr(w.urls(nav, urlPrefix).map(jstr))))
+      case ButtonsWidget(label, buttons) =>
+        jobj(Seq(
+          "type" -> jstr("buttons"), "label" -> jstr(label),
+          "buttons" -> jarr(buttons.map { b =>
+            jobj(Seq(
+              "label" -> jstr(b.label),
+              "image_url" -> b.imageUrl.fold("null")(jstr),
+              "url" -> url(b.query(nav))))
+          })))
+    }
+    jobj(Seq("name" -> jstr(panel.name), "widgets" -> jarr(widgets)))
+  }
+
   /** Plain-text render of a PivotTable (debug/demo — the HTML twin is
     * htmlTablePivot; this one stays for terminal output).
     */

@@ -302,6 +302,66 @@ class ObserversSpec extends SparkSpec {
     assert(json.count(_ == '[') == json.count(_ == ']'))
   }
 
+  test("nav widgets: DatesRangeWidget emits the reference's four url templates; panel JSON carries every widget") {
+    val c = CubeDef(
+      labels = Seq(
+        Label("day", col("d"), dimension = Some("time"),
+          codec = Some(ValueCodec.DateUnitCodec("day"))),
+        Label("month", col("d"), dimension = Some("time"),
+          codec = Some(ValueCodec.DateUnitCodec("month"))),
+        Label("flag", col("f"))),
+      measures = Seq(Measure("n", lit(1), Agg.Count)))
+    // the current query carries a time filter the widget must CLEAR
+    // (whole-dimension removal) and a non-time filter it must keep
+    val q = CubeQuery().addAxis("flag").addValue("n")
+      .addFilter("month", java.sql.Date.valueOf("2024-03-01"), FilterOp.Ge)
+      .addFilter("flag", "x")
+    val nav = new Navigator(c, q)
+
+    // nav.py:48-66 — no value / only start / only end / both, with
+    // __from__/__to__ placeholders where the sentinel dates encoded
+    val urls = Observers.DatesRangeWidget("Dates", "day").urls(nav, "/cube/")
+    assert(urls == Seq(
+      "/cube/f:flag:x/a:flag/v:n",
+      "/cube/f:flag:x/f:day:ge:__from__/a:flag/v:n",
+      "/cube/f:flag:x/f:day:le:__to__/a:flag/v:n",
+      "/cube/f:flag:x/f:day:ge:__from__/f:day:le:__to__/a:flag/v:n"), urls)
+    intercept[IllegalArgumentException] {
+      Observers.DatesRangeWidget("Dates", "day", toolkit = "dojo")
+    }
+
+    // nav.py:70 — cleared + __PLACEHOLDER__ templates
+    val sf = Observers.StringFilterWidget("Find day", "day", FilterOp.Eq)
+      .urls(nav, "/cube/")
+    assert(sf == Seq(
+      "/cube/f:flag:x/a:flag/v:n",
+      "/cube/f:flag:x/f:day:__PLACEHOLDER__/a:flag/v:n"), sf)
+
+    // nav.py:98-142 — current-query, fixed-query and filter-swap buttons
+    val panel = Observers.NavPanel("side", Seq(
+      Observers.DatesRangeWidget("Dates", "day"),
+      Observers.StringFilterWidget("Find day", "day"),
+      Observers.ButtonsWidget("Quick", Seq(
+        Observers.PanelButton("Refresh"),
+        Observers.FixedQueryButton("Reset", CubeQuery().addAxis("flag").addValue("n")),
+        Observers.FilterButton("Only y", "flag", "y"),
+        Observers.FilterButton("All flags", "flag", Observers.RemoveFilter,
+          imageUrl = Some("/img/x.png"))))))
+    val json = Observers.navPanelJson(panel, nav, "/cube/")
+    assert(json.contains("\"name\":\"side\""))
+    assert(json.contains("\"type\":\"dates_range\"") && json.contains("\"toolkit\":\"prototype\""))
+    assert(json.contains("\"type\":\"string_filter\"") && json.contains("__PLACEHOLDER__"))
+    assert(json.contains("\"type\":\"buttons\""))
+    // PanelButton: the untouched current query (month filter intact)
+    assert(json.contains("\"label\":\"Refresh\",\"image_url\":null,\"url\":\"/cube/f:month:ge:2024-03/f:flag:x/a:flag/v:n\""), json)
+    assert(json.contains("\"label\":\"Reset\",\"image_url\":null,\"url\":\"/cube/a:flag/v:n\""))
+    // FilterButton: flag filter swapped / removed, month filter kept
+    assert(json.contains("\"label\":\"Only y\",\"image_url\":null,\"url\":\"/cube/f:month:ge:2024-03/f:flag:y/a:flag/v:n\""))
+    assert(json.contains("\"label\":\"All flags\",\"image_url\":\"/img/x.png\",\"url\":\"/cube/f:month:ge:2024-03/a:flag/v:n\""))
+    assert(json.count(_ == '{') == json.count(_ == '}'))
+    assert(json.count(_ == '[') == json.count(_ == ']'))
+  }
+
   test("navJson payload carries dimensioned axes, filter actions and hidden values") {
     val c = CubeDef(
       labels = Seq(
