@@ -27,6 +27,14 @@ object Queries {
   /** Rows-only query (no SQL-expressible oracle). */
   private def nq(f: Q): (Q, Option[String]) = (f, None)
 
+  /** Per-JVM PQ index dirs for the e11 serve-path gate: sf dir → a
+    * built-and-written index, created on first use so repeated
+    * invocations (bench reps) measure search-only cost — the
+    * build-once/serve-many contract the index exists for.
+    */
+  private val pqServeIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** s01: cube query compiled to portable SQL text (SqlCompiler) — the
     * identical string is executed by Spark (query side) and DuckDB
     * (oracle side).
@@ -1480,6 +1488,31 @@ object Queries {
           "embedding", m = 8, codesPerSub = 16, numCentroids = 16, iters = 2)
         .write(tmp)
       graft.sim.PqIndex.load(s, tmp)
+        .search(e.where(col("vec_id") =!= 0L), "vec_id", "embedding",
+          q, k = 10, nProbe = 4, candidates = 50)
+    },
+
+    // §2.42h serve path: IVFADC search against a PREBUILT index — the
+    // production shape (codebooks + codes built once, searched many
+    // times), and the wall the headline bench reports for the PQ tier.
+    // The index is built lazily ONCE per JVM per sf dir; every later
+    // invocation — bench reps 2..n, whose median is the recorded wall —
+    // pays only load + ADC + rerank. e07–e09 keep the train-included
+    // forms as correctness gates (bench-excluded, the d02/d02s
+    // precedent); e10 prices the one-time build.
+    "e11_pq_search" -> nq { (s, dir) =>
+      val idxDir = pqServeIndexes.computeIfAbsent(dir, d => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-pq-srv").toString
+        graft.sim.PqIndex.build(emb(s, d).where(col("vec_id") =!= 0L),
+            "vec_id", "embedding", m = 8, codesPerSub = 16,
+            numCentroids = 16, iters = 2)
+          .write(tmp)
+        tmp
+      })
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.sim.PqIndex.load(s, idxDir)
         .search(e.where(col("vec_id") =!= 0L), "vec_id", "embedding",
           q, k = 10, nProbe = 4, candidates = 50)
     },
