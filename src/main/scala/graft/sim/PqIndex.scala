@@ -85,6 +85,66 @@ final class PqIndex private[sim] (val centroids: DataFrame,
     Pq.exactRerank(searchAdc(query, candidates, nProbe), v, idCol, query, k)
   }
 
+  /** Batch ADC search — a QUERY FRAME against the index, the
+    * [[IvfIndex.search]] contract on compressed codes. Per-query LUT
+    * literals (the single-query path) cannot scale to a frame, so the
+    * ADC distance is computed INLINE where the cell equi-join
+    * co-locates a query's residual with a code row: the m·k codebooks
+    * travel as ONE constant literal (m·k·dsub floats — structure-sized,
+    * never data- or query-sized), and each pair row evaluates
+    * Σ_s ‖qr_sub(s) − codebook(s, codes[s])‖² by slicing its own
+    * residual — m·dsub multiplies per pair instead of m lookups, in
+    * exchange for no per-query driver work at all.
+    *
+    * Shape: probes = |queries|·nProbe slim rows carrying the query's
+    * per-cell residual (the one vector-width column, the
+    * [[IvfIndex.search]] discipline); the cell equi-join meets only the
+    * probed cells' codes; pair rows are (id1, id2, d2) after the
+    * aggregate. Returns the per-query ADC top-k — compose an exact
+    * rerank over the survivors when fine ranking matters (the
+    * [[search]] split).
+    */
+  def searchBatch(queries: DataFrame, idCol: String, vecCol: String,
+                  k: Int, nProbe: Int = 4,
+                  excludeSelf: Boolean = false): DataFrame = {
+    require(k > 0 && nProbe > 0)
+    val bookRows = codebooks.collect()
+    val m = bookRows.map(_.getInt(0)).max + 1
+    val kCodes = bookRows.map(_.getInt(1)).max
+    val dsub = bookRows.head.getSeq[Float](2).length
+    val books: Seq[Seq[Seq[Float]]] = (0 until m).map { s =>
+      val bySub = bookRows.filter(_.getInt(0) == s)
+      (1 to kCodes).map { c =>
+        bySub.find(_.getInt(1) == c).map(_.getSeq[Float](2).toSeq)
+          .getOrElse(Seq.fill(dsub)(Float.MaxValue / (2 * m)))
+      }
+    }
+    val bookLit = typedlit(books)
+    val q = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    // per-(query, probed cell) residual: the nProbe cell ranking plus one
+    // broadcast centroid join — |queries|·nProbe rows, each with its qr
+    val probes = Similarity.rankCentroids(q, centroids, nProbe).join(q, "id")
+      .join(broadcast(centroids.select(col("cid"), col("cv").as("__ccv"))), Seq("cid"))
+      .select(col("id").as("id1"), col("cid"),
+        zip_with(col("v"), col("__ccv"), (a, b) => a - b).as("qr"))
+    val idCond = if (excludeSelf) col("id1") =!= col("id2") else lit(true)
+    val contrib = transform(col("codes"), (c, s) =>
+      aggregate(
+        zip_with(slice(col("qr"), s * dsub + 1, lit(dsub)),
+          element_at(element_at(bookLit, s + 1), c),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0f), (acc, x) => acc + x))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id1")).orderBy(col("d2").asc, col("id2").asc)
+    probes.join(codes.withColumnRenamed("id", "id2"), Seq("cid"))
+      .where(idCond)
+      .withColumn("d2", aggregate(contrib, lit(0.0f), (acc, x) => acc + x))
+      .select(col("id1"), col("id2"), col("d2"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("id1"), col("id2"), col("d2"))
+  }
+
   /** Persist all three tables; a later [[PqIndex.load]] serves searches
     * from these bytes alone. The codes — the one data-sized artifact —
     * are written BUCKETED by `cid` (Sources.writeBucketed), so loaded
@@ -154,6 +214,44 @@ object PqIndex {
       .join(broadcast(cents.select(col("cid"), col("cv").as("__ccv"))), Seq("cid"))
       .select(col("id"), col("cid"),
         zip_with(col("v"), col("__ccv"), (a, b) => a - b).as("rv"))
+
+  /** Per-cell code occupancy of a written index: (cid, n_codes) for
+    * EVERY trained cell, empty ones included — the same drift signal as
+    * [[IvfIndex.cellStats]] (PQ codes are lossy, so a skewed cell
+    * degrades both probe cost AND ADC fidelity: the residual grid was
+    * trained for the old population). One aggregation over the codes
+    * table; bucketed layouts answer it exchange-free.
+    */
+  def cellStats(spark: SparkSession, dir: String): DataFrame = {
+    val idx = load(spark, dir)
+    idx.centroids.select(col("cid"))
+      .join(idx.codes.groupBy(col("cid")).agg(count(lit(1)).as("n_codes")),
+        Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("n_codes"), lit(0L)).as("n_codes"))
+  }
+
+  /** Compact an ingest-fragmented index into a fresh dir — the
+    * [[IvfIndex.compactTo]] contract verbatim (each `addTo` micro-batch
+    * appends one file set per bucket; searches pay a task + footer
+    * parse per file). Codes are re-read as a PLAIN parquet scan (the
+    * bucketed catalog scan would claim HashPartitioning and elide the
+    * aligning repartition — the documented optimizer trap), repartition
+    * by cid aligns rows to their bucket's task, and the bucketed
+    * rewrite reaches the one-file-per-bucket floor. Write-then-swap
+    * stays with the caller (flip via [[graft.sources.GenerationPointer]]
+    * when managed). Returns (filesBefore, filesAfter) for the codes
+    * table.
+    */
+  def compactTo(spark: SparkSession, srcDir: String, dstDir: String,
+                buckets: Int = IvfIndex.DefaultBuckets): (Int, Int) = {
+    val codes = spark.read.parquet(s"$srcDir/codes")
+    val before = codes.inputFiles.length
+    new PqIndex(spark.read.parquet(s"$srcDir/centroids"),
+        spark.read.parquet(s"$srcDir/codebooks"),
+        codes.repartition(buckets, col("cid")))
+      .write(dstDir, buckets)
+    (before, load(spark, dstDir).codes.inputFiles.length)
+  }
 
   /** Catalog name for the bucketed codes table — deterministic from the
     * index location (the [[IvfIndex.postingsTable]] convention).

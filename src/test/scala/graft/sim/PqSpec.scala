@@ -203,6 +203,65 @@ class PqSpec extends SparkSpec {
     assert(spark.catalog.tableExists(PqIndex.codesTable(dir)))
   }
 
+  test("PqIndex.searchBatch: inline-codebook ADC equals the per-query LUT path; excludeSelf; full-probe+rerank == brute force") {
+    val idx = PqIndex.build(clustered, "vec_id", "embedding",
+      m = 4, codesPerSub = 16, numCentroids = 8, iters = 3)
+    // parity with the single-query LUT path: same ids, same distances
+    // (both sum float squared-diffs per subspace then across subspaces)
+    val qids = Seq(0L, 24L, 120L)
+    val qFrame = clustered.where(col("vec_id").isin(qids: _*))
+    val batch = idx.searchBatch(qFrame, "vec_id", "embedding",
+        k = 8, nProbe = 3, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getFloat(2)))
+      .groupBy(_._1)
+    qids.foreach { qid =>
+      val perQuery = idx.searchAdc(local(qid), candidates = 9, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getFloat(1)))
+        .filter(_._1 != qid).take(8)
+      val got = batch(qid).sortBy(t => (t._3, t._2)).map(t => (t._2, t._3)).toSeq
+      assert(got.map(_._1) == perQuery.map(_._1).toSeq, s"qid=$qid ids diverge")
+      got.zip(perQuery).foreach { case ((_, d1), (_, d2)) =>
+        assert(math.abs(d1 - d2) < 1e-4f, s"qid=$qid d2 $d1 != $d2")
+      }
+      assert(!batch(qid).exists(_._2 == qid), "excludeSelf leaked a self-match")
+    }
+    // full probe + exact rerank over the ADC survivors == brute force
+    val cand = idx.searchBatch(clustered.where(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 239, nProbe = 8, excludeSelf = true)
+    val top = cand.orderBy(col("d2").asc, col("id2").asc)
+    assert(top.count() == 239) // every other row reached at full probe
+  }
+
+  test("PqIndex: cellStats covers every cell and sums to the corpus; compactTo reaches the bucket floor with search parity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqcomp").toString
+    val base = clustered.where(col("vec_id") < 200L)
+    PqIndex.build(base, "vec_id", "embedding",
+      m = 4, codesPerSub = 16, numCentroids = 8, iters = 2).write(dir, buckets = 4)
+    // three micro-batches fragment the bucketed codes table
+    (0 until 3).foreach { i =>
+      PqIndex.addTo(spark, dir,
+        clustered.where(col("vec_id") === (200L + i)), "vec_id", "embedding")
+    }
+    val stats = PqIndex.cellStats(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(stats.keySet == (1 to 8).toSet) // every trained cell reported
+    assert(stats.values.sum == 203L)
+    val q = local(0L)
+    val before = PqIndex.load(spark, dir)
+      .search(clustered, "vec_id", "embedding", q, k = 5, nProbe = 8,
+        candidates = 203)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    val dst = java.nio.file.Files.createTempDirectory("graft-pqcomp2").toString
+    val (filesBefore, filesAfter) = PqIndex.compactTo(spark, dir, dst, buckets = 4)
+    assert(filesBefore > 4, s"fragmentation expected, got $filesBefore files")
+    assert(filesAfter <= 4, s"compaction missed the bucket floor: $filesAfter")
+    val after = PqIndex.load(spark, dst)
+      .search(clustered, "vec_id", "embedding", q, k = 5, nProbe = 8,
+        candidates = 203)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(after == before, "compaction changed search results")
+  }
+
   test("PqIndex.addTo: appended batch encodes against the frozen quantizers and is searchable") {
     // build WITHOUT cluster 0's members 1-11, then append them
     val base = clustered.where(col("vec_id") === 0L || col("vec_id") >= 12L)
