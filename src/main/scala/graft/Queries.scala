@@ -1083,6 +1083,32 @@ object Queries {
         .select(col("doc_id"), col("text"), col("n_spans"), col("n_removed"))
     },
 
+    // §2.36e: soft dedup (He et al. 2024 SoftDedup) — every doc kept,
+    // down-weighted by the geometric-mean corpus frequency of its
+    // 13-token windows (weight = exp(−mean ln c), 1.0 for all-unique
+    // and under-k docs). The oracle replays windows as strings and the
+    // exact closed form; 45 docs down-weight at sf0.01, floor 1/3.
+    "d48_soft_dedup" -> oq(
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, array_to_string(list_slice(tk, pos, pos + 12), ' ') AS gram
+        |  FROM (SELECT doc_id, unnest(range(1, greatest(len(tk) - 12, 0) + 1)) AS pos, tk FROM t)
+        |), c AS (
+        |  SELECT gram, count(*) AS c FROM g GROUP BY 1
+        |), p AS (
+        |  SELECT doc_id, count(*) AS n_windows, avg(ln(c)) AS mlc
+        |  FROM g JOIN c USING (gram) GROUP BY 1
+        |)
+        |SELECT d.doc_id, CAST(coalesce(n_windows, 0) AS BIGINT) AS n_windows,
+        |  coalesce(round(exp(-mlc), 6), 1.0) AS weight
+        |FROM documents d LEFT JOIN p USING (doc_id)""") { (s, dir) =>
+      graft.dedup.Dedup.softDedupWeights(
+          docs(s, dir).select(col("doc_id"), col("text")), "doc_id", "text", k = 13)
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // §2.38b: PERSISTENT incremental MinHash index — the even-id half of
     // the corpus is indexed (build + parquet write + load), then the
     // odd-id half arrives as an ingest batch and is LSH-deduped AGAINST
@@ -1490,6 +1516,30 @@ object Queries {
       graft.sim.PqIndex.load(s, tmp)
         .search(e.where(col("vec_id") =!= 0L), "vec_id", "embedding",
           q, k = 10, nProbe = 4, candidates = 50)
+    },
+
+    // §2.42h batch path: a QUERY FRAME against the prebuilt PQ index —
+    // one vector per label (10 queries) ADC-searched in a single plan:
+    // per-query LUT literals replaced by ONE codebook literal, ADC
+    // computed inline at the cid equi-join (no per-query driver work).
+    // Rows-only: PqSpec pins batch == per-query-LUT parity id-for-id.
+    "e12_pq_batch_search" -> nq { (s, dir) =>
+      val idxDir = pqServeIndexes.computeIfAbsent(dir, d => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-pq-srv").toString
+        graft.sim.PqIndex.build(emb(s, d).where(col("vec_id") =!= 0L),
+            "vec_id", "embedding", m = 8, codesPerSub = 16,
+            numCentroids = 16, iters = 2)
+          .write(tmp)
+        tmp
+      })
+      val e = emb(s, dir)
+      val queries = e.groupBy(col("label"))
+        .agg(min(col("vec_id")).as("vec_id"))
+        .join(e, Seq("vec_id", "label"))
+        .select(col("vec_id"), col("embedding"))
+      graft.sim.PqIndex.load(s, idxDir)
+        .searchBatch(queries, "vec_id", "embedding", k = 10, nProbe = 4,
+          excludeSelf = true)
     },
 
     // §2.42h serve path: IVFADC search against a PREBUILT index — the

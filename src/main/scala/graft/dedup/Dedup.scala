@@ -738,6 +738,48 @@ object Dedup {
         coalesce(col("__n_removed"), lit(0L)).as("n_removed")): _*)
   }
 
+  /** Soft dedup — per-document REWEIGHTING instead of removal (He et
+    * al. 2024, "SoftDedup: an Efficient Data Reweighting Method for
+    * Speeding Up Language Model Pre-training", arXiv:2407.06654):
+    * hard dedup throws away partially-duplicated documents whole; soft
+    * dedup keeps every document and down-weights by its "data
+    * commonness" — here the GEOMETRIC MEAN corpus frequency of the
+    * document's k-token windows,
+    *
+    *   commonness(d) = exp( mean_w ln c(w) ),   weight(d) = 1 / commonness(d)
+    *
+    * so an all-unique document weighs 1.0, a document whose every
+    * window occurs c times corpus-wide weighs 1/c, and a single pasted
+    * boilerplate block dilutes the weight smoothly instead of
+    * triggering a binary drop. The weights feed [[graft.text.CorpusOps]]
+    * sampling (weightedSampleN / epoch mixing) directly.
+    *
+    * Documents with fewer than k tokens have no windows and weigh 1.0
+    * (no evidence of duplication — the filterByDomainBlocklist
+    * convention). Returns every input id: (id, n_windows, weight),
+    * weight 6dp-rounded so the arithmetic replays engine-exactly.
+    *
+    * Scale shape: the same (id, pos, 8-byte hash) inverted index as
+    * every window operator — one map-side-combinable per-hash count
+    * (Zipf-bounded), one equi-join back, one per-doc mean. No text
+    * ever shuffles; reweighting 100 TB is two shuffles.
+    */
+  def softDedupWeights(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 13): DataFrame = {
+    require(k >= 2, s"window size must be >= 2 tokens, got $k")
+    val sh = windowHashes(df, idCol, textCol, k)
+    val counts = sh.groupBy("h").agg(count(lit(1)).as("__c"))
+    val perDoc = sh.join(counts, "h")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_windows"),
+        avg(log(col("__c").cast("double"))).as("__mlc"))
+    df.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(round(exp(-col("__mlc")), 6), lit(1.0)).as("weight"))
+  }
+
   /** Distinct (id, tp) token positions covered by a duplicated
     * `minTokens`-window whose canonical (min (id, pos)) occurrence is
     * elsewhere — the removal set both ExactSubstr forms share.

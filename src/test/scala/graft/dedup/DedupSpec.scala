@@ -340,6 +340,28 @@ class DedupSpec extends SparkSpec {
     assert(cleaned(27L) == ("gap27", 2L, 11L))
   }
 
+  test("softDedupWeights: geometric-mean window commonness, closed form per doc") {
+    val corpus = Seq(
+      (1L, "a b c d"), // windows abc bcd; abc shared with doc 2
+      (2L, "a b c e"), // windows abc bce
+      (3L, "x y"), // under k -> no windows, weight 1
+      (4L, "u v w u v w u v w"), // self-repeating: uvw x3, vwu x2, wuv x2
+      (5L, "p q r s t") // all-unique -> weight exactly 1
+    ).toDF("doc_id", "text")
+    val w = Dedup.softDedupWeights(corpus, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def rounded(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // docs 1/2: mean ln c over {2, 1} -> weight = exp(-ln2/2) = 1/sqrt 2
+    assert(w(1L) == (2L, rounded(math.exp(-math.log(2) / 2))), w(1L).toString)
+    assert(w(2L) == (2L, rounded(math.exp(-math.log(2) / 2))))
+    assert(w(3L) == (0L, 1.0))
+    // doc 4: 7 windows with counts 3,2,2,3,2,2,3
+    assert(w(4L) == (7L,
+      rounded(math.exp(-(3 * math.log(3) + 4 * math.log(2)) / 7))), w(4L).toString)
+    assert(w(5L) == (3L, 1.0))
+  }
+
   test("simhashPairs rejects maxHamming beyond the 4-band pigeonhole guarantee") {
     intercept[IllegalArgumentException] {
       Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 4)
