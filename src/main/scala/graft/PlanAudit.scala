@@ -10,10 +10,11 @@ import org.apache.spark.sql.SparkSession
   *  - d05_embed_dup / d06_cosine_topk — the DECLARED exact all-pairs
   *    baselines behind the LSH/IVF scale paths; both sit behind the
   *    64 MB `guardQuadratic` stats check.
-  *  - e02_ann_ivf / e03_ann_index / e08_ivfadc — rankCentroids'
-  *    vectors × broadcast(centroids) cross join: the IVF assignment
-  *    pass against a numCentroids-row (~16) broadcast table, a
-  *    map-side pass by design.
+  *  - e02_ann_ivf / e03_ann_index / e08_ivfadc / e09_ivfadc_residual /
+  *    e12_pq_batch_search — rankCentroids' vectors × broadcast
+  *    (centroids) cross join: the IVF assignment/probe pass against a
+  *    numCentroids-row (~16) broadcast table, a map-side pass by
+  *    design.
   *  - q53_mutual_info — the joint contingency table × its ONE-ROW total
   *    (the standard scalar-attach cross join; the "loop" side is a
   *    single row, and the joint table is categorical-sized).
@@ -22,8 +23,9 @@ object PlanAudit {
   private val KnownBenign = Set(
     "d05_embed_dup", "d06_cosine_topk", "e02_ann_ivf", "e03_ann_index",
     // same rankCentroids vectors × broadcast(≤16-row centroid table)
-    // pass as e02/e03
-    "e08_ivfadc", "e09_ivfadc_residual",
+    // pass as e02/e03 (e12: the QUERY frame's probe ranking against the
+    // loaded index's centroid table)
+    "e08_ivfadc", "e09_ivfadc_residual", "e12_pq_batch_search",
     "q53_mutual_info")
 
   /** Queries whose (only) unpartitioned windows are
