@@ -1510,8 +1510,14 @@ object Queries {
       val e = emb(s, dir)
       val q = e.where(col("vec_id") === 0L)
         .select(col("embedding")).head().getSeq[Float](0).toArray
+      // same ~sqrt(n) cell sizing as e02/e03: fixed nProbe over sqrt(n)
+      // cells keeps per-query scored codes ~nProbe*sqrt(n), where a
+      // fixed cell count degrades to nProbe*n/16 (measured: e12 ran
+      // 12.4x on 10x data before this)
       graft.sim.PqIndex.build(e.where(col("vec_id") =!= 0L), "vec_id",
-          "embedding", m = 8, codesPerSub = 16, numCentroids = 16, iters = 2)
+          "embedding", m = 8, codesPerSub = 16,
+          numCentroids = graft.sim.Similarity.suggestedCentroids(
+            graft.dedup.Dedup.approxRowCount(e)), iters = 2)
         .write(tmp)
       graft.sim.PqIndex.load(s, tmp)
         .search(e.where(col("vec_id") =!= 0L), "vec_id", "embedding",
@@ -1526,9 +1532,11 @@ object Queries {
     "e12_pq_batch_search" -> nq { (s, dir) =>
       val idxDir = pqServeIndexes.computeIfAbsent(dir, d => {
         val tmp = java.nio.file.Files.createTempDirectory("graft-pq-srv").toString
-        graft.sim.PqIndex.build(emb(s, d).where(col("vec_id") =!= 0L),
+        val eAll = emb(s, d)
+        graft.sim.PqIndex.build(eAll.where(col("vec_id") =!= 0L),
             "vec_id", "embedding", m = 8, codesPerSub = 16,
-            numCentroids = 16, iters = 2)
+            numCentroids = graft.sim.Similarity.suggestedCentroids(
+              graft.dedup.Dedup.approxRowCount(eAll)), iters = 2)
           .write(tmp)
         tmp
       })
@@ -1553,9 +1561,11 @@ object Queries {
     "e11_pq_search" -> nq { (s, dir) =>
       val idxDir = pqServeIndexes.computeIfAbsent(dir, d => {
         val tmp = java.nio.file.Files.createTempDirectory("graft-pq-srv").toString
-        graft.sim.PqIndex.build(emb(s, d).where(col("vec_id") =!= 0L),
+        val eAll = emb(s, d)
+        graft.sim.PqIndex.build(eAll.where(col("vec_id") =!= 0L),
             "vec_id", "embedding", m = 8, codesPerSub = 16,
-            numCentroids = 16, iters = 2)
+            numCentroids = graft.sim.Similarity.suggestedCentroids(
+              graft.dedup.Dedup.approxRowCount(eAll)), iters = 2)
           .write(tmp)
         tmp
       })
