@@ -3372,6 +3372,28 @@ object Queries {
       graft.text.Bpe.bpeMerges(s, docs(s, dir), "text", numMerges = 40)
     },
 
+    // §2.75c: WordPiece (Schuster & Nakajima 2012 / the BERT trainer) —
+    // the likelihood-gain merge criterion (count(ab)/(count(a)·count(b)))
+    // next to t13's raw-frequency BPE, ##-prefixed continuations, and
+    // the greedy longest-match-first encoder over a 1% sample.
+    // Rows-only: iterative training; WordPieceSpec pins the criterion
+    // divergence from BPE, serial↔distributed parity, and the encode
+    // rules (longest-first, UNK collapse).
+    "t21_wordpiece_vocab" -> nq { (s, dir) =>
+      val d = docs(s, dir)
+      val merges = graft.text.WordPiece.train(s, d, "text", numMerges = 40)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2)))
+      val words = d
+        .select(explode(graft.text.TextFunctions.wsTokens(lower(trim(col("text"))))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val enc = graft.text.WordPiece.encodeUdf(
+        graft.text.WordPiece.vocabulary(words, merges))
+      d.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id"), size(enc(col("text"))).as("n_pieces"))
+    },
+
     // §2.75b: unigram-LM (SentencePiece) vocabulary induction — the
     // top-down EM+prune counterpart to t13's bottom-up BPE, plus the
     // Viterbi apply path over a deterministic 1% document sample.

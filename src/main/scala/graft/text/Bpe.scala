@@ -51,9 +51,18 @@ object Bpe {
     */
   private[text] def mergePair(sym: org.apache.spark.sql.Column, a: String, b: String)
       : org.apache.spark.sql.Column =
+    mergePairAs(sym, a, b, a + b)
+
+  /** The same fold with an explicit merged-symbol spelling — WordPiece
+    * merges strip the continuation prefix off the right component
+    * ((a, ##b) → "a" + "b"), so the output string is not always a + b.
+    */
+  private[text] def mergePairAs(sym: org.apache.spark.sql.Column, a: String,
+                                b: String, merged: String)
+      : org.apache.spark.sql.Column =
     aggregate(sym, array().cast("array<string>"), (acc, x) =>
       when(size(acc) > 0 && element_at(acc, -1) === a && x === b,
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
         .otherwise(concat(acc, array(x))))
 
   /** Learn `numMerges` BPE merges from the corpus. Returns the merge
