@@ -27,13 +27,29 @@ object Queries {
   /** Rows-only query (no SQL-expressible oracle). */
   private def nq(f: Q): (Q, Option[String]) = (f, None)
 
-  /** Per-JVM PQ index dirs for the e11 serve-path gate: sf dir → a
-    * built-and-written index, created on first use so repeated
+  /** Per-JVM PQ index dirs for the e11/e12 serve-path gates: sf dir →
+    * a built-and-written index, created on first use so repeated
     * invocations (bench reps) measure search-only cost — the
     * build-once/serve-many contract the index exists for.
     */
   private val pqServeIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The one serve-index build both gates share (e11 and e12 key the
+    * same map, so they must build identically or silently serve from
+    * whichever gate ran first).
+    */
+  private def pqServeIndexDir(s: SparkSession, dir: String): String =
+    pqServeIndexes.computeIfAbsent(dir, d => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pq-srv").toString
+      val eAll = emb(s, d)
+      graft.sim.PqIndex.build(eAll.where(col("vec_id") =!= 0L),
+          "vec_id", "embedding", m = 8, codesPerSub = 16,
+          numCentroids = graft.sim.Similarity.suggestedCentroids(
+            graft.dedup.Dedup.approxRowCount(eAll)), iters = 2)
+        .write(tmp)
+      tmp
+    })
 
   /** s01: cube query compiled to portable SQL text (SqlCompiler) — the
     * identical string is executed by Spark (query side) and DuckDB
@@ -1038,10 +1054,12 @@ object Queries {
     },
 
     // §2.36d: ExactSubstr dedup (Lee et al. 2021) — every maximal
-    // duplicated run of ≥ 30 tokens excised from all but its canonical
-    // (min (doc_id, pos)) occurrence, text rebuilt, per-doc span/token
-    // accounting. The oracle replays the whole rule as strings: window
-    // grams, min-[id,pos] canonicals, coverage union, gaps-and-islands
+    // duplicated run of ≥ 30 tokens excised wherever no canonical
+    // (min (doc_id, pos)) window occurrence protects it, text rebuilt,
+    // per-doc span/token accounting. The oracle replays the whole rule
+    // as strings: window grams, min-[id,pos] canonicals, coverage union
+    // MINUS canonical coverage (overlapping windows with canonicals in
+    // different docs must not excise every copy), gaps-and-islands
     // span merge, indexed list_filter rebuild — untouched docs must
     // round-trip byte-identical (the d33 convention). minTokens = 30:
     // the corpus' planted duplicates are long enough (runs up to ~80
@@ -1061,6 +1079,10 @@ object Queries {
         |  SELECT DISTINCT doc_id, unnest(range(pos, pos + 30)) AS tp
         |  FROM g JOIN c USING (gram)
         |  WHERE NOT (doc_id = cm[1] AND pos = cm[2])
+        |  EXCEPT
+        |  SELECT doc_id, unnest(range(pos, pos + 30)) AS tp
+        |  FROM g JOIN c USING (gram)
+        |  WHERE doc_id = cm[1] AND pos = cm[2]
         |), isl AS (
         |  SELECT doc_id, tp,
         |    tp - row_number() OVER (PARTITION BY doc_id ORDER BY tp) AS island
@@ -1530,16 +1552,7 @@ object Queries {
     // computed inline at the cid equi-join (no per-query driver work).
     // Rows-only: PqSpec pins batch == per-query-LUT parity id-for-id.
     "e12_pq_batch_search" -> nq { (s, dir) =>
-      val idxDir = pqServeIndexes.computeIfAbsent(dir, d => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-pq-srv").toString
-        val eAll = emb(s, d)
-        graft.sim.PqIndex.build(eAll.where(col("vec_id") =!= 0L),
-            "vec_id", "embedding", m = 8, codesPerSub = 16,
-            numCentroids = graft.sim.Similarity.suggestedCentroids(
-              graft.dedup.Dedup.approxRowCount(eAll)), iters = 2)
-          .write(tmp)
-        tmp
-      })
+      val idxDir = pqServeIndexDir(s, dir)
       val e = emb(s, dir)
       val queries = e.groupBy(col("label"))
         .agg(min(col("vec_id")).as("vec_id"))
@@ -1559,16 +1572,7 @@ object Queries {
     // forms as correctness gates (bench-excluded, the d02/d02s
     // precedent); e10 prices the one-time build.
     "e11_pq_search" -> nq { (s, dir) =>
-      val idxDir = pqServeIndexes.computeIfAbsent(dir, d => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-pq-srv").toString
-        val eAll = emb(s, d)
-        graft.sim.PqIndex.build(eAll.where(col("vec_id") =!= 0L),
-            "vec_id", "embedding", m = 8, codesPerSub = 16,
-            numCentroids = graft.sim.Similarity.suggestedCentroids(
-              graft.dedup.Dedup.approxRowCount(eAll)), iters = 2)
-          .write(tmp)
-        tmp
-      })
+      val idxDir = pqServeIndexDir(s, dir)
       val e = emb(s, dir)
       val q = e.where(col("vec_id") === 0L)
         .select(col("embedding")).head().getSeq[Float](0).toArray
@@ -3381,15 +3385,17 @@ object Queries {
     // rules (longest-first, UNK collapse).
     "t21_wordpiece_vocab" -> nq { (s, dir) =>
       val d = docs(s, dir)
-      val merges = graft.text.WordPiece.train(s, d, "text", numMerges = 40)
+      // ONE word-frequency aggregation (checkpointed) feeds both the
+      // trainer and the encoder vocabulary — train() over the raw docs
+      // would recompute the identical table
+      val counts = graft.text.WordPiece.wordCounts(d, "text").localCheckpoint(true)
+      val merges = graft.text.WordPiece.trainCounts(s, counts, numMerges = 40)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2)))
-      val words = d
-        .select(explode(graft.text.TextFunctions.wsTokens(lower(trim(col("text"))))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val words = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
       val enc = graft.text.WordPiece.encodeUdf(
         graft.text.WordPiece.vocabulary(words, merges))
+      counts.unpersist()
       d.where(col("doc_id") % 100 === 0)
         .select(col("doc_id"), size(enc(col("text"))).as("n_pieces"))
     },

@@ -740,7 +740,11 @@ object Observers {
     * REAL typed codec and then template-substituting, exactly as the
     * reference does (nav.py:48-66): the sentinel guarantees the URL
     * carries a well-formed date in the right position before the
-    * placeholder replaces it.
+    * placeholder replaces it. Unlike the reference, the axis codec may
+    * render coarser than a day ("8192-01" on a month axis, the snapped
+    * Monday on a week axis), so the replaced token is the codec's OWN
+    * rendering of the sentinel — and the two sentinels sit in different
+    * YEARS so a year-granularity axis still tells from/to apart.
     */
   final case class DatesRangeWidget(label: String, axis: String,
                                     toolkit: String = "prototype") extends NavWidget {
@@ -750,15 +754,19 @@ object Observers {
       def url(q: CubeQuery): String =
         urlPrefix + UrlQueryBuilder.toUrlString(q, nav.cubedef)
       val from = java.time.LocalDate.of(8192, 1, 1)
-      val to = java.time.LocalDate.of(8192, 12, 31)
+      val to = java.time.LocalDate.of(8193, 12, 31)
+      def tok(d: java.time.LocalDate): String =
+        if (nav.cubedef.hasLabel(axis)) nav.cubedef.label(axis).unparseValue(d)
+        else d.toString
+      val (fromTok, toTok) = (tok(from), tok(to))
       val q0 = nav.removeDimensionFilters(axis)
       val q1 = q0.addFilter(axis, from, FilterOp.Ge)
       val q2 = q0.addFilter(axis, to, FilterOp.Le)
       val q3 = q1.addFilter(axis, to, FilterOp.Le)
       Seq(url(q0),
-        url(q1).replace("8192-01-01", "__from__"),
-        url(q2).replace("8192-12-31", "__to__"),
-        url(q3).replace("8192-01-01", "__from__").replace("8192-12-31", "__to__"))
+        url(q1).replace(fromTok, "__from__"),
+        url(q2).replace(toTok, "__to__"),
+        url(q3).replace(fromTok, "__from__").replace(toTok, "__to__"))
     }
   }
 

@@ -629,14 +629,17 @@ object Dedup {
         coalesce(col("n_dup_shingles"), lit(0L)).as("n_dup_shingles"))
   }
 
-  /** Remove duplicated k-token spans, keeping ONE canonical occurrence —
+  /** Remove duplicated k-token spans, keeping canonical occurrences —
     * the corpus-level substring dedup pass. The canonical occurrence of
     * each duplicated window is the minimum (id, pos); every other
     * occurrence marks its k tokens for removal, overlapping spans
-    * merging naturally through the per-token union. Documents without
-    * duplicated spans keep their text byte-identical; cleaned documents
-    * are rebuilt from their surviving tokens (original case,
-    * single-space joined).
+    * merging naturally through the per-token union — EXCEPT tokens a
+    * canonical occurrence covers in the same document, which stay (see
+    * [[excisedTokens]]: without that carve-out, overlapping windows
+    * whose canonicals land in different documents could excise every
+    * copy of a shared run). Documents without duplicated spans keep
+    * their text byte-identical; cleaned documents are rebuilt from
+    * their surviving tokens (original case, single-space joined).
     *
     * Scale shape: canonical selection is min(struct(id,pos)) per hash —
     * an aggregation, never a collect_list (a window repeated millions of
@@ -645,17 +648,7 @@ object Dedup {
     */
   def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                            k: Int = 20): DataFrame = {
-    require(k >= 2, s"window size must be >= 2 tokens, got $k")
-    val sh = windowHashes(df, idCol, textCol, k)
-    val canon = sh.groupBy("h")
-      .agg(min(struct(col("id"), col("pos"))).as("c"), count(lit(1)).as("__n"))
-      .where(col("__n") > 1)
-      .select(col("h"), col("c.id").as("cid"), col("c.pos").as("cpos"))
-    val removedStarts = sh.join(canon, "h")
-      .where(!(col("id") === col("cid") && col("pos") === col("cpos")))
-      .select(col("id"), col("pos"))
-    val removedTokens = removedStarts
-      .select(col("id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"))
+    val removedTokens = excisedTokens(df, idCol, textCol, k)
       .groupBy("id").agg(collect_set(col("tp")).as("__rm"))
       .withColumnRenamed("id", "__rm_id")
     val cleaned = when(col("__rm").isNull, col(textCol))
@@ -674,8 +667,11 @@ object Dedup {
     * corpus, reported per NON-CANONICAL occurrence as
     * (id, span_start, span_end, span_tokens), positions 1-based
     * inclusive. The canonical occurrence of each duplicated window —
-    * min (id, pos), the [[stripDuplicatedSpans]] rule — is protected,
-    * so exactly one copy of each duplicated run survives excision.
+    * min (id, pos), the [[stripDuplicatedSpans]] rule — is protected
+    * position-for-position (even where an overlapping NON-canonical
+    * window covers the same tokens — see [[excisedTokens]]), so every
+    * duplicated window survives intact at its canonical occurrence;
+    * non-overlapping duplicated runs survive exactly once.
     *
     * The paper finds maximal duplicated substrings with a suffix array;
     * the distributed equivalent is the fixed-k inverted index plus
@@ -708,8 +704,9 @@ object Dedup {
 
   /** ExactSubstr excision (Lee et al. 2021 — see [[exactSubstrSpans]]):
     * every maximal duplicated run of ≥ `minTokens` tokens is removed
-    * from all but its canonical occurrence, the text rebuilt from the
-    * surviving tokens (original case, single-space joined — a fully
+    * wherever no canonical window occurrence protects it, the text
+    * rebuilt from the surviving tokens (original case, single-space
+    * joined — a fully
     * duplicated doc comes back as the empty string, not dropped).
     * Adds `n_spans` / `n_removed` (0 for untouched docs, whose text
     * round-trips byte-identical). Differs from [[stripDuplicatedSpans]]
@@ -782,7 +779,14 @@ object Dedup {
 
   /** Distinct (id, tp) token positions covered by a duplicated
     * `minTokens`-window whose canonical (min (id, pos)) occurrence is
-    * elsewhere — the removal set both ExactSubstr forms share.
+    * elsewhere, MINUS positions covered by a canonical occurrence in
+    * the same document — the removal set every span-excision form
+    * shares. The subtraction is what keeps canonical copies intact:
+    * overlapping duplicated windows can have canonicals in DIFFERENT
+    * documents (doc A holds window W1's canonical, doc B holds
+    * overlapping W2's), and without the carve-out W2's non-canonical
+    * occurrence in A would excise tokens inside W1's protected copy —
+    * destroying every intact copy of the shared run.
     */
   private def excisedTokens(df: DataFrame, idCol: String, textCol: String,
                             minTokens: Int): DataFrame = {
@@ -792,11 +796,12 @@ object Dedup {
       .agg(min(struct(col("id"), col("pos"))).as("c"), count(lit(1)).as("__n"))
       .where(col("__n") > 1)
       .select(col("h"), col("c.id").as("cid"), col("c.pos").as("cpos"))
-    sh.join(canon, "h")
-      .where(!(col("id") === col("cid") && col("pos") === col("cpos")))
-      .select(col("id"),
-        explode(sequence(col("pos"), col("pos") + (minTokens - 1))).as("tp"))
-      .distinct()
+    val occ = sh.join(canon, "h")
+    val isCanon = col("id") === col("cid") && col("pos") === col("cpos")
+    def covered(o: DataFrame): DataFrame = o.select(col("id"),
+      explode(sequence(col("pos"), col("pos") + (minTokens - 1))).as("tp"))
+    covered(occ.where(!isCanon)).distinct()
+      .join(covered(occ.where(isCanon)), Seq("id", "tp"), "left_anti")
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming: the

@@ -292,9 +292,16 @@ object IvfIndex {
     * index location so any session over the same dir resolves the same
     * table.
     */
-  private[sim] def postingsTable(dir: String): String = {
+  private[sim] def postingsTable(dir: String): String =
+    tableName("graft_ivf_postings_", dir)
+
+  /** Deterministic catalog name from an index location, so any session
+    * over the same dir resolves the same table (shared by the IVF and
+    * PQ tiers).
+    */
+  private[sim] def tableName(prefix: String, dir: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(dir.getBytes("UTF-8"))
-    "graft_ivf_postings_" + d.take(8).map(b => f"$b%02x").mkString
+    prefix + d.take(8).map(b => f"$b%02x").mkString
   }
 
   /** Bucket count the session catalog declares for `tbl`, None when the
@@ -322,19 +329,32 @@ object IvfIndex {
     * corrupting results. On mismatch the entry is dropped and recreated
     * (external table — dropping touches no data).
     */
-  def load(spark: SparkSession, dir: String): IvfIndex = {
-    val tbl = postingsTable(dir)
+  def load(spark: SparkSession, dir: String): IvfIndex =
+    new IvfIndex(spark.read.parquet(s"$dir/centroids"),
+      loadBucketedTable(spark, dir, "postings", postingsTable(dir)))
+
+  /** The re-registration mechanics behind [[load]] (and
+    * [[PqIndex.load]]): read `dir/subdir` through an external
+    * CLUSTERED BY (cid) table whose bucket count comes from the index's
+    * meta file — the source of truth, per the [[load]] scaladoc. A
+    * catalog entry with a different count is dropped and recreated
+    * (external table — no data touched); no meta file means an
+    * unbucketed legacy layout, read as a plain scan with any lingering
+    * registration dropped rather than a mis-declared bucketing.
+    */
+  private[sim] def loadBucketedTable(spark: SparkSession, dir: String,
+                                     subdir: String, tbl: String): DataFrame = {
     val metaBuckets =
       try Some(spark.read.json(s"$dir/meta").head().getAs[Long]("buckets").toInt)
       catch { case scala.util.control.NonFatal(_) => None }
-    val postings = metaBuckets match {
+    metaBuckets match {
       case Some(b) =>
         if (catalogBuckets(spark, tbl) != Some(b)) {
           spark.sql(s"DROP TABLE IF EXISTS $tbl")
-          val schema = spark.read.parquet(s"$dir/postings").schema.toDDL
+          val schema = spark.read.parquet(s"$dir/$subdir").schema.toDDL
           // '' escaping: a quote in the filesystem path must not break
           // (or worse, redirect) the DDL
-          val loc = s"$dir/postings".replace("'", "''")
+          val loc = s"$dir/$subdir".replace("'", "''")
           spark.sql(
             s"""CREATE TABLE $tbl ($schema) USING parquet
                |CLUSTERED BY (cid) SORTED BY (cid) INTO $b BUCKETS
@@ -345,8 +365,7 @@ object IvfIndex {
         // no meta → the layout is not bucketed; a lingering registration
         // would mis-declare it, so drop before the plain scan
         if (spark.catalog.tableExists(tbl)) spark.sql(s"DROP TABLE IF EXISTS $tbl")
-        spark.read.parquet(s"$dir/postings")
+        spark.read.parquet(s"$dir/$subdir")
     }
-    new IvfIndex(spark.read.parquet(s"$dir/centroids"), postings)
   }
 }

@@ -120,7 +120,19 @@ final class PqIndex private[sim] (val centroids: DataFrame,
       }
     }
     val bookLit = typedlit(books)
+    // fail fast on a null or wrong-width query vector: its residual
+    // arithmetic would yield d2 = NULL, which sorts NULLS FIRST and
+    // would silently return arbitrary rows as the top-k (the
+    // single-query path fails the same case via Pq.lutArray's require)
+    val dim = m * dsub
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("v",
+        when(col("v").isNull || size(col("v")) =!= lit(dim),
+          raise_error(concat(
+            lit(s"searchBatch: query vector must have $dim elements, got "),
+            coalesce(size(col("v")).cast("string"), lit("NULL")),
+            lit(" (id "), col("id").cast("string"), lit(")"))))
+          .otherwise(col("v")))
       .withColumn("nrm", Similarity.norm(col("v")))
     // per-(query, probed cell) residual: the nProbe cell ranking plus one
     // broadcast centroid join — |queries|·nProbe rows, each with its qr
@@ -256,40 +268,18 @@ object PqIndex {
   /** Catalog name for the bucketed codes table — deterministic from the
     * index location (the [[IvfIndex.postingsTable]] convention).
     */
-  private[sim] def codesTable(dir: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(dir.getBytes("UTF-8"))
-    "graft_pq_codes_" + d.take(8).map(b => f"$b%02x").mkString
-  }
+  private[sim] def codesTable(dir: String): String =
+    IvfIndex.tableName("graft_pq_codes_", dir)
 
   /** Load a written index: the two quantizer tables as plain parquet,
-    * the codes through a re-registered external bucketed table (the
-    * [[IvfIndex.load]] mechanics — meta file is the source of truth for
-    * the bucket count; a stale or mismatched catalog entry is dropped
-    * and recreated, and an unbucketed legacy layout falls back to the
-    * plain scan rather than a mis-declared bucketing).
+    * the codes through a re-registered external bucketed table
+    * ([[IvfIndex.loadBucketedTable]] — meta file is the source of truth
+    * for the bucket count; a stale or mismatched catalog entry is
+    * dropped and recreated, and an unbucketed legacy layout falls back
+    * to the plain scan rather than a mis-declared bucketing).
     */
-  def load(spark: SparkSession, dir: String): PqIndex = {
-    val tbl = codesTable(dir)
-    val metaBuckets =
-      try Some(spark.read.json(s"$dir/meta").head().getAs[Long]("buckets").toInt)
-      catch { case scala.util.control.NonFatal(_) => None }
-    val codes = metaBuckets match {
-      case Some(b) =>
-        if (IvfIndex.catalogBuckets(spark, tbl) != Some(b)) {
-          spark.sql(s"DROP TABLE IF EXISTS $tbl")
-          val schema = spark.read.parquet(s"$dir/codes").schema.toDDL
-          val loc = s"$dir/codes".replace("'", "''")
-          spark.sql(
-            s"""CREATE TABLE $tbl ($schema) USING parquet
-               |CLUSTERED BY (cid) SORTED BY (cid) INTO $b BUCKETS
-               |LOCATION '$loc'""".stripMargin)
-        }
-        spark.table(tbl)
-      case None =>
-        if (spark.catalog.tableExists(tbl)) spark.sql(s"DROP TABLE IF EXISTS $tbl")
-        spark.read.parquet(s"$dir/codes")
-    }
+  def load(spark: SparkSession, dir: String): PqIndex =
     new PqIndex(spark.read.parquet(s"$dir/centroids"),
-      spark.read.parquet(s"$dir/codebooks"), codes)
-  }
+      spark.read.parquet(s"$dir/codebooks"),
+      IvfIndex.loadBucketedTable(spark, dir, "codes", codesTable(dir)))
 }

@@ -67,13 +67,26 @@ object WordPiece {
     */
   def train(spark: SparkSession, df: DataFrame, textCol: String,
             numMerges: Int, minPairCount: Long = 2L,
-            localVocabThreshold: Long = 500000L): DataFrame = {
+            localVocabThreshold: Long = 500000L): DataFrame =
+    trainCounts(spark, wordCounts(df, textCol), numMerges, minPairCount,
+      localVocabThreshold)
+
+  /** The corpus word-frequency table (word, word_count) [[train]]
+    * aggregates — exposed so a caller needing the counts for other work
+    * (e.g. [[vocabulary]]) can compute them ONCE, checkpoint, and feed
+    * [[trainCounts]] instead of paying a second corpus scan.
+    */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame = df
+    .select(explode(TextFunctions.wsTokens(lower(trim(col(textCol))))).as("word"))
+    .groupBy(col("word")).agg(count(lit(1)).as("word_count"))
+
+  /** [[train]] over a precomputed (word, word_count) table. */
+  def trainCounts(spark: SparkSession, counts: DataFrame,
+                  numMerges: Int, minPairCount: Long = 2L,
+                  localVocabThreshold: Long = 500000L): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
     import spark.implicits._
-    val counts = df
-      .select(explode(TextFunctions.wsTokens(lower(trim(col(textCol))))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("word_count"))
     if (graft.dedup.Dedup.approxRowCount(counts) <= localVocabThreshold) {
       val wc = counts.collect().map(r => r.getString(0) -> r.getLong(1))
       return serialTrain(wc, numMerges, minPairCount)

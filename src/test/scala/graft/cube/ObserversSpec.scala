@@ -309,6 +309,8 @@ class ObserversSpec extends SparkSpec {
           codec = Some(ValueCodec.DateUnitCodec("day"))),
         Label("month", col("d"), dimension = Some("time"),
           codec = Some(ValueCodec.DateUnitCodec("month"))),
+        Label("year", col("d"), dimension = Some("time"),
+          codec = Some(ValueCodec.DateUnitCodec("year"))),
         Label("flag", col("f"))),
       measures = Seq(Measure("n", lit(1), Agg.Count)))
     // the current query carries a time filter the widget must CLEAR
@@ -329,6 +331,20 @@ class ObserversSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Observers.DatesRangeWidget("Dates", "day", toolkit = "dojo")
     }
+    // coarser codecs render the sentinel through their OWN format
+    // ("8192-01" on a month axis, bare "8192" on a year axis) — the
+    // templates must still carry placeholders, never year-8192 dates
+    val mUrls = Observers.DatesRangeWidget("Dates", "month").urls(nav, "/cube/")
+    assert(mUrls == Seq(
+      "/cube/f:flag:x/a:flag/v:n",
+      "/cube/f:flag:x/f:month:ge:__from__/a:flag/v:n",
+      "/cube/f:flag:x/f:month:le:__to__/a:flag/v:n",
+      "/cube/f:flag:x/f:month:ge:__from__/f:month:le:__to__/a:flag/v:n"), mUrls)
+    // year granularity renders both sentinels as bare years; the
+    // distinct sentinel YEARS (8192/8193) keep from and to apart
+    val yUrls = Observers.DatesRangeWidget("Dates", "year").urls(nav, "/cube/")
+    assert(yUrls(3) ==
+      "/cube/f:flag:x/f:year:ge:__from__/f:year:le:__to__/a:flag/v:n", yUrls)
 
     // nav.py:70 — cleared + __PLACEHOLDER__ templates
     val sf = Observers.StringFilterWidget("Find day", "day", FilterOp.Eq)

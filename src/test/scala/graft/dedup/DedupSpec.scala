@@ -340,6 +340,30 @@ class DedupSpec extends SparkSpec {
     assert(cleaned(27L) == ("gap27", 2L, 11L))
   }
 
+  test("ExactSubstr: overlapping windows with canonicals in different docs keep canonical copies intact") {
+    // W1 = x1..x5 occurs in docs 10/20 (canonical (10,1));
+    // W2 = x2..x5 y occurs in docs 5/10 (canonical (5,1)).
+    // Doc 10's W2 occurrence is NON-canonical and covers positions 2-6;
+    // per-window excision would remove 2-6 from doc 10 and 1-5 from
+    // doc 20, leaving NO intact copy of the duplicated run x1..x5.
+    // Canonical coverage must protect doc 10's positions 1-5.
+    val corpus = Seq(
+      (5L, "x2 x3 x4 x5 y"),
+      (10L, "x1 x2 x3 x4 x5 y"),
+      (20L, "x1 x2 x3 x4 x5 z"),
+    ).toDF("doc_id", "text")
+    val cleaned = Dedup.exactSubstrDedup(corpus, "doc_id", "text", minTokens = 5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(cleaned(5L) == ("x2 x3 x4 x5 y", 0L, 0L)) // W2 canonical untouched
+    assert(cleaned(10L) == ("x1 x2 x3 x4 x5", 1L, 1L)) // only the unprotected y goes
+    assert(cleaned(20L) == ("z", 1L, 5L)) // no canonical here: run excised
+    // stripDuplicatedSpans shares the removal set — same protection
+    val stripped = Dedup.stripDuplicatedSpans(corpus, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stripped(10L) == "x1 x2 x3 x4 x5", stripped(10L))
+  }
+
   test("softDedupWeights: geometric-mean window commonness, closed form per doc") {
     val corpus = Seq(
       (1L, "a b c d"), // windows abc bcd; abc shared with doc 2

@@ -230,6 +230,19 @@ class PqSpec extends SparkSpec {
       "vec_id", "embedding", k = 239, nProbe = 8, excludeSelf = true)
     val top = cand.orderBy(col("d2").asc, col("id2").asc)
     assert(top.count() == 239) // every other row reached at full probe
+    // a null or wrong-width query vector must FAIL, not rank NULL
+    // distances first and return arbitrary rows as the top-k
+    val badNull = Seq((999L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val eNull = intercept[Exception] {
+      idx.searchBatch(badNull, "vec_id", "embedding", k = 3).collect()
+    }
+    assert(eNull.getMessage.contains("NULL"), eNull.getMessage)
+    val badWidth = Seq((999L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val eWidth = intercept[Exception] {
+      idx.searchBatch(badWidth, "vec_id", "embedding", k = 3).collect()
+    }
+    assert(eWidth.getMessage.contains("got 2"), eWidth.getMessage)
   }
 
   test("PqIndex: cellStats covers every cell and sums to the corpus; compactTo reaches the bucket floor with search parity") {
