@@ -1064,6 +1064,13 @@ object Queries {
     // round-trip byte-identical (the d33 convention). minTokens = 30:
     // the corpus' planted duplicates are long enough (runs up to ~80
     // tokens at sf0.01) that the longest-match merge is exercised.
+    // Gram keys are 64-bit hash(gram) (the d20 xxhash64 convention —
+    // DuckDB uses its own hash, an independent replay): at the scale
+    // gates replication makes nearly EVERY gram duplicated, and a hash
+    // join keyed on ~200-byte gram strings materializes a >100 GB
+    // build side in DuckDB (measured OOM-kill at sf1); the one
+    // occurrence pass with an is_can flag keeps the coverage EXCEPT
+    // from scanning the join twice.
     "d47_exact_substr" -> oq(
       """WITH t AS (
         |  SELECT doc_id,
@@ -1071,18 +1078,19 @@ object Queries {
         |    list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS tk
         |  FROM documents
         |), g AS (
-        |  SELECT doc_id, pos, array_to_string(list_slice(ltk, pos, pos + 29), ' ') AS gram
+        |  SELECT doc_id, pos, hash(array_to_string(list_slice(ltk, pos, pos + 29), ' ')) AS gh
         |  FROM (SELECT doc_id, unnest(range(1, greatest(len(ltk) - 29, 0) + 1)) AS pos, ltk FROM t)
         |), c AS (
-        |  SELECT gram, min([doc_id, pos]) AS cm FROM g GROUP BY gram HAVING count(*) > 1
+        |  SELECT gh, min([doc_id, pos]) AS cm FROM g GROUP BY gh HAVING count(*) > 1
+        |), o AS (
+        |  SELECT g.doc_id, g.pos, (g.doc_id = cm[1] AND g.pos = cm[2]) AS is_can
+        |  FROM g JOIN c USING (gh)
         |), rm AS (
         |  SELECT DISTINCT doc_id, unnest(range(pos, pos + 30)) AS tp
-        |  FROM g JOIN c USING (gram)
-        |  WHERE NOT (doc_id = cm[1] AND pos = cm[2])
+        |  FROM o WHERE NOT is_can
         |  EXCEPT
         |  SELECT doc_id, unnest(range(pos, pos + 30)) AS tp
-        |  FROM g JOIN c USING (gram)
-        |  WHERE doc_id = cm[1] AND pos = cm[2]
+        |  FROM o WHERE is_can
         |), isl AS (
         |  SELECT doc_id, tp,
         |    tp - row_number() OVER (PARTITION BY doc_id ORDER BY tp) AS island
