@@ -1065,12 +1065,13 @@ object Queries {
     // the corpus' planted duplicates are long enough (runs up to ~80
     // tokens at sf0.01) that the longest-match merge is exercised.
     // Gram keys are 64-bit hash(gram) (the d20 xxhash64 convention —
-    // DuckDB uses its own hash, an independent replay): at the scale
-    // gates replication makes nearly EVERY gram duplicated, and a hash
-    // join keyed on ~200-byte gram strings materializes a >100 GB
-    // build side in DuckDB (measured OOM-kill at sf1); the one
-    // occurrence pass with an is_can flag keeps the coverage EXCEPT
-    // from scanning the join twice.
+    // DuckDB uses its own hash, an independent replay), and the
+    // canonical pick is a row_number window ordered (doc_id, pos)
+    // rather than min([doc_id, pos]): this DuckDB's min-over-LIST
+    // aggregate is pathological past ~1M groups (measured 93 GB RSS /
+    // 143 s at sf1 where the window form takes 0.5 GB / 0.6 s — the
+    // scale gate OOM-killed on it twice). The one occurrence pass with
+    // an is_can flag keeps the coverage EXCEPT from scanning twice.
     "d47_exact_substr" -> oq(
       """WITH t AS (
         |  SELECT doc_id,
@@ -1080,17 +1081,17 @@ object Queries {
         |), g AS (
         |  SELECT doc_id, pos, hash(array_to_string(list_slice(ltk, pos, pos + 29), ' ')) AS gh
         |  FROM (SELECT doc_id, unnest(range(1, greatest(len(ltk) - 29, 0) + 1)) AS pos, ltk FROM t)
-        |), c AS (
-        |  SELECT gh, min([doc_id, pos]) AS cm FROM g GROUP BY gh HAVING count(*) > 1
         |), o AS (
-        |  SELECT g.doc_id, g.pos, (g.doc_id = cm[1] AND g.pos = cm[2]) AS is_can
-        |  FROM g JOIN c USING (gh)
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) = 1 AS is_can,
+        |    count(*) OVER (PARTITION BY gh) AS cnt
+        |  FROM g
         |), rm AS (
         |  SELECT DISTINCT doc_id, unnest(range(pos, pos + 30)) AS tp
-        |  FROM o WHERE NOT is_can
+        |  FROM o WHERE cnt > 1 AND NOT is_can
         |  EXCEPT
         |  SELECT doc_id, unnest(range(pos, pos + 30)) AS tp
-        |  FROM o WHERE is_can
+        |  FROM o WHERE cnt > 1 AND is_can
         |), isl AS (
         |  SELECT doc_id, tp,
         |    tp - row_number() OVER (PARTITION BY doc_id ORDER BY tp) AS island
