@@ -1140,6 +1140,93 @@ object Queries {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // §2.37e: asymmetric CONTAINMENT pairs (Broder 1997) — C(A→B) =
+    // |A∩B|/|A| over word 3-shingles, the quote/wrapper/superset-dup
+    // detector Jaccard misses at unequal lengths. The gate runs the
+    // PRODUCTION path (stop-shingle cut 0.1, the d02s convention): the
+    // cut is provably inert at sf0.01 (max shingle DF 7 « 0.1×nDocs ≈ 50),
+    // so the exact-pair SQL below remains a valid oracle while the cut
+    // branch executes end-to-end. Both directions of each unordered pair
+    // project from ONE aggregated (inter, sz1, sz2) row.
+    "d49_containment" -> oq(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 1)),
+        |      i -> array_to_string(list_slice(tk, i, i+2), ' '))) AS sset
+        |  FROM toks
+        |), ex AS (
+        |  SELECT doc_id, len(sset) AS sz, unnest(sset) AS s FROM sh
+        |), ag AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sz AS sz1, b.sz AS sz2,
+        |    count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4
+        |), dir2 AS (
+        |  SELECT id1 AS id, id2 AS container_id, CAST(inter AS DOUBLE)/sz1 AS c FROM ag
+        |  UNION ALL
+        |  SELECT id2, id1, CAST(inter AS DOUBLE)/sz2 FROM ag
+        |)
+        |SELECT id, container_id, round(c, 6) AS containment
+        |FROM dir2 WHERE c >= 0.5""") { (s, dir) =>
+      graft.dedup.Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
+        k = 3, threshold = 0.5, stopShingleFraction = 0.1)
+    },
+
+    // §2.71b: CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3)
+    // — every doc scored under its OWN language's unigram LM, then
+    // per-language perplexity TERTILES label head (best third) / middle /
+    // tail. Cut comparison happens on the 6dp-rounded score scaled to a
+    // BIGINT, so quantile interpolation over identical integer multisets
+    // replays exactly; both engines compute the same CASE.
+    "d50_ccnet_buckets" -> oq(
+      """WITH tk AS (
+        |  SELECT doc_id, lang, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents
+        |), lm AS (
+        |  SELECT lang, token, count(*) AS c FROM tk GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT lang, CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+        |  FROM lm GROUP BY 1
+        |), tf AS (
+        |  SELECT doc_id, lang, token, count(*) AS tfc FROM tk GROUP BY 1, 2, 3
+        |), x AS (
+        |  SELECT doc_id, lang,
+        |    round(-sum(tfc * ln((c + 1.0) / (n + v))) / sum(tfc), 6) AS xent
+        |  FROM tf JOIN lm USING (lang, token) JOIN tot USING (lang)
+        |  GROUP BY 1, 2
+        |), xi AS (
+        |  SELECT doc_id, lang, xent,
+        |    CAST(round(xent * 1000000, 0) AS BIGINT) AS pi
+        |  FROM x
+        |), cuts AS (
+        |  SELECT lang, quantile_cont(pi, 1.0/3) AS c1, quantile_cont(pi, 2.0/3) AS c2
+        |  FROM xi GROUP BY 1
+        |)
+        |SELECT doc_id, lang, xent,
+        |  CASE WHEN pi <= c1 THEN 'head' WHEN pi <= c2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM xi JOIN cuts USING (lang)""") { (s, dir) =>
+      graft.text.CorpusOps.perplexityBuckets(docs(s, dir), "doc_id", "text", "lang")
+    },
+
+    // §2.75d: intrinsic tokenizer eval — per-source fertility (subword
+    // tokens per word), bytes/token compression and word-splitting rate
+    // under the t13 BPE table. Rows-only: the min-rank encoder is not
+    // SQL-expressible; CorpusOpsSpec pins the arithmetic on a
+    // hand-encoded corpus and the d-series BpeSpec pins the encoder.
+    "t22_tokenizer_eval" -> nq { (s, dir) =>
+      val d = docs(s, dir)
+      val merges = graft.text.Bpe.bpeMerges(s, d, "text", numMerges = 40)
+        .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.text.CorpusOps.tokenizerEval(d, "text", "source",
+        graft.text.Bpe.encodeUdf(merges))
+    },
+
     // §2.38b: PERSISTENT incremental MinHash index — the even-id half of
     // the corpus is indexed (build + parquet write + load), then the
     // odd-id half arrives as an ingest batch and is LSH-deduped AGAINST

@@ -28,7 +28,21 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.5,
-                        stopShingleFraction: Double = 1.0): DataFrame = {
+                        stopShingleFraction: Double = 1.0): DataFrame =
+    shingleIntersections(df, idCol, textCol, k, stopShingleFraction)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Shared inverted-index core of the exact-shingle pair family: one row
+    * per unordered candidate pair (id1 < id2) with the per-doc shingle
+    * counts and the exact intersection size — [[ngramJaccardPairs]] and
+    * [[containmentPairs]] differ only in the coefficient they derive from
+    * (inter, sz1, sz2).
+    */
+  private def shingleIntersections(df: DataFrame, idCol: String, textCol: String,
+                                   k: Int, stopShingleFraction: Double): DataFrame = {
     // The inverted-index join key is the 64-bit hash of the shingle, not
     // the string: the exchange then shuffles 8-byte longs instead of
     // ~10s-of-bytes text, and key comparison is integer equality. Counts
@@ -57,8 +71,8 @@ object Dedup {
           .where(col("df") > lit(stopShingleFraction * nDocs))
           .select(col("sh").as("hot_sh"))
         val kept = sh0c.join(broadcast(hot), col("sh") === col("hot_sh"), "left_anti")
-        // jaccard is then computed over the REDUCED shingle universe, so
-        // |A| and |B| must be the post-cut counts too
+        // coefficients are then computed over the REDUCED shingle
+        // universe, so |A| and |B| must be the post-cut counts too
         val sz2 = kept.groupBy("id").agg(count(lit(1)).as("sz2"))
         kept.join(sz2, "id").withColumnRenamed("sz2", "sz")
       }
@@ -67,10 +81,39 @@ object Dedup {
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
         col("a.sz").as("sz1"), col("b.sz").as("sz2"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Asymmetric near-duplicate CONTAINMENT pairs over word k-shingles:
+    * C(A→B) = |A∩B| / |A| (Broder 1997's containment coefficient, "On the
+    * resemblance and containment of documents"). Jaccard misses a short
+    * document embedded verbatim in a much longer one — |A∪B| is dominated
+    * by the long side, so J stays low however complete the overlap —
+    * while containment is exactly the quote/wrapper/superset-duplication
+    * detector: C(A→B) = 1 means every shingle of A appears in B.
+    *
+    * Output: (id, container_id, containment) — one row per ORDERED pair
+    * with C(id→container) ≥ threshold; mutual near-identical duplicates
+    * appear in both directions, a strict subset relation in one.
+    *
+    * Scale shape: identical to [[ngramJaccardPairs]] — the same hashed
+    * inverted-index self-join aggregates each unordered pair once
+    * ((inter, sz1, sz2) per pair), and both directions project from that
+    * single row; no second join, no extra shuffle. The same stop-shingle
+    * cut bounds hot-key fanout at web scale (coefficients then measured
+    * over the reduced shingle universe, counts consistently post-cut).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, threshold: Double = 0.5,
+                       stopShingleFraction: Double = 1.0): DataFrame = {
+    val pairs = shingleIntersections(df, idCol, textCol, k, stopShingleFraction)
+    val fwd = pairs.select(col("id1").as("id"), col("id2").as("container_id"),
+      (col("inter").cast("double") / col("sz1")).as("containment"))
+    val rev = pairs.select(col("id2").as("id"), col("id1").as("container_id"),
+      (col("inter").cast("double") / col("sz2")).as("containment"))
+    fwd.union(rev)
+      .where(col("containment") >= threshold)
+      .select(col("id"), col("container_id"),
+        round(col("containment"), 6).as("containment"))
   }
 
   /** Materialize the deduplicated corpus: keep exactly one row (the

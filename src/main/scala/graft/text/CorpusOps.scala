@@ -839,6 +839,106 @@ object CorpusOps {
         exp(col("cross_entropy")).as("ppl"))
   }
 
+  /** CCNet head/middle/tail corpus bucketing (Wenzek et al. 2020 §4.3):
+    * score every document under a unigram LM of ITS OWN language slice
+    * (the engine-exact stand-in for CCNet's per-language KenLM — the
+    * [[unigramLm]] convention, add-1 smoothing, per-language N and V),
+    * then split each language's documents into perplexity TERTILES:
+    * `head` = the lowest-perplexity third (reads most like the
+    * language's reference distribution), `middle`, `tail`. CCNet ships
+    * these as separate corpus qualities; downstream mixing typically
+    * keeps head+middle and drops or down-weights tail.
+    *
+    * Cut points are exact per-language percentiles computed by
+    * AGGREGATION (one vocab-shuffle for the LM, one (id, token) shuffle
+    * for scoring, then a languages-sized cut table broadcast back) —
+    * never a corpus-wide sort or a per-language window, whose single
+    * reducer per language would be the bottleneck at 100 TB. The tertile
+    * comparison happens on the 6-dp-rounded cross-entropy scaled to a
+    * 64-bit integer, so interpolated cuts over identical integer
+    * multisets — and hence the bucket labels — replay exactly on any
+    * engine. Zero-token documents are absent (score undefined), matching
+    * [[crossEntropyScore]].
+    *
+    * Returns (idCol, langCol, xent [6 dp], bucket).
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        langCol: String): DataFrame = {
+    val tk = df.select(col(idCol).as("__id"), col(langCol).as("__lang"),
+      explode(TextFunctions.wsTokens(lower(trim(col(textCol))))).as("token"))
+    val lm = tk.groupBy(col("__lang"), col("token"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = lm.groupBy(col("__lang"))
+      .agg(sum(col("__c")).cast("double").as("__n"),
+        count(lit(1)).cast("double").as("__v"))
+    val tf = tk.groupBy(col("__id"), col("__lang"), col("token"))
+      .agg(count(lit(1)).as("__tf"))
+    // every token is in its own language's LM by construction (the doc
+    // contributed it), so the join is an inner equi-join with no OOV arm
+    val xent = tf.join(lm, Seq("__lang", "token"))
+      .join(broadcast(tot), Seq("__lang"))
+      .withColumn("__lp",
+        log((col("__c").cast("double") + 1.0) / (col("__n") + col("__v"))))
+      .groupBy(col("__id"), col("__lang"))
+      .agg((-sum(col("__tf").cast("double") * col("__lp"))
+        / sum(col("__tf")).cast("double")).as("__xent"))
+      .select(col("__id"), col("__lang"), round(col("__xent"), 6).as("xent"))
+      .withColumn("__pi", round(col("xent") * lit(1e6), 0).cast("long"))
+    val cuts = xent.groupBy(col("__lang")).agg(
+      percentile(col("__pi"), lit(1.0 / 3)).as("__c1"),
+      percentile(col("__pi"), lit(2.0 / 3)).as("__c2"))
+    xent.join(broadcast(cuts), Seq("__lang"))
+      .select(col("__id").as(idCol), col("__lang").as(langCol), col("xent"),
+        when(col("__pi") <= col("__c1"), lit("head"))
+          .when(col("__pi") <= col("__c2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** Intrinsic tokenizer evaluation over a corpus, grouped (typically by
+    * source or language): the metrics a tokenizer choice is judged by
+    * before any model is trained.
+    *  - `fertility` — subword tokens per whitespace word (Ács 2019 /
+    *    Rust et al. 2021 "How good is your tokenizer?"); 1.0 means every
+    *    word is a single token, and a group whose fertility is far above
+    *    the corpus mean is the one the vocabulary underserves.
+    *  - `bytes_per_token` — UTF-8 bytes of the normalized text per
+    *    emitted token, the compression rate that fixes how much real
+    *    text a fixed context window holds.
+    *  - `continuation_frac` — fraction of tokens that do NOT close a
+    *    word (word-splitting rate; 0 iff fertility is 1).
+    * `encode` is any whitespace-word subword encoder UDF returning the
+    * token array with word-final tokens carrying `wordEndMarker` as a
+    * suffix — [[Bpe.encodeUdf]]'s contract (marker [[Bpe.EndOfWord]]);
+    * WordPiece-style encoders fit by passing their word-final form.
+    *
+    * Scale shape: one map pass (encode is per-row, the memoized UDF) +
+    * one map-side-combinable aggregation to groupCol cardinality — the
+    * cheapest operator class at 100 TB; token ARRAYS never shuffle, only
+    * the per-doc count quadruple does.
+    */
+  def tokenizerEval(df: DataFrame, textCol: String, groupCol: String,
+                    encode: org.apache.spark.sql.expressions.UserDefinedFunction,
+                    wordEndMarker: String = Bpe.EndOfWord): DataFrame = {
+    val norm = lower(trim(col(textCol)))
+    val t = df.where(col(textCol).isNotNull)
+      .select(col(groupCol).as("group_key"),
+        size(TextFunctions.wsTokens(norm)).as("__nw"),
+        encode(col(textCol)).as("__t"),
+        octet_length(norm).as("__b"))
+      .select(col("group_key"), col("__nw"), col("__b"),
+        size(col("__t")).as("__nt"),
+        size(filter(col("__t"), x => x.endsWith(wordEndMarker))).as("__ne"))
+    t.groupBy(col("group_key")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__nw")).as("n_words"),
+      sum(col("__nt")).as("n_tokens"),
+      sum(col("__b")).as("n_bytes"),
+      round(sum(col("__nt")).cast("double") / sum(col("__nw")), 6).as("fertility"),
+      round(sum(col("__b")).cast("double") / sum(col("__nt")), 6).as("bytes_per_token"),
+      round(lit(1.0) - sum(col("__ne")).cast("double") / sum(col("__nt")), 6)
+        .as("continuation_frac"))
+  }
+
   /** Fixed-token chunking with overlap — the context-window prep step
     * (RAG passage extraction, long-document training windows). Token
     * k·stride+1 starts chunk k (1-based token positions, 0-based chunk

@@ -386,6 +386,40 @@ class DedupSpec extends SparkSpec {
     assert(w(5L) == (3L, 1.0))
   }
 
+  test("containmentPairs: asymmetric coefficient, both directions from one pair row") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta"), // 2 shingles, both inside doc 11
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"), // 6 shingles
+      (12L, "one two three four five six"), // unrelated
+      (13L, "alpha beta gamma delta") // exact dup of 10
+    ).toDF("doc_id", "text")
+    def pairs(th: Double) =
+      Dedup.containmentPairs(corpus, "doc_id", "text", k = 3, threshold = th)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val p5 = pairs(0.5)
+    // full embedding: C(10->11) = 2/2 = 1; reverse 2/6 is below threshold
+    assert(p5((10L, 11L)) == 1.0)
+    assert(!p5.contains((11L, 10L)))
+    // mutual exact dups contain each other — both ordered rows present
+    assert(p5((10L, 13L)) == 1.0 && p5((13L, 10L)) == 1.0)
+    assert(!p5.keys.exists(k => k._1 == 12L || k._2 == 12L))
+    // lowering the threshold surfaces the weak reverse direction exactly
+    val p3 = pairs(0.3)
+    assert(p3((11L, 10L)) == 0.333333, p3((11L, 10L)).toString)
+    assert(p3((11L, 13L)) == 0.333333)
+  }
+
+  test("containmentPairs: stop-shingle cut measures over the reduced universe") {
+    // docs 1 and 3 are whitespace-variants (identical shingle sets): even
+    // after the 0.5 cut drops the shingles shared by docs 1/2/3, the
+    // survivors still contain each other fully in both directions
+    val cut = Dedup.containmentPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.9, stopShingleFraction = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cut.contains((1L, 3L)) && cut.contains((3L, 1L)))
+    assert(!cut.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("simhashPairs rejects maxHamming beyond the 4-band pigeonhole guarantee") {
     intercept[IllegalArgumentException] {
       Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 4)

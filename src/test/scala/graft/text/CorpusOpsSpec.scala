@@ -946,4 +946,62 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(6L) == ((null, 1L, "p6")))
     assert(got(7L) == ((null, 1L, "p7")))
   }
+
+  test("perplexityBuckets: per-language scoring parity and clean tertile partition") {
+    // two languages with sharply different repetition profiles; doc 99
+    // is zero-token and must be absent from the output
+    val rows = (
+      (1L to 9L).map(i => (i, "aa", ("common word " * i.toInt) + s"rare$i token"))
+        :+ (99L, "aa", "   ")
+    ) ++ (11L to 16L).map(i => (i, "bb", s"x y z w$i " * (i.toInt - 10)))
+    val df = rows.toDF("id", "lang", "text")
+    val got = CorpusOps.perplexityBuckets(df, "id", "text", "lang")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getString(3))).toMap
+    assert(!got.contains(99L) && got.size == 15)
+
+    // xent parity: bucketing scores each doc exactly as crossEntropyScore
+    // does against its own language slice's unigram LM
+    for (lang <- Seq("aa", "bb")) {
+      val slice = df.where(col("lang") === lang && length(trim(col("text"))) > 0)
+      val expected = CorpusOps.crossEntropyScore(slice, "id", "text",
+          CorpusOps.unigramLm(slice, "text"))
+        .collect().map(r => r.getLong(0) ->
+          BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble).toMap
+      expected.foreach { case (id, x) => assert(got(id)._2 == x, s"id $id") }
+    }
+
+    // tertile partition: within each language every head score <= every
+    // middle score <= every tail score, and all three buckets are
+    // populated when there are >= 3 documents
+    for (lang <- Seq("aa", "bb")) {
+      val byBucket = got.values.filter(_._1 == lang).toSeq
+        .groupBy(_._3).map { case (b, v) => b -> v.map(_._2) }
+      assert(byBucket.keySet == Set("head", "middle", "tail"), lang)
+      assert(byBucket("head").max <= byBucket("middle").min, lang)
+      assert(byBucket("middle").max <= byBucket("tail").min, lang)
+    }
+  }
+
+  test("tokenizerEval: fertility, compression and word-splitting arithmetic by hand") {
+    val df = Seq(
+      ("g1", "ab ab"),        // each word -> [ab, </w>]: 4 tokens, 2 words
+      ("g1", "AB"),           // normalization: same encoding as "ab"
+      ("g2", "x"),            // merged word-final token x</w>: 1 token
+      ("g2", null: String)    // null text is excluded entirely
+    ).toDF("source", "text")
+    val enc = Bpe.encodeUdf(Seq(("a", "b"), ("x", Bpe.EndOfWord)))
+    val got = CorpusOps.tokenizerEval(df, "text", "source", enc)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    // g1: 2 docs, 3 words, 6 tokens ([ab,</w>] x3), bytes 5 + 2 = 7
+    assert(got("g1") == ((2L, 3L, 6L, 7L, 2.0, round6(7.0 / 6), 0.5)), got("g1").toString)
+    // g2: the null row vanishes; "x" is one fully-merged word-final token
+    assert(got("g2") == ((1L, 1L, 1L, 1L, 1.0, 1.0, 0.0)), got("g2").toString)
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
