@@ -3287,9 +3287,15 @@ object Queries {
         |GROUP BY doc_id""") { (s, dir) =>
       val d = docs(s, dir)
       val en = d.where(col("lang") === "en")
+      // the whole 1..5 ladder (unigram tier folded in) from ONE corpus
+      // pass, materialized once (Zipf-bounded) so the per-tier slices
+      // below are checkpoint scans
+      val lms = graft.text.CorpusOps.ngramLms(en, "text", 5, minN = 1)
+        .localCheckpoint(true)
       val sb = graft.text.CorpusOps.stupidBackoffScoreN(d, "doc_id", "text",
-        graft.text.CorpusOps.unigramLm(en, "text"),
-        (2 to 5).map(n => graft.text.CorpusOps.ngramLm(en, "text", n)))
+        lms.where(col("n") === 1)
+          .select(col("token"), col("ngram_count").as("token_count")),
+        (2 to 5).map(n => lms.where(col("n") === n).drop("n")))
       // + 0.0: a perfectly-predicted doc scores −0.0/n — normalize the
       // IEEE sign on both sides (the e01 convention)
       sb.select(col("doc_id"), col("n_scored"),

@@ -1410,6 +1410,49 @@ object CorpusOps {
       .agg(count(lit(1)).as("ngram_count"))
   }
 
+  /** EVERY n-gram LM tier 2..maxN from ONE corpus pass: rows
+    * (n, ctx, token, ngram_count), each order's slice exactly equal to
+    * [[ngramLm]] at that order (spec-pinned). Training a Stupid Backoff
+    * ladder with per-order [[ngramLm]] calls scans and tokenizes the
+    * corpus maxN−1 times and shuffles each tier separately; here every
+    * position emits its ≤ maxN−1 tagged grams inside one projection, so
+    * the corpus is scanned ONCE and one map-side-combinable aggregation
+    * (keyed (n, ctx, token) — disjoint key spaces, no tier collides)
+    * builds the whole ladder. At 100 TB that's the difference between
+    * 4 corpus scans + 4 shuffles and 1 + 1. Callers materialize the
+    * Zipf-bounded result (localCheckpoint) and slice per order.
+    * `minN = 1` folds the unigram tier into the same pass (ctx = "",
+    * slice n=1 renames to [[unigramLm]]'s (token, token_count) shape —
+    * spec-pinned equal, including 1-token docs no higher order sees).
+    *
+    * Per-position gram construction is a `transform` over a trimmed
+    * `sequence` (slice-of-sequence, because Spark's `sequence(1, s)`
+    * runs DESCENDING when s < 1 — the trim yields the empty array for
+    * docs shorter than the order instead of phantom positions).
+    */
+  def ngramLms(df: DataFrame, textCol: String, maxN: Int,
+               minN: Int = 2): DataFrame = {
+    require(maxN >= 2, s"ngramLms maxN must be >= 2, got $maxN")
+    require(minN == 1 || minN == 2,
+      s"ngramLms minN must be 1 (fold the unigram tier in, ctx = '') or 2, got $minN")
+    val tk = TextFunctions.wsTokens(lower(trim(col(textCol))))
+    val grams = (minN to maxN).map { n =>
+      val w = size(col("__tk")) - (n - 1)
+      val starts =
+        slice(sequence(lit(1), greatest(w, lit(1))), lit(1), greatest(w, lit(0)))
+      transform(starts, i => struct(
+        lit(n).as("n"),
+        array_join(slice(col("__tk"), i, lit(n - 1)), " ").as("ctx"),
+        element_at(col("__tk"), i + (n - 1)).as("token")))
+    }
+    df.select(tk.as("__tk")).where(size(col("__tk")) >= minN)
+      .select(explode(concat(grams: _*)).as("__g"))
+      .select(col("__g.n").as("n"), col("__g.ctx").as("ctx"),
+        col("__g.token").as("token"))
+      .groupBy(col("n"), col("ctx"), col("token"))
+      .agg(count(lit(1)).as("ngram_count"))
+  }
+
   /** Stupid Backoff at arbitrary order — the 5-gram CCNet/KenLM context
     * [[stupidBackoffScore]]'s fixed trigram ladder approximates, still
     * in Brants et al. 2007's distributed closed form. `ctxLms` is the

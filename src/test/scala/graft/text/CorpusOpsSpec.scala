@@ -582,6 +582,32 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("ngramLms: one-pass multi-order == per-order ngramLm, short docs contribute only their orders") {
+    // doc 2 has 3 tokens: contributes bi/trigrams but no 4/5-grams;
+    // doc 3 has 1 token: contributes nothing at any order
+    val train = Seq("the cat sat on the mat", "the cat sat", "x").toDF("text")
+    val all = CorpusOps.ngramLms(train, "text", 5, minN = 1)
+    for (n <- 2 to 5) {
+      val got = all.where(col("n") === n).drop("n")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val want = CorpusOps.ngramLm(train, "text", n)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === want, s"order $n mismatch")
+    }
+    // the folded unigram tier == unigramLm, INCLUDING the 1-token doc
+    // "x" no higher order sees; ctx is "" at n=1
+    val uniGot = all.where(col("n") === 1).drop("n")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val uniWant = CorpusOps.unigramLm(train, "text")
+      .collect().map(r => ("", r.getString(0), r.getLong(1))).toSet
+    assert(uniGot === uniWant)
+    assert(uniWant.exists(_._2 == "x"))
+    // minN = 2 excludes the unigram tier and the 1-token doc entirely
+    assert(CorpusOps.ngramLms(train, "text", 5).where(col("n") === 1).count() === 0)
+    intercept[IllegalArgumentException] { CorpusOps.ngramLms(train, "text", 1) }
+    intercept[IllegalArgumentException] { CorpusOps.ngramLms(train, "text", 5, minN = 0) }
+  }
+
   test("stupidBackoffScoreN: every tier of the 5-gram ladder closed-form; hashed == unhashed; order-3 == fixed trigram form") {
     // train "the cat sat on the mat": uni the:2 cat sat on mat (N=6,
     // V=5); the only 5-grams are (the cat sat on the) and
