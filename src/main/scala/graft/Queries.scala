@@ -1227,6 +1227,32 @@ object Queries {
         graft.text.Bpe.encodeUdf(merges))
     },
 
+    // §2.63b: temperature-scaled language mixture (mBERT/XLM-R/mT5
+    // balancing, alpha = 0.3) at a 500-doc budget — the head language
+    // downsamples (n_copies ∈ {0,1}) while tail languages upsample
+    // (n_copies ≥ 1 with a Bernoulli extra epoch); the md5-fraction draw
+    // and the IN-ENGINE hex threshold replay exactly (r_i rounded 6dp
+    // before floor/frac so both engines branch identically).
+    "t23_temperature_mix" -> oq(
+      """WITH n AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS ni,
+        |         pow(CAST(count(*) AS DOUBLE), 0.3) AS w
+        |  FROM documents GROUP BY 1
+        |), z AS (SELECT sum(w) AS z FROM n),
+        |r AS (SELECT lang, round(500.0 * w / z / ni, 6) AS ri FROM n CROSS JOIN z)
+        |SELECT * FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(floor(ri) AS BIGINT) +
+        |    CASE WHEN substr(md5('temp:' || CAST(doc_id AS STRING)), 1, 8)
+        |          < lpad(lower(to_hex(CAST(floor((ri - floor(ri)) * 4294967296.0) AS BIGINT))), 8, '0')
+        |         THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents JOIN r USING (lang)
+        |) WHERE n_copies > 0""") { (s, dir) =>
+      graft.text.CorpusOps.temperatureMixture(docs(s, dir), "doc_id", "lang",
+          alpha = 0.3, budget = 500L)
+        .select(col("doc_id"), col("lang"), col("n_copies"))
+    },
+
     // §2.38b: PERSISTENT incremental MinHash index — the even-id half of
     // the corpus is indexed (build + parquet write + load), then the
     // odd-id half arrives as an ingest batch and is LSH-deduped AGAINST
@@ -1657,6 +1683,32 @@ object Queries {
       graft.sim.PqIndex.load(s, idxDir)
         .searchBatch(queries, "vec_id", "embedding", k = 10, nProbe = 4,
           excludeSelf = true)
+    },
+
+    // §2.42i: Johnson–Lindenstrauss random projection (Achlioptas 2003
+    // ±1 matrix) 64 → 16 dims as a native codegen'd expression — the
+    // map-only width reduction rows pass through BEFORE the
+    // shuffle-heavy ANN tiers. The Rademacher sign is a seeded integer
+    // congruence (with the rank-saving j·k cross term), so DuckDB
+    // replays the projection digit-for-digit — a fully oracle-checked
+    // "random" matrix.
+    "e13_random_projection" -> oq(
+      """WITH e AS (
+        |  SELECT vec_id, unnest(embedding) AS x,
+        |         unnest(generate_series(0, len(embedding) - 1)) AS j
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, k,
+        |  round(sum(x * (CASE WHEN ((j * 2654435761 + k * 40503
+        |                             + j * k * 2246822519 + 7) % 1000003) % 2 = 0
+        |                 THEN 1.0 ELSE -1.0 END)) / sqrt(16.0), 6) AS comp
+        |FROM e CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k)
+        |GROUP BY 1, 2""") { (s, dir) =>
+      emb(s, dir).select(col("vec_id"),
+          posexplode(graft.functions.VectorFunctions.randomProjection(
+            col("embedding"), dOut = 16, seed = 7L)).as(Seq("k", "comp")))
+        .select(col("vec_id"), col("k").cast("long").as("k"),
+          (round(col("comp"), 6) + lit(0.0)).as("comp"))
     },
 
     // §2.42h serve path: IVFADC search against a PREBUILT index — the

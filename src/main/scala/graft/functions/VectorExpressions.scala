@@ -341,6 +341,92 @@ case class HyperplaneBucket(child: Expression, numPlanes: Int, seed: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Johnson–Lindenstrauss random projection to `dOut` dimensions with a
+  * Rademacher (±1) matrix (Achlioptas 2003, "Database-friendly random
+  * projections" — ±1 entries satisfy the JL lemma with the same
+  * distortion bound as Gaussians and cost one sign flip per term):
+  * y_k = (1/√dOut) Σ_j x_j · s(j,k). The sign is a seeded INTEGER
+  * congruence, s(j,k) = +1 iff ((j·2654435761 + k·40503 +
+  * j·k·2246822519 + seed) mod 1000003) is even — exact int64
+  * arithmetic any engine replays digit-for-digit (the correctness gate
+  * recomputes it in SQL), unlike a float RNG. The j·k cross term is
+  * load-bearing: without it the congruence is LINEAR in k, adjacent
+  * sign columns come out ~perfectly anti-correlated (measured −0.78 to
+  * −1.00) and the projection collapses in rank; with it, adjacent
+  * columns measure |ρ| ≤ 0.12 (spec-pinned decorrelation). One tight dOut×dIn codegen loop per row, map-only; the
+  * 100 TB use is shrinking 768-dim embeddings to 32–64 dims BEFORE the
+  * shuffle-heavy ANN tiers (rows carry 12× fewer vector bytes into
+  * clustering/LSH, distances distorted by at most the JL ε).
+  */
+case class RandomProjection(child: Expression, dOut: Int, seed: Long)
+    extends UnaryExpression {
+  require(dOut >= 1, s"dOut must be >= 1, got $dOut")
+  require(seed >= 0, s"seed must be non-negative (both engines' mod must agree), got $seed")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_random_projection"
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_random_projection expects array<float|double>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val scale = 1.0 / math.sqrt(dOut.toDouble)
+    val out = new Array[Double](dOut)
+    var k = 0
+    while (k < dOut) {
+      var s = 0.0
+      var j = 0
+      while (j < n) {
+        val sign =
+          if ((j * 2654435761L + k * 40503L + j * k * 2246822519L + seed)
+              % 1000003L % 2L == 0L) 1.0 else -1.0
+        val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        s += x * sign
+        j += 1
+      }
+      out(k) = s * scale
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val k = ctx.freshName("k"); val j = ctx.freshName("j")
+      val s = ctx.freshName("s"); val sign = ctx.freshName("sign")
+      val get = if (isFloat) s"(double) $a.getFloat($j)" else s"$a.getDouble($j)"
+      s"""
+        |int $n = $a.numElements();
+        |double[] $out = new double[$dOut];
+        |for (int $k = 0; $k < $dOut; $k++) {
+        |  double $s = 0.0;
+        |  for (int $j = 0; $j < $n; $j++) {
+        |    double $sign =
+        |      (($j * 2654435761L + $k * 40503L
+        |          + (long) $j * $k * 2246822519L + ${seed}L)
+        |        % 1000003L % 2L == 0L) ? 1.0 : -1.0;
+        |    $s += $get * $sign;
+        |  }
+        |  $out[$k] = $s / java.lang.Math.sqrt((double) $dOut);
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-level entry points for the native expressions. */
 object VectorFunctions {
   def dotp(a: Column, b: Column): Column =
@@ -359,4 +445,7 @@ object VectorFunctions {
 
   def hyperplaneBucket(vec: Column, numPlanes: Int, seed: Int): Column =
     ColumnBridge.column(HyperplaneBucket(ColumnBridge.expression(vec), numPlanes, seed))
+
+  def randomProjection(vec: Column, dOut: Int, seed: Long = 0L): Column =
+    ColumnBridge.column(RandomProjection(ColumnBridge.expression(vec), dOut, seed))
 }

@@ -215,6 +215,53 @@ object CorpusOps {
     if (r <= 0.0) "" // no hex string is <= "" lexicographically except ""
     else f"${math.min((r * 4294967296.0).toLong - 1, 4294967295L)}%08x"
 
+  /** Temperature-scaled source mixture (the multilingual-corpus
+    * balancing rule of mBERT/XLM-R/mT5 — Conneau & Lample 2019 §3.1,
+    * Xue et al. 2021 §3.2; GPT-3's per-source weights are the same
+    * mechanism with hand-set q): sampling share q_i ∝ n_i^alpha flattens
+    * the corpus-size distribution (alpha = 1 keeps natural proportions,
+    * alpha → 0 approaches uniform over sources), so head sources
+    * DOWNSAMPLE and tail sources UPSAMPLE — the expected-repeat rate is
+    * r_i = budget·q_i / n_i, and each document carries
+    * `n_copies = floor(r_i) + Bernoulli(frac(r_i))` epochs of itself
+    * (He et al.-style weighting feeds [[epochShuffle]]/packing without
+    * materializing duplicates; rows with n_copies = 0 are dropped).
+    *
+    * Deterministic and engine-replayable end-to-end: the Bernoulli draw
+    * is the [[splitColumn]] md5-fraction of the id (prefix-seeded), the
+    * threshold is the per-source frac(r_i) rendered as an 8-hex bound
+    * IN-ENGINE (lpad(hex(floor(frac·2³²)))) because r_i is
+    * data-dependent — no driver constant exists — and r_i is rounded to
+    * 6dp before floor/frac so both engines branch on the same double.
+    *
+    * Scale shape: two source-cardinality aggregations (count per source,
+    * one grand total), a broadcast join of the per-source rate back to
+    * the corpus, then a pure map-side expression — no corpus shuffle at
+    * any scale.
+    */
+  def temperatureMixture(df: DataFrame, idCol: String, sourceCol: String,
+                         alpha: Double, budget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val n = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).cast("double").as("__ni"))
+      .withColumn("__w", pow(col("__ni"), lit(alpha)))
+    val z = n.agg(sum(col("__w")).as("__z"))
+    val r = n.crossJoin(broadcast(z))
+      .select(col(sourceCol),
+        round(lit(budget.toDouble) * col("__w") / col("__z") / col("__ni"), 6)
+          .as("__ri"))
+    val hx = substring(md5(concat(lit("temp:"), col(idCol).cast("string"))), 1, 8)
+    val fracBound = lpad(lower(hex(
+      floor((col("__ri") - floor(col("__ri"))) * lit(4294967296.0)).cast("long"))),
+      8, "0")
+    df.join(broadcast(r), Seq(sourceCol))
+      .withColumn("n_copies",
+        floor(col("__ri")).cast("long") + when(hx < fracBound, 1L).otherwise(0L))
+      .where(col("n_copies") > 0)
+      .drop("__ri")
+  }
+
   /** Conservative PII redaction as a pure codegen'd column expression:
     * emails → [EMAIL], dotted IPv4 quads → [IP], then 9+-digit runs
     * (account/phone/SSN-shaped numbers) → [NUM], applied in that order

@@ -25,6 +25,54 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(row.getDouble(2) + 1.0) < 1e-12)
   }
 
+  test("randomProjection: exact sign-rule replica, decorrelated columns, JL distance sanity") {
+    import graft.functions.VectorFunctions
+    val dIn = 64; val dOut = 16; val seed = 7L
+    def sign(j: Int, k: Int): Double =
+      if ((j * 2654435761L + k * 40503L + j.toLong * k * 2246822519L + seed)
+          % 1000003L % 2L == 0L) 1.0 else -1.0
+    // exact parity with the serial replica (codegen path, float input)
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 40).map(i =>
+      (i.toLong, Array.fill(dIn)(rnd.nextGaussian().toFloat).toSeq))
+    val df = rows.toDF("id", "v")
+    val got = df.select(col("id"),
+        VectorFunctions.randomProjection(col("v"), dOut, seed).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def project(v: Seq[Float]): Seq[Double] =
+      (0 until dOut).map { k =>
+        v.zipWithIndex.map { case (x, j) => x.toDouble * sign(j, k) }.sum /
+          math.sqrt(dOut.toDouble)
+      }
+    for ((id, v) <- rows) {
+      val want = project(v)
+      got(id).zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
+    }
+    // sign columns decorrelate (the j·k cross term is load-bearing:
+    // without it adjacent columns measure rho in [-1.00, -0.78])
+    for (k <- 0 until dOut - 1) {
+      val rho = (0 until dIn).map(j => sign(j, k) * sign(j, k + 1)).sum / dIn
+      assert(math.abs(rho) <= 0.15, s"adjacent sign columns k=$k correlate at $rho")
+    }
+    // JL sanity: mean pairwise distance distortion is small even at 16 dims
+    val ids = rows.map(_._1)
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val dists = for (i <- ids.indices; l <- i + 1 until ids.size) yield {
+      val (va, vb) = (rows(i)._2.map(_.toDouble), rows(l)._2.map(_.toDouble))
+      (d2(got(rows(i)._1), got(rows(l)._1)), d2(va, vb))
+    }
+    val meanRatio = dists.map { case (p, o) => p / o }.sum / dists.size
+    assert(meanRatio > 0.7 && meanRatio < 1.3,
+      s"mean squared-distance ratio $meanRatio outside JL band")
+    // null rows project to null
+    val withNull = Seq((1L, Some(Seq(1.0f, 2.0f))), (2L, None)).toDF("id", "v")
+    val nulls = withNull.select(
+      VectorFunctions.randomProjection(col("v"), 4, 0L).as("p"))
+      .collect().map(_.isNullAt(0))
+    assert(nulls.toSeq == Seq(false, true))
+  }
+
   test("brute-force top-1 picks the nearest neighbour") {
     val top1 = Similarity.cosineTopK(vecs, "vec_id", "embedding", k = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -267,6 +267,48 @@ class CorpusOpsSpec extends SparkSpec {
     assert(re == got.toSet)
   }
 
+  test("temperatureMixture: exact closed-form copies, head down / tail up, pure function of id") {
+    // sources: a ×4 docs, b ×1 doc; alpha = 0.5, budget = 5
+    //   w_a = 2, w_b = 1, z = 3
+    //   r_a = 5·(2/3)/4 = 0.833333 (6dp)  → copies ∈ {0, 1}
+    //   r_b = 5·(1/3)/1 = 1.666667        → copies ∈ {1, 2}
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (5L, "b"))
+      .toDF("id", "src")
+    val got = CorpusOps.temperatureMixture(df, "id", "src", alpha = 0.5, budget = 5L)
+      .select("id", "n_copies").as[(Long, Long)].collect().toMap
+    // single-node replay of the md5-fraction rule
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex8(id: Long) = md.digest(s"temp:$id".getBytes("UTF-8")).take(4)
+      .map(b => f"$b%02x").mkString
+    def copies(id: Long, ri: Double): Long = {
+      val r6 = BigDecimal(ri).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val frac = r6 - math.floor(r6)
+      val bound = f"${math.floor(frac * 4294967296.0).toLong}%08x"
+      math.floor(r6).toLong + (if (hex8(id) < bound) 1L else 0L)
+    }
+    val want = (Seq(1L, 2L, 3L, 4L).map(id => id -> copies(id, 5.0 * (2.0 / 3) / 4)) :+
+        (5L -> copies(5L, 5.0 * (1.0 / 3))))
+      .filter(_._2 > 0).toMap
+    assert(got === want)
+    // the tail source always keeps at least one epoch
+    assert(got(5L) >= 1L)
+    // pure function of (source stats, id): physical layout cannot change it
+    val re = CorpusOps.temperatureMixture(df.repartition(3), "id", "src",
+        alpha = 0.5, budget = 5L)
+      .select("id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(re === got)
+    // alpha = 1 is natural proportions: every r_i = budget/N exactly
+    val nat = CorpusOps.temperatureMixture(df, "id", "src", alpha = 1.0, budget = 5L)
+      .select("id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(nat === (1L to 5L).map(_ -> 1L).toMap)
+    intercept[IllegalArgumentException] {
+      CorpusOps.temperatureMixture(df, "id", "src", alpha = 0.0, budget = 5L)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.temperatureMixture(df, "id", "src", alpha = 0.5, budget = 0L)
+    }
+  }
+
   test("epochShuffle: positions are the seeded permutation, stable under repartition") {
     val df = (0 until 500).map(i => (i.toLong, s"doc$i")).toDF("id", "body")
     val got = CorpusOps.epochShuffle(df, "id", seed = 42L)
