@@ -51,8 +51,25 @@ final class MinHashIndex private (
     * (insertInto refreshes the catalog cache; a fresh spark.table() call
     * picks that up, a held plan does not).
     */
-  def bandsTable: DataFrame = spark.table(tableName(dir, "bands"))
-  def shinglesTable: DataFrame = spark.table(tableName(dir, "shingles"))
+  def bandsTable: DataFrame = graft.sources.Tombstones.filterOut(
+    spark, dir, spark.table(tableName(dir, "bands")), "id")
+  def shinglesTable: DataFrame = graft.sources.Tombstones.filterOut(
+    spark, dir, spark.table(tableName(dir, "shingles")), "id")
+
+  /** Delete ids from the store — the [[graft.sources.Tombstones]]
+    * contract (O(|takedown|) append; both table reads anti-join the set
+    * out, [[MinHashIndex.compactTo]] drops the rows physically; undo
+    * via [[revive]], and [[add]] refuses tombstoned ids — the stored
+    * rows still exist, so a re-insert would leave two live copies). A
+    * tombstoned doc stops matching new batches immediately — the store
+    * behaves as if it was never indexed.
+    */
+  def remove(ids: DataFrame, idCol: String): Unit =
+    graft.sources.Tombstones.add(spark, dir, ids, idCol)
+
+  /** Unmask previously-removed ids: their stored rows serve again. */
+  def revive(ids: DataFrame, idCol: String): Unit =
+    graft.sources.Tombstones.remove(spark, dir, ids, idCol)
 
   /** LSH candidate pairs (batch × store) verified by exact Jaccard over
     * the hashed shingle sets: (id — batch, dup_of — stored, jaccard ≥
@@ -115,6 +132,10 @@ final class MinHashIndex private (
     * at-least-once semantics continuousIngest's scaladoc documents.
     */
   def add(batch: DataFrame, idCol: String, textCol: String): Unit = {
+    // a tombstoned id must be revive()d, never re-inserted (the
+    // Tombstones duplicate-copy argument)
+    graft.sources.Tombstones.requireNoneTombstoned(
+      spark, dir, batch.select(col(idCol)), idCol)
     val withSig = prepare(batch, idCol, textCol, k, numHashes)
     bandKeys(withSig, numHashes, bands)
       .write.mode("append").insertInto(tableName(dir, "bands"))
@@ -185,6 +206,40 @@ object MinHashIndex {
     Seq((k, numHashes, bands)).toDF("k", "numHashes", "bands").coalesce(1)
       .write.mode("overwrite").json(s"$dir/meta")
     load(spark, dir)
+  }
+
+  /** Compact an ingest-fragmented store into a fresh dir — the
+    * [[graft.sim.IvfIndex.compactTo]] contract for BOTH tables: plain
+    * parquet re-read (the bucketed catalog scan would claim
+    * HashPartitioning and elide the aligning repartition — the
+    * documented optimizer trap), tombstoned ids dropped for real, one
+    * aligning repartition per table, bucketed rewrite at the
+    * one-file-per-bucket floor. The destination starts with an empty
+    * tombstone set; write-then-swap stays with the caller. Returns
+    * (filesBefore, filesAfter) summed over both tables.
+    */
+  def compactTo(spark: SparkSession, srcDir: String, dstDir: String,
+                buckets: Int = DefaultBuckets): (Int, Int) = {
+    import graft.sources.{Sources, Tombstones}
+    val bandsRaw = spark.read.parquet(s"$srcDir/bands")
+    val shRaw = spark.read.parquet(s"$srcDir/shingles")
+    val before = bandsRaw.inputFiles.length + shRaw.inputFiles.length
+    Sources.writeBucketed(
+      Tombstones.filterOut(spark, srcDir, bandsRaw, "id")
+        .repartition(buckets, col("bkey")),
+      "bkey", buckets, tableName(dstDir, "bands"), s"$dstDir/bands")
+    Sources.writeBucketed(
+      Tombstones.filterOut(spark, srcDir, shRaw, "id")
+        .repartition(buckets, col("id")),
+      "id", buckets, tableName(dstDir, "shingles"), s"$dstDir/shingles")
+    // parameter meta travels verbatim: signatures in the copied tables
+    // were computed under these (k, numHashes, bands)
+    spark.read.json(s"$srcDir/meta").coalesce(1)
+      .write.mode("overwrite").json(s"$dstDir/meta")
+    load(spark, dstDir) // register the destination's catalog entries
+    (before,
+      spark.read.parquet(s"$dstDir/bands").inputFiles.length +
+        spark.read.parquet(s"$dstDir/shingles").inputFiles.length)
   }
 
   /** Open a written index in this (or any later) session. Catalog

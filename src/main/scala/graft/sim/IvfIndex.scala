@@ -116,12 +116,32 @@ object IvfIndex {
       .withColumn("nrm", Similarity.norm(col("v")))
     val posts = Similarity.rankCentroids(v, idx.centroids, 1).join(v, "id")
       .select(col("id"), col("cid"), col("v"), col("nrm"))
+    // a tombstoned id must be revive()d, never re-inserted: its old
+    // posting is still physically present and both copies would serve
+    graft.sources.Tombstones.requireNoneTombstoned(
+      spark, dir, batch.select(col(idCol)), idCol)
     val tbl = postingsTable(dir)
     if (spark.catalog.tableExists(tbl))
       posts.write.mode("append").insertInto(tbl)
     else // legacy unbucketed layout: plain parquet append
       posts.write.mode("append").parquet(s"$dir/postings")
   }
+
+  /** Delete ids from a WRITTEN index — the FAISS `remove_ids` role via
+    * [[graft.sources.Tombstones]]: O(|takedown|) append, no posting
+    * rewrite; every `load`-based read (search, stats, dedup, rebuild)
+    * anti-joins the set out, and [[compactTo]] drops the rows
+    * physically. Undo via [[revive]]; [[addTo]] refuses tombstoned ids
+    * (the [[graft.sources.Tombstones]] duplicate-copy argument).
+    */
+  def removeFrom(spark: SparkSession, dir: String, ids: DataFrame,
+                 idCol: String): Unit =
+    graft.sources.Tombstones.add(spark, dir, ids, idCol)
+
+  /** Unmask previously-removed ids: their stored postings serve again. */
+  def revive(spark: SparkSession, dir: String, ids: DataFrame,
+             idCol: String): Unit =
+    graft.sources.Tombstones.remove(spark, dir, ids, idCol)
 
   /** Assign batch vectors to the index's frozen cells: (idCol, cid).
     * The map-side max_by pass the ingest loop scopes its SemDedup to.
@@ -219,8 +239,11 @@ object IvfIndex {
     // falls back to packed plain-file reads, so tasks end up holding
     // arbitrary bucket mixes and the writer emits one file per
     // (task × bucket) instead of the floor
-    val posts = spark.read.parquet(s"$srcDir/postings")
-    val before = posts.inputFiles.length
+    // tombstoned rows die here for real: the destination is written
+    // without them and starts with an empty tombstone set
+    val posts = graft.sources.Tombstones.filterOut(spark, srcDir,
+      spark.read.parquet(s"$srcDir/postings"), "id")
+    val before = spark.read.parquet(s"$srcDir/postings").inputFiles.length
     // align rows to their bucket's task before the bucketed write:
     // repartition's HashPartitioning and the bucket spec share the same
     // murmur3+pmod placement, so each task holds exactly one bucket and
@@ -331,7 +354,8 @@ object IvfIndex {
     */
   def load(spark: SparkSession, dir: String): IvfIndex =
     new IvfIndex(spark.read.parquet(s"$dir/centroids"),
-      loadBucketedTable(spark, dir, "postings", postingsTable(dir)))
+      graft.sources.Tombstones.filterOut(spark, dir,
+        loadBucketedTable(spark, dir, "postings", postingsTable(dir)), "id"))
 
   /** The re-registration mechanics behind [[load]] (and
     * [[PqIndex.load]]): read `dir/subdir` through an external

@@ -210,12 +210,30 @@ object PqIndex {
     val r = residuals(v, idx.centroids)
     val posts = Pq.encode(r, "id", "rv", idx.codebooks)
       .join(r.select(col("id"), col("cid")), Seq("id"))
+    // a tombstoned id must be revive()d, never re-inserted (the
+    // Tombstones duplicate-copy argument)
+    graft.sources.Tombstones.requireNoneTombstoned(
+      spark, dir, batch.select(col(idCol)), idCol)
     val tbl = codesTable(dir)
     if (spark.catalog.tableExists(tbl))
       posts.write.mode("append").insertInto(tbl)
     else
       posts.write.mode("append").parquet(s"$dir/codes")
   }
+
+  /** Delete ids from a WRITTEN index — the FAISS `remove_ids` role via
+    * [[graft.sources.Tombstones]]: O(|takedown|) append; `load`-based
+    * reads anti-join the set out, [[compactTo]] drops the rows
+    * physically. Undo via [[revive]]; [[addTo]] refuses tombstoned ids.
+    */
+  def removeFrom(spark: SparkSession, dir: String, ids: DataFrame,
+                 idCol: String): Unit =
+    graft.sources.Tombstones.add(spark, dir, ids, idCol)
+
+  /** Unmask previously-removed ids: their stored codes serve again. */
+  def revive(spark: SparkSession, dir: String, ids: DataFrame,
+             idCol: String): Unit =
+    graft.sources.Tombstones.remove(spark, dir, ids, idCol)
 
   /** (id, cid, rv = v − centroid(cell(v))): cell assignment + one
     * broadcast join against the centroid table — the residual pass both
@@ -256,8 +274,11 @@ object PqIndex {
     */
   def compactTo(spark: SparkSession, srcDir: String, dstDir: String,
                 buckets: Int = IvfIndex.DefaultBuckets): (Int, Int) = {
-    val codes = spark.read.parquet(s"$srcDir/codes")
-    val before = codes.inputFiles.length
+    // tombstoned rows die here for real: the destination is written
+    // without them and starts with an empty tombstone set
+    val codes = graft.sources.Tombstones.filterOut(spark, srcDir,
+      spark.read.parquet(s"$srcDir/codes"), "id")
+    val before = spark.read.parquet(s"$srcDir/codes").inputFiles.length
     new PqIndex(spark.read.parquet(s"$srcDir/centroids"),
         spark.read.parquet(s"$srcDir/codebooks"),
         codes.repartition(buckets, col("cid")))
@@ -281,5 +302,6 @@ object PqIndex {
   def load(spark: SparkSession, dir: String): PqIndex =
     new PqIndex(spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/codebooks"),
-      IvfIndex.loadBucketedTable(spark, dir, "codes", codesTable(dir)))
+      graft.sources.Tombstones.filterOut(spark, dir,
+        IvfIndex.loadBucketedTable(spark, dir, "codes", codesTable(dir)), "id"))
 }

@@ -72,4 +72,34 @@ class MinHashIndexSpec extends SparkSpec {
     val bkeyExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning(bkey"))
     assert(bkeyExchanges <= 1, plan)
   }
+
+  test("remove tombstones a stored doc; compactTo drops it physically; revive unmasks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx4").toString
+    val idx = MinHashIndex.create(spark, dir, corpus, "doc_id", "text", buckets = 4)
+    def hits() = idx.pairsAgainst(batch, "doc_id", "text")
+      .select("id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(hits() == Set((10L, 1L), (12L, 3L)))
+    // takedown of stored doc 1: immediately invisible to searches
+    idx.remove(Seq(1L).toDF("doc_id"), "doc_id")
+    assert(hits() == Set((12L, 3L)))
+    // unrelated ids in the takedown set change nothing
+    idx.remove(Seq(999L).toDF("doc_id"), "doc_id")
+    assert(hits() == Set((12L, 3L)))
+    // compaction drops the rows for real and starts clean
+    val dst = java.nio.file.Files.createTempDirectory("graft-mhidx5").toString
+    MinHashIndex.compactTo(spark, dir, dst, buckets = 4)
+    val re = MinHashIndex.load(spark, dst)
+    assert(spark.read.parquet(s"$dst/shingles")
+      .where(col("id") === 1L).count() == 0L)
+    assert(!new java.io.File(s"$dst/tombstones").exists())
+    assert(re.pairsAgainst(batch, "doc_id", "text")
+      .select("id", "dup_of").as[(Long, Long)].collect().toSet == Set((12L, 3L)))
+    // re-inserting a tombstoned id is refused (its stored rows still
+    // exist — a second copy would double-serve); revive() unmasks them
+    intercept[IllegalArgumentException] {
+      idx.add(corpus.where(col("doc_id") === 1L), "doc_id", "text")
+    }
+    idx.revive(Seq(1L).toDF("doc_id"), "doc_id")
+    assert(hits() == Set((10L, 1L), (12L, 3L)))
+  }
 }

@@ -301,4 +301,40 @@ class PqSpec extends SparkSpec {
     }).sortBy { case (id, d) => (d, id) }.take(5).map(_._1)
     assert(after == want, s"post-addTo full-probe search $after != brute $want")
   }
+
+  test("PqIndex.removeFrom: tombstoned ids vanish from search, die in compactTo, unmask on revive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqdel").toString
+    PqIndex.build(clustered, "vec_id", "embedding",
+      m = 4, codesPerSub = 16, numCentroids = 8, iters = 3).write(dir)
+    val q = local(0L)
+    def top5() = PqIndex.load(spark, dir)
+      .search(clustered, "vec_id", "embedding", q, k = 5,
+        nProbe = 8, candidates = 240)
+      .collect().map(_.getLong(0)).toSeq
+    val before = top5()
+    val victim = before(1) // a genuine neighbour, not the query itself
+    PqIndex.removeFrom(spark, dir, Seq(victim).toDF("vec_id"), "vec_id")
+    val after = top5()
+    assert(!after.contains(victim), s"tombstoned $victim still in $after")
+    // full-probe parity with brute force over the SURVIVORS
+    val want = local.toSeq.filter { case (id, _) => id != victim }
+      .map { case (id, v) =>
+        id -> v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum }
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1)
+    assert(after == want, s"survivor search $after != brute $want")
+    // compaction drops the code rows for real, destination starts clean
+    val dst = java.nio.file.Files.createTempDirectory("graft-pqdel2").toString
+    PqIndex.compactTo(spark, dir, dst)
+    assert(spark.read.parquet(s"$dst/codes")
+      .where(col("id") === victim).count() == 0L)
+    assert(!new java.io.File(s"$dst/tombstones").exists())
+    // re-inserting a tombstoned id is refused (the stored codes still
+    // exist — a second copy would double-serve); revive() unmasks them
+    intercept[IllegalArgumentException] {
+      PqIndex.addTo(spark, dir,
+        clustered.where(col("vec_id") === victim), "vec_id", "embedding")
+    }
+    PqIndex.revive(spark, dir, Seq(victim).toDF("vec_id"), "vec_id")
+    assert(top5() == before)
+  }
 }

@@ -258,6 +258,43 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(r => r.getDouble(2) <= 1.0 && r.getDouble(2) >= -1.0))
   }
 
+  test("IvfIndex.removeFrom: tombstoned ids vanish everywhere, die in compactTo, unmask on revive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfdel").toString
+    IvfIndex.build(clustered, "vec_id", "embedding",
+      numCentroids = 16, iters = 2, trainCap = 60).write(dir)
+    val brute = top5Map(Similarity.cosineTopK(clustered, "vec_id", "embedding", k = 5))
+    def full() = top5Map(IvfIndex.load(spark, dir)
+      .search(clustered, "vec_id", "embedding", k = 5, nProbe = 16, excludeSelf = true))
+    val victim = brute(0L).head
+    IvfIndex.removeFrom(spark, dir, Seq(victim).toDF("vec_id"), "vec_id")
+    val after = full()
+    assert(after.values.forall(!_.contains(victim)),
+      s"tombstoned $victim still retrieved as a neighbour")
+    // full-probe parity with brute force over the survivors (victim
+    // still QUERIES — it is deleted from the index, not the query set)
+    val bruteAfter = top5Map(Similarity.cosineTopK(
+        clustered.where(col("vec_id") =!= victim), "vec_id", "embedding", k = 5))
+      .filter { case (id, _) => id != victim }
+    assert(after.filter { case (id, _) => id != victim } == bruteAfter)
+    // cellStats reflects the logical delete (sums to survivors)
+    val n = IvfIndex.cellStats(spark, dir).agg(sum(col("n_postings"))).head().getLong(0)
+    assert(n == clustered.count() - 1)
+    // compaction drops the posting physically, destination starts clean
+    val dst = java.nio.file.Files.createTempDirectory("graft-ivfdel2").toString
+    IvfIndex.compactTo(spark, dir, dst)
+    assert(spark.read.parquet(s"$dst/postings")
+      .where(col("id") === victim).count() == 0L)
+    assert(!new java.io.File(s"$dst/tombstones").exists())
+    // re-inserting a tombstoned id is refused (its stored posting still
+    // exists — a second copy would double-serve); revive() unmasks it
+    intercept[IllegalArgumentException] {
+      IvfIndex.addTo(spark, dir,
+        clustered.where(col("vec_id") === victim), "vec_id", "embedding")
+    }
+    IvfIndex.revive(spark, dir, Seq(victim).toDF("vec_id"), "vec_id")
+    assert(full() == brute)
+  }
+
   test("loaded IVF index reads cid-bucketed postings: no postings-side exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-bkt").toString
     IvfIndex.build(clustered, "vec_id", "embedding",
