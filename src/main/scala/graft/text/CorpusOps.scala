@@ -246,11 +246,13 @@ object CorpusOps {
     val n = df.groupBy(col(sourceCol))
       .agg(count(lit(1)).cast("double").as("__ni"))
       .withColumn("__w", pow(col("__ni"), lit(alpha)))
-    val z = n.agg(sum(col("__w")).as("__z"))
-    val r = n.crossJoin(broadcast(z))
-      .select(col(sourceCol),
-        round(lit(budget.toDouble) * col("__w") / col("__z") / col("__ni"), 6)
-          .as("__ri"))
+      .localCheckpoint(true) // source-cardinality rows; read twice below
+    // z is ONE driver scalar (the stupidBackoff N/V convention — a
+    // 1-row crossJoin would plan as a BroadcastNestedLoopJoin)
+    val z = n.agg(sum(col("__w"))).head().getDouble(0)
+    val r = n.select(col(sourceCol),
+      round(lit(budget.toDouble) * col("__w") / lit(z) / col("__ni"), 6)
+        .as("__ri"))
     val hx = substring(md5(concat(lit("temp:"), col(idCol).cast("string"))), 1, 8)
     val fracBound = lpad(lower(hex(
       floor((col("__ri") - floor(col("__ri"))) * lit(4294967296.0)).cast("long"))),
