@@ -258,6 +258,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(r => r.getDouble(2) <= 1.0 && r.getDouble(2) >= -1.0))
   }
 
+  test("randomProjection composes with IVF: half-width search keeps cluster recall") {
+    import graft.functions.VectorFunctions
+    // the scale path e13 exists for: shrink vectors BEFORE the
+    // shuffle-heavy ANN tier, search in projected space
+    val proj = clustered.select(col("vec_id"),
+      transform(VectorFunctions.randomProjection(col("embedding"), 8, 7L),
+        x => x.cast("float")).as("embedding"))
+    val got = top5Map(Similarity.annIvfTopK(proj, "vec_id", "embedding", k = 5,
+      numCentroids = 16, nProbe = 16, iters = 2))
+    // projection is a CANDIDATE-GENERATION compressor (like PQ's ADC):
+    // fine ranking is the exact-rerank step's job, the property that
+    // must survive the width cut is that retrieved neighbours land in
+    // the query's planted cluster
+    val purities = got.toSeq.map { case (id, nbrs) =>
+      nbrs.count(n => n / 12 == id / 12).toDouble / nbrs.size
+    }
+    val purity = purities.sum / purities.size
+    // and exact top-5 recall, recorded for the record
+    val brute = top5Map(Similarity.cosineTopK(clustered, "vec_id", "embedding", k = 5))
+    info(f"projected-space (16 -> 8 dims): cluster purity@5 = $purity%.4f, " +
+      f"exact recall@5 = ${recallAt5(brute, got)}%.4f")
+    assert(purity >= 0.85, f"projected cluster purity@5 = $purity%.4f")
+  }
+
   test("IvfIndex.removeFrom: tombstoned ids vanish everywhere, die in compactTo, unmask on revive") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfdel").toString
     IvfIndex.build(clustered, "vec_id", "embedding",
