@@ -102,4 +102,24 @@ class MinHashIndexSpec extends SparkSpec {
     idx.revive(Seq(1L).toDF("doc_id"), "doc_id")
     assert(hits() == Set((10L, 1L), (12L, 3L)))
   }
+
+  test("takedown propagates through the ingest loop: a removed doc stops masking new arrivals") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx6").toString
+    val idx = MinHashIndex.create(spark, dir, corpus, "doc_id", "text", buckets = 4)
+    val arrival = batch.where(col("doc_id") === 10L) // near-dup of stored 1
+    // masked while doc 1 is indexed…
+    assert(idx.filterNovel(arrival, "doc_id", "text").count() == 0L)
+    // …takedown of doc 1 → the arrival is novel again and gets KEPT —
+    // the corpus re-acquires the content through the front door instead
+    // of silently losing it forever
+    idx.remove(Seq(1L).toDF("doc_id"), "doc_id")
+    assert(idx.filterNovel(arrival, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq == Seq(10L))
+    idx.add(arrival, "doc_id", "text")
+    // the replacement now masks the NEXT copy (id 20, same shingles as 10)
+    val next = arrival.select((col("doc_id") + 10L).as("doc_id"), col("text"))
+    assert(idx.filterNovel(next, "doc_id", "text").count() == 0L)
+    assert(idx.pairsAgainst(next, "doc_id", "text")
+      .select("dup_of").as[Long].collect().toSet == Set(10L))
+  }
 }
