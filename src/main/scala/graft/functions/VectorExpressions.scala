@@ -380,21 +380,25 @@ case class RandomProjection(child: Expression, dOut: Int, seed: Long)
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
-    val scale = 1.0 / math.sqrt(dOut.toDouble)
+    val scale = math.sqrt(dOut.toDouble)
     val out = new Array[Double](dOut)
     var k = 0
     while (k < dOut) {
       var s = 0.0
       var j = 0
       while (j < n) {
+        // j.toLong BEFORE the j*k product (codegen casts the same way)
+        // and s / sqrt, not s * (1/sqrt): eval and codegen must produce
+        // the SAME double bit-for-bit or a codegen-fallback row rounds
+        // differently at the oracle's 6dp boundary
         val sign =
-          if ((j * 2654435761L + k * 40503L + j * k * 2246822519L + seed)
+          if ((j * 2654435761L + k * 40503L + j.toLong * k * 2246822519L + seed)
               % 1000003L % 2L == 0L) 1.0 else -1.0
         val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
         s += x * sign
         j += 1
       }
-      out(k) = s * scale
+      out(k) = s / scale
       k += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)

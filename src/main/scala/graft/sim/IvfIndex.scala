@@ -241,9 +241,9 @@ object IvfIndex {
     // (task × bucket) instead of the floor
     // tombstoned rows die here for real: the destination is written
     // without them and starts with an empty tombstone set
-    val posts = graft.sources.Tombstones.filterOut(spark, srcDir,
-      spark.read.parquet(s"$srcDir/postings"), "id")
-    val before = spark.read.parquet(s"$srcDir/postings").inputFiles.length
+    val raw = spark.read.parquet(s"$srcDir/postings")
+    val posts = graft.sources.Tombstones.filterOut(spark, srcDir, raw, "id")
+    val before = raw.inputFiles.length
     // align rows to their bucket's task before the bucketed write:
     // repartition's HashPartitioning and the bucket spec share the same
     // murmur3+pmod placement, so each task holds exactly one bucket and

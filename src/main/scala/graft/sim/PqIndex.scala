@@ -276,9 +276,9 @@ object PqIndex {
                 buckets: Int = IvfIndex.DefaultBuckets): (Int, Int) = {
     // tombstoned rows die here for real: the destination is written
     // without them and starts with an empty tombstone set
-    val codes = graft.sources.Tombstones.filterOut(spark, srcDir,
-      spark.read.parquet(s"$srcDir/codes"), "id")
-    val before = spark.read.parquet(s"$srcDir/codes").inputFiles.length
+    val raw = spark.read.parquet(s"$srcDir/codes")
+    val codes = graft.sources.Tombstones.filterOut(spark, srcDir, raw, "id")
+    val before = raw.inputFiles.length
     new PqIndex(spark.read.parquet(s"$srcDir/centroids"),
         spark.read.parquet(s"$srcDir/codebooks"),
         codes.repartition(buckets, col("cid")))

@@ -39,7 +39,12 @@ object Tombstones {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** The current tombstoned id set (distinct), empty when none exist. */
+  /** The current tombstoned id set (distinct), empty when none exist.
+    * The id keeps the TYPE the first `add` wrote (the index layers put
+    * no type constraint on their id columns — a long cast here would
+    * silently no-op string-id takedowns under non-ANSI, or throw under
+    * ANSI); all adds against one index dir must use the same id type.
+    */
   def read(spark: SparkSession, dir: String): DataFrame =
     if (!exists(spark, dir)) spark.range(0).select(col("id"))
     else spark.read.parquet(path(dir)).select(col("id")).distinct()
@@ -49,7 +54,7 @@ object Tombstones {
     * few duplicate rows until the next compaction, never a wrong result.
     */
   def add(spark: SparkSession, dir: String, ids: DataFrame, idCol: String): Unit =
-    ids.select(col(idCol).cast("long").as("id")).distinct()
+    ids.select(col(idCol).as("id")).distinct()
       .write.mode("append").parquet(path(dir))
 
   /** Revive ids — unmask their stored rows by rewriting the small
@@ -60,9 +65,14 @@ object Tombstones {
   def remove(spark: SparkSession, dir: String, ids: DataFrame, idCol: String): Unit =
     if (exists(spark, dir)) {
       val survivors = read(spark, dir)
-        .join(ids.select(col(idCol).cast("long").as("id")), Seq("id"), "left_anti")
+        .join(ids.select(col(idCol).as("id")), Seq("id"), "left_anti")
         .localCheckpoint(true)
-      survivors.write.mode("overwrite").parquet(path(dir))
+      // reviving the LAST id deletes the table outright, restoring the
+      // no-tombstones fast path (filterOut passes frames through with
+      // their exact original plan) — an empty parquet dir would keep
+      // every future read paying the anti-join forever
+      if (survivors.isEmpty) clear(spark, dir)
+      else survivors.write.mode("overwrite").parquet(path(dir))
     }
 
   /** Throw when `batch` contains a tombstoned id — the guard the index
@@ -73,9 +83,9 @@ object Tombstones {
   def requireNoneTombstoned(spark: SparkSession, dir: String, batch: DataFrame,
                             idCol: String): Unit =
     if (exists(spark, dir)) {
-      val hit = batch.select(col(idCol).cast("long").as("id"))
+      val hit = batch.select(col(idCol).as("id"))
         .join(read(spark, dir), Seq("id")).limit(5)
-        .collect().map(_.getLong(0))
+        .collect().map(_.get(0))
       require(hit.isEmpty,
         s"batch contains tombstoned ids (${hit.mkString(", ")}…): revive() them " +
           "to unmask the stored rows, or compact the index first to insert fresh data")

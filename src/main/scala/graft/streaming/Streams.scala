@@ -188,9 +188,17 @@ object Streams {
   /** One ingest step (also the batch/backfill entry point — the stream
     * is this applied per micro-batch): self-dedup, then novel-vs-store.
     */
-  def ingestBatch(batch: DataFrame, index: graft.dedup.MinHashIndex,
+  def ingestBatch(batch0: DataFrame, index: graft.dedup.MinHashIndex,
                   idCol: String, textCol: String,
                   threshold: Double = 0.5): DataFrame = {
+    // takedown guard: a row whose ID was deleted from the store must not
+    // re-enter — an at-least-once REPLAY of a pre-takedown micro-batch
+    // (or a re-crawl under stable ids) would otherwise resurrect erased
+    // content, and index.add's tombstone guard would poison-pill the
+    // loop (throw -> checkpoint replays the same batch -> throw forever).
+    // Fresh content arriving under a NEW id is unaffected.
+    val batch = graft.sources.Tombstones.filterOut(
+      batch0.sparkSession, index.dir, batch0, idCol)
     val pairs = graft.dedup.Dedup.minhashLshPairs(batch, idCol, textCol,
       k = index.k, numHashes = index.numHashes, bands = index.bands,
       threshold = threshold)
@@ -335,10 +343,13 @@ object Streams {
   /** One embedding-ingest step (also the batch/backfill entry point):
     * cell-scoped self-dedup, then novel-vs-store.
     */
-  def embedIngestBatch(batch: DataFrame, indexDir: String,
+  def embedIngestBatch(batch0: DataFrame, indexDir: String,
                        idCol: String, vecCol: String,
                        threshold: Double = 0.95): DataFrame = {
-    val spark = batch.sparkSession
+    val spark = batch0.sparkSession
+    // takedown guard (the ingestBatch rule): replayed or re-crawled rows
+    // carrying a deleted id are dropped, not resurrected or thrown on
+    val batch = graft.sources.Tombstones.filterOut(spark, indexDir, batch0, idCol)
     // within-batch: SemDedup scoped to the INDEX's cells (not a fresh
     // clustering — detection must match what the store compare sees)
     val cells = graft.sim.IvfIndex.assignCells(spark, indexDir, batch, idCol, vecCol)

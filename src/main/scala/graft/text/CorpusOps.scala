@@ -977,6 +977,10 @@ object CorpusOps {
       .select(col("group_key"), col("__nw"), col("__b"),
         size(col("__t")).as("__nt"),
         size(filter(col("__t"), x => x.endsWith(wordEndMarker))).as("__ne"))
+      // zero-word docs (whitespace-only text) carry no tokenizer signal
+      // and an all-empty group would divide by zero below (ANSI: job
+      // death) — the d31 zero-token-docs-absent convention
+      .where(col("__nw") > 0)
     t.groupBy(col("group_key")).agg(
       count(lit(1)).as("n_docs"),
       sum(col("__nw")).as("n_words"),

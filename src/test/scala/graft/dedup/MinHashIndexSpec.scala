@@ -122,4 +122,20 @@ class MinHashIndexSpec extends SparkSpec {
     assert(idx.pairsAgainst(next, "doc_id", "text")
       .select("dup_of").as[Long].collect().toSet == Set(10L))
   }
+
+  test("a replayed batch carrying a tombstoned id is dropped by the ingest step, not thrown on") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx7").toString
+    val idx = MinHashIndex.create(spark, dir, corpus, "doc_id", "text", buckets = 4)
+    idx.remove(Seq(2L).toDF("doc_id"), "doc_id")
+    // at-least-once replay of a PRE-takedown batch containing doc 2
+    // itself: resurrecting it would undo the takedown, and letting
+    // index.add throw would poison-pill the streaming loop (checkpoint
+    // replays the same batch forever) — the ingest step silently drops it
+    val replay = corpus.where(col("doc_id") === 2L)
+      .union(Seq((30L, "fresh new content unrelated to anything stored"))
+        .toDF("doc_id", "text"))
+    val kept = graft.streaming.Streams.ingestBatch(replay, idx, "doc_id", "text")
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(30L))
+    idx.add(kept, "doc_id", "text") // must not throw: id 2 was filtered out
+  }
 }
