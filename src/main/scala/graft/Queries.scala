@@ -1701,7 +1701,7 @@ object Queries {
         |SELECT vec_id, k,
         |  round(sum(x * (CASE WHEN ((j * 2654435761 + k * 40503
         |                             + j * k * 2246822519 + 7) % 1000003) % 2 = 0
-        |                 THEN 1.0 ELSE -1.0 END)) / sqrt(16.0), 6) AS comp
+        |                 THEN 1.0 ELSE -1.0 END)) / sqrt(16.0), 6) + 0.0 AS comp
         |FROM e CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k)
         |GROUP BY 1, 2""") { (s, dir) =>
       emb(s, dir).select(col("vec_id"),
