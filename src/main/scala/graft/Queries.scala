@@ -1214,6 +1214,67 @@ object Queries {
       graft.text.CorpusOps.perplexityBuckets(docs(s, dir), "doc_id", "text", "lang")
     },
 
+    // §2.43b: TRAINED char-n-gram NB language ID (Wenzek 2020 §3.1 gate
+    // on fastText LID; Joulin 2017's char-n-gram features) — train on
+    // even doc_ids' labels, predict the odd half. The oracle replays the
+    // ENTIRE loop: per-(lang, gram) counts → lpc/floor/prior → per-doc
+    // posterior → rounded argmax with the lang-asc tie-break.
+    "d51_nb_langid" -> oq(
+      """WITH base AS (
+        |  SELECT doc_id, lang, lower(trim(text)) AS s FROM documents
+        |), g AS (
+        |  SELECT doc_id, lang,
+        |    list_concat(
+        |      CASE WHEN len(s) >= 3 THEN list_transform(generate_series(1, len(s)-2),
+        |        i -> substr(s, i, 3)) ELSE CAST([] AS VARCHAR[]) END,
+        |      CASE WHEN len(s) >= 4 THEN list_transform(generate_series(1, len(s)-3),
+        |        i -> substr(s, i, 4)) ELSE CAST([] AS VARCHAR[]) END
+        |    ) AS grams
+        |  FROM base
+        |), gc AS (
+        |  SELECT lang, gram, CAST(count(*) AS DOUBLE) AS c
+        |  FROM (SELECT lang, unnest(grams) AS gram FROM g WHERE doc_id % 2 = 0)
+        |  GROUP BY 1, 2
+        |), nl AS (
+        |  SELECT lang, sum(c) AS n FROM gc GROUP BY 1
+        |), vv AS (
+        |  SELECT CAST(count(DISTINCT gram) AS DOUBLE) AS v FROM gc
+        |), dc AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS d FROM base WHERE doc_id % 2 = 0 GROUP BY 1
+        |), tot AS (SELECT sum(d) AS td FROM dc),
+        |stats AS (
+        |  SELECT dc.lang, ln(d / td) AS prior, ln(0.5) - ln(n + 0.5 * v) AS floor,
+        |         CAST(row_number() OVER (ORDER BY dc.lang) - 1 AS INT) AS r
+        |  FROM dc CROSS JOIN tot JOIN nl ON nl.lang = dc.lang CROSS JOIN vv
+        |), w AS (
+        |  SELECT gram, lang, ln((c + 0.5) / 0.5) AS lpc FROM gc
+        |), test AS (
+        |  SELECT doc_id, lang, grams, CAST(len(grams) AS DOUBLE) AS t
+        |  FROM g WHERE doc_id % 2 = 1
+        |), tfc AS (
+        |  SELECT doc_id, gram, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(grams) AS gram FROM test)
+        |  GROUP BY 1, 2
+        |), prt AS (
+        |  SELECT doc_id, lang, sum(tf * lpc) AS p FROM tfc JOIN w USING (gram) GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT d.doc_id, d.lang AS lang, s.lang AS cand, s.r,
+        |    round(s.prior + coalesce(p.p, 0) + d.t * s.floor, 6) AS score
+        |  FROM test d CROSS JOIN stats s
+        |  LEFT JOIN prt p ON p.doc_id = d.doc_id AND p.lang = s.lang
+        |)
+        |SELECT doc_id, lang, cand AS lang_pred, score
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, r ASC) = 1""") { (s, dir) =>
+      val d = docs(s, dir)
+      val model = graft.text.CharLangId.train(
+        d.where(col("doc_id") % 2 === 0), "text", "lang")
+      val test = d.where(col("doc_id") % 2 === 1)
+      graft.text.CharLangId.predict(test, "doc_id", "text", model)
+        .join(test.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("lang_pred"), col("score"))
+    },
+
     // §2.75d: intrinsic tokenizer eval — per-source fertility (subword
     // tokens per word), bytes/token compression and word-splitting rate
     // under the t13 BPE table. Rows-only: the min-rank encoder is not
