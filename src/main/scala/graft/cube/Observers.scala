@@ -736,15 +736,20 @@ object Observers {
   /** Two-date range selector over a time-dimension axis
     * (nav.py:21 DatesRangeWidget). `urls` returns the reference's four
     * query templates — no value, only start, only end, both — built by
-    * filtering on the sentinel dates 8192-01-01/8192-12-31 through the
-    * REAL typed codec and then template-substituting, exactly as the
-    * reference does (nav.py:48-66): the sentinel guarantees the URL
-    * carries a well-formed date in the right position before the
-    * placeholder replaces it. Unlike the reference, the axis codec may
-    * render coarser than a day ("8192-01" on a month axis, the snapped
-    * Monday on a week axis), so the replaced token is the codec's OWN
+    * filtering on the sentinel dates 8192-01-01 / 8193-12-31 through
+    * the REAL typed codec and then template-substituting, the
+    * nav.py:48-66 mechanism (the reference's sentinels are
+    * 8192-01-01/8192-12-31; the end sentinel here deliberately sits in
+    * year 8193 — see below). The sentinel guarantees the URL carries a
+    * well-formed date in the right position before the placeholder
+    * replaces it. Unlike the reference, the axis codec may render
+    * coarser than a day ("8192-01" on a month axis, the snapped Monday
+    * on a week axis), so the replaced token is the codec's OWN
     * rendering of the sentinel — and the two sentinels sit in different
-    * YEARS so a year-granularity axis still tells from/to apart.
+    * YEARS so a year-granularity axis still tells from/to apart. The
+    * substitution is a replace-ALL of the rendered sentinel, which is
+    * safe because no real cube data lives in years 8192/8193 — the
+    * token cannot appear in the URL except as the sentinel.
     */
   final case class DatesRangeWidget(label: String, axis: String,
                                     toolkit: String = "prototype") extends NavWidget {

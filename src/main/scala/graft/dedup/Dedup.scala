@@ -691,16 +691,45 @@ object Dedup {
     */
   def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                            k: Int = 20): DataFrame = {
-    val removedTokens = excisedTokens(df, idCol, textCol, k)
-      .groupBy("id").agg(collect_set(col("tp")).as("__rm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("tp"))
+    val removedSpans = excisedTokens(df, idCol, textCol, k)
+      .withColumn("__island", col("tp") - row_number().over(w))
+      .groupBy(col("id"), col("__island"))
+      .agg(min(col("tp")).cast("int").as("s"), max(col("tp")).cast("int").as("e"))
+      .groupBy("id").agg(collect_list(struct(col("s"), col("e"))).as("__spans"))
       .withColumnRenamed("id", "__rm_id")
-    val cleaned = when(col("__rm").isNull, col(textCol))
-      .otherwise(array_join(
-        filter(wsTokens(col(textCol)), (_, i) => !array_contains(col("__rm"), i + 1)),
-        " "))
-    df.join(removedTokens, col(idCol) === col("__rm_id"), "left")
+    val cleaned = when(col("__spans").isNull, col(textCol))
+      .otherwise(excideSpans(col(textCol), col("__spans")))
+    df.join(removedSpans, col(idCol) === col("__rm_id"), "left")
       .select(df.columns.map(c =>
         if (c == textCol) cleaned.as(textCol) else col(c)): _*)
+  }
+
+  /** Rebuild text after excising token spans, in ONE cursor fold over
+    * the spans sorted by start: the kept text is the concatenation of
+    * the token slices BETWEEN consecutive spans, so per-doc cost is
+    * O(L + S) — linear in the doc's own length however much of it is
+    * duplicated. (The previous `array_contains(removed, i+1)`-per-token
+    * rebuild was O(L·|removed|): a large fully-duplicated document —
+    * L = |removed| = 10⁶ — degenerated to ~10¹² comparisons in one
+    * task.) Spans are disjoint by construction (gaps-and-islands runs),
+    * so `array_sort` on (s, e) structs orders them by start and each
+    * inter-span slice has non-negative length.
+    */
+  private def excideSpans(text: Column, spans: Column): Column = {
+    val toks = wsTokens(text)
+    val folded = aggregate(
+      array_sort(spans),
+      struct(lit(0).as("p"), array().cast("array<string>").as("acc")),
+      (st, sp) => struct(
+        sp.getField("e").as("p"),
+        concat(st.getField("acc"),
+          slice(toks, st.getField("p") + 1,
+            sp.getField("s") - st.getField("p") - 1)).as("acc")),
+      st => concat(st.getField("acc"),
+        slice(toks, st.getField("p") + 1, size(toks) - st.getField("p"))))
+    array_join(folded, " ")
   }
 
   /** Maximal duplicated token spans at a length threshold (Lee et al.
@@ -762,15 +791,16 @@ object Dedup {
       .partitionBy(col("id")).orderBy(col("tp"))
     val marks = excisedTokens(df, idCol, textCol, minTokens)
       .withColumn("__island", col("tp") - row_number().over(w))
+      .groupBy(col("id"), col("__island"))
+      .agg(min(col("tp")).cast("int").as("s"), max(col("tp")).cast("int").as("e"),
+        count(lit(1)).as("__n"))
       .groupBy(col("id"))
-      .agg(collect_set(col("tp")).as("__rm"),
-        countDistinct(col("__island")).as("__n_spans"),
-        count(lit(1)).as("__n_removed"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("__spans"),
+        count(lit(1)).as("__n_spans"),
+        sum(col("__n")).as("__n_removed"))
       .withColumnRenamed("id", "__rm_id")
-    val cleaned = when(col("__rm").isNull, col(textCol))
-      .otherwise(array_join(
-        filter(wsTokens(col(textCol)), (_, i) => !array_contains(col("__rm"), i + 1)),
-        " "))
+    val cleaned = when(col("__spans").isNull, col(textCol))
+      .otherwise(excideSpans(col(textCol), col("__spans")))
     df.join(marks, col(idCol) === col("__rm_id"), "left")
       .select(df.columns.map(c =>
         if (c == textCol) cleaned.as(textCol) else col(c)) ++ Seq(

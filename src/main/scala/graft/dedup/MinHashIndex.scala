@@ -195,6 +195,9 @@ object MinHashIndex {
              k: Int = 3, numHashes: Int = 32, bands: Int = 8,
              buckets: Int = DefaultBuckets): MinHashIndex = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    // fresh generation: drop any tombstones left by a previous store in
+    // this dir, which would otherwise mask freshly-written rows
+    graft.sources.Tombstones.clear(spark, dir)
     val withSig = prepare(corpus, idCol, textCol, k, numHashes)
     graft.sources.Sources.writeBucketed(
       bandKeys(withSig, numHashes, bands), "bkey", buckets,

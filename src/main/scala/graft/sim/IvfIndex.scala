@@ -69,6 +69,9 @@ final class IvfIndex private (val centroids: DataFrame, val postings: DataFrame)
     */
   def write(dir: String, buckets: Int = IvfIndex.DefaultBuckets): Unit = {
     val spark = postings.sparkSession
+    // fresh generation: drop any tombstones left by a previous index in
+    // this dir, which would otherwise mask freshly-written rows
+    graft.sources.Tombstones.clear(spark, dir)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     graft.sources.Sources.writeBucketed(
       postings, "cid", buckets, IvfIndex.postingsTable(dir), s"$dir/postings")

@@ -165,6 +165,10 @@ final class PqIndex private[sim] (val centroids: DataFrame,
     */
   def write(dir: String, buckets: Int = IvfIndex.DefaultBuckets): Unit = {
     val spark = codes.sparkSession
+    // a full overwrite is a fresh generation: stale tombstones from a
+    // previous index in this dir would silently mask freshly-written
+    // rows (and make addTo refuse their ids) — clear them first
+    graft.sources.Tombstones.clear(spark, dir)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
     graft.sources.Sources.writeBucketed(

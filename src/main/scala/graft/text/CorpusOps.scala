@@ -249,7 +249,10 @@ object CorpusOps {
       .localCheckpoint(true) // source-cardinality rows; read twice below
     // z is ONE driver scalar (the stupidBackoff N/V convention — a
     // 1-row crossJoin would plan as a BroadcastNestedLoopJoin)
-    val z = n.agg(sum(col("__w"))).head().getDouble(0)
+    val zRow = n.agg(sum(col("__w"))).head()
+    require(!zRow.isNullAt(0),
+      "temperatureMixture: empty corpus — no rows to mix (sum over zero sources)")
+    val z = zRow.getDouble(0)
     val r = n.select(col(sourceCol),
       round(lit(budget.toDouble) * col("__w") / lit(z) / col("__ni"), 6)
         .as("__ri"))

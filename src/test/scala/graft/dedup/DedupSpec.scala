@@ -364,6 +364,28 @@ class DedupSpec extends SparkSpec {
     assert(stripped(10L) == "x1 x2 x3 x4 x5", stripped(10L))
   }
 
+  test("ExactSubstr: a large fully-duplicated document rebuilds in linear time") {
+    // 20k tokens, doc 31 a verbatim copy of doc 30: |removed| = L, so
+    // the old array_contains-per-token rebuild paid O(L²) = 4·10⁸
+    // comparisons in one task; the span cursor fold is O(L). Also mixes
+    // a half-duplicated doc so the fold crosses span boundaries.
+    val big = (1 to 20000).map(i => s"w$i").mkString(" ")
+    val halfA = (1 to 10000).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (30L, big), (31L, big),
+      (32L, s"pre32 $halfA post32")).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val cleaned = Dedup.exactSubstrDedup(corpus, "doc_id", "text", minTokens = 50)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(cleaned(30L) == (big, 0L, 0L)) // canonical byte-identical
+    assert(cleaned(31L) == (("", 1L, 20000L))) // full excision -> empty
+    assert(cleaned(32L) == (("pre32 post32", 1L, 10000L)))
+    // generous wall bound: the quadratic form took minutes here
+    assert(secs < 60.0, s"rebuild took ${secs}s — quadratic regression?")
+  }
+
   test("softDedupWeights: geometric-mean window commonness, closed form per doc") {
     val corpus = Seq(
       (1L, "a b c d"), // windows abc bcd; abc shared with doc 2

@@ -35,4 +35,24 @@ class TombstonesSpec extends SparkSpec {
     Tombstones.remove(spark, dir, Seq(1L).toDF("id"), "id")
     assert(Tombstones.read(spark, dir).as[Long].collect().toSeq == Seq(2L))
   }
+
+  test("a full index overwrite clears stale tombstones from the old generation") {
+    // Rebuilding an index into a previously-used dir must not mask
+    // freshly-written rows whose ids were tombstoned in the OLD
+    // generation (nor make addTo refuse them).
+    val dir = java.nio.file.Files.createTempDirectory("graft-tomb3").toString
+    val vecs = (0L until 20L).map(i =>
+      (i, Array.tabulate(4)(j => (i * 4 + j).toFloat % 7))).toDF("id", "vec")
+    graft.sim.IvfIndex.build(vecs, "id", "vec", numCentroids = 2, iters = 1).write(dir)
+    Tombstones.add(spark, dir, Seq(3L).toDF("id"), "id")
+    assert(new java.io.File(s"$dir/tombstones").exists())
+    // second generation into the SAME dir: tombstones must not survive
+    graft.sim.IvfIndex.build(vecs, "id", "vec", numCentroids = 2, iters = 1).write(dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    val loaded = graft.sim.IvfIndex.load(spark, dir)
+    val got = loaded.search(
+      Seq((100L, Array.tabulate(4)(j => (3 * 4 + j).toFloat % 7))).toDF("qid", "qv"),
+      "qid", "qv", k = 1, nProbe = 2)
+    assert(got.select("id2").as[Long].collect().toSet == Set(3L))
+  }
 }
