@@ -108,17 +108,7 @@ final class PqIndex private[sim] (val centroids: DataFrame,
                   k: Int, nProbe: Int = 4,
                   excludeSelf: Boolean = false): DataFrame = {
     require(k > 0 && nProbe > 0)
-    val bookRows = codebooks.collect()
-    val m = bookRows.map(_.getInt(0)).max + 1
-    val kCodes = bookRows.map(_.getInt(1)).max
-    val dsub = bookRows.head.getSeq[Float](2).length
-    val books: Seq[Seq[Seq[Float]]] = (0 until m).map { s =>
-      val bySub = bookRows.filter(_.getInt(0) == s)
-      (1 to kCodes).map { c =>
-        bySub.find(_.getInt(1) == c).map(_.getSeq[Float](2).toSeq)
-          .getOrElse(Seq.fill(dsub)(Float.MaxValue / (2 * m)))
-      }
-    }
+    val (books, m, _, dsub) = PqIndex.bookNest(codebooks.collect())
     val bookLit = typedlit(books)
     // fail fast on a null or wrong-width query vector: its residual
     // arithmetic would yield d2 = NULL, which sorts NULLS FIRST and
@@ -288,6 +278,120 @@ object PqIndex {
         codes.repartition(buckets, col("cid")))
       .write(dstDir, buckets)
     (before, load(spark, dstDir).codes.inputFiles.length)
+  }
+
+  /** The collected codebooks as a dense (subspace → code → vector)
+    * nest for a constant literal, plus (m, kCodes, dsub) — shared by
+    * [[PqIndex.searchBatch]]'s inline ADC and [[decoded]]'s
+    * reconstruction. Missing (sub, code) slots (possible when a
+    * degenerate training sample left a code unused) fill with a
+    * huge-distance sentinel so they can never win.
+    */
+  private[sim] def bookNest(bookRows: Array[org.apache.spark.sql.Row])
+      : (Seq[Seq[Seq[Float]]], Int, Int, Int) = {
+    val m = bookRows.map(_.getInt(0)).max + 1
+    val kCodes = bookRows.map(_.getInt(1)).max
+    val dsub = bookRows.head.getSeq[Float](2).length
+    val books: Seq[Seq[Seq[Float]]] = (0 until m).map { s =>
+      val bySub = bookRows.filter(_.getInt(0) == s)
+      (1 to kCodes).map { c =>
+        bySub.find(_.getInt(1) == c).map(_.getSeq[Float](2).toSeq)
+          .getOrElse(Seq.fill(dsub)(Float.MaxValue / (2 * m)))
+      }
+    }
+    (books, m, kCodes, dsub)
+  }
+
+  /** (id, cid, vhat): decode code rows back to their reconstruction
+    * v̂ = centroid(cid) + concat_s codebook(s, codes[s]) — the inverse
+    * of the residual encode, and the vector the compressed tier
+    * actually "remembers". Both small tables travel as constant
+    * literals (structure-sized); the decode is a pure map expression.
+    */
+  private def decoded(codes: DataFrame, cents: DataFrame,
+                      codebooks: DataFrame): DataFrame = {
+    val (books, _, _, _) = bookNest(codebooks.collect())
+    val bookLit = typedlit(books)
+    val centMap: Map[Int, Seq[Float]] = cents.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
+    val centLit = typedlit(centMap)
+    codes.select(col("id"), col("cid"),
+      zip_with(
+        flatten(transform(col("codes"),
+          (c, s) => element_at(element_at(bookLit, s + 1), c))),
+        element_at(centLit, col("cid")),
+        (a, b) => a + b).as("vhat"))
+  }
+
+  /** Encode a batch through the FROZEN quantizer + codebooks and decode
+    * straight back: (id, cid, vhat). This is the batch's view IN THE
+    * INDEX'S OWN METRIC — comparing these reconstructions against
+    * [[storedReconstructions]] makes batch-vs-batch and batch-vs-store
+    * comparisons exactly consistent (the replay-determinism requirement
+    * of the ingest loop: a replayed row meets its batch-mates' stored
+    * codes at the SAME distances the first attempt saw in self-dedup).
+    */
+  def codeReconstructions(spark: SparkSession, dir: String, batch: DataFrame,
+                          idCol: String, vecCol: String): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val books = spark.read.parquet(s"$dir/codebooks")
+    val v = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val r = residuals(v, cents)
+    val codes = Pq.encode(r, "id", "rv", books)
+      .join(r.select(col("id"), col("cid")), Seq("id"))
+    decoded(codes, cents, books)
+  }
+
+  /** (id, cid, vhat) for every LIVE stored code (tombstones masked). */
+  def storedReconstructions(spark: SparkSession, dir: String): DataFrame = {
+    val idx = load(spark, dir)
+    decoded(idx.codes, idx.centroids, idx.codebooks)
+  }
+
+  /** Cell assignment of a batch under the index's frozen coarse
+    * quantizer — the [[IvfIndex.assignCells]] contract on the PQ tier.
+    */
+  def assignCells(spark: SparkSession, dir: String, batch: DataFrame,
+                  idCol: String, vecCol: String): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val v = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    Similarity.rankCentroids(v, cents, 1)
+      .select(col("id").as(idCol), col("cid"))
+  }
+
+  /** max/mean cell occupancy over the codes — the [[IvfIndex
+    * .occupancySkew]] drift signal for the compressed tier (a skewed
+    * cell degrades probe cost AND ADC fidelity — its residual grid was
+    * trained for the old population). 1.0 on an empty index.
+    */
+  def occupancySkew(spark: SparkSession, dir: String): Double = {
+    val r = cellStats(spark, dir)
+      .agg(max(col("n_codes")).cast("double").as("mx"),
+        avg(col("n_codes")).as("mean")).head()
+    if (r.isNullAt(1) || r.getDouble(1) == 0.0) 1.0
+    else r.getDouble(0) / r.getDouble(1)
+  }
+
+  /** Batch rows with a STORED near-duplicate in the index's own metric:
+    * cosine of RECONSTRUCTIONS ≥ `threshold` against a live code in the
+    * same cell, id-equal matches ignored (replay safety — see
+    * [[codeReconstructions]]). The compressed-tier mirror of
+    * [[IvfIndex.storeDupIds]]: the store holds no floats, so the
+    * comparison runs on what the store can actually reproduce.
+    */
+  def storeDupIds(spark: SparkSession, dir: String, batch: DataFrame,
+                  idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val b = codeReconstructions(spark, dir, batch, idCol, vecCol)
+      .select(col("id"), col("cid"), col("vhat").as("__bv"))
+    val s = storedReconstructions(spark, dir)
+      .select(col("id").as("__sid"), col("cid"), col("vhat").as("__sv"))
+    b.join(s, Seq("cid"))
+      .where(col("id") =!= col("__sid") &&
+        Similarity.cosine(col("__bv"), col("__sv")) >= threshold)
+      .select(col("id")).distinct()
   }
 
   /** Catalog name for the bucketed codes table — deterministic from the

@@ -365,6 +365,104 @@ object Streams {
     selfDeduped.join(storeDups, selfDeduped(idCol) === col("__store_dup"), "left_anti")
   }
 
+  /** Managed streaming ingest for the COMPRESSED tier — the
+    * [[continuousEmbeddingIngestManaged]] contract PQ-backed, because
+    * the PQ index is the tier actually served at 100 TB and it could
+    * not previously ingest continuously. Same `_current` pointer
+    * protocol, same crash/replay matrix (see [[managedPqIngestStep]]),
+    * same tombstone-aware replay (takedown ids in a replayed batch are
+    * dropped, not resurrected).
+    *
+    * Dedup runs in the index's OWN metric: the batch is encoded through
+    * the frozen quantizer + codebooks and compared as RECONSTRUCTIONS —
+    * batch-vs-batch and batch-vs-store through the identical decode
+    * ([[graft.sim.PqIndex.codeReconstructions]]), which is what makes a
+    * replayed batch recompute the identical kept set even though its
+    * first attempt's survivors are now in the store (their stored codes
+    * decode to exactly the reconstructions self-dedup compared against).
+    *
+    * Maintenance differs from the IVF loop in ONE deliberate way: the
+    * periodic hop is a COMPACTION only, never an automatic quantizer
+    * rebuild — the codes-only store holds no float vectors, so
+    * re-training is an offline `build(corpus).write(gen)` from the
+    * vector corpus (which this loop conveniently accumulates under
+    * `corpusDir`). An operator does that out-of-band and flips the
+    * pointer; the next micro-batch resolves the new generation and
+    * carries on — the generation-hop spec pins exactly that handoff.
+    * `occupancySkew ≥ skewThreshold` therefore logs-by-contract through
+    * the returned stats rather than triggering a rebuild.
+    *
+    * Initialize once with `PqIndex.build(seed).write(s"$baseDir/gen-0")`
+    * + `IvfIndex.writeGenerationPointer(spark, baseDir, "gen-0")` (the
+    * pointer protocol is tier-agnostic).
+    */
+  def continuousPqIngestManaged(stream: DataFrame, baseDir: String,
+                                idCol: String, vecCol: String,
+                                corpusDir: String, checkpointDir: String,
+                                threshold: Double = 0.95,
+                                maintainEvery: Int = 10): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(maintainEvery >= 1, s"maintainEvery must be >= 1, got $maintainEvery")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        managedPqIngestStep(batch, batchId, baseDir, idCol, vecCol, corpusDir,
+          threshold, maintainEvery)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[continuousPqIngestManaged]] — extracted so the
+    * crash/replay matrix is directly testable (the
+    * [[managedIngestStep]] convention): (a) replay after the pointer
+    * flip must skip maintenance (the guard: resolved dir already IS the
+    * target generation ⇒ the flip proves the hop completed); (b) replay
+    * after a torn generation write but before the flip must redo the
+    * compaction (overwriting the torn dst) and flip.
+    */
+  def managedPqIngestStep(batch: DataFrame, batchId: Long, baseDir: String,
+                          idCol: String, vecCol: String, corpusDir: String,
+                          threshold: Double, maintainEvery: Int): Unit = {
+    val spark = batch.sparkSession
+    val indexDir = graft.sim.IvfIndex.currentIndexDir(spark, baseDir)
+    val kept = pqIngestBatch(batch, indexDir, idCol, vecCol, threshold)
+    kept.withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(corpusDir)
+    graft.sim.PqIndex.addTo(spark, indexDir, kept, idCol, vecCol)
+    if ((batchId + 1) % maintainEvery == 0) {
+      val gen = s"gen-${batchId + 1}"
+      val dst = s"$baseDir/$gen"
+      if (indexDir != dst) {
+        graft.sim.PqIndex.compactTo(spark, indexDir, dst)
+        graft.sim.IvfIndex.writeGenerationPointer(spark, baseDir, gen)
+      }
+    }
+  }
+
+  /** One PQ-tier ingest step (also the batch/backfill entry point):
+    * tombstone guard, then cell-scoped self-dedup and novel-vs-store —
+    * both measured on code RECONSTRUCTIONS (see the managed-loop
+    * scaladoc for why that consistency is what makes replays exact).
+    */
+  def pqIngestBatch(batch0: DataFrame, indexDir: String,
+                    idCol: String, vecCol: String,
+                    threshold: Double = 0.95): DataFrame = {
+    val spark = batch0.sparkSession
+    val batch = graft.sources.Tombstones.filterOut(spark, indexDir, batch0, idCol)
+    val dec = graft.sim.PqIndex.codeReconstructions(
+      spark, indexDir, batch, idCol, vecCol)
+    val selfDups = graft.sim.Similarity.semDedupPairs(
+        dec, "id", "vhat", threshold, clusterCol = Some("cid"))
+      .select(col("id2").as("__self_dup")).distinct()
+    val selfDeduped = batch.join(selfDups, batch(idCol) === col("__self_dup"), "left_anti")
+    val storeDups = graft.sim.PqIndex.storeDupIds(
+      spark, indexDir, selfDeduped, idCol, vecCol, threshold)
+      .withColumnRenamed("id", "__store_dup")
+    selfDeduped.join(storeDups, selfDeduped(idCol) === col("__store_dup"), "left_anti")
+  }
+
   /** Session windows with gap timeout — batch/stream symmetric. */
   def sessionAgg(events: DataFrame, tsCol: String, gap: String,
                  watermark: String = "1 hour", streaming: Boolean = false): DataFrame = {

@@ -547,6 +547,118 @@ class StreamsSpec extends SparkSpec {
     assert(survivors.sorted == Seq(11L, 20L), survivors.toString)
   }
 
+  test("managed PQ ingest: dedup in the code metric, maintenance compacts a new generation and flips") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-pqmanaged").toString
+    val seed = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f)), (4L, Array(0f, 0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    graft.sim.PqIndex.build(seed, "vec_id", "embedding",
+        m = 2, codesPerSub = 4, numCentroids = 2, iters = 2)
+      .write(s"$base/idx/gen-0", buckets = 2)
+    graft.sim.IvfIndex.writeGenerationPointer(spark, s"$base/idx", "gen-0")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streams.continuousPqIngestManaged(
+      mem.toDF().toDF("vec_id", "embedding"), s"$base/idx", "vec_id", "embedding",
+      s"$base/corpus", s"$base/ckpt", threshold = 0.95, maintainEvery = 2)
+    // batch 0: near-dup of seed 1 (same code -> drop), a novel keeper,
+    // and its within-batch near-dup (drop, smaller id wins); no hop yet
+    mem.addData(
+      (10L, Array(0.999f, 0.001f, 0f, 0f)),
+      (11L, Array(0.6f, 0.62f, 0.5f, 0f)),
+      (12L, Array(0.6f, 0.62f, 0.5f, 0.001f)))
+    q.processAllAvailable()
+    assert(graft.sim.IvfIndex.currentGeneration(spark, s"$base/idx").contains("gen-0"))
+    // batch 1: one more novel vector; (1+1) % 2 == 0 -> compaction hop
+    mem.addData((21L, Array(0f, 0.7f, 0f, 0.71f)))
+    q.processAllAvailable()
+    assert(graft.sim.IvfIndex.currentGeneration(spark, s"$base/idx").contains("gen-2"))
+    // batch 2 runs against the NEW generation: near-dups of the seed AND
+    // of both pre-flip keepers still drop (the codes are the state and
+    // they crossed the hop); a novel vector lands
+    mem.addData(
+      (30L, Array(0.999f, 0.001f, 0f, 0f)),   // ~seed 1 -> drop
+      (31L, Array(0.6f, 0.62f, 0.5f, 0f)),     // == 11 content -> drop
+      (32L, Array(0f, 0.7f, 0f, 0.71f)),       // == 21 content -> drop
+      (33L, Array(0.5f, -0.5f, 0.5f, -0.5f)))  // novel -> keep
+    q.processAllAvailable()
+    q.stop()
+    val corpus = spark.read.parquet(s"$base/corpus")
+      .select("vec_id").as[Long].collect().toSet
+    assert(corpus == Set(11L, 21L, 33L), corpus.toString)
+  }
+
+  test("managed PQ ingest crash windows + offline quantizer-rebuild handoff") {
+    // Same two crash windows as the IVF loop, through the SAME step
+    // function the stream runs, then the PQ-specific third case: the
+    // quantizer rebuild is an OFFLINE build from the accumulated vector
+    // corpus, handed off via the pointer — the loop must pick the new
+    // generation up and keep recognizing pre-rebuild content.
+    val base = java.nio.file.Files.createTempDirectory("graft-pqcrash").toString
+    val seed = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f)), (4L, Array(0f, 0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    graft.sim.PqIndex.build(seed, "vec_id", "embedding",
+        m = 2, codesPerSub = 4, numCentroids = 2, iters = 2)
+      .write(s"$base/idx/gen-0", buckets = 2)
+    graft.sim.IvfIndex.writeGenerationPointer(spark, s"$base/idx", "gen-0")
+    def step(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      Streams.managedPqIngestStep(df, id, s"$base/idx", "vec_id", "embedding",
+        s"$base/corpus", threshold = 0.95, maintainEvery = 2)
+    val b0 = Seq((10L, Array(0.999f, 0.001f, 0f, 0f)),   // ~seed 1 -> drop
+      (11L, Array(0.6f, 0.62f, 0.5f, 0f))).toDF("vec_id", "embedding") // keep
+    step(b0, 0L)
+    // --- crash window (b): gen-2 written, pointer NOT flipped
+    val b1 = Seq((20L, Array(0f, 0.7f, 0f, 0.71f))).toDF("vec_id", "embedding")
+    graft.sim.PqIndex.compactTo(spark, s"$base/idx/gen-0", s"$base/idx/gen-2", buckets = 2)
+    assert(graft.sim.IvfIndex.currentGeneration(spark, s"$base/idx").contains("gen-0"))
+    step(b1, 1L) // replay: must redo the hop over the torn dst and flip
+    assert(graft.sim.IvfIndex.currentGeneration(spark, s"$base/idx").contains("gen-2"))
+    // --- crash window (a): pointer flipped, checkpoint uncommitted ->
+    // the SAME batch replays; guard must skip maintenance, kept set and
+    // sink must come out identical (dynamic partition overwrite)
+    step(b1, 1L)
+    assert(graft.sim.IvfIndex.currentGeneration(spark, s"$base/idx").contains("gen-2"))
+    val survivors = spark.read.parquet(s"$base/corpus")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(survivors.sorted == Seq(11L, 20L), survivors.toString)
+    // --- offline rebuild handoff: retrain quantizer+codebooks over the
+    // full live population (seed + accumulated corpus), write gen-X,
+    // flip — the operator move the managed loop documents
+    val live = seed.union(spark.read.parquet(s"$base/corpus")
+      .select("vec_id", "embedding"))
+    graft.sim.PqIndex.build(live, "vec_id", "embedding",
+        m = 2, codesPerSub = 4, numCentroids = 2, iters = 2)
+      .write(s"$base/idx/gen-rebuilt", buckets = 2)
+    graft.sim.IvfIndex.writeGenerationPointer(spark, s"$base/idx", "gen-rebuilt")
+    // next batch resolves the rebuilt generation: pre-rebuild content is
+    // still recognized, novel content still lands
+    val b2 = Seq((40L, Array(0.6f, 0.62f, 0.5f, 0f)),    // == 11 -> drop
+      (41L, Array(0.5f, -0.5f, 0.5f, -0.5f))).toDF("vec_id", "embedding") // keep
+    step(b2, 2L)
+    val after = spark.read.parquet(s"$base/corpus")
+      .select("vec_id").as[Long].collect().toSet
+    assert(after == Set(11L, 20L, 41L), after.toString)
+    // tombstone-aware replay: take 41 down, replay its batch — the
+    // replayed row is dropped from the kept set (not resurrected into
+    // the index), and the index stops serving it. The corpus dir is a
+    // LANDING ZONE: an empty replayed kept-set rewrites no partition, so
+    // the pre-takedown file lingers until compaction — readers apply
+    // the same tombstone mask (filterOut), which is the serving truth.
+    graft.sim.PqIndex.removeFrom(spark, s"$base/idx/gen-rebuilt",
+      Seq(41L).toDF("id"), "id")
+    step(b2, 2L)
+    val servedIds = graft.sim.PqIndex.storedReconstructions(spark, s"$base/idx/gen-rebuilt")
+      .select("id").as[Long].collect().toSet
+    assert(!servedIds.contains(41L), servedIds.toString)
+    val replayed = graft.sources.Tombstones.filterOut(spark, s"$base/idx/gen-rebuilt",
+        spark.read.parquet(s"$base/corpus"), "vec_id")
+      .select("vec_id").as[Long].collect().toSet
+    assert(replayed == Set(11L, 20L), replayed.toString)
+  }
+
   test("continuous drift monitor: per-batch JS vs a frozen reference, drifted batch flagged") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-drift").toString
