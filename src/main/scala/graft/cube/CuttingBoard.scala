@@ -231,6 +231,84 @@ final class CuttingBoard(
     gcWarehouse()
   }
 
+  /** Incremental DELETE maintenance — the takedown face of [[append]]:
+    * the dataset shrinks by `deleted` and every cached slice is brought
+    * current without touching the (100 TB) base table. A slice whose
+    * measures are all INVERTIBLE (Sum, Count — their group value is a
+    * linear sum of per-row contributions, so subtracting the deleted
+    * rows' own slice undoes them exactly) and which carries at least
+    * one Count measure is updated at delta cost: slice the deleted rows
+    * with the slice's own query, left-join on the axes, subtract — and
+    * the Count column doubles as the SUPPORT indicator, so a group all
+    * of whose rows were deleted drops out entirely (a zero-support row
+    * would be observably wrong, not just stale). Everything else
+    * evicts + recomputes on next touch, the [[append]] precedent, for
+    * three distinct reasons each pinned in the spec:
+    *  - Min/Max/Union/GroupConsistent are not invertible from their
+    *    finished value (deleting the max leaves no way to find the
+    *    runner-up without re-reading the group);
+    *  - Avg/StdDev/Ratio publish only a quotient — the components the
+    *    subtraction would need are not in the slice;
+    *  - a Sum-only slice (no Count) has no support indicator, so an
+    *    emptied group could not be dropped.
+    * Sum inversion yields 0 (not NULL) for a group whose surviving rows
+    * are all-NULL in the measure column — exact under the cube
+    * convention that measure columns are non-null; evict-by-config if
+    * that guarantee does not hold.
+    *
+    * `deleted` rows must be exact copies of base rows (the multiset
+    * except); alternatively pass `keyCols` to delete by key (anti-join —
+    * the O(|takedown|) form a 100 TB base wants). Updated slices
+    * REWRITE their warehouse tables (temp-then-swap) and evicted slices
+    * delete theirs, so a fresh board over the same warehouse can never
+    * reload pre-delete bytes.
+    */
+  def delete(deleted: DataFrame, keyCols: Seq[String] = Seq.empty): Unit = synchronized {
+    current =
+      if (keyCols.nonEmpty)
+        current.join(deleted.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_anti")
+      else current.exceptAll(deleted)
+    cache = cache.flatMap { c =>
+      val vals = c.q.valuesInSlice
+      val invertible = vals.nonEmpty &&
+        vals.forall(v => cubedef.measure(v).agg match {
+          case Agg.Sum | Agg.Count => true
+          case _ => false
+        }) &&
+        vals.exists(v => cubedef.measure(v).agg == Agg.Count)
+      if (!invertible) {
+        c.df.unpersist()
+        dropPersisted(c.q)
+        None
+      } else {
+        val deltaSlice = Slicer.slice(deleted, cubedef, c.q)
+          .select(c.df.columns.map(col): _*)
+        val axes = c.q.axes
+        // equi-join key even for the grand-total (axis-less) slice: a
+        // constant column keeps the plan a hash join, never a
+        // BroadcastNestedLoopJoin
+        val joinKeys = if (axes.nonEmpty) axes else Seq("__one")
+        val lhs = if (axes.nonEmpty) c.df else c.df.withColumn("__one", lit(1))
+        val rhs0 = if (axes.nonEmpty) deltaSlice
+          else deltaSlice.withColumn("__one", lit(1))
+        val rhs = rhs0.select(joinKeys.map(col) ++
+          vals.map(v => col(v).as(s"__d_$v")): _*)
+        val support = vals.find(v => cubedef.measure(v).agg == Agg.Count).get
+        val merged = lhs.join(rhs, joinKeys, "left")
+          .select(joinKeys.filterNot(_ == "__one").map(col) ++
+            vals.map(v => (col(v) - coalesce(col(s"__d_$v"),
+              lit(0).cast("long"))).as(v)): _*)
+          .where(col(support) > 0)
+          .select(c.df.columns.map(col): _*)
+        val (persisted, rows) = materialize(c.q, merged)
+        c.df.unpersist()
+        Some(Cached(c.q, persisted, rows))
+      }
+    }
+    gcWarehouse()
+  }
+
   /** Materialize a computed slice: warehouse write + read-back when a
     * warehouse exists (the bytes survive the driver), plain persist
     * otherwise. Returns the frame to cache and its exact row count.

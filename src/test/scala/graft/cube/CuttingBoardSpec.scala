@@ -291,6 +291,103 @@ class CuttingBoardSpec extends SparkSpec {
     board.clear()
   }
 
+  test("delete() subtracts from invertible slices at delta cost; emptied groups drop out") {
+    val board = freshBoard()
+    val q = CubeQuery().addAxis("k").addValue("sum_v").addValue("n")
+    board.slice(q).collect()
+    assert(board.stats == (0L, 1L))
+    // delete one A row and BOTH B rows: A shrinks, B's group disappears
+    board.delete(Seq(("A", "y", 2020, 2.0), ("B", "x", 2020, 8.0),
+      ("B", "y", 2021, 16.0)).toDF("k", "s", "y", "v"))
+    val got = board.slice(q).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // served FROM CACHE (a hit), yet current: no zero-support B row
+    assert(board.stats == (1L, 1L), "maintained slice must stay a cache hit")
+    assert(got == Map("A" -> (5.0, 2L)))
+    assert(board.dataset.count() == 2L)
+    // grand-total (axis-less) slice also maintains through the delete
+    val tot = CubeQuery().addValue("sum_v").addValue("n")
+    board.slice(tot).collect()
+    board.delete(Seq(("A", "x", 2020, 1.0)).toDF("k", "s", "y", "v"))
+    val t = board.slice(tot).head()
+    assert(t.getDouble(0) == 4.0 && t.getLong(1) == 1L, t.toString)
+    board.clear()
+  }
+
+  test("delete() evicts non-invertible and support-less slices; recompute is correct") {
+    // Min is not invertible from its finished value; a Sum-only slice
+    // has no support indicator — both must evict and recompute fresh.
+    val df = Seq(("A", 1.0), ("A", 5.0), ("B", 8.0)).toDF("k", "v")
+    val cube = CubeDef(
+      labels = Seq(Label("k")),
+      measures = Seq(Measure("sum_v", col("v"), Agg.Sum),
+        Measure("n", lit(1), Agg.Count),
+        Measure("min_v", col("v"), Agg.Min)))
+    val board = new CuttingBoard(df, cube)
+    val qMin = CubeQuery().addAxis("k").addValue("min_v").addValue("n")
+    val qSumOnly = CubeQuery().addAxis("k").addValue("sum_v")
+    board.slice(qMin).collect(); board.slice(qSumOnly).collect()
+    assert(board.stats == (0L, 2L))
+    // deleting the group minimum: the runner-up must surface (5.0)
+    board.delete(Seq(("A", 1.0)).toDF("k", "v"))
+    val gotMin = board.slice(qMin).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val gotSum = board.slice(qSumOnly).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(board.stats == (0L, 4L), "both slices must have been evicted")
+    assert(gotMin == Map("A" -> 5.0, "B" -> 8.0))
+    assert(gotSum == Map("A" -> 5.0, "B" -> 8.0))
+    board.clear()
+  }
+
+  test("delete() by key columns anti-joins the base (the O(|takedown|) form)") {
+    val df = Seq((1L, "A", 1.0), (2L, "A", 2.0), (3L, "B", 8.0))
+      .toDF("id", "k", "v")
+    val cube = CubeDef(
+      labels = Seq(Label("k")),
+      measures = Seq(Measure("sum_v", col("v"), Agg.Sum),
+        Measure("n", lit(1), Agg.Count)))
+    val board = new CuttingBoard(df, cube)
+    val q = CubeQuery().addAxis("k").addValue("sum_v").addValue("n")
+    board.slice(q).collect()
+    board.delete(Seq((2L, "A", 2.0)).toDF("id", "k", "v"), keyCols = Seq("id"))
+    val got = board.slice(q).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(board.stats == (1L, 1L))
+    assert(got == Map("A" -> (1.0, 1L), "B" -> (8.0, 1L)))
+    assert(board.dataset.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    board.clear()
+  }
+
+  test("delete() round-trips through the warehouse: fresh boards never reload pre-delete bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wh-del").toString
+    val df = Seq(("A", "x", 2020, 1.0), ("A", "y", 2021, 2.0), ("B", "x", 2020, 8.0))
+      .toDF("k", "s", "y", "v")
+    val cube = CubeDef(
+      labels = Seq(Label("k"), Label("s"), Label("y")),
+      measures = Seq(Measure("sum_v", col("v"), Agg.Sum),
+        Measure("n", lit(1), Agg.Count),
+        Measure("min_v", col("v"), Agg.Min)))
+    val b1 = new CuttingBoard(df, cube, warehouseDir = Some(dir))
+    val qInv = CubeQuery().addAxis("k").addValue("sum_v").addValue("n")
+    val qMin = CubeQuery().addAxis("k").addValue("min_v").addValue("n")
+    b1.slice(qInv).collect(); b1.slice(qMin).collect()
+    b1.delete(Seq(("A", "x", 2020, 1.0)).toDF("k", "s", "y", "v"))
+    // fresh board over the same warehouse: the maintained slice reloads
+    // POST-delete, the evicted slice's table is GONE (cold recompute)
+    val post = df.where(!(col("k") === "A" && col("s") === "x"))
+    val b2 = new CuttingBoard(post, cube, warehouseDir = Some(dir))
+    val gotInv = b2.slice(qInv).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(b2.stats == (1L, 0L), "maintained slice must reload from the warehouse")
+    assert(gotInv == Map("A" -> (2.0, 1L), "B" -> (8.0, 1L)))
+    val gotMin = b2.slice(qMin).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(b2.stats == (1L, 1L), "evicted slice must NOT reload — recompute")
+    assert(gotMin == Map("A" -> 2.0, "B" -> 8.0))
+    b1.clear(); b2.clear()
+  }
+
   test("append() writes maintained slices through to the warehouse") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wh-app").toString
     val df = Seq(("A", "x", 2020, 1.0), ("B", "x", 2020, 8.0)).toDF("k", "s", "y", "v")
