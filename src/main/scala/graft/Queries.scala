@@ -3591,6 +3591,16 @@ object Queries {
       graft.text.Bpe.bpeMerges(s, docs(s, dir), "text", numMerges = 40)
     },
 
+    // §2.75e: byte-level BPE with byte fallback (Radford 2019 — the
+    // GPT-2/tiktoken family): 256-byte initial alphabet via the
+    // bytes_to_unicode bijection, lossless whitespace-run pre-tokens,
+    // no lowercasing, no OOV ever. Rows-only: iterative training;
+    // ByteBpeSpec pins serial↔distributed parity and the byte-identical
+    // round-trip property over fuzzed unicode.
+    "t24_byte_bpe_vocab" -> nq { (s, dir) =>
+      graft.text.ByteBpe.byteBpeMerges(s, docs(s, dir), "text", numMerges = 40)
+    },
+
     // §2.75c: WordPiece (Schuster & Nakajima 2012 / the BERT trainer) —
     // the likelihood-gain merge criterion (count(ab)/(count(a)·count(b)))
     // next to t13's raw-frequency BPE, ##-prefixed continuations, and

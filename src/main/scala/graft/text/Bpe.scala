@@ -97,10 +97,21 @@ object Bpe {
         .map { case ((a, b, c), i) => (i.toLong, a, b, c) }
         .toDF("rank", "left", "right", "pair_count")
     }
-    var vocab = counts.withColumn("symbols",
-        concat(filter(split(col("word"), ""), s => length(s) > 0),
-          array(lit(EndOfWord))))
-      .localCheckpoint(true)
+    val vocab0 = counts.withColumn("symbols",
+      concat(filter(split(col("word"), ""), s => length(s) > 0),
+        array(lit(EndOfWord))))
+    distributedMergeLoop(spark, vocab0, numMerges, minPairCount)
+  }
+
+  /** The distributed greedy merge loop over an initialized
+    * (word_count, symbols) vocab frame — shared by char-level
+    * [[bpeMerges]] and byte-level [[ByteBpe.byteBpeMerges]], which
+    * differ ONLY in how a word becomes its initial symbol array.
+    */
+  private[text] def distributedMergeLoop(spark: SparkSession, vocab0: DataFrame,
+                                         numMerges: Int, minPairCount: Long): DataFrame = {
+    import spark.implicits._
+    var vocab = vocab0.localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 0
     while (rank < numMerges) {
@@ -128,7 +139,6 @@ object Bpe {
       }
     }
     vocab.unpersist()
-    import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
       .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
         col("pair_count"))
@@ -140,9 +150,18 @@ object Bpe {
     * left-to-right application).
     */
   def serialMerges(wordCounts: Seq[(String, Long)], numMerges: Int,
-                   minPairCount: Long = 2L): Seq[(String, String, Long)] = {
-    var vocab: Map[Seq[String], Long] = wordCounts
-      .map { case (w, c) => (w.split("").filter(_.nonEmpty).toSeq :+ EndOfWord) -> c }
+                   minPairCount: Long = 2L): Seq[(String, String, Long)] =
+    serialMergeLoop(wordCounts.map { case (w, c) =>
+      (w.split("").filter(_.nonEmpty).toSeq :+ EndOfWord) -> c
+    }, numMerges, minPairCount)
+
+  /** The driver-side greedy merge loop over pre-symbolized words — the
+    * serial counterpart of [[distributedMergeLoop]], shared with
+    * [[ByteBpe]] the same way.
+    */
+  private[text] def serialMergeLoop(init: Seq[(Seq[String], Long)], numMerges: Int,
+                                    minPairCount: Long): Seq[(String, String, Long)] = {
+    var vocab: Map[Seq[String], Long] = init
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var done = false
@@ -214,8 +233,15 @@ object Bpe {
     * with a 50k-merge learned vocab that is the difference between
     * ~10 and ~500k symbol comparisons per word.
     */
-  def rankEncode(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
-    var sym = (word.split("").filter(_.nonEmpty) :+ EndOfWord).toBuffer
+  def rankEncode(word: String, ranks: Map[(String, String), Int]): Seq[String] =
+    rankEncodeSymbols(word.split("").filter(_.nonEmpty).toSeq :+ EndOfWord, ranks)
+
+  /** The min-rank apply loop over pre-built initial symbols — shared
+    * with [[ByteBpe]]'s byte-alphabet encoder.
+    */
+  private[text] def rankEncodeSymbols(sym0: Seq[String],
+                                      ranks: Map[(String, String), Int]): Seq[String] = {
+    var sym = sym0.toBuffer
     var done = sym.length < 2
     while (!done) {
       // lowest-rank pair present in the current symbol sequence
