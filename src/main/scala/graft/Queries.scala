@@ -2218,6 +2218,54 @@ object Queries {
         .select(col("doc_id"), col("source"), col("tokens"), col("shard"), col("pack"))
     },
 
+    // §2.69b: best-fit-decreasing packing — t10's shards, but each doc
+    // goes to the open pack with the least remaining room that fits
+    // ((tokens DESC, id ASC) order, lowest-index tie-break). The oracle
+    // replays the EXACT recursion: the open-pack fill vector rides the
+    // recursive CTE as a LIST column, best-fit chosen by an encoded
+    // (residual, index) min key.
+    "t25_pack_bfd" -> oq(
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(trim(text),'\s+'), t -> len(t)>0)) AS BIGINT) AS tokens
+        |  FROM documents
+        |), cum AS (
+        |  SELECT doc_id, source, tokens,
+        |    sum(tokens) OVER (PARTITION BY source ORDER BY doc_id) AS c
+        |  FROM tok
+        |), sharded AS (
+        |  SELECT doc_id, source, tokens,
+        |    CAST(floor((c - tokens) / 256) AS BIGINT) AS shard,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source, CAST(floor((c - tokens) / 256) AS BIGINT)
+        |      ORDER BY tokens DESC, doc_id ASC) AS BIGINT) AS rn
+        |  FROM cum
+        |), bfd AS (
+        |  SELECT doc_id, source, tokens, shard, rn,
+        |    CAST(0 AS BIGINT) AS pack, [tokens] AS fills
+        |  FROM sharded WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.doc_id, s.source, s.tokens, s.shard, s.rn,
+        |    CASE WHEN k.best IS NULL THEN CAST(len(p.fills) AS BIGINT)
+        |         ELSE CAST(k.best % 100000 - 1 AS BIGINT) END AS pack,
+        |    CASE WHEN k.best IS NULL THEN list_append(p.fills, s.tokens)
+        |         ELSE list_transform(p.fills, (f, i) ->
+        |           CASE WHEN i = k.best % 100000 THEN f + s.tokens ELSE f END) END AS fills
+        |  FROM sharded s
+        |  JOIN bfd p ON s.source = p.source AND s.shard = p.shard AND s.rn = p.rn + 1
+        |  CROSS JOIN LATERAL (
+        |    SELECT list_min(list_filter(
+        |      list_transform(p.fills, (f, i) ->
+        |        CASE WHEN 128 - f - s.tokens >= 0
+        |             THEN (128 - f - s.tokens) * 100000 + i END),
+        |      x -> x IS NOT NULL)) AS best) k
+        |)
+        |SELECT doc_id, source, tokens, shard, pack FROM bfd""") { (s, dir) =>
+      graft.text.CorpusOps.packSequencesBfd(docs(s, dir), "doc_id", "text", "source",
+          shardTokens = 256, seqTokens = 128)
+        .select(col("doc_id"), col("source"), col("tokens"), col("shard"), col("pack"))
+    },
+
     // §2.70: CCNet-style perplexity scoring — unigram LM trained on the
     // trusted slice (lang='en'), every document scored against it with
     // add-1 smoothing; non-English docs land on the OOV floor and score

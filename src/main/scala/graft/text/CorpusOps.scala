@@ -173,6 +173,76 @@ object CorpusOps {
       }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** Best-fit-decreasing packing — [[packSequences]] with the bin-
+    * packing heuristic that actually minimizes padding waste: within
+    * each (group, shard), documents are processed in (tokens DESC,
+    * id ASC) order and each goes to the OPEN pack with the smallest
+    * remaining capacity that still fits (ties to the lowest pack
+    * index); no fit opens a new pack; an oversized document still gets
+    * a pack of its own. BFD is the classic ≤ 11/9·OPT + 6/9 bin-packing
+    * bound (Johnson 1973); the in-id-order greedy rule is next-fit
+    * (never revisits a pack), which skewed length mixes punish — at
+    * 100 TB, padding waste IS compute waste, and the spec pins a
+    * corpus where BFD packs strictly fewer sequences.
+    *
+    * Determinism is preserved: the (tokens DESC, id ASC) order and the
+    * lowest-index tie-break make every boundary a pure function of the
+    * shard's (tokens, id) multiset — re-runs, repartitions and engines
+    * reproduce it row-for-row (the oracle replays the exact recursion).
+    * Scale shape is [[packSequences]]'s verbatim: one shuffle to
+    * co-locate (group, shard), per-shard state bounded by the shard
+    * budget (≤ shardTokens open-pack fills), parallelism ∝
+    * corpus_tokens / shardTokens.
+    *
+    * Output: input columns + `tokens`, `shard`, `pack` (0-based within
+    * each (group, shard); pack numbering follows opening order).
+    */
+  def packSequencesBfd(df: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, shardTokens: Long, seqTokens: Long): DataFrame = {
+    require(seqTokens > 0, "seqTokens must be positive")
+    require(shardTokens >= seqTokens,
+      "shardTokens must be >= seqTokens (shards are the packing unit)")
+    val sharded = shardByTokenBudget(df, idCol, textCol, groupCol, shardTokens)
+    val schema = org.apache.spark.sql.types.StructType(
+      sharded.schema.fields :+
+        org.apache.spark.sql.types.StructField("pack",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val (gIdx, shIdx, tIdx) = (sharded.schema.fieldIndex(groupCol),
+      sharded.schema.fieldIndex("shard"), sharded.schema.fieldIndex("tokens"))
+    sharded
+      .repartition(col(groupCol), col("shard"))
+      .sortWithinPartitions(col(groupCol), col("shard"),
+        col("tokens").desc, col(idCol).asc)
+      .mapPartitions { it =>
+        var curGroup: Any = null
+        var curShard = Long.MinValue
+        var fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.map { r =>
+          val g = r.get(gIdx); val sh = r.getLong(shIdx); val t = r.getLong(tIdx)
+          if (g != curGroup || sh != curShard) {
+            curGroup = g; curShard = sh
+            fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+          }
+          var best = -1
+          var bestResid = Long.MaxValue
+          var i = 0
+          while (i < fills.length) {
+            // overflow-safe fit test: fills(i) + t <= seqTokens
+            val fits = fills(i) <= seqTokens - t
+            if (fits) {
+              val resid = seqTokens - fills(i) - t
+              if (resid < bestResid) { bestResid = resid; best = i }
+            }
+            i += 1
+          }
+          val pack =
+            if (best >= 0) { fills(best) += t; best.toLong }
+            else { fills += t; (fills.length - 1).toLong }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pack)
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Deterministic mixture sampling — the corpus-mixing step: keep each
     * document with its source's sampling rate, decided by the SAME
     * md5-fraction as `splitColumn` (seeded differently via a prefix so

@@ -392,6 +392,65 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("packSequencesBfd: strictly fewer packs than greedy on a skewed mix; serial replay exact") {
+    // One shard, seq budget 128, doc tokens 100, 90, 28, 38 (id order).
+    // Greedy next-fit: [100], [90, 28], [38] = 3 packs.
+    // BFD (desc: 100, 90, 38, 28): [100, 28], [90, 38] = 2 packs.
+    def w(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq((1L, "g", w(100)), (2L, "g", w(90)), (3L, "g", w(28)),
+      (4L, "g", w(38))).toDF("id", "grp", "text")
+    val greedy = CorpusOps.packSequences(docs, "id", "text", "grp",
+        shardTokens = 1000, seqTokens = 128)
+      .select("pack").collect().map(_.getLong(0)).distinct.length
+    val bfdRows = CorpusOps.packSequencesBfd(docs, "id", "text", "grp",
+        shardTokens = 1000, seqTokens = 128)
+      .select("id", "pack").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(greedy == 3)
+    assert(bfdRows.values.toSet.size == 2, bfdRows.toString)
+    assert(bfdRows == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 0L), bfdRows.toString)
+    // oversized doc still packs alone and never receives a roommate
+    val docs2 = docs.union(Seq((5L, "g", w(200)), (6L, "g", w(5))).toDF("id", "grp", "text"))
+    val bfd2 = CorpusOps.packSequencesBfd(docs2, "id", "text", "grp",
+        shardTokens = 1000, seqTokens = 128)
+      .select("id", "tokens", "pack").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val oversizedPack = bfd2(5L)._2
+    assert(bfd2.values.count(_._2 == oversizedPack) == 1, bfd2.toString)
+
+    // larger skewed corpus: serial BFD replay per (group, shard)
+    // reproduces every pack id, and BFD never uses MORE packs than greedy
+    val big = (0L until 300L).map { i =>
+      (i, if (i % 2 == 0) "gA" else "gB", w((i * 37 % 90 + 5).toInt))
+    }.toDF("id", "grp", "text")
+    val bfdBig = CorpusOps.packSequencesBfd(big, "id", "text", "grp",
+        shardTokens = 400, seqTokens = 100)
+      .select("id", "grp", "tokens", "shard", "pack").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    bfdBig.groupBy(r => (r._2, r._4)).foreach { case (_, shardRows) =>
+      val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+      shardRows.sortBy(r => (-r._3, r._1)).foreach { case (_, _, t, _, gotPack) =>
+        var best = -1; var bestResid = Long.MaxValue
+        fills.indices.foreach { i =>
+          if (fills(i) <= 100L - t && 100L - fills(i) - t < bestResid) {
+            bestResid = 100L - fills(i) - t; best = i
+          }
+        }
+        val exp = if (best >= 0) { fills(best) += t; best.toLong }
+          else { fills += t; (fills.length - 1).toLong }
+        assert(gotPack == exp)
+      }
+      // multi-doc packs hold the budget
+      shardRows.groupBy(_._5).values.foreach { p =>
+        if (p.length > 1) assert(p.map(_._3).sum <= 100L)
+      }
+    }
+    val greedyBig = CorpusOps.packSequences(big, "id", "text", "grp",
+        shardTokens = 400, seqTokens = 100)
+      .select("grp", "shard", "pack").distinct().count()
+    val bfdPacks = bfdBig.map(r => (r._2, r._4, r._5)).distinct.length
+    assert(bfdPacks <= greedyBig, s"BFD $bfdPacks vs greedy $greedyBig")
+  }
+
   test("removeBoilerplateLines: distinct-doc counting, trim matching, minChars guard") {
     val docs = Seq(
       (1L, "HEADER\nunique one\n\nHEADER"), // boilerplate twice in one doc: counted once, both removed
