@@ -1809,6 +1809,33 @@ object Queries {
         .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
     },
 
+    // §2.47f: cross-modal decontamination — which eval sets' IMAGES
+    // leak into which train sources, per (eval_set, source) with
+    // fractions: dHash both sides, banded cross-frame hamming join
+    // (eval side benchmark-sized → broadcast), d45's matrix shape.
+    // Probes 0..9 render scenes present in the train pool (planted
+    // contamination, caught across formats); probes at nScenes+j render
+    // novel scenes (clean — absent from the matrix). Rows-only:
+    // engine-side decode; MultimodalSpec pins brute-force parity.
+    "m04_image_decontam" -> nq { (s, dir) =>
+      import graft.multimodal.Multimodal._
+      val d = docs(s, dir)
+      val n = graft.dedup.Dedup.approxRowCount(d)
+      val nScenes = suggestedScenes(n)
+      val train = withSharedScenes(d, "doc_id", nScenes)
+        .join(d.select(col("doc_id").as("media_id"), col("source")), Seq("media_id"))
+      val probes = s.range(0, 20).select(
+        when(col("id") < 10, col("id")).otherwise(col("id") - 10 + nScenes)
+          .as("media_id"),
+        when(col("id") % 2 === 0, "evalA").otherwise("evalB").as("eval_set"))
+      val evalMedia = withSharedScenes(probes, "media_id", nScenes + 10)
+        .join(probes, Seq("media_id"))
+      imageContaminationMatrix(
+        train.repartition(col("media_id")), "media_id", "source",
+        evalMedia, "media_id", "eval_set",
+        maxHamming = 3, wide = graft.dedup.Dedup.wideHammingBands(n))
+    },
+
     // §2.47d: cross-encoding audio dedup — the same recording (one
     // amplitude envelope) rendered at different sample rates / channel
     // counts is found by the 64-bit energy-envelope fingerprint through

@@ -931,6 +931,33 @@ object Dedup {
     // radius would silently drop pairs spread across all bands/blocks.
     require(maxHamming >= 0 && maxHamming <= 3,
       s"hammingPairs64 supports maxHamming in [0,3] (pigeonhole banding), got $maxHamming")
+    val (tables, tableKey) = hammingBanding(wide)
+    val hashed = df.select(col(idCol).as("id"), col(hashCol).as("sh"))
+      .where(col("sh").isNotNull)
+    val banded = hashed.select(col("id"), col("sh"),
+      explode(array(tables.indices.map(t =>
+        struct(lit(t).as("t"), tableKey(col("sh"), t).as("band"))): _*)).as("tb"))
+      .select(col("id"), col("sh"), col("tb.t"), col("tb.band"))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    // the first table on which this pair's keys agree — a function of
+    // the two hashes, so each qualifying pair survives exactly one t
+    val firstAgree = tables.indices.reverse.foldLeft(lit(tables.size): Column) {
+      (rest, t) =>
+        when(tableKey(col("a.sh"), t) === tableKey(col("b.sh"), t), lit(t))
+          .otherwise(rest)
+    }
+    a.join(b, col("a.t") === col("b.t") && col("a.band") === col("b.band") &&
+        col("a.id") < col("b.id") && col("a.t") === firstAgree &&
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+  }
+
+  /** The banding structure behind [[hammingPairs64]]/[[hammingJoin64]]:
+    * the table list and the packed-key expression builder for the
+    * chosen regime (narrow quarters or the Manku-WWW'07 wide scheme).
+    */
+  private def hammingBanding(wide: Boolean): (Seq[Seq[Int]], (Column, Int) => Column) = {
     val blocks: Seq[(Int, Int)] = // (bit offset, bit length)
       if (wide) Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
       else Seq((0, 16), (16, 16), (32, 16), (48, 16))
@@ -948,22 +975,41 @@ object Dedup {
       tables(t).zipWithIndex.map { case (b, i) =>
         shiftleft(blockVal(sh, b), i * 16)
       }.reduce(_ bitwiseOR _)
-    val hashed = df.select(col(idCol).as("id"), col(hashCol).as("sh"))
-      .where(col("sh").isNotNull)
-    val banded = hashed.select(col("id"), col("sh"),
-      explode(array(tables.indices.map(t =>
-        struct(lit(t).as("t"), tableKey(col("sh"), t).as("band"))): _*)).as("tb"))
-      .select(col("id"), col("sh"), col("tb.t"), col("tb.band"))
-    val a = banded.alias("a"); val b = banded.alias("b")
-    // the first table on which this pair's keys agree — a function of
-    // the two hashes, so each qualifying pair survives exactly one t
+    (tables, tableKey)
+  }
+
+  /** CROSS-frame hamming pairs — [[hammingPairs64]] between two
+    * different corpora instead of within one: every (left, right) pair
+    * whose 64-bit hashes differ in ≤ `maxHamming` bits, as
+    * (id1 = left id, id2 = right id, hamming), each pair exactly once
+    * (first agreeing table, the same inline predicate). The shape
+    * decontamination wants: `right` is a small probe set (an eval
+    * benchmark's media), so its banded rows broadcast and the
+    * corpus-sized left side never self-joins. NULL hashes drop out on
+    * both sides.
+    */
+  def hammingJoin64(left: DataFrame, leftId: String, leftHash: String,
+                    right: DataFrame, rightId: String, rightHash: String,
+                    maxHamming: Int = 3, wide: Boolean = false): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"hammingJoin64 supports maxHamming in [0,3] (pigeonhole banding), got $maxHamming")
+    val (tables, tableKey) = hammingBanding(wide)
+    def banded(df: DataFrame, idCol: String, hashCol: String) =
+      df.select(col(idCol).as("id"), col(hashCol).as("sh"))
+        .where(col("sh").isNotNull)
+        .select(col("id"), col("sh"),
+          explode(array(tables.indices.map(t =>
+            struct(lit(t).as("t"), tableKey(col("sh"), t).as("band"))): _*)).as("tb"))
+        .select(col("id"), col("sh"), col("tb.t"), col("tb.band"))
+    val a = banded(left, leftId, leftHash).alias("a")
+    val b = banded(right, rightId, rightHash).alias("b")
     val firstAgree = tables.indices.reverse.foldLeft(lit(tables.size): Column) {
       (rest, t) =>
         when(tableKey(col("a.sh"), t) === tableKey(col("b.sh"), t), lit(t))
           .otherwise(rest)
     }
     a.join(b, col("a.t") === col("b.t") && col("a.band") === col("b.band") &&
-        col("a.id") < col("b.id") && col("a.t") === firstAgree &&
+        col("a.t") === firstAgree &&
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming)
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))

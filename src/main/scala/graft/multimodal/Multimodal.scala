@@ -205,6 +205,56 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Cross-modal decontamination matrix — the [[graft.dedup.Dedup
+    * .contaminationMatrix]] contract for IMAGES: which eval sets'
+    * pictures leak into which training-corpus groups, counted per
+    * (eval_set, group) with group totals and fractions. Text
+    * decontamination cannot see a benchmark screenshot re-encoded as a
+    * JPEG; this composes the perceptual tier ([[imageDHash]]) with the
+    * banded cross-frame hamming join ([[graft.dedup.Dedup
+    * .hammingJoin64]]) so the SAME pixels under byte-wise-unrelated
+    * encodings still match.
+    *
+    * `train` and `evalMedia` are media frames (a `payload` column);
+    * `train` additionally carries `groupCol` (source/shard), `evalMedia`
+    * carries `evalSetCol` (benchmark name). A train item is
+    * contaminated when ANY eval image of the set is within `maxHamming`
+    * dHash bits. Groups with zero hits for a set are absent (the d45
+    * convention). Scale shape: both sides hash once into slim
+    * (id, group/set, hash) rows (localCheckpoint — never re-decode for
+    * the join-back), the eval side is benchmark-sized so its banded
+    * rows broadcast, and the corpus side never self-joins.
+    */
+  def imageContaminationMatrix(train: DataFrame, trainIdCol: String,
+                               groupCol: String,
+                               evalMedia: DataFrame, evalIdCol: String,
+                               evalSetCol: String,
+                               maxHamming: Int = 3,
+                               wide: Boolean = false): DataFrame = {
+    val trainH = imageDHash(train)
+      .select(col(trainIdCol).as("__tid"), col(groupCol).as("__grp"),
+        col("dhash").as("__th"))
+      .localCheckpoint(true)
+    val evalH = imageDHash(evalMedia)
+      .select(col(evalIdCol).as("__eid"), col(evalSetCol).as("__set"),
+        col("dhash").as("__eh"))
+      .localCheckpoint(true)
+    val hits = graft.dedup.Dedup.hammingJoin64(
+      trainH, "__tid", "__th", evalH, "__eid", "__eh", maxHamming, wide)
+    val contaminated = hits
+      .join(trainH.select(col("__tid").as("id1"), col("__grp")), Seq("id1"))
+      .join(evalH.select(col("__eid").as("id2"), col("__set")), Seq("id2"))
+      .select(col("__set"), col("__grp"), col("id1")).distinct()
+      .groupBy(col("__set"), col("__grp"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    val totals = train.groupBy(col(groupCol).as("__grp"))
+      .agg(count(lit(1)).as("n_docs"))
+    contaminated.join(totals, Seq("__grp"))
+      .select(col("__set").as(evalSetCol), col("__grp").as(groupCol),
+        col("n_contaminated"), col("n_docs"),
+        round(col("n_contaminated").cast("double") / col("n_docs"), 6).as("frac"))
+  }
+
   /** Image metadata decode: parses format + dimensions from the payload's
     * real header bytes. Batching contract: iterator-in/iterator-out per
     * partition, decoder state initialized once per partition — exactly

@@ -225,6 +225,63 @@ class MultimodalSpec extends SparkSpec {
     assert(broken.where(col("dhash").isNull).count() == 1)
   }
 
+  test("imageContaminationMatrix: planted eval images caught across formats, clean untouched, brute parity") {
+    // Train: 16 media over 3 scenes (scene = id % 3 — deliberately
+    // coprime with the id % 4 format rotation, so every scene exists
+    // under ALL FOUR encodings); two groups by id parity. Eval probes
+    // render scene = id under nScenes = 18: scenes 1 and 2 are planted
+    // (present in the train pool), scene 17 is clean (novel pattern).
+    val train = Multimodal.withSharedScenes(
+        (0L until 16L).toDF("doc_id"), "doc_id", nScenes = 3)
+      .withColumn("grp", when(col("media_id") % 2 === 0, "even").otherwise("odd"))
+    // probe ids satisfy BOTH id % 19 == planted scene AND id % 4 == 0
+    // (PNG — lossless, so it matches the pool's lossless renders
+    // exactly; a gif/jpeg probe can drift past the radius vs png/bmp):
+    // 20 → scene 1, 40 → scene 2, 36 → scene 17 (clean)
+    val probeSets = Seq((20L, "benchA"), (40L, "benchB"), (36L, "benchB"))
+      .toDF("media_id", "eval_set")
+    val evalMedia = Multimodal.withSharedScenes(probeSets, "media_id", nScenes = 19)
+      .join(probeSets, Seq("media_id"))
+    def matrix(ev: org.apache.spark.sql.DataFrame) =
+      Multimodal.imageContaminationMatrix(
+          train, "media_id", "grp", ev, "media_id", "eval_set", maxHamming = 3)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val got = matrix(evalMedia)
+
+    // brute-force parity from the raw hashes
+    val th = Multimodal.imageDHash(train).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[String]("grp"),
+        r.getAs[Long]("dhash")))
+    val eh = Multimodal.imageDHash(evalMedia).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[String]("eval_set"),
+        r.getAs[Long]("dhash")))
+    val expected = (for {
+      (tid, grp, thash) <- th
+      (_, set, ehash) <- eh
+      if java.lang.Long.bitCount(thash ^ ehash) <= 3
+    } yield (set, grp, tid)).distinct
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.length.toLong).toMap
+    val totals = th.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(got.keySet == expected.keySet, s"got=$got expected=$expected")
+    got.foreach { case (k @ (_, grp), (nc, nd, frac)) =>
+      assert(nc == expected(k), s"$k: $nc vs ${expected(k)}")
+      assert(nd == totals(grp))
+      assert(math.abs(frac - nc.toDouble / nd) < 1e-6)
+    }
+    // planted probes catch cross-format copies — at minimum every
+    // LOSSLESS (png/bmp) render of their scene (gif/jpeg renders may
+    // quantize past the radius for some scenes; brute parity above is
+    // the exactness check). Scene 1's lossless copies are ids 4 (png) /
+    // 10 (bmp) — both even; scene 2's are 2, 8, 14 — all even.
+    assert(got(("benchA", "even"))._1 >= 2L, got.toString)
+    assert(got(("benchB", "even"))._1 >= 3L, got.toString)
+    // the clean scene-17 probe contributes NOTHING: dropping it leaves
+    // the matrix identical
+    val withoutClean = matrix(evalMedia.where(col("media_id") =!= 36L))
+    assert(withoutClean == got, s"clean probe changed the matrix:\n$got\nvs\n$withoutClean")
+  }
+
   test("audio fingerprint pairs the same envelope across rates/channels, not scenes") {
     // 8 ids over 2 scenes: scene = id % 2, rate cycles 8k/16k/44.1k/48k,
     // channels alternate — same scene = byte-wise unrelated WAVs
