@@ -258,17 +258,26 @@ final class CuttingBoard(
     *
     * `deleted` rows must be exact copies of base rows (the multiset
     * except); alternatively pass `keyCols` to delete by key (anti-join —
-    * the O(|takedown|) form a 100 TB base wants). Updated slices
-    * REWRITE their warehouse tables (temp-then-swap) and evicted slices
-    * delete theirs, so a fresh board over the same warehouse can never
-    * reload pre-delete bytes.
+    * the O(|takedown|) form a 100 TB base wants). In the key form the
+    * subtracted amounts are derived from the BASE rows the keys match
+    * (a semi-join), never from the caller's frame — a takedown list
+    * carries ids, not trustworthy measure values, and subtracting stale
+    * values would silently corrupt every maintained slice. Updated
+    * slices REWRITE their warehouse tables (temp-then-swap) and evicted
+    * slices delete theirs, so a fresh board over the same warehouse can
+    * never reload pre-delete bytes.
     */
   def delete(deleted: DataFrame, keyCols: Seq[String] = Seq.empty): Unit = synchronized {
+    val base = current
+    val deletedRows =
+      if (keyCols.isEmpty) deleted
+      else base.join(deleted.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_semi")
     current =
       if (keyCols.nonEmpty)
-        current.join(deleted.select(keyCols.map(col): _*).distinct(),
+        base.join(deleted.select(keyCols.map(col): _*).distinct(),
           keyCols, "left_anti")
-      else current.exceptAll(deleted)
+      else base.exceptAll(deleted)
     cache = cache.flatMap { c =>
       val vals = c.q.valuesInSlice
       val invertible = vals.nonEmpty &&
@@ -282,7 +291,7 @@ final class CuttingBoard(
         dropPersisted(c.q)
         None
       } else {
-        val deltaSlice = Slicer.slice(deleted, cubedef, c.q)
+        val deltaSlice = Slicer.slice(deletedRows, cubedef, c.q)
           .select(c.df.columns.map(col): _*)
         val axes = c.q.axes
         // equi-join key even for the grand-total (axis-less) slice: a

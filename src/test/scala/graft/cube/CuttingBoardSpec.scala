@@ -350,7 +350,10 @@ class CuttingBoardSpec extends SparkSpec {
     val board = new CuttingBoard(df, cube)
     val q = CubeQuery().addAxis("k").addValue("sum_v").addValue("n")
     board.slice(q).collect()
-    board.delete(Seq((2L, "A", 2.0)).toDF("id", "k", "v"), keyCols = Seq("id"))
+    // the takedown frame deliberately carries a WRONG group and a STALE
+    // measure value — only the key may be trusted: the subtracted
+    // amounts must come from the BASE row id 2 actually holds
+    board.delete(Seq((2L, "B", 99.0)).toDF("id", "k", "v"), keyCols = Seq("id"))
     val got = board.slice(q).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
     assert(board.stats == (1L, 1L))
