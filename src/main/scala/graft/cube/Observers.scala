@@ -858,6 +858,125 @@ object Observers {
     jobj(Seq("name" -> jstr(panel.name), "widgets" -> jarr(widgets)))
   }
 
+  /** Django-escapejs-style escaping for URL strings embedded inside the
+    * widget <script> blocks: backslash, both quote kinds, angle
+    * brackets, ampersand, equals and control chars become \uXXXX so the
+    * emitted JS literal can never break out of its string or close the
+    * surrounding script tag (the reference pipes every urls.N through
+    * |escapejs in each bacon/django/templates/bacon/nav/widgets
+    * template).
+    */
+  private def escJs(s: String): String = s.flatMap {
+    case c if c == '\\' || c == '\'' || c == '"' || c == '<' || c == '>' ||
+        c == '&' || c == '=' || c < ' ' => f"\\u${c.toInt}%04X"
+    case c => c.toString
+  }
+
+  private def ddmmyyyy(v: Any): String = v match {
+    case d: java.time.LocalDate =>
+      d.format(java.time.format.DateTimeFormatter.ofPattern("dd/MM/yyyy"))
+    case other => String.valueOf(other)
+  }
+
+  /** Server-rendered HTML for a [[NavPanel]]'s widgets — the reference's
+    * nav-widget template stack re-expressed
+    * (bacon/django/templatetags/bacon_nav.py:8-62 dispatch +
+    * bacon/django/templates/bacon/nav/_widget.tmpl and
+    * nav/widgets/{DatesRangeWidget,StringFilterWidget,ButtonsWidget,
+    * _button}.tmpl): the same structure a bacon page serves —
+    * `<div class="bacon-panel bacon-widgets"><table class="widgets">`
+    * of `<tr class="widget">` rows, each widget's `<script>` defining
+    * `bacon.<unique>` over its escapejs'd template URLs, the
+    * dd/mm/yyyy inputs wired to it, and the image/span button anchors.
+    * `unique` follows the reference exactly
+    * (`bacon_dates_range_<axis>` / `bacon_string_filter_<axis>`);
+    * current values come from the live query's filters the way
+    * render_DatesRangeWidget/render_StringFilterWidget read them.
+    * JSON-consuming frontends keep [[navPanelJson]]; this is the
+    * server-rendered-HTML consumer's surface, completing the parity
+    * with [[htmlTable1d]]/[[htmlTablePivot]]/[[pagerHtml]].
+    */
+  def navPanelHtml(panel: NavPanel, nav: Navigator, urlPrefix: String = ""): String = {
+    def widgetRow(label: String, body: String): String =
+      s"""<tr class="widget"><td class="label">${esc(label)}:</td>""" +
+        s"""<td class="widget">$body</td></tr>"""
+    def filterValue(axis: String, op: String): Option[Any] =
+      nav.query.filters.find(f => f.name == axis && f.op == op).map(_.value)
+    val rendered = panel.widgets.map {
+      case w @ DatesRangeWidget(label, axis, toolkit) =>
+        val u = w.urls(nav, urlPrefix)
+        val unique = s"bacon_dates_range_$axis"
+        val valueFrom = filterValue(axis, FilterOp.Ge).map(ddmmyyyy).getOrElse("")
+        val valueTo = filterValue(axis, FilterOp.Le).map(ddmmyyyy).getOrElse("")
+        val readInputs = toolkit match {
+          case "jquery" =>
+            s"""var dfrom = $$("#${unique}_from").val().replace(/(..)\\/(..)\\/(....)/, "$$3-$$2-$$1");
+               |var dto = $$("#${unique}_to").val().replace(/(..)\\/(..)\\/(....)/, "$$3-$$2-$$1");""".stripMargin
+          case _ =>
+            s"""var dfrom = $$("${unique}_from").value.replace(/(..)\\/(..)\\/(....)/, "$$3-$$2-$$1");
+               |var dto = $$("${unique}_to").value.replace(/(..)\\/(..)\\/(....)/, "$$3-$$2-$$1");""".stripMargin
+        }
+        val datepickerInit = if (toolkit == "jquery")
+          s"""
+             |$$(document).ready(function () {
+             |  $$('div.$unique input.date_range').datepicker({dateFormat: 'dd/mm/yy'});
+             |})""".stripMargin
+        else ""
+        val body =
+          s"""<script type="text/javascript">
+             |try { bacon; } catch(e) { bacon = {}; }
+             |bacon.$unique = function () {
+             |  var urls = [
+             |    "${escJs(u(0))}",
+             |    "${escJs(u(1))}",
+             |    "${escJs(u(2))}",
+             |    "${escJs(u(3))}" ];
+             |$readInputs
+             |  var url = urls[(dfrom ? 1 : 0) + (dto ? 2 : 0)];
+             |  url = url.replace("__from__", dfrom).replace("__to__", dto);
+             |  document.location = url;
+             |}$datepickerInit
+             |</script>
+             |<div class="$unique">
+             |From&#160;<input id="${unique}_from" value="${esc(valueFrom)}" type="text" class="date_range" maxlength="10" size="8" datepicker="true" datepicker_format="DD/MM/YYYY" onchange="bacon.$unique()" />
+             |To&#160;<input id="${unique}_to" value="${esc(valueTo)}" type="text" class="date_range" maxlength="10" size="8" datepicker="true" datepicker_format="DD/MM/YYYY" onchange="bacon.$unique()" /></div>""".stripMargin
+        widgetRow(label, body)
+      case w @ StringFilterWidget(label, axis, op) =>
+        val u = w.urls(nav, urlPrefix)
+        val unique = s"bacon_string_filter_$axis"
+        val value = filterValue(axis, op).map(String.valueOf).getOrElse("")
+        val body =
+          s"""<script type="text/javascript">
+             |try { bacon; } catch(e) { bacon = {}; }
+             |bacon.$unique = function () {
+             |  var urls = [
+             |    "${escJs(u(0))}",
+             |    "${escJs(u(1))}"
+             |  ];
+             |  var value = document.querySelector('#$unique').value;
+             |  var url = urls[value ? 1 : 0];
+             |  document.location = url.replace('__PLACEHOLDER__', value);
+             |}
+             |</script>
+             |<div class="$unique">
+             |<input id="$unique" value="${esc(value)}" type="text" class="string_filter" size="8" onchange="bacon.$unique()" />
+             |</div>""".stripMargin
+        widgetRow(label, body)
+      case ButtonsWidget(label, buttons) =>
+        val body = buttons.map { b =>
+          val href = esc(urlPrefix + UrlQueryBuilder.toUrlString(b.query(nav), nav.cubedef))
+          b.imageUrl match {
+            case Some(img) =>
+              s"""<a href="$href"><img class="button" src="${esc(img)}" alt="${esc(b.label)}" title="${esc(b.label)}" /></a>"""
+            case None =>
+              s"""<a href="$href"><span class="button">${esc(b.label)}</span></a>"""
+          }
+        }.mkString
+        widgetRow(label, body)
+    }
+    s"""<div class="bacon-panel bacon-widgets"><table class="widgets">${rendered.mkString}</table></div>"""
+  }
+
   /** Plain-text render of a PivotTable (debug/demo — the HTML twin is
     * htmlTablePivot; this one stays for terminal output).
     */

@@ -378,6 +378,64 @@ class ObserversSpec extends SparkSpec {
     assert(json.count(_ == '[') == json.count(_ == ']'))
   }
 
+  test("nav widgets render to the reference's server-side HTML (templates re-expressed)") {
+    val c = CubeDef(
+      labels = Seq(
+        Label("day", col("d"), dimension = Some("time"),
+          codec = Some(ValueCodec.DateUnitCodec("day"))),
+        Label("flag", col("f"))),
+      measures = Seq(Measure("n", lit(1), Agg.Count)))
+    val q = CubeQuery().addAxis("flag").addValue("n")
+      .addFilter("day", java.time.LocalDate.of(2024, 3, 5), FilterOp.Ge)
+      .addFilter("flag", "x&co")
+    val nav = new Navigator(c, q)
+    val panel = Observers.NavPanel("side", Seq(
+      Observers.DatesRangeWidget("Dates", "day"),
+      Observers.StringFilterWidget("Find flag", "flag"),
+      Observers.ButtonsWidget("Quick", Seq(
+        Observers.PanelButton("Refresh"),
+        Observers.FilterButton("All flags", "flag", Observers.RemoveFilter,
+          imageUrl = Some("/img/x.png"))))))
+    val html = Observers.navPanelHtml(panel, nav, "/cube/")
+
+    // panel chrome + one _widget.tmpl row per widget with its label cell
+    assert(html.startsWith("""<div class="bacon-panel bacon-widgets"><table class="widgets">"""))
+    assert(html.endsWith("</table></div>"))
+    assert(html.sliding(19).count(_ == """<tr class="widget">""") == 3)
+    assert(html.contains("""<td class="label">Dates:</td>"""))
+    assert(html.contains("""<td class="label">Find flag:</td>"""))
+
+    // DatesRangeWidget: the reference's unique id, the 4-url script,
+    // prototype-toolkit $() access, placeholder substitution chain, and
+    // the CURRENT ge-filter value rendered dd/MM/yyyy into the from box
+    assert(html.contains("bacon.bacon_dates_range_day = function ()"))
+    assert(html.contains("""$("bacon_dates_range_day_from").value"""))
+    assert(html.contains("""url.replace("__from__", dfrom).replace("__to__", dto)"""))
+    assert(html.contains("""id="bacon_dates_range_day_from" value="05/03/2024""""))
+    assert(html.contains("""id="bacon_dates_range_day_to" value=""""))
+    // jquery toolkit switches the input access + datepicker init
+    val jq = Observers.navPanelHtml(Observers.NavPanel("side",
+      Seq(Observers.DatesRangeWidget("Dates", "day", toolkit = "jquery"))), nav)
+    assert(jq.contains("""$("#bacon_dates_range_day_from").val()"""))
+    assert(jq.contains(".datepicker({dateFormat: 'dd/mm/yy'})"))
+
+    // StringFilterWidget: unique id, querySelector read, current value
+    // HTML-escaped, __PLACEHOLDER__ template escapejs'd in the script
+    assert(html.contains("bacon.bacon_string_filter_flag = function ()"))
+    assert(html.contains("document.querySelector('#bacon_string_filter_flag')"))
+    assert(html.contains("""value="x&amp;co""""))
+    // escapejs: no raw & or < survives inside the script's url strings
+    val script = html.substring(html.indexOf("bacon.bacon_string_filter_flag"),
+      html.indexOf("</script>", html.indexOf("bacon.bacon_string_filter_flag")))
+    assert(!script.contains("&") || script.contains("\\u0026"), script)
+    assert(script.contains("__PLACEHOLDER__"))
+
+    // ButtonsWidget: span button for the plain one, img for the image
+    // one, hrefs carrying the swapped queries
+    assert(html.contains("""<span class="button">Refresh</span>"""))
+    assert(html.contains("""<img class="button" src="/img/x.png" alt="All flags" title="All flags" />"""))
+  }
+
   test("navJson payload carries dimensioned axes, filter actions and hidden values") {
     val c = CubeDef(
       labels = Seq(
