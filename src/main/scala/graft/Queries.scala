@@ -1275,6 +1275,112 @@ object Queries {
         .select(col("doc_id"), col("lang"), col("lang_pred"), col("score"))
     },
 
+    // §2.46b: the FULL Gopher quality-rule battery (Rae 2021 Table A1)
+    // — every published signal as one map-only pass (11 sorted folds
+    // per doc, no shuffle, no UDF) plus the `keep` verdict at the
+    // published thresholds. The oracle replays EVERY signal from
+    // (segment → count) tables: token scalars, line/paragraph count-
+    // and char-mass duplicate fractions, top-2/3/4-gram char shares
+    // and dup-5..10-gram char masses, then the same threshold AND over
+    // the same 6dp-rounded values.
+    "d52_gopher" -> oq(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(coalesce(text,''))), '\s+'), x -> len(x) > 0) AS tk,
+        |    list_filter(list_transform(string_split(coalesce(text,''), chr(10)), s -> trim(s)), s -> len(s) > 0) AS ln,
+        |    list_filter(list_transform(string_split_regex(coalesce(text,''), '\n{2,}'), s -> trim(s)), s -> len(s) > 0) AS pg,
+        |    len(regexp_extract_all(coalesce(text,''), '#|\.\.\.|…')) AS sym
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, tk, sym, len(tk) AS n,
+        |    coalesce(list_aggregate(list_transform(tk, x -> len(x)), 'sum'), 0) AS tc,
+        |    len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+        |    len(list_intersect(list_distinct(tk),
+        |      ['the','be','to','of','and','that','have','with'])) AS stop,
+        |    len(ln) AS nl,
+        |    len(list_filter(ln, l -> regexp_matches(l, '^([-*•]|[0-9]+[.)])\s'))) AS bullet,
+        |    len(list_filter(ln, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS ellip
+        |  FROM t
+        |), seg AS (
+        |  SELECT doc_id, 'l' AS kind, seg FROM (SELECT doc_id, unnest(ln) AS seg FROM t)
+        |  UNION ALL
+        |  SELECT doc_id, 'p' AS kind, seg FROM (SELECT doc_id, unnest(pg) AS seg FROM t)
+        |), segc AS (
+        |  SELECT doc_id, kind, seg, count(*) AS c, len(seg) AS cl
+        |  FROM seg GROUP BY 1, 2, 3, 5
+        |), sega AS (
+        |  SELECT doc_id, kind, count(*) AS nd, sum(c) AS cnt,
+        |    sum((c - 1) * cl) AS dup, sum(c * cl) AS tot
+        |  FROM segc GROUP BY 1, 2
+        |), g AS (
+        |  SELECT doc_id, nn.gn AS gn,
+        |    CASE WHEN len(tk) >= nn.gn THEN list_transform(range(len(tk) - nn.gn + 1),
+        |      i -> array_to_string(tk[i+1:i+nn.gn], ' ')) ELSE [] END AS grams
+        |  FROM t CROSS JOIN (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS gn) nn
+        |), gc AS (
+        |  SELECT doc_id, gn, gram, count(*) AS c, len(gram) - (gn - 1) AS cl
+        |  FROM (SELECT doc_id, gn, unnest(grams) AS gram FROM g) GROUP BY 1, 2, 3, 5
+        |), ga AS (
+        |  SELECT doc_id, gn, max(c * cl) AS topm, sum((c - 1) * cl) AS dupm
+        |  FROM gc GROUP BY 1, 2
+        |), gp AS (
+        |  SELECT doc_id,
+        |    coalesce(max(CASE WHEN gn = 2 THEN topm END), 0) AS top2,
+        |    coalesce(max(CASE WHEN gn = 3 THEN topm END), 0) AS top3,
+        |    coalesce(max(CASE WHEN gn = 4 THEN topm END), 0) AS top4,
+        |    coalesce(max(CASE WHEN gn = 5 THEN dupm END), 0) AS dup5,
+        |    coalesce(max(CASE WHEN gn = 6 THEN dupm END), 0) AS dup6,
+        |    coalesce(max(CASE WHEN gn = 7 THEN dupm END), 0) AS dup7,
+        |    coalesce(max(CASE WHEN gn = 8 THEN dupm END), 0) AS dup8,
+        |    coalesce(max(CASE WHEN gn = 9 THEN dupm END), 0) AS dup9,
+        |    coalesce(max(CASE WHEN gn = 10 THEN dupm END), 0) AS dup10
+        |  FROM ga GROUP BY 1
+        |), sigs AS (
+        |  SELECT b.doc_id,
+        |    CAST(b.n AS BIGINT) AS n_words,
+        |    CASE WHEN b.n <= 0 THEN 0.0 ELSE round(b.tc / CAST(b.n AS DOUBLE), 6) END AS mean_word_len,
+        |    CASE WHEN b.n <= 0 THEN 0.0 ELSE round(b.sym / CAST(b.n AS DOUBLE), 6) END AS symbol_word_ratio,
+        |    CASE WHEN b.n <= 0 THEN 0.0 ELSE round(b.alpha / CAST(b.n AS DOUBLE), 6) END AS alpha_word_frac,
+        |    CAST(b.stop AS BIGINT) AS stop_hits,
+        |    CASE WHEN b.nl <= 0 THEN 0.0 ELSE round(b.bullet / CAST(b.nl AS DOUBLE), 6) END AS bullet_line_frac,
+        |    CASE WHEN b.nl <= 0 THEN 0.0 ELSE round(b.ellip / CAST(b.nl AS DOUBLE), 6) END AS ellipsis_line_frac,
+        |    CASE WHEN coalesce(l.cnt, 0) <= 0 THEN 0.0
+        |         ELSE round((l.cnt - l.nd) / CAST(l.cnt AS DOUBLE), 6) END AS dup_line_frac,
+        |    CASE WHEN coalesce(l.tot, 0) <= 0 THEN 0.0
+        |         ELSE round(l.dup / CAST(l.tot AS DOUBLE), 6) END AS dup_line_char_frac,
+        |    CASE WHEN coalesce(p.cnt, 0) <= 0 THEN 0.0
+        |         ELSE round((p.cnt - p.nd) / CAST(p.cnt AS DOUBLE), 6) END AS dup_para_frac,
+        |    CASE WHEN coalesce(p.tot, 0) <= 0 THEN 0.0
+        |         ELSE round(p.dup / CAST(p.tot AS DOUBLE), 6) END AS dup_para_char_frac,
+        |    CASE WHEN b.n < 2 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.top2 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS top_2gram_char_frac,
+        |    CASE WHEN b.n < 3 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.top3 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS top_3gram_char_frac,
+        |    CASE WHEN b.n < 4 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.top4 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS top_4gram_char_frac,
+        |    CASE WHEN b.n < 5 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.dup5 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS dup_5gram_char_frac,
+        |    CASE WHEN b.n < 6 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.dup6 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS dup_6gram_char_frac,
+        |    CASE WHEN b.n < 7 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.dup7 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS dup_7gram_char_frac,
+        |    CASE WHEN b.n < 8 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.dup8 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS dup_8gram_char_frac,
+        |    CASE WHEN b.n < 9 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.dup9 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS dup_9gram_char_frac,
+        |    CASE WHEN b.n < 10 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.dup10 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS dup_10gram_char_frac
+        |  FROM base b
+        |  LEFT JOIN sega l ON l.doc_id = b.doc_id AND l.kind = 'l'
+        |  LEFT JOIN sega p ON p.doc_id = b.doc_id AND p.kind = 'p'
+        |  LEFT JOIN gp g ON g.doc_id = b.doc_id
+        |)
+        |SELECT *,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        |   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+        |   AND stop_hits >= 2 AND dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+        |   AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+        |   AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+        |   AND top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15
+        |   AND dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13
+        |   AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
+        |   AND dup_10gram_char_frac <= 0.10) AS keep
+        |FROM sigs""") { (s, dir) =>
+      graft.text.CorpusOps.gopherSignals(docs(s, dir), "doc_id", "text")
+    },
+
     // §2.75d: intrinsic tokenizer eval — per-source fertility (subword
     // tokens per word), bytes/token compression and word-splitting rate
     // under the t13 BPE table. Rows-only: the min-rank encoder is not

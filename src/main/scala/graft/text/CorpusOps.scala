@@ -1865,4 +1865,136 @@ object CorpusOps {
         round(lit(1.0) - countDistinct(col("__digest")).cast("double")
           / count(lit(1)).cast("double"), 6).as("exact_dup_ratio"))
   }
+
+  /** The FULL Gopher quality-rule signal set (Rae et al. 2021,
+    * "Scaling Language Models", Table A1) — the complete document-level
+    * filter battery MassiveWeb was built with, extending the partial
+    * signals already here (TextFunctions.dupLineFraction /
+    * top2GramShare / lineStats) to the whole published table:
+    *
+    *  - n_words, mean_word_len — word-count and mean-word-length bounds;
+    *  - symbol_word_ratio — '#' / '…' / '...' occurrences per word;
+    *  - alpha_word_frac — fraction of words with ≥1 ASCII letter;
+    *  - stop_hits — how many of the 8 Gopher stop words appear;
+    *  - bullet_line_frac / ellipsis_line_frac — list-ish and
+    *    truncated-ish line fractions;
+    *  - dup_line_frac / dup_para_frac — repeated-segment COUNT
+    *    fractions (the d18 signals, recomputed here from the same fold);
+    *  - dup_line_char_frac / dup_para_char_frac — repeated-segment
+    *    CHARACTER-mass fractions;
+    *  - top_{2,3,4}gram_char_frac — character share of the single most
+    *    frequent word n-gram;
+    *  - dup_{5..10}gram_char_frac — character mass of repeated n-gram
+    *    occurrences beyond each value's first, over total token chars.
+    *
+    * Character-mass semantics are the closed form Σ_{v: c(v)>1}
+    * (c(v)−1)·charlen(v) — repeat occurrences may OVERLAP in the
+    * document and are counted independently (capped at 1.0), which is
+    * what a sort+fold can compute in O(L log L) per document and what
+    * an external engine can replay exactly from (gram → count) tables;
+    * span-union variants need positional marking and are O(L²)-ish in
+    * pure relational form. All tokens are lowercased whitespace tokens
+    * (the d18 convention); n-gram char lengths exclude the n−1 joiner
+    * spaces; a document with fewer than n tokens scores 0 for that n.
+    *
+    * `keep` applies the published Table-A1 thresholds to the
+    * 6dp-ROUNDED signals (both engines compare the same rounded values,
+    * so the boolean is engine-exact): 50 ≤ n_words ≤ 100000,
+    * 3 ≤ mean_word_len ≤ 10, symbol_word_ratio ≤ 0.1,
+    * bullet_line_frac ≤ 0.9, ellipsis_line_frac ≤ 0.3,
+    * alpha_word_frac ≥ 0.8, stop_hits ≥ 2, dup_line_frac ≤ 0.30,
+    * dup_para_frac ≤ 0.30, dup_line_char_frac ≤ 0.20,
+    * dup_para_char_frac ≤ 0.20, top n-gram ≤ 0.20/0.18/0.16 (n=2/3/4),
+    * dup n-gram ≤ 0.15/0.14/0.13/0.12/0.11/0.10 (n=5..10).
+    *
+    * Scale: map-only — one row in, one row out, no shuffle, no UDF;
+    * per-document cost is 11 sorted folds of O(L log L) (2 segment +
+    * 9 gram), the d23 operator class. Token/line arrays are staged in
+    * their own projections (HOF trees evaluate interpreted with no
+    * common-subexpression elimination — the d18 lesson) so the
+    * tokenization runs once, not once per signal.
+    */
+  def gopherSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import TextFunctions._
+    val t = coalesce(col(textCol), lit(""))
+    val staged = df.select(col(idCol),
+      wsTokens(lower(t)).as("__tk"),
+      nonBlankSegments(t, "\n").as("__ln"),
+      nonBlankSegments(t, "\n{2,}").as("__pg"),
+      size(regexp_extract_all(t, lit("#|\\.\\.\\.|…"), lit(0)))
+        .cast("long").as("__sym"))
+    val folded = staged.select(col(idCol), col("__tk"), col("__sym"),
+      size(col("__tk")).cast("long").as("__n"),
+      aggregate(col("__tk"), lit(0L), (a, x) => a + length(x)).as("__tc"),
+      size(filter(col("__tk"), w => w.rlike("[a-z]"))).cast("long").as("__alpha"),
+      size(array_intersect(array_distinct(col("__tk")),
+        array(GopherStop.map(lit): _*))).cast("long").as("__stop"),
+      size(col("__ln")).cast("long").as("__nl"),
+      size(filter(col("__ln"), l => l.rlike("^([-*•]|[0-9]+[.)])\\s")))
+        .cast("long").as("__bullet"),
+      size(filter(col("__ln"), l => l.rlike("(\\.\\.\\.|…)$")))
+        .cast("long").as("__ellip"),
+      segMassFold(col("__ln"), 0).as("__lf"),
+      segMassFold(col("__pg"), 0).as("__pf"))
+    val withGrams = folded.select(col("*") +: (2 to 10).map(n =>
+      segMassFold(wordShingles(col("__tk"), n), n - 1).as(s"__g$n")): _*)
+    def frac(num: Column, den: Column): Column =
+      when(den <= 0, 0.0).otherwise(round(num.cast("double") / den.cast("double"), 6))
+    def charFrac(mass: Column, n: Int): Column =
+      when(col("__n") < n || col("__tc") <= 0, 0.0)
+        .otherwise(round(least(mass.cast("double") / col("__tc").cast("double"),
+          lit(1.0)), 6))
+    def dupCount(f: Column): Column = frac(f.getField("cnt") - f.getField("nd"), f.getField("cnt"))
+    def dupChar(f: Column): Column = frac(f.getField("dup"), f.getField("tot"))
+    val sig = withGrams.select(
+      col(idCol),
+      col("__n").as("n_words"),
+      frac(col("__tc"), col("__n")).as("mean_word_len"),
+      frac(col("__sym"), col("__n")).as("symbol_word_ratio"),
+      frac(col("__alpha"), col("__n")).as("alpha_word_frac"),
+      col("__stop").as("stop_hits"),
+      frac(col("__bullet"), col("__nl")).as("bullet_line_frac"),
+      frac(col("__ellip"), col("__nl")).as("ellipsis_line_frac"),
+      dupCount(col("__lf")).as("dup_line_frac"),
+      dupChar(col("__lf")).as("dup_line_char_frac"),
+      dupCount(col("__pf")).as("dup_para_frac"),
+      dupChar(col("__pf")).as("dup_para_char_frac"),
+      charFrac(col("__g2").getField("top"), 2).as("top_2gram_char_frac"),
+      charFrac(col("__g3").getField("top"), 3).as("top_3gram_char_frac"),
+      charFrac(col("__g4").getField("top"), 4).as("top_4gram_char_frac"),
+      charFrac(col("__g5").getField("dup"), 5).as("dup_5gram_char_frac"),
+      charFrac(col("__g6").getField("dup"), 6).as("dup_6gram_char_frac"),
+      charFrac(col("__g7").getField("dup"), 7).as("dup_7gram_char_frac"),
+      charFrac(col("__g8").getField("dup"), 8).as("dup_8gram_char_frac"),
+      charFrac(col("__g9").getField("dup"), 9).as("dup_9gram_char_frac"),
+      charFrac(col("__g10").getField("dup"), 10).as("dup_10gram_char_frac"))
+    sig.withColumn("keep",
+      col("n_words").between(50L, 100000L) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_word_ratio") <= 0.1 &&
+        col("bullet_line_frac") <= 0.9 &&
+        col("ellipsis_line_frac") <= 0.3 &&
+        col("alpha_word_frac") >= 0.8 &&
+        col("stop_hits") >= 2L &&
+        col("dup_line_frac") <= 0.30 && col("dup_para_frac") <= 0.30 &&
+        col("dup_line_char_frac") <= 0.20 && col("dup_para_char_frac") <= 0.20 &&
+        col("top_2gram_char_frac") <= 0.20 &&
+        col("top_3gram_char_frac") <= 0.18 &&
+        col("top_4gram_char_frac") <= 0.16 &&
+        col("dup_5gram_char_frac") <= 0.15 &&
+        col("dup_6gram_char_frac") <= 0.14 &&
+        col("dup_7gram_char_frac") <= 0.13 &&
+        col("dup_8gram_char_frac") <= 0.12 &&
+        col("dup_9gram_char_frac") <= 0.11 &&
+        col("dup_10gram_char_frac") <= 0.10)
+  }
+
+  /** Rows of `df` surviving the Gopher Table-A1 battery — a semi-join
+    * against [[gopherSignals]]' kept ids (one id-keyed shuffle; the
+    * signal pass itself is map-only, so at 100 TB the join is the only
+    * exchange and AQE sizes it).
+    */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.join(gopherSignals(df, idCol, textCol).where(col("keep"))
+      .select(col(idCol)), Seq(idCol), "left_semi")
 }

@@ -85,7 +85,7 @@ object TextFunctions {
     * O(L log L) per document (sort + one fold), never O(L²).
     */
 
-  private def nonBlankSegments(text: Column, pattern: String): Column =
+  private[text] def nonBlankSegments(text: Column, pattern: String): Column =
     filter(transform(split(text, pattern), s => trim(s)), s => length(s) > 0)
 
   /** (n − distinct)/n over the segments in ONE pass: sort, then count
@@ -196,6 +196,58 @@ object TextFunctions {
           .otherwise(round(log(n) - acc / n, 6))
       })
     folded
+  }
+
+  /** The Gopher stop-word presence list (Rae 2021 Table A1's "must
+    * contain at least 2 of": the, be, to, of, and, that, have, with).
+    */
+  val GopherStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** One-pass run statistics over a segment array (tokens, n-grams,
+    * lines or paragraphs): sort, then fold runs of equal values into
+    *   cnt  — number of segments,
+    *   nd   — number of DISTINCT segments,
+    *   top  — max over values of count(v) · charlen(v),
+    *   dup  — Σ over values with count(v) > 1 of (count(v)−1) · charlen(v),
+    *   tot  — Σ charlen over ALL segments (= Σ count(v) · charlen(v)),
+    * where charlen(s) = length(s) − sepOverhead (n-grams arrive joined
+    * by single spaces, so their sepOverhead is n−1; raw lines/tokens use
+    * 0). O(L log L) per document, a single interpreted fold — the same
+    * shape as [[tokenEntropy]]. Segments must be non-empty strings (the
+    * run-open test uses run > 0, not a sentinel value, so any content —
+    * including NUL bytes — is safe).
+    */
+  private[text] def segMassFold(segs: Column, sepOverhead: Int): Column = {
+    val sep = lit(sepOverhead.toLong)
+    def clen(s: Column) = length(s).cast("long") - sep
+    aggregate(array_sort(segs),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("cnt"),
+        lit(0L).as("nd"), lit(0L).as("top"), lit(0L).as("dup"), lit(0L).as("tot")),
+      (st, x) => {
+        val run = st.getField("run")
+        val prev = st.getField("prev")
+        val same = (run > 0) && (x === prev)
+        val closed = run * clen(prev) // mass of the run being closed (0 when run=0)
+        struct(x.as("prev"),
+          when(same, run + 1).otherwise(lit(1L)).as("run"),
+          (st.getField("cnt") + 1).as("cnt"),
+          when(same, st.getField("nd")).otherwise(st.getField("nd") + 1).as("nd"),
+          when(same, st.getField("top"))
+            .otherwise(greatest(st.getField("top"), closed)).as("top"),
+          when(!same && run > 1,
+            st.getField("dup") + (run - 1) * clen(prev))
+            .otherwise(st.getField("dup")).as("dup"),
+          (st.getField("tot") + clen(x)).as("tot"))
+      },
+      st => {
+        val run = st.getField("run")
+        val prev = st.getField("prev")
+        struct(st.getField("cnt").as("cnt"), st.getField("nd").as("nd"),
+          greatest(st.getField("top"), run * clen(prev)).as("top"),
+          when(run > 1, st.getField("dup") + (run - 1) * clen(prev))
+            .otherwise(st.getField("dup")).as("dup"),
+          st.getField("tot").as("tot"))
+      })
   }
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
