@@ -1878,6 +1878,35 @@ object Queries {
           (round(col("comp"), 6) + lit(0.0)).as("comp"))
     },
 
+    // §2.64b: prototype-distance pruning (Sorscher 2022's SSL-prototypes
+    // metric; D4's pruning half) — per cluster, keep the half FARTHEST
+    // from the centroid prototype. The oracle replays centroid
+    // (6dp-rounded per dim) → cosine (6dp) → rank-with-id-tiebreak →
+    // ceil(n/2) cut, hash-exact.
+    "e14_prototype_prune" -> oq(
+      """WITH d AS (
+        |  SELECT label, i, round(avg(CAST(e AS DOUBLE)), 6) AS c
+        |  FROM (SELECT label, unnest(embedding) AS e,
+        |               generate_subscripts(embedding, 1) AS i FROM embeddings)
+        |  GROUP BY 1, 2
+        |), c AS (
+        |  SELECT label, array_agg(c ORDER BY i) AS cv FROM d GROUP BY 1
+        |), s AS (
+        |  SELECT e.vec_id AS id, e.label,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) AS cos
+        |  FROM embeddings e JOIN c USING (label)
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos ASC, id ASC) AS rnk,
+        |    count(*) OVER (PARTITION BY label) AS n
+        |  FROM s
+        |)
+        |SELECT id, CAST(label AS BIGINT) AS cid, cos FROM r
+        |WHERE rnk <= ceil(n * 0.5)""") { (s, dir) =>
+      graft.sim.Similarity.prototypePrune(emb(s, dir), "vec_id", "embedding",
+          keepFrac = 0.5, clusterCol = Some("label"))
+        .select(col("id"), col("cid").cast("long").as("cid"), col("cos"))
+    },
+
     // §2.42h serve path: IVFADC search against a PREBUILT index — the
     // production shape (codebooks + codes built once, searched many
     // times), and the wall the headline bench reports for the PQ tier.

@@ -379,6 +379,61 @@ object Similarity {
     df.join(dropped, df(idCol) === col("id2"), "left_anti")
   }
 
+  /** Prototype-distance data pruning (Sorscher et al. 2022, "Beyond
+    * neural scaling laws" — the SSL-prototypes metric; composed with
+    * SemDedup it is D4, Abbas et al. 2023): rank every example by
+    * cosine to its cluster's PROTOTYPE (the centroid) and keep the
+    * `keepFrac` fraction FARTHEST from it per cluster — prototypical
+    * (easy, redundant) examples prune first, which is the
+    * keep-hard-examples rule the paper shows beats random pruning when
+    * data is abundant.
+    *
+    * Determinism/portability: centroids are 6dp-rounded per dimension
+    * BEFORE scoring and cosines 6dp-rounded BEFORE ranking, with the id
+    * as tie-break — so the kept set is a pure function of the input and
+    * replays exactly in any engine (gate e14). `clusterCol` supplies
+    * precomputed labels (the oracle-checkable path); `None` learns a
+    * k-means coarse clustering with the IVF machinery, like SemDedup.
+    *
+    * Scale: one posexplode aggregation for centroids (k·dim rows), a
+    * BROADCAST join back (k vectors), then ONE shuffle on the cluster
+    * id for the per-cluster rank window. Cluster sizes are ~n/k by
+    * construction (k ~ √n via suggestedCentroids), so no window
+    * partition degenerates; the vector column never reaches the driver.
+    *
+    * Output: (id, cid, cos) of the KEPT rows, cos to the prototype
+    * rounded 6dp.
+    */
+  def prototypePrune(df: DataFrame, idCol: String, vecCol: String,
+                     keepFrac: Double, clusterCol: Option[String] = None,
+                     numClusters: Int = 256, iters: Int = 3,
+                     trainCap: Long = 1000000L): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0, 1], got $keepFrac")
+    val withC = clusterCol match {
+      case Some(c) =>
+        df.select(col(idCol).as("id"), col(vecCol).as("v"), col(c).as("cid"))
+      case None =>
+        val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+          .withColumn("nrm", norm(col("v")))
+        v.join(rankCentroids(v, trainQuantizer(v, numClusters, iters, trainCap), 1), "id")
+          .select(col("id"), col("v"), col("cid"))
+    }
+    val protos = centroids(withC, "cid", "v")
+      .select(col("grp").as("cid"),
+        transform(col("centroid"), c => round(c, 6)).as("cv"))
+    val vd = asDouble(col("v"))
+    val scored = withC.join(broadcast(protos), "cid")
+      .select(col("id"), col("cid"),
+        round(dot(vd, col("cv")) / (norm(vd) * norm(col("cv"))), 6).as("cos"))
+    val w = Window.partitionBy(col("cid")).orderBy(col("cos").asc, col("id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("cid"))))
+      .where(col("rnk") <= ceil(col("n") * lit(keepFrac)))
+      .select(col("id"), col("cid"), col("cos"))
+  }
+
   // ---- int8 embedding quantization (storage scale path) ---------------
 
   /** Per-vector affine int8 quantization: codes = round((x − min)/scale)

@@ -646,4 +646,38 @@ class SimilaritySpec extends SparkSpec {
       nProbe = cells, excludeSelf = true))
     assert(full == brute)
   }
+
+  test("prototypePrune keeps the farthest-from-centroid fraction per cluster") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 1L), (2L, Seq(1.0f, 0.1f), 1L),
+      (3L, Seq(0.0f, 1.0f), 1L), // farthest from cluster 1's centroid
+      (4L, Seq(0.0f, 1.0f), 2L), (5L, Seq(0.0f, 1.0f), 2L),
+      (6L, Seq(1.0f, 0.0f), 2L) // farthest from cluster 2's centroid
+    ).toDF("id", "v", "cid")
+    val kept = Similarity.prototypePrune(df, "id", "v", keepFrac = 1.0 / 3,
+      clusterCol = Some("cid")).select("id").as[Long].collect().toSet
+    assert(kept == Set(3L, 6L))
+    // keepFrac = 1 keeps everything
+    val all = Similarity.prototypePrune(df, "id", "v", keepFrac = 1.0,
+      clusterCol = Some("cid")).count()
+    assert(all == 6L)
+    // exact ties (identical vectors) break by id: the smaller id survives
+    val tied = Similarity.prototypePrune(df.where(col("id").isin(4L, 5L)),
+      "id", "v", keepFrac = 0.5, clusterCol = Some("cid"))
+      .select("id").as[Long].collect().toSeq
+    assert(tied == Seq(4L))
+  }
+
+  test("prototypePrune learned-cluster path prunes about half") {
+    val rnd = new scala.util.Random(11)
+    val blobs = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) Array(5.0f, 0.0f, 0.0f) else Array(0.0f, 5.0f, 0.0f)
+      (i, base.map(x => x + rnd.nextGaussian().toFloat * 0.1f).toSeq)
+    }.toDF("id", "v")
+    val kept = Similarity.prototypePrune(blobs, "id", "v", keepFrac = 0.5,
+      numClusters = 2, iters = 3)
+    val n = kept.count()
+    assert(n >= 10L && n <= 11L) // sum of per-cluster ceil(n_c / 2)
+    assert(kept.select("id").as[Long].collect().forall(_ < 20L))
+  }
 }
