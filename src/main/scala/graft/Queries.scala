@@ -3976,6 +3976,39 @@ object Queries {
           col("value"), col("prior_mean"), col("prior_std"), col("prior_n"), col("z"))
     },
 
+    // §2.62c: fuzzy (set-similarity) string join — AllPairs prefix
+    // filter (Bayardo 2007) joining two DISJOINT catalogs (even/odd
+    // part keys) on approximate name equality. The oracle replays the
+    // RESULT by brute force over the distinct name sets (the prefix
+    // filter is an algorithmic pruning, not a semantic — RelationalSpec
+    // pins its losslessness against brute force); the distinct() keeps
+    // the gate's pair count bounded by the name vocabulary at every sf.
+    "q55_fuzzy_join" -> oq(
+      """WITH l AS (SELECT DISTINCT p_name AS lname FROM part WHERE p_partkey % 2 = 0),
+        |r AS (SELECT DISTINCT p_name AS rname FROM part WHERE p_partkey % 2 = 1),
+        |lg AS (SELECT lname, list_distinct(list_transform(
+        |  range(greatest(len(lname) - 3, 0) + 1),
+        |  i -> substr(lower(lname), i + 1, 3))) AS g FROM l),
+        |rg AS (SELECT rname, list_distinct(list_transform(
+        |  range(greatest(len(rname) - 3, 0) + 1),
+        |  i -> substr(lower(rname), i + 1, 3))) AS g FROM r),
+        |p AS (
+        |  SELECT lname, rname,
+        |    CAST(len(list_intersect(lg.g, rg.g)) AS DOUBLE) AS inter,
+        |    len(lg.g) + len(rg.g) AS tot
+        |  FROM lg CROSS JOIN rg
+        |)
+        |SELECT lname, rname, round(inter / (tot - inter), 6) AS jaccard
+        |FROM p WHERE inter / (tot - inter) >= 0.55""") { (s, dir) =>
+      val p = part(s, dir)
+      val l = p.where(col("p_partkey") % 2 === 0)
+        .select(col("p_name").as("lname")).distinct()
+      val r = p.where(col("p_partkey") % 2 === 1)
+        .select(col("p_name").as("rname")).distinct()
+      graft.ops.Relational.fuzzyJoin(l, r, "lname", "lname", "rname", "rname",
+        threshold = 0.55)
+    },
+
     // §2.34: tumbling-window agg (streaming code path run on batch; oracle)
     "q29_window_tumbling" -> oq(
       """SELECT strftime(to_timestamp(floor(epoch(ts)/900)*900), '%Y-%m-%d %H:%M') AS window_start,

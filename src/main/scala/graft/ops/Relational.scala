@@ -233,4 +233,85 @@ object Relational {
       left.columns.map(c => col(s"__lrow.$c").as(c)) ++
         payCols.map(p => col("__m").getField(p).as(s"$prefix$p")): _*)
   }
+
+  /** Fuzzy (set-similarity) string join — the AllPairs/PPJoin prefix
+    * filter (Bayardo, Ma & Srikant 2007, "Scaling up all pairs
+    * similarity search"; Xiao et al. 2008): join two tables on
+    * approximate string equality, emitting (leftId, rightId, jaccard)
+    * for every cross-table pair whose char-`gramLen`-gram Jaccard
+    * similarity ≥ `threshold`. The record-linkage primitive — matching
+    * crawl records against a canonical catalog, merging entity tables —
+    * where exact equi-join keys don't exist.
+    *
+    * Scale shape (never a cartesian):
+    *  1. each side's key → DISTINCT lowercased char n-gram set (strings
+    *     shorter than gramLen contribute themselves as the single gram);
+    *  2. global gram document-frequency over BOTH sides (one bounded
+    *     aggregation — gram vocabulary, not row count);
+    *  3. PREFIX FILTER: each key sorts its grams rarest-first by
+    *     (freq, gram) — a shared total order with no global rank
+    *     window — and indexes only its first |G| − ⌈t·|G|⌉ + 1 grams:
+    *     any pair with J ≥ t must share a prefix gram (overlap
+    *     |A∩B| ≥ t·|A∪B| ≥ ⌈t·max(|A|,|B|)⌉, and per-side prefixes at
+    *     each side's own ⌈t·|G|⌉ are at least the theorem's
+    *     max-α lengths — conservative, no false negatives; spec-pinned
+    *     against brute force);
+    *  4. candidates = equi-join of the two prefix posting lists on the
+    *     gram (rarest grams ⇒ smallest postings), deduped, LENGTH
+    *     FILTER t·|A| ≤ |B| ≤ |A|/t applied on the way;
+    *  5. verify: exact |A∩B| via array_intersect on the carried gram
+    *     arrays (keys are short strings — the arrays are bytes, not
+    *     documents), Jaccard = inter/(|A|+|B|−inter), exact rational
+    *     comparison against the threshold, THEN 6dp rounding for
+    *     output.
+    *
+    * The only shuffles are the gram-frequency aggregation, the posting
+    * equi-join on the gram, and the candidate dedup — each keyed and
+    * AQE-sized; skew concentrates in frequent grams, which the prefix
+    * filter is precisely designed to keep OUT of the index.
+    */
+  def fuzzyJoin(left: DataFrame, right: DataFrame,
+                leftId: String, leftKey: String,
+                rightId: String, rightKey: String,
+                threshold: Double, gramLen: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(gramLen >= 1, s"gramLen must be >= 1, got $gramLen")
+    def gramsOf(df: DataFrame, id: String, key: String, side: String) =
+      df.where(col(key).isNotNull)
+        .select(col(id).as(s"__${side}id"),
+          array_distinct(transform(
+            sequence(lit(0), greatest(length(lower(col(key))) - gramLen, lit(0))),
+            i => lower(col(key)).substr(i + 1, lit(gramLen))))
+            .as(s"__${side}g"))
+        .withColumn(s"__${side}n", size(col(s"__${side}g")))
+    val lg = gramsOf(left, leftId, leftKey, "l").localCheckpoint(false)
+    val rg = gramsOf(right, rightId, rightKey, "r").localCheckpoint(false)
+    // global gram -> document frequency over both sides (bounded: gram
+    // vocabulary); broadcast back as the shared rarest-first sort key
+    val freq = lg.select(explode(col("__lg")).as("gram"))
+      .unionAll(rg.select(explode(col("__rg")).as("gram")))
+      .groupBy(col("gram")).agg(count(lit(1)).as("freq"))
+    def prefix(df: DataFrame, side: String) = {
+      val g = col(s"__${side}g"); val n = col(s"__${side}n")
+      df.select(col(s"__${side}id"), n, explode(g).as("gram"))
+        .join(broadcast(freq), "gram")
+        .groupBy(col(s"__${side}id"), n)
+        .agg(array_sort(collect_list(struct(col("freq"), col("gram")))).as("__sorted"))
+        .select(col(s"__${side}id"), n,
+          explode(slice(transform(col("__sorted"), x => x.getField("gram")),
+            lit(1), (n - ceil(n * lit(threshold)) + 1).cast("int"))).as("gram"))
+    }
+    val cand = prefix(lg, "l").join(prefix(rg, "r"), "gram")
+      .where(col("__rn") >= ceil(col("__ln") * lit(threshold)) &&
+        col("__ln") >= ceil(col("__rn") * lit(threshold)))
+      .select(col("__lid"), col("__rid")).distinct()
+    cand.join(lg, "__lid").join(rg, "__rid")
+      .withColumn("__inter", size(array_intersect(col("__lg"), col("__rg"))).cast("double"))
+      .withColumn("__jac",
+        col("__inter") / (col("__ln") + col("__rn") - col("__inter")))
+      .where(col("__jac") >= threshold)
+      .select(col("__lid").as(leftId), col("__rid").as(rightId),
+        round(col("__jac"), 6).as("jaccard"))
+  }
 }

@@ -199,4 +199,48 @@ class RelationalSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("rangeJoin")), e.toString)
   }
+
+  private def gramSet(s: String, k: Int = 3): Set[String] = {
+    val t = s.toLowerCase
+    (0 to math.max(t.length - k, 0)).map(i => t.substring(i, math.min(i + k, t.length))).toSet
+  }
+
+  private def bruteFuzzy(ls: Seq[(Long, String)], rs: Seq[(Long, String)],
+                         t: Double): Map[(Long, Long), Double] =
+    (for {
+      (lid, ln) <- ls; (rid, rn) <- rs
+      a = gramSet(ln); b = gramSet(rn)
+      inter = (a intersect b).size.toDouble
+      jac = inter / (a.size + b.size - inter)
+      if jac >= t
+    } yield (lid, rid) -> jac).toMap
+
+  test("fuzzyJoin equals brute force: the prefix filter loses no pair") {
+    val words = Seq("red", "blue", "small", "large", "widget", "gizmo",
+      "bolt", "ring", "gear", "hot")
+    val rnd = new scala.util.Random(5)
+    def name(): String =
+      (0 until 2 + rnd.nextInt(2)).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    val ls = (0L until 60L).map(i => (i, name()))
+    val rs = (0L until 60L).map(i => (i, name()))
+    for (t <- Seq(0.4, 0.6, 0.9)) {
+      val got = Relational.fuzzyJoin(ls.toDF("lid", "lname"), rs.toDF("rid", "rname"),
+        "lid", "lname", "rid", "rname", threshold = t)
+        .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+      val want = bruteFuzzy(ls, rs, t)
+      assert(got.keySet == want.keySet, s"threshold $t")
+      got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-6) }
+    }
+  }
+
+  test("fuzzyJoin edges: threshold 1 is exact equality; shorts and nulls") {
+    val l = Seq((1L, "alpha beta"), (2L, "xy"), (3L, null.asInstanceOf[String]))
+      .toDF("lid", "lname")
+    val r = Seq((10L, "alpha beta"), (11L, "xy"), (12L, "alpha betA"),
+      (13L, "zz")).toDF("rid", "rname")
+    val got = Relational.fuzzyJoin(l, r, "lid", "lname", "rid", "rname", 1.0)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    // case-insensitive: "alpha betA" lowercases to an identical gram set
+    assert(got == Set((1L, 10L, 1.0), (1L, 12L, 1.0), (2L, 11L, 1.0)))
+  }
 }
