@@ -1907,6 +1907,39 @@ object Queries {
         .select(col("id"), col("cid").cast("long").as("cid"), col("cos"))
     },
 
+    // §2.64c: KNN label propagation from a labeled seed set (the
+    // FineWeb-Edu labeling shape: grade a bounded seed set, classify
+    // the corpus by embedding neighborhood). Seeds = the first 128
+    // vectors (CONSTANT across scale factors — the gate's cost grows
+    // linearly, never quadratically); map-only scoring against a
+    // driver literal, no join. Oracle replays cosine (6dp) → top-5 by
+    // (cos DESC, sid ASC) → majority vote with smaller-label tie-break.
+    "e15_knn_label" -> oq(
+      """WITH s AS (SELECT vec_id AS sid, CAST(label AS VARCHAR) AS sl,
+        |             CAST(embedding AS DOUBLE[]) AS sv
+        |           FROM embeddings WHERE vec_id < 128),
+        |c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings WHERE vec_id >= 128),
+        |sc AS (
+        |  SELECT c.id, s.sid, s.sl,
+        |    round(list_cosine_similarity(c.cv, s.sv), 6) AS cos
+        |  FROM c CROSS JOIN s
+        |), top AS (
+        |  SELECT id, sl FROM (
+        |    SELECT id, sl,
+        |      row_number() OVER (PARTITION BY id ORDER BY cos DESC, sid ASC) AS rnk
+        |    FROM sc) t WHERE rnk <= 5
+        |), votes AS (
+        |  SELECT id, sl, count(*) AS v FROM top GROUP BY 1, 2
+        |)
+        |SELECT id, sl AS label_pred, v AS votes FROM votes
+        |QUALIFY row_number() OVER (PARTITION BY id ORDER BY v DESC, sl ASC) = 1""") { (s, dir) =>
+      val e = emb(s, dir)
+      graft.sim.Similarity.knnLabel(e.where(col("vec_id") >= 128),
+        "vec_id", "embedding",
+        e.where(col("vec_id") < 128), "vec_id", "embedding", "label", k = 5)
+    },
+
     // §2.42h serve path: IVFADC search against a PREBUILT index — the
     // production shape (codebooks + codes built once, searched many
     // times), and the wall the headline bench reports for the PQ tier.

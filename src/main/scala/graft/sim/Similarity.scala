@@ -434,6 +434,77 @@ object Similarity {
       .select(col("id"), col("cid"), col("cos"))
   }
 
+  /** KNN label propagation from a SMALL labeled seed set — the
+    * semi-supervised labeling step modern corpus pipelines run between
+    * "a few thousand expert/model-graded examples" and "a label on
+    * every document" (the FineWeb-Edu recipe: grade a seed set, then
+    * classify the corpus by embedding neighborhood; classic
+    * semi-supervised KNN, Zhu & Ghahramani 2002). Every row of `df`
+    * gets the majority label of its k nearest seeds by cosine.
+    *
+    * Scale shape: the seed set collects to the DRIVER and ships as one
+    * literal (the PQ-codebook/ADC-LUT convention) — scoring is then
+    * MAP-ONLY: no join, no shuffle, n·|seeds| codegen'd dot products.
+    * That is the honest cost of brute KNN against a bounded seed set
+    * and the right plan at 100 TB (the corpus never moves); `maxSeeds`
+    * refuses unbounded "seed" tables — for seed sets past driver size,
+    * search an IvfIndex/PqIndex instead and vote over its results.
+    *
+    * Determinism/portability: cosines 6dp-rounded BEFORE ranking
+    * (IEEE −0.0 normalized away, the e13 lesson), seed-id ascending
+    * tie-break, majority vote broken toward the lexicographically
+    * smaller label — the assignment replays exactly in any engine
+    * (gate e15).
+    *
+    * Output: (id, label_pred string, votes long).
+    */
+  def knnLabel(df: DataFrame, idCol: String, vecCol: String,
+               seeds: DataFrame, seedIdCol: String, seedVecCol: String,
+               seedLabelCol: String, k: Int,
+               maxSeeds: Int = 100000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val seedRows = seeds.select(col(seedIdCol).cast("long"),
+      transform(col(seedVecCol), x => x.cast("double")),
+      col(seedLabelCol).cast("string")).collect()
+    require(seedRows.nonEmpty, "knnLabel: empty seed set")
+    require(seedRows.length <= maxSeeds,
+      s"knnLabel: ${seedRows.length} seeds exceed maxSeeds=$maxSeeds — this " +
+        "brute path is for driver-bounded seed sets; use an IvfIndex/PqIndex " +
+        "search + vote for larger labeled corpora")
+    val labels = seedRows.map(_.getString(2)).distinct.sorted
+    val seedLit = array(seedRows.map { r =>
+      val v = r.getSeq[Double](1)
+      val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      struct(lit(r.getLong(0)).as("sid"),
+        lit(r.getString(2)).as("sl"),
+        typedLit(v).as("sv"), lit(nrm).as("snrm"))
+    }: _*)
+    val vd = asDouble(col(vecCol))
+    val scored = df.select(col(idCol).as("id"),
+      transform(seedLit, e => struct(
+        // ascending struct sort = cosine DESC via negation; +0.0 folds
+        // IEEE −0.0 into 0.0 so both engines tie-break on sid alone
+        (-round(dot(vd, e.getField("sv")) / (norm(vd) * e.getField("snrm")), 6)
+          + lit(0.0)).as("negcos"),
+        e.getField("sid").as("sid"),
+        e.getField("sl").as("sl"))).as("__scored"))
+    val topk = scored.select(col("id"),
+      slice(array_sort(col("__scored")), 1, k).as("__topk"))
+    val counted = topk.select(col("id") +: labels.zipWithIndex.map { case (l, i) =>
+      size(filter(col("__topk"), x => x.getField("sl") === lit(l)))
+        .cast("long").as(s"__c_$i")
+    }: _*)
+    // argmax over the label vocabulary, ascending order + strict > keeps
+    // the lexicographically smaller label on vote ties
+    val (bestLabel, bestVotes) = labels.zipWithIndex.tail.foldLeft(
+      (lit(labels.head), col("__c_0"))) {
+      case ((bl, bc), (l, i)) =>
+        val c = col(s"__c_$i")
+        (when(c > bc, lit(l)).otherwise(bl), when(c > bc, c).otherwise(bc))
+    }
+    counted.select(col("id"), bestLabel.as("label_pred"), bestVotes.as("votes"))
+  }
+
   // ---- int8 embedding quantization (storage scale path) ---------------
 
   /** Per-vector affine int8 quantization: codes = round((x − min)/scale)

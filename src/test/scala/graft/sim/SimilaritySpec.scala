@@ -668,6 +668,35 @@ class SimilaritySpec extends SparkSpec {
     assert(tied == Seq(4L))
   }
 
+  test("knnLabel: majority of k nearest seeds, smaller label on vote ties") {
+    val seeds = Seq(
+      (1L, Seq(1.0f, 0.0f), "a"), (2L, Seq(0.9f, 0.1f), "a"),
+      (3L, Seq(0.0f, 1.0f), "b"), (4L, Seq(0.1f, 0.9f), "b")
+    ).toDF("sid", "sv", "sl")
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.05f)), (11L, Seq(0.05f, 1.0f))
+    ).toDF("id", "v")
+    val got = Similarity.knnLabel(corpus, "id", "v", seeds, "sid", "sv", "sl", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(10L) == (("a", 2L)))
+    assert(got(11L) == (("b", 2L)))
+    // the diagonal point sees one seed of each label in its top-2:
+    // the vote ties 1-1 and breaks toward the smaller label
+    val tie = Similarity.knnLabel(Seq((20L, Seq(0.7f, 0.7f))).toDF("id", "v"),
+      "id", "v", seeds, "sid", "sv", "sl", k = 2)
+      .collect()(0)
+    assert(tie.getString(1) == "a" && tie.getLong(2) == 1L)
+    // guards: empty and oversized seed sets refuse
+    intercept[IllegalArgumentException] {
+      Similarity.knnLabel(corpus, "id", "v", seeds.where(lit(false)),
+        "sid", "sv", "sl", k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.knnLabel(corpus, "id", "v", seeds, "sid", "sv", "sl",
+        k = 1, maxSeeds = 2)
+    }
+  }
+
   test("prototypePrune learned-cluster path prunes about half") {
     val rnd = new scala.util.Random(11)
     val blobs = (0L until 20L).map { i =>
