@@ -1215,10 +1215,15 @@ object Queries {
     },
 
     // §2.43b: TRAINED char-n-gram NB language ID (Wenzek 2020 §3.1 gate
-    // on fastText LID; Joulin 2017's char-n-gram features) — train on
-    // even doc_ids' labels, predict the odd half. The oracle replays the
-    // ENTIRE loop: per-(lang, gram) counts → lpc/floor/prior → per-doc
-    // posterior → rounded argmax with the lang-asc tie-break.
+    // on fastText LID; Joulin 2017's char-n-gram features) — train on a
+    // CONSTANT 250-doc labeled slice and score a 20% sample of the rest:
+    // the production shape (fastText LID trains on bounded labeled data,
+    // never on the crawl), and the gate's cost stays train-flat /
+    // score-linear at every scale factor (the even/odd split it replaces
+    // doubled the training corpus with the data — a shape no pipeline
+    // pays). The oracle replays the ENTIRE loop: per-(lang, gram) counts
+    // → lpc/floor/prior → per-doc posterior → rounded argmax with the
+    // lang-asc tie-break.
     "d51_nb_langid" -> oq(
       """WITH base AS (
         |  SELECT doc_id, lang, lower(trim(text)) AS s FROM documents
@@ -1233,14 +1238,14 @@ object Queries {
         |  FROM base
         |), gc AS (
         |  SELECT lang, gram, CAST(count(*) AS DOUBLE) AS c
-        |  FROM (SELECT lang, unnest(grams) AS gram FROM g WHERE doc_id % 2 = 0)
+        |  FROM (SELECT lang, unnest(grams) AS gram FROM g WHERE doc_id < 250)
         |  GROUP BY 1, 2
         |), nl AS (
         |  SELECT lang, sum(c) AS n FROM gc GROUP BY 1
         |), vv AS (
         |  SELECT CAST(count(DISTINCT gram) AS DOUBLE) AS v FROM gc
         |), dc AS (
-        |  SELECT lang, CAST(count(*) AS DOUBLE) AS d FROM base WHERE doc_id % 2 = 0 GROUP BY 1
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS d FROM base WHERE doc_id < 250 GROUP BY 1
         |), tot AS (SELECT sum(d) AS td FROM dc),
         |stats AS (
         |  SELECT dc.lang, ln(d / td) AS prior, ln(0.5) - ln(n + 0.5 * v) AS floor,
@@ -1250,7 +1255,7 @@ object Queries {
         |  SELECT gram, lang, ln((c + 0.5) / 0.5) AS lpc FROM gc
         |), test AS (
         |  SELECT doc_id, lang, grams, CAST(len(grams) AS DOUBLE) AS t
-        |  FROM g WHERE doc_id % 2 = 1
+        |  FROM g WHERE doc_id >= 250 AND doc_id % 5 = 1
         |), tfc AS (
         |  SELECT doc_id, gram, CAST(count(*) AS DOUBLE) AS tf
         |  FROM (SELECT doc_id, unnest(grams) AS gram FROM test)
@@ -1268,8 +1273,8 @@ object Queries {
         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, r ASC) = 1""") { (s, dir) =>
       val d = docs(s, dir)
       val model = graft.text.CharLangId.train(
-        d.where(col("doc_id") % 2 === 0), "text", "lang")
-      val test = d.where(col("doc_id") % 2 === 1)
+        d.where(col("doc_id") < 250), "text", "lang")
+      val test = d.where(col("doc_id") >= 250 && col("doc_id") % 5 === 1)
       graft.text.CharLangId.predict(test, "doc_id", "text", model)
         .join(test.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("lang_pred"), col("score"))
