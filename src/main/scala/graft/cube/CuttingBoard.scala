@@ -301,10 +301,13 @@ final class CuttingBoard(
         val lhs = if (axes.nonEmpty) c.df else c.df.withColumn("__one", lit(1))
         val rhs0 = if (axes.nonEmpty) deltaSlice
           else deltaSlice.withColumn("__one", lit(1))
-        val rhs = rhs0.select(joinKeys.map(col) ++
+        val rhs = rhs0.select(joinKeys.map(k => col(k).as(s"__k_$k")) ++
           vals.map(v => col(v).as(s"__d_$v")): _*)
         val support = vals.find(v => cubedef.measure(v).agg == Agg.Count).get
-        val merged = lhs.join(rhs, joinKeys, "left")
+        // null-SAFE key equality: a NULL group (null axis value) must
+        // still meet its delta row, or its measures silently stay stale
+        val joinCond = joinKeys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+        val merged = lhs.join(rhs, joinCond, "left")
           .select(joinKeys.filterNot(_ == "__one").map(col) ++
             vals.map(v => (col(v) - coalesce(col(s"__d_$v"),
               lit(0).cast("long"))).as(v)): _*)

@@ -900,14 +900,16 @@ object Observers {
     def widgetRow(label: String, body: String): String =
       s"""<tr class="widget"><td class="label">${esc(label)}:</td>""" +
         s"""<td class="widget">$body</td></tr>"""
-    def filterValue(axis: String, op: String): Option[Any] =
-      nav.query.filters.find(f => f.name == axis && f.op == op).map(_.value)
     val rendered = panel.widgets.map {
       case w @ DatesRangeWidget(label, axis, toolkit) =>
         val u = w.urls(nav, urlPrefix)
         val unique = s"bacon_dates_range_$axis"
-        val valueFrom = filterValue(axis, FilterOp.Ge).map(ddmmyyyy).getOrElse("")
-        val valueTo = filterValue(axis, FilterOp.Le).map(ddmmyyyy).getOrElse("")
+        // getRange (cubequery.py:202) folds an Eq filter into BOTH
+        // bounds — an eq-filtered axis prefills from = to, like the
+        // reference's render_DatesRangeWidget
+        val (rangeFrom, rangeTo) = nav.query.getRange(axis)
+        val valueFrom = rangeFrom.map(ddmmyyyy).getOrElse("")
+        val valueTo = rangeTo.map(ddmmyyyy).getOrElse("")
         val readInputs = toolkit match {
           case "jquery" =>
             s"""var dfrom = $$("#${unique}_from").val().replace(/(..)\\/(..)\\/(....)/, "$$3-$$2-$$1");
@@ -933,7 +935,11 @@ object Observers {
              |    "${escJs(u(3))}" ];
              |$readInputs
              |  var url = urls[(dfrom ? 1 : 0) + (dto ? 2 : 0)];
-             |  url = url.replace("__from__", dfrom).replace("__to__", dto);
+             |  // function replacers + encodeURIComponent: a non-date input
+             |  // passes through the rewrite regex untouched and must not
+             |  // expand dollar-patterns or inject raw '&'/'%' into the URL
+             |  url = url.replace("__from__", function () { return encodeURIComponent(dfrom); })
+             |           .replace("__to__", function () { return encodeURIComponent(dto); });
              |  document.location = url;
              |}$datepickerInit
              |</script>
@@ -944,7 +950,7 @@ object Observers {
       case w @ StringFilterWidget(label, axis, op) =>
         val u = w.urls(nav, urlPrefix)
         val unique = s"bacon_string_filter_$axis"
-        val value = filterValue(axis, op).map(String.valueOf).getOrElse("")
+        val value = nav.query.getFilter(axis, op).map(String.valueOf).getOrElse("")
         val body =
           s"""<script type="text/javascript">
              |try { bacon; } catch(e) { bacon = {}; }
@@ -955,7 +961,11 @@ object Observers {
              |  ];
              |  var value = document.querySelector('#$unique').value;
              |  var url = urls[value ? 1 : 0];
-             |  document.location = url.replace('__PLACEHOLDER__', value);
+             |  // function replacer: a typed "dollar-ampersand" must not expand as a JS
+             |  // replacement pattern; encodeURIComponent keeps '%'/'&'
+             |  // URL-safe (escapejs protected the script context only)
+             |  document.location = url.replace('__PLACEHOLDER__',
+             |    function () { return encodeURIComponent(value); });
              |}
              |</script>
              |<div class="$unique">

@@ -204,10 +204,24 @@ object PqIndex {
     val r = residuals(v, idx.centroids)
     val posts = Pq.encode(r, "id", "rv", idx.codebooks)
       .join(r.select(col("id"), col("cid")), Seq("id"))
+    insertCodes(spark, dir, posts.select(col("id"), col("codes"), col("cid")),
+      batch.select(col(idCol).as("id")))
+  }
+
+  /** [[addTo]] for a batch ALREADY encoded by [[codeReconstructions]] —
+    * the ingest loop's insert half, paying no second residual/codebook
+    * pass. Rows must come from THIS index's frozen quantizers.
+    */
+  def addToEncoded(spark: SparkSession, dir: String, recon: DataFrame): Unit =
+    insertCodes(spark, dir, recon.select(col("id"), col("codes"), col("cid")),
+      recon.select(col("id")))
+
+  private def insertCodes(spark: SparkSession, dir: String,
+                          posts: DataFrame, ids: DataFrame): Unit = {
     // a tombstoned id must be revive()d, never re-inserted (the
-    // Tombstones duplicate-copy argument)
-    graft.sources.Tombstones.requireNoneTombstoned(
-      spark, dir, batch.select(col(idCol)), idCol)
+    // Tombstones duplicate-copy argument); checked on the bare id
+    // column so the guard never drags the encode plan along
+    graft.sources.Tombstones.requireNoneTombstoned(spark, dir, ids, "id")
     val tbl = codesTable(dir)
     if (spark.catalog.tableExists(tbl))
       posts.write.mode("append").insertInto(tbl)
@@ -315,7 +329,7 @@ object PqIndex {
     val centMap: Map[Int, Seq[Float]] = cents.collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
     val centLit = typedlit(centMap)
-    codes.select(col("id"), col("cid"),
+    codes.select(col("id"), col("cid"), col("codes"),
       zip_with(
         flatten(transform(col("codes"),
           (c, s) => element_at(element_at(bookLit, s + 1), c))),
@@ -324,12 +338,15 @@ object PqIndex {
   }
 
   /** Encode a batch through the FROZEN quantizer + codebooks and decode
-    * straight back: (id, cid, vhat). This is the batch's view IN THE
-    * INDEX'S OWN METRIC — comparing these reconstructions against
+    * straight back: (id, cid, codes, vhat). This is the batch's view IN
+    * THE INDEX'S OWN METRIC — comparing these reconstructions against
     * [[storedReconstructions]] makes batch-vs-batch and batch-vs-store
     * comparisons exactly consistent (the replay-determinism requirement
     * of the ingest loop: a replayed row meets its batch-mates' stored
     * codes at the SAME distances the first attempt saw in self-dedup).
+    * The codes ride along so ONE encoding pass serves dedup AND the
+    * eventual insert ([[addToEncoded]]) — the ingest loop must never
+    * pay the residual/codebook join three times per batch.
     */
   def codeReconstructions(spark: SparkSession, dir: String, batch: DataFrame,
                           idCol: String, vecCol: String): DataFrame = {
@@ -383,9 +400,17 @@ object PqIndex {
     */
   def storeDupIds(spark: SparkSession, dir: String, batch: DataFrame,
                   idCol: String, vecCol: String,
-                  threshold: Double): DataFrame = {
-    val b = codeReconstructions(spark, dir, batch, idCol, vecCol)
-      .select(col("id"), col("cid"), col("vhat").as("__bv"))
+                  threshold: Double): DataFrame =
+    storeDupIdsFromRecon(spark, dir,
+      codeReconstructions(spark, dir, batch, idCol, vecCol), threshold)
+
+  /** [[storeDupIds]] over an ALREADY-ENCODED batch (a
+    * [[codeReconstructions]] frame) — the ingest loop encodes once and
+    * feeds the same frame here and to [[addToEncoded]].
+    */
+  def storeDupIdsFromRecon(spark: SparkSession, dir: String, recon: DataFrame,
+                           threshold: Double): DataFrame = {
+    val b = recon.select(col("id"), col("cid"), col("vhat").as("__bv"))
     val s = storedReconstructions(spark, dir)
       .select(col("id").as("__sid"), col("cid"), col("vhat").as("__sv"))
     b.join(s, Seq("cid"))

@@ -461,16 +461,19 @@ object Similarity {
   def knnLabel(df: DataFrame, idCol: String, vecCol: String,
                seeds: DataFrame, seedIdCol: String, seedVecCol: String,
                seedLabelCol: String, k: Int,
-               maxSeeds: Int = 100000): DataFrame = {
+               maxSeeds: Int = 2048): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val seedRows = seeds.select(col(seedIdCol).cast("long"),
       transform(col(seedVecCol), x => x.cast("double")),
       col(seedLabelCol).cast("string")).collect()
     require(seedRows.nonEmpty, "knnLabel: empty seed set")
     require(seedRows.length <= maxSeeds,
-      s"knnLabel: ${seedRows.length} seeds exceed maxSeeds=$maxSeeds — this " +
-        "brute path is for driver-bounded seed sets; use an IvfIndex/PqIndex " +
-        "search + vote for larger labeled corpora")
+      s"knnLabel: ${seedRows.length} seeds exceed maxSeeds=$maxSeeds — the " +
+        "seeds ship as ONE Catalyst literal tree (seeds × dims constant " +
+        "nodes), which analysis and codegen only tolerate at a few " +
+        "thousand vectors; use an IvfIndex/PqIndex search + vote for " +
+        "larger labeled corpora, or raise the cap deliberately for " +
+        "low-dimensional seeds")
     val labels = seedRows.map(_.getString(2)).distinct.sorted
     val seedLit = array(seedRows.map { r =>
       val v = r.getSeq[Double](1)

@@ -424,13 +424,14 @@ object Streams {
                           threshold: Double, maintainEvery: Int): Unit = {
     val spark = batch.sparkSession
     val indexDir = graft.sim.IvfIndex.currentIndexDir(spark, baseDir)
-    val kept = pqIngestBatch(batch, indexDir, idCol, vecCol, threshold)
+    val (kept, keptRecon) =
+      pqIngestBatchEncoded(batch, indexDir, idCol, vecCol, threshold)
     kept.withColumn("ingest_batch", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch")
       .parquet(corpusDir)
-    graft.sim.PqIndex.addTo(spark, indexDir, kept, idCol, vecCol)
+    graft.sim.PqIndex.addToEncoded(spark, indexDir, keptRecon)
     if ((batchId + 1) % maintainEvery == 0) {
       val gen = s"gen-${batchId + 1}"
       val dst = s"$baseDir/$gen"
@@ -448,19 +449,37 @@ object Streams {
     */
   def pqIngestBatch(batch0: DataFrame, indexDir: String,
                     idCol: String, vecCol: String,
-                    threshold: Double = 0.95): DataFrame = {
+                    threshold: Double = 0.95): DataFrame =
+    pqIngestBatchEncoded(batch0, indexDir, idCol, vecCol, threshold)._1
+
+  /** [[pqIngestBatch]] returning BOTH the kept batch rows and their
+    * already-encoded (id, cid, codes, vhat) frame, so the managed loop's
+    * insert ([[graft.sim.PqIndex.addToEncoded]]) reuses the ONE encoding
+    * pass this step already paid — batch rows were encoded three times
+    * per micro-batch before this (self-dedup, store-dedup, insert).
+    */
+  private[streaming] def pqIngestBatchEncoded(
+      batch0: DataFrame, indexDir: String, idCol: String, vecCol: String,
+      threshold: Double): (DataFrame, DataFrame) = {
     val spark = batch0.sparkSession
     val batch = graft.sources.Tombstones.filterOut(spark, indexDir, batch0, idCol)
+    // encode ONCE; a micro-batch is bounded, so the eager checkpoint is
+    // cheap and pins the codes every later step reuses
     val dec = graft.sim.PqIndex.codeReconstructions(
-      spark, indexDir, batch, idCol, vecCol)
+      spark, indexDir, batch, idCol, vecCol).localCheckpoint(true)
     val selfDups = graft.sim.Similarity.semDedupPairs(
         dec, "id", "vhat", threshold, clusterCol = Some("cid"))
       .select(col("id2").as("__self_dup")).distinct()
-    val selfDeduped = batch.join(selfDups, batch(idCol) === col("__self_dup"), "left_anti")
-    val storeDups = graft.sim.PqIndex.storeDupIds(
-      spark, indexDir, selfDeduped, idCol, vecCol, threshold)
+    val selfDedupedRecon = dec.join(selfDups, dec("id") === col("__self_dup"),
+      "left_anti")
+    val storeDups = graft.sim.PqIndex.storeDupIdsFromRecon(
+        spark, indexDir, selfDedupedRecon, threshold)
       .withColumnRenamed("id", "__store_dup")
-    selfDeduped.join(storeDups, selfDeduped(idCol) === col("__store_dup"), "left_anti")
+    val keptRecon = selfDedupedRecon.join(storeDups,
+      selfDedupedRecon("id") === col("__store_dup"), "left_anti")
+    val kept = batch.join(keptRecon.select(col("id").as("__kept")),
+      batch(idCol) === col("__kept"), "left_semi")
+    (kept, keptRecon)
   }
 
   /** Session windows with gap timeout — batch/stream symmetric. */

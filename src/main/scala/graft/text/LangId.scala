@@ -85,6 +85,10 @@ object CharLangId {
       .select(col("__lang"), explode(charGrams(col("__text"), ns)).as("gram"))
       .groupBy(col("__lang"), col("gram"))
       .agg(count(lit(1)).cast("double").as("__c"))
+      // vocab-sized, read three times (N_ℓ, V, the returned lpc table):
+      // without the checkpoint each read re-runs the corpus explode —
+      // "one corpus pass" would silently be three
+      .localCheckpoint(true)
     // N_ℓ and V are vocab-table aggregates; doc counts give the priors.
     // All three collect K (or 1) rows — driver LUT literals, documented
     // like the codebook collects.

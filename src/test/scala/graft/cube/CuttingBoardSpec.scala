@@ -314,6 +314,33 @@ class CuttingBoardSpec extends SparkSpec {
     board.clear()
   }
 
+  test("delete() maintains NULL groups (null-safe axis join)") {
+    // a NULL axis value forms its own group; the delta join must be
+    // null-SAFE or that group silently stale-serves pre-delete numbers
+    val df = Seq((Some("A"), 1.0), (None, 2.0), (None, 4.0), (Some("B"), 8.0))
+      .toDF("k", "v")
+    val cube = CubeDef(
+      labels = Seq(Label("k")),
+      measures = Seq(Measure("sum_v", col("v"), Agg.Sum),
+        Measure("n", lit(1), Agg.Count)))
+    val board = new CuttingBoard(df, cube)
+    val q = CubeQuery().addAxis("k").addValue("sum_v").addValue("n")
+    board.slice(q).collect()
+    // shrink the NULL group, empty it on a second delete
+    board.delete(Seq((None: Option[String], 2.0)).toDF("k", "v"))
+    val got = board.slice(q).collect()
+      .map(r => Option(r.getString(0)) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(board.stats == (1L, 1L), "maintained slice must stay a cache hit")
+    assert(got == Map(Some("A") -> (1.0, 1L), None -> (4.0, 1L),
+      Some("B") -> (8.0, 1L)))
+    board.delete(Seq((None: Option[String], 4.0)).toDF("k", "v"))
+    val got2 = board.slice(q).collect()
+      .map(r => Option(r.getString(0)) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got2 == Map(Some("A") -> (1.0, 1L), Some("B") -> (8.0, 1L)),
+      "emptied NULL group must drop out")
+    board.clear()
+  }
+
   test("delete() evicts non-invertible and support-less slices; recompute is correct") {
     // Min is not invertible from its finished value; a Sum-only slice
     // has no support indicator — both must evict and recompute fresh.

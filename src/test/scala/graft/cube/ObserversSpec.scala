@@ -410,7 +410,12 @@ class ObserversSpec extends SparkSpec {
     // the CURRENT ge-filter value rendered dd/MM/yyyy into the from box
     assert(html.contains("bacon.bacon_dates_range_day = function ()"))
     assert(html.contains("""$("bacon_dates_range_day_from").value"""))
-    assert(html.contains("""url.replace("__from__", dfrom).replace("__to__", dto)"""))
+    // function replacers + encodeURIComponent: non-date input must not
+    // expand JS dollar-patterns or leak raw '&'/'%' into the URL
+    assert(html.contains(
+      """url.replace("__from__", function () { return encodeURIComponent(dfrom); })"""))
+    assert(html.contains(
+      """.replace("__to__", function () { return encodeURIComponent(dto); })"""))
     assert(html.contains("""id="bacon_dates_range_day_from" value="05/03/2024""""))
     assert(html.contains("""id="bacon_dates_range_day_to" value=""""))
     // jquery toolkit switches the input access + datepicker init
@@ -418,6 +423,15 @@ class ObserversSpec extends SparkSpec {
       Seq(Observers.DatesRangeWidget("Dates", "day", toolkit = "jquery"))), nav)
     assert(jq.contains("""$("#bacon_dates_range_day_from").val()"""))
     assert(jq.contains(".datepicker({dateFormat: 'dd/mm/yy'})"))
+
+    // an Eq filter on the date axis prefills BOTH boxes — getRange
+    // (cubequery.py:202) folds eq into from AND to
+    val eqNav = new Navigator(c, CubeQuery().addAxis("flag").addValue("n")
+      .addFilter("day", java.time.LocalDate.of(2024, 3, 5), FilterOp.Eq))
+    val eqHtml = Observers.navPanelHtml(Observers.NavPanel("side",
+      Seq(Observers.DatesRangeWidget("Dates", "day"))), eqNav)
+    assert(eqHtml.contains("""id="bacon_dates_range_day_from" value="05/03/2024""""))
+    assert(eqHtml.contains("""id="bacon_dates_range_day_to" value="05/03/2024""""))
 
     // StringFilterWidget: unique id, querySelector read, current value
     // HTML-escaped, __PLACEHOLDER__ template escapejs'd in the script
@@ -429,6 +443,10 @@ class ObserversSpec extends SparkSpec {
       html.indexOf("</script>", html.indexOf("bacon.bacon_string_filter_flag")))
     assert(!script.contains("&") || script.contains("\\u0026"), script)
     assert(script.contains("__PLACEHOLDER__"))
+    // URL-context escaping: the typed value substitutes through a
+    // function replacer with encodeURIComponent
+    assert(script.contains("encodeURIComponent(value)"))
+    assert(script.contains("function () { return encodeURIComponent(value); }"))
 
     // ButtonsWidget: span button for the plain one, img for the image
     // one, hrefs carrying the swapped queries

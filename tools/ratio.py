@@ -37,6 +37,9 @@ def main():
             continue
         common = sorted(set(base) & set(q))
         ratios = [q[k] / base[k] for k in common if base[k] > 0]
+        if not ratios:
+            print(f"{path}: no comparable queries vs {BASE}")
+            continue
         med = statistics.median(ratios)
         superlinear = [k for k in common if base[k] > 0 and q[k] / base[k] > factor]
         print(f"{path}: {len(common)} common queries, median ratio "
