@@ -233,6 +233,21 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyJoin under heavy key skew still equals brute force") {
+    // adversarial shape: most keys identical (one gram set shared by
+    // hundreds of rows) — the prefix filter must stay correct when the
+    // posting lists collapse onto a handful of grams
+    val ls = (0L until 80L).map(i => (i, if (i % 4 == 0) "alpha beta gamma" else s"alpha beta gamma $i"))
+    val rs = (0L until 80L).map(i => (i, if (i % 3 == 0) "alpha beta gamma" else s"delta $i"))
+    val got = Relational.fuzzyJoin(ls.toDF("lid", "lname"), rs.toDF("rid", "rname"),
+      "lid", "lname", "rid", "rname", threshold = 0.7)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    val want = bruteFuzzy(ls, rs, 0.7)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-6) }
+    assert(want.nonEmpty) // the skewed identicals really do pair up
+  }
+
   test("fuzzyJoin edges: threshold 1 is exact equality; shorts and nulls") {
     val l = Seq((1L, "alpha beta"), (2L, "xy"), (3L, null.asInstanceOf[String]))
       .toDF("lid", "lname")

@@ -686,6 +686,12 @@ class SimilaritySpec extends SparkSpec {
       "id", "v", seeds, "sid", "sv", "sl", k = 2)
       .collect()(0)
     assert(tie.getString(1) == "a" && tie.getLong(2) == 1L)
+    // k past the seed count degrades to voting over ALL seeds: every
+    // point then ties 2-2 and the smaller label wins
+    val allSeeds = Similarity.knnLabel(corpus, "id", "v", seeds,
+      "sid", "sv", "sl", k = 99).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(allSeeds(10L) == (("a", 2L)) && allSeeds(11L) == (("a", 2L)))
     // guards: empty and oversized seed sets refuse
     intercept[IllegalArgumentException] {
       Similarity.knnLabel(corpus, "id", "v", seeds.where(lit(false)),

@@ -119,6 +119,21 @@ class GopherSpec extends SparkSpec {
     assert(kept == Set(1L))
   }
 
+  test("unicode and NUL-safe: multi-byte chars count once, NUL tokens fold") {
+    // char counts are UTF-16 code units on both engines for BMP text;
+    // the fold's run-open test uses run>0, so NUL-bearing tokens are
+    // ordinary values, never sentinel collisions
+    val r = sig("héllo wörld héllo wörld")
+    assert(r.getLong(r.fieldIndex("n_words")) == 4L)
+    assert(f(r, "mean_word_len") == 5.0)
+    // "héllo wörld" twice: mass 2·(11−1) over tc=20, capped at 1
+    assert(f(r, "top_2gram_char_frac") == 1.0)
+    val nul = sig("a\u0000b c a\u0000b c")
+    assert(nul.getLong(nul.fieldIndex("n_words")) == 4L)
+    assert(f(nul, "mean_word_len") == 2.0) // (3+1+3+1)/4
+    assert(f(nul, "top_2gram_char_frac") == 1.0) // NUL-bearing 2-gram x2: 2*4/8
+  }
+
   test("partitioning invariance: signals identical at 1 and 7 partitions") {
     val docs = (0L until 40L).map { i =>
       (i, s"the w$i of x${i % 7} and y${i % 3} that z$i\nline $i...\n- b $i")
