@@ -51,6 +51,24 @@ object Queries {
       tmp
     })
 
+  /** Per-JVM persisted CharLangId model dirs for the d51b serve gate —
+    * the pqServeIndexDir convention: trained on the SAME constant
+    * 250-doc labeled slice as d51 and written once per sf dir, so
+    * repeated invocations (bench reps) measure load + score only. d51
+    * keeps pricing the one-time train (the e10/e11 build/serve split).
+    */
+  private val langIdServeModels =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def langIdServeModelDir(s: SparkSession, dir: String): String =
+    langIdServeModels.computeIfAbsent(dir, d => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-lid-srv").toString
+      graft.text.CharLangId.write(
+        graft.text.CharLangId.train(
+          docs(s, d).where(col("doc_id") < 250), "text", "lang"), tmp)
+      tmp
+    })
+
   /** s01: cube query compiled to portable SQL text (SqlCompiler) — the
     * identical string is executed by Spark (query side) and DuckDB
     * (oracle side).
@@ -1280,6 +1298,70 @@ object Queries {
         .select(col("doc_id"), col("lang"), col("lang_pred"), col("score"))
     },
 
+    // §2.43b serve path: LID scoring from a PERSISTED model
+    // (CharLangId.write/load — the e11 build/serve split applied to the
+    // language-ID tier): the model trains + writes ONCE per JVM per sf
+    // dir; every later invocation (bench reps 2..n, whose median is the
+    // recorded wall) pays load + one scoring pass only. The oracle
+    // replays the persisted table's CONTENT by rerunning the
+    // deterministic train (counts → lpc/floor/prior are pure functions
+    // of the same 250-doc slice) and then the same scoring join over a
+    // DISJOINT test slice from d51's, so both gates stay independent.
+    "d51b_nb_langid_serve" -> oq(
+      """WITH base AS (
+        |  SELECT doc_id, lang, lower(trim(text)) AS s FROM documents
+        |), g AS (
+        |  SELECT doc_id, lang,
+        |    list_concat(
+        |      CASE WHEN len(s) >= 3 THEN list_transform(generate_series(1, len(s)-2),
+        |        i -> substr(s, i, 3)) ELSE CAST([] AS VARCHAR[]) END,
+        |      CASE WHEN len(s) >= 4 THEN list_transform(generate_series(1, len(s)-3),
+        |        i -> substr(s, i, 4)) ELSE CAST([] AS VARCHAR[]) END
+        |    ) AS grams
+        |  FROM base
+        |), gc AS (
+        |  SELECT lang, gram, CAST(count(*) AS DOUBLE) AS c
+        |  FROM (SELECT lang, unnest(grams) AS gram FROM g WHERE doc_id < 250)
+        |  GROUP BY 1, 2
+        |), nl AS (
+        |  SELECT lang, sum(c) AS n FROM gc GROUP BY 1
+        |), vv AS (
+        |  SELECT CAST(count(DISTINCT gram) AS DOUBLE) AS v FROM gc
+        |), dc AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS d FROM base WHERE doc_id < 250 GROUP BY 1
+        |), tot AS (SELECT sum(d) AS td FROM dc),
+        |stats AS (
+        |  SELECT dc.lang, ln(d / td) AS prior, ln(0.5) - ln(n + 0.5 * v) AS floor,
+        |         CAST(row_number() OVER (ORDER BY dc.lang) - 1 AS INT) AS r
+        |  FROM dc CROSS JOIN tot JOIN nl ON nl.lang = dc.lang CROSS JOIN vv
+        |), w AS (
+        |  SELECT gram, lang, ln((c + 0.5) / 0.5) AS lpc FROM gc
+        |), test AS (
+        |  SELECT doc_id, lang, grams, CAST(len(grams) AS DOUBLE) AS t
+        |  FROM g WHERE doc_id >= 250 AND doc_id % 5 = 2
+        |), tfc AS (
+        |  SELECT doc_id, gram, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(grams) AS gram FROM test)
+        |  GROUP BY 1, 2
+        |), prt AS (
+        |  SELECT doc_id, lang, sum(tf * lpc) AS p FROM tfc JOIN w USING (gram) GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT d.doc_id, d.lang AS lang, s.lang AS cand, s.r,
+        |    round(s.prior + coalesce(p.p, 0) + d.t * s.floor, 6) AS score
+        |  FROM test d CROSS JOIN stats s
+        |  LEFT JOIN prt p ON p.doc_id = d.doc_id AND p.lang = s.lang
+        |)
+        |SELECT doc_id, lang, cand AS lang_pred, score
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, r ASC) = 1""") { (s, dir) =>
+      val model = graft.text.CharLangId.load(s, langIdServeModelDir(s, dir))
+      val d = docs(s, dir)
+      val test = d.where(col("doc_id") >= 250 && col("doc_id") % 5 === 2)
+      graft.text.CharLangId.predict(test, "doc_id", "text", model)
+        .join(test.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("lang_pred"), col("score"))
+    },
+
     // §2.46b: the FULL Gopher quality-rule battery (Rae 2021 Table A1)
     // — every published signal as one map-only pass (11 sorted folds
     // per doc, no shuffle, no UDF) plus the `keep` verdict at the
@@ -1325,9 +1407,12 @@ object Queries {
         |), gc AS (
         |  SELECT doc_id, gn, gram, count(*) AS c, len(gram) - (gn - 1) AS cl
         |  FROM (SELECT doc_id, gn, unnest(grams) AS gram FROM g) GROUP BY 1, 2, 3, 5
+        |), gc2 AS (
+        |  SELECT *, max(c) OVER (PARTITION BY doc_id, gn) AS mc FROM gc
         |), ga AS (
-        |  SELECT doc_id, gn, max(c * cl) AS topm, sum((c - 1) * cl) AS dupm
-        |  FROM gc GROUP BY 1, 2
+        |  SELECT doc_id, gn, max(CASE WHEN c = mc THEN c * cl END) AS topm,
+        |    sum((c - 1) * cl) AS dupm
+        |  FROM gc2 GROUP BY 1, 2
         |), gp AS (
         |  SELECT doc_id,
         |    coalesce(max(CASE WHEN gn = 2 THEN topm END), 0) AS top2,

@@ -868,7 +868,10 @@ object Observers {
     */
   private def escJs(s: String): String = s.flatMap {
     case c if c == '\\' || c == '\'' || c == '"' || c == '<' || c == '>' ||
-        c == '&' || c == '=' || c < ' ' => f"\\u${c.toInt}%04X"
+        c == '&' || c == '=' || c < ' ' ||
+        // U+2028/U+2029 line separators terminate a JS string literal in
+        // pre-ES2019 parsers; Django's escapejs escapes them, so we do too
+        c == '\u2028' || c == '\u2029' => f"\\u${c.toInt}%04X"
     case c => c.toString
   }
 

@@ -245,7 +245,8 @@ object Relational {
     *
     * Scale shape (never a cartesian):
     *  1. each side's key → DISTINCT lowercased char n-gram set (strings
-    *     shorter than gramLen contribute themselves as the single gram);
+    *     shorter than gramLen contribute themselves as the single gram;
+    *     NULL and EMPTY keys never match anything);
     *  2. global gram document-frequency over BOTH sides (one bounded
     *     aggregation — gram vocabulary, not row count);
     *  3. PREFIX FILTER: each key sorts its grams rarest-first by
@@ -277,8 +278,12 @@ object Relational {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     require(gramLen >= 1, s"gramLen must be >= 1, got $gramLen")
+    // NULL and EMPTY keys are both unmatched: an empty key would gram to
+    // the single "" (substr over the empty string), making every empty
+    // left key pair with every empty right key at J=1.0 AND concentrating
+    // all empties in one "" posting list the prefix filter cannot prune.
     def gramsOf(df: DataFrame, id: String, key: String, side: String) =
-      df.where(col(key).isNotNull)
+      df.where(col(key).isNotNull && length(col(key)) > 0)
         .select(col(id).as(s"__${side}id"),
           array_distinct(transform(
             sequence(lit(0), greatest(length(lower(col(key))) - gramLen, lit(0))),

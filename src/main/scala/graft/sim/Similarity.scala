@@ -463,10 +463,20 @@ object Similarity {
                seedLabelCol: String, k: Int,
                maxSeeds: Int = 2048): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val seedRows = seeds.select(col(seedIdCol).cast("long"),
+    // The seed id is only a deterministic tie-break: keep numeric ids
+    // numeric (the e15 oracle's ordering) but pass any other type
+    // through as string — forcing long would cast e.g. string ids to
+    // null and NPE below (round-12 advice).
+    val idIsNumeric = seeds.schema(seedIdCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val seedRows = seeds.select(
+      (if (idIsNumeric) col(seedIdCol).cast("long")
+       else col(seedIdCol).cast("string")),
       transform(col(seedVecCol), x => x.cast("double")),
       col(seedLabelCol).cast("string")).collect()
     require(seedRows.nonEmpty, "knnLabel: empty seed set")
+    require(seedRows.forall(!_.isNullAt(0)),
+      "knnLabel: seed ids must be non-null (they are the deterministic tie-break)")
     require(seedRows.length <= maxSeeds,
       s"knnLabel: ${seedRows.length} seeds exceed maxSeeds=$maxSeeds — the " +
         "seeds ship as ONE Catalyst literal tree (seeds × dims constant " +
@@ -478,7 +488,8 @@ object Similarity {
     val seedLit = array(seedRows.map { r =>
       val v = r.getSeq[Double](1)
       val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
-      struct(lit(r.getLong(0)).as("sid"),
+      val sid = if (idIsNumeric) lit(r.getLong(0)) else lit(r.getString(0))
+      struct(sid.as("sid"),
         lit(r.getString(2)).as("sl"),
         typedLit(v).as("sv"), lit(nrm).as("snrm"))
     }: _*)

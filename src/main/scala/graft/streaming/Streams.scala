@@ -392,6 +392,17 @@ object Streams {
     * `occupancySkew ≥ skewThreshold` therefore logs-by-contract through
     * the returned stats rather than triggering a rebuild.
     *
+    * At-least-once caveat: a crash between `addToEncoded` and the
+    * checkpoint commit re-inserts the replayed batch's survivors
+    * (store-dedup deliberately ignores id-equal matches so the kept set
+    * replays identically), leaving duplicate code rows for those ids.
+    * The duplicates are bit-identical and TRANSIENT — searchBatch may
+    * answer the same id in more than one top-k slot until the next
+    * compaction hop, where [[graft.sim.PqIndex.compactTo]]'s
+    * dropDuplicates(id) collapses them — a window of at most
+    * `maintainEvery` batches. Exactly-once would need the insert and
+    * the checkpoint in one transaction, which plain parquet cannot give.
+    *
     * Initialize once with `PqIndex.build(seed).write(s"$baseDir/gen-0")`
     * + `IvfIndex.writeGenerationPointer(spark, baseDir, "gen-0")` (the
     * pointer protocol is tier-agnostic).

@@ -111,6 +111,44 @@ object CharLangId {
     Model(table, stats, ns)
   }
 
+  /** Persist a trained model — the serve-side split every other served
+    * tier already has ([[graft.sim.PqIndex.write]]'s convention): the
+    * vocab-sized lpc table as parquet plus two tiny manifests (K
+    * language stats, the n-gram lengths), so a serving pipeline loads
+    * the finished model instead of retraining per session. Parquet
+    * round-trips the doubles bit-exact, so loaded == in-memory
+    * prediction id-for-id (LangIdSpec pins it). Unlike the ANN tiers
+    * there is no per-row lifecycle (no tombstones): the model is one
+    * monolithic generation artifact — a takedown or drift answer is a
+    * retrain (counts are exact and mergeable, so incremental retrain is
+    * a count merge) written to a fresh dir and swapped by the caller.
+    */
+  def write(model: Model, dir: String): Unit = {
+    val spark = model.gramLogCounts.sparkSession
+    model.gramLogCounts.write.mode("overwrite").parquet(s"$dir/lpc")
+    spark.createDataFrame(model.stats).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    spark.createDataFrame(model.ns.map(Tuple1(_))).toDF("n").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a [[write]]-persisted model. The lpc table stays a lazy scan
+    * (bounded: vocab-sized) — persist it when scoring many batches
+    * against one model; the two manifests collect (K rows, ≤ a few
+    * ints), the codebook-literal convention.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    val lpc = spark.read.parquet(s"$dir/lpc")
+    val stats = spark.read.parquet(s"$dir/stats").collect().map(r =>
+      LangStat(r.getAs[String]("lang"), r.getAs[Double]("prior"),
+        r.getAs[Double]("floor"), r.getAs[Int]("rank")))
+      .sortBy(_.rank).toSeq
+    require(stats.nonEmpty, s"CharLangId.load: no language stats under $dir")
+    val ns = spark.read.parquet(s"$dir/meta").collect()
+      .map(_.getAs[Int]("n")).toSeq.sorted
+    Model(lpc, stats, ns)
+  }
+
   /** Predict the language of every document: (idCol, lang_pred, score)
     * with score the winner's 6-dp-rounded posterior log-likelihood.
     * Zero-gram documents still predict (the prior argmax). Tie-break on

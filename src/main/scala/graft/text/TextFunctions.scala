@@ -207,7 +207,9 @@ object TextFunctions {
     * lines or paragraphs): sort, then fold runs of equal values into
     *   cnt  — number of segments,
     *   nd   — number of DISTINCT segments,
-    *   top  — max over values of count(v) · charlen(v),
+    *   top  — count(v*) · charlen(v*) for v* the MOST FREQUENT value
+    *          (Rae 2021 Table A1's "most frequent n-gram"; ties on
+    *          count break to the larger char mass, deterministically),
     *   dup  — Σ over values with count(v) > 1 of (count(v)−1) · charlen(v),
     *   tot  — Σ charlen over ALL segments (= Σ count(v) · charlen(v)),
     * where charlen(s) = length(s) − sepOverhead (n-grams arrive joined
@@ -222,18 +224,21 @@ object TextFunctions {
     def clen(s: Column) = length(s).cast("long") - sep
     aggregate(array_sort(segs),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("cnt"),
-        lit(0L).as("nd"), lit(0L).as("top"), lit(0L).as("dup"), lit(0L).as("tot")),
+        lit(0L).as("nd"), lit(0L).as("topc"), lit(0L).as("top"),
+        lit(0L).as("dup"), lit(0L).as("tot")),
       (st, x) => {
         val run = st.getField("run")
         val prev = st.getField("prev")
         val same = (run > 0) && (x === prev)
         val closed = run * clen(prev) // mass of the run being closed (0 when run=0)
+        val better = !same && ((run > st.getField("topc")) ||
+          (run === st.getField("topc") && closed > st.getField("top")))
         struct(x.as("prev"),
           when(same, run + 1).otherwise(lit(1L)).as("run"),
           (st.getField("cnt") + 1).as("cnt"),
           when(same, st.getField("nd")).otherwise(st.getField("nd") + 1).as("nd"),
-          when(same, st.getField("top"))
-            .otherwise(greatest(st.getField("top"), closed)).as("top"),
+          when(better, run).otherwise(st.getField("topc")).as("topc"),
+          when(better, closed).otherwise(st.getField("top")).as("top"),
           when(!same && run > 1,
             st.getField("dup") + (run - 1) * clen(prev))
             .otherwise(st.getField("dup")).as("dup"),
@@ -242,8 +247,11 @@ object TextFunctions {
       st => {
         val run = st.getField("run")
         val prev = st.getField("prev")
+        val closed = run * clen(prev)
+        val better = (run > st.getField("topc")) ||
+          (run === st.getField("topc") && closed > st.getField("top"))
         struct(st.getField("cnt").as("cnt"), st.getField("nd").as("nd"),
-          greatest(st.getField("top"), run * clen(prev)).as("top"),
+          when(better, closed).otherwise(st.getField("top")).as("top"),
           when(run > 1, st.getField("dup") + (run - 1) * clen(prev))
             .otherwise(st.getField("dup")).as("dup"),
           st.getField("tot").as("tot"))

@@ -454,6 +454,24 @@ class ObserversSpec extends SparkSpec {
     assert(html.contains("""<img class="button" src="/img/x.png" alt="All flags" title="All flags" />"""))
   }
 
+  test("escapejs covers U+2028/U+2029: JS line separators cannot end the literal") {
+    // a filter value carrying the JS line/paragraph separators would
+    // terminate the emitted string literal in pre-ES2019 parsers if it
+    // reached the <script> raw — Django's escapejs escapes both, so the
+    // rendered widget script must too
+    val c = CubeDef(
+      labels = Seq(Label("flag", col("f"))),
+      measures = Seq(Measure("n", lit(1), Agg.Count)))
+    val nav = new Navigator(c, CubeQuery().addAxis("flag").addValue("n")
+      .addFilter("flag", "a\u2028b\u2029c"))
+    val html = Observers.navPanelHtml(Observers.NavPanel("side",
+      Seq(Observers.StringFilterWidget("Find flag", "flag"))), nav)
+    val script = html.substring(html.indexOf("<script"),
+      html.indexOf("</script>"))
+    assert(!script.contains('\u2028') && !script.contains('\u2029'), script)
+    assert(script.contains("\\u2028") && script.contains("\\u2029"))
+  }
+
   test("navJson payload carries dimensioned axes, filter actions and hidden values") {
     val c = CubeDef(
       labels = Seq(

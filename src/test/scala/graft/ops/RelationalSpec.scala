@@ -258,4 +258,16 @@ class RelationalSpec extends SparkSpec {
     // case-insensitive: "alpha betA" lowercases to an identical gram set
     assert(got == Set((1L, 10L, 1.0), (1L, 12L, 1.0), (2L, 11L, 1.0)))
   }
+
+  test("fuzzyJoin: empty keys never match (no J=1.0 empty-empty pairs, no \"\" posting hotspot)") {
+    // empty strings would gram to the single "" and pair all-with-all at
+    // jaccard 1.0 through one unprunable posting list — they are treated
+    // like NULL: unmatched
+    val l = (1L to 50L).map(i => (i, "")) :+ ((99L, "alpha"))
+    val r = (101L to 150L).map(i => (i, "")) :+ ((199L, "alpha"))
+    val got = Relational.fuzzyJoin(l.toDF("lid", "lname"), r.toDF("rid", "rname"),
+      "lid", "lname", "rid", "rname", 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(got == Set((99L, 199L, 1.0)))
+  }
 }

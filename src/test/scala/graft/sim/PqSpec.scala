@@ -273,6 +273,19 @@ class PqSpec extends SparkSpec {
         candidates = 203)
       .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
     assert(after == before, "compaction changed search results")
+
+    // a replayed insert (the ingest loop's at-least-once crash window)
+    // leaves two bit-identical code rows for the same id; compaction
+    // collapses them — the only time duplicates can exist at all
+    PqIndex.addTo(spark, dst,
+      clustered.where(col("vec_id") === 202L), "vec_id", "embedding")
+    assert(spark.read.parquet(s"$dst/codes")
+      .where(col("id") === 202L).count() == 2L)
+    val dst2 = java.nio.file.Files.createTempDirectory("graft-pqcomp3").toString
+    PqIndex.compactTo(spark, dst, dst2, buckets = 4)
+    val codes2 = spark.read.parquet(s"$dst2/codes")
+    assert(codes2.count() == 203L)
+    assert(codes2.where(col("id") === 202L).count() == 1L)
   }
 
   test("PqIndex.addTo: appended batch encodes against the frozen quantizers and is searchable") {

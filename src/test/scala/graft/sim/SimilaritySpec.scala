@@ -703,6 +703,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnLabel: non-numeric seed ids pass through as the tie-break, no cast-to-null") {
+    // two IDENTICAL seed vectors, different labels: the k=1 winner is
+    // decided purely by the seed-id tie-break, which must compare the
+    // STRING ids ("s-a" < "s-b"), not a long cast (which nulls and NPEs)
+    val seeds = Seq(("s-b", Seq(1.0f, 0.0f), "late"),
+      ("s-a", Seq(1.0f, 0.0f), "early")).toDF("sid", "sv", "sl")
+    val corpus = Seq((10L, Seq(1.0f, 0.0f))).toDF("id", "v")
+    val got = Similarity.knnLabel(corpus, "id", "v", seeds, "sid", "sv", "sl", k = 1)
+      .collect()(0)
+    assert(got.getString(1) == "early" && got.getLong(2) == 1L)
+    // null seed ids refuse with a clear error instead of NPE-ing later
+    val nullSeeds = Seq((null.asInstanceOf[String], Seq(1.0f, 0.0f), "x"))
+      .toDF("sid", "sv", "sl")
+    intercept[IllegalArgumentException] {
+      Similarity.knnLabel(corpus, "id", "v", nullSeeds, "sid", "sv", "sl", k = 1)
+    }
+  }
+
   test("prototypePrune learned-cluster path prunes about half") {
     val rnd = new scala.util.Random(11)
     val blobs = (0L until 20L).map { i =>

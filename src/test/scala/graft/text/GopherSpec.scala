@@ -42,6 +42,24 @@ class GopherSpec extends SparkSpec {
     assert(f(r, "dup_10gram_char_frac") == 0.0)
   }
 
+  test("top n-gram is the MOST FREQUENT gram's mass, never a rarer-but-longer one") {
+    // 2-grams (char length excludes the joiner space): "x x"×2 (mass
+    // 2·2=4), "x longwordhere"×1 (mass 13), "longwordhere another"×1
+    // (mass 19). Table A1 takes the single most frequent n-gram, so the
+    // share is 4/tc — the max-mass variant (19) would silently flip
+    // keep verdicts near the thresholds.
+    val r = sig("x x x longwordhere another")
+    assert(f(r, "top_2gram_char_frac") == 0.181818) // 4/22
+  }
+
+  test("top n-gram count ties break to the larger char mass, deterministically") {
+    // "zz zz"×2 (mass 2·4=8) ties "a a"×2 (mass 2·2=4) on count; the
+    // tie-break is mass, not sort order (a lexicographic-first fold
+    // would pick "a a"). tc = 2·3 + 1·3 + 4·4 = 25.
+    val r = sig("zz zz zz a a a pad1 pad2 pad3 pad4")
+    assert(f(r, "top_2gram_char_frac") == 0.32) // 8/25
+  }
+
   test("dup n-gram char fraction counts repeat occurrences beyond the first") {
     // a b c d e a b c d e: the 5-gram "a b c d e" occurs twice →
     // dup mass (2−1)·5 over tc=10

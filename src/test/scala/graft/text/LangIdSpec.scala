@@ -104,6 +104,38 @@ class LangIdSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("write/load round-trip: the loaded model predicts id-for-id like the in-memory one") {
+    val train = Seq(
+      ("en", "the cat sat on the mat"), ("en", "the dog ate the food"),
+      ("fr", "le chat sur le tapis"), ("fr", "le chien et le chiot"),
+      ("zz", "zzz zaz zzz zuz zzz")).toDF("lang", "text")
+    val test = (0L until 30L).map(i => (i, i % 3 match {
+      case 0 => s"the cow and the hen $i"
+      case 1 => s"le chapeau sur le chat $i"
+      case _ => s"zzz zez zzz $i"
+    })).toDF("id", "text")
+    val model = CharLangId.train(train, "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lid").toString
+    CharLangId.write(model, dir)
+    val loaded = CharLangId.load(spark, dir)
+    // manifests survive exactly: stats in rank order, ns, and the lpc rows
+    assert(loaded.stats == model.stats)
+    assert(loaded.ns == model.ns)
+    assert(loaded.gramLogCounts.orderBy("gram", "lang").collect().toSeq ==
+      model.gramLogCounts.orderBy("gram", "lang").collect().toSeq)
+    // the serve contract: loaded == in-memory prediction, id for id,
+    // score for score (parquet round-trips the doubles bit-exact)
+    val a = CharLangId.predict(test, "id", "text", model)
+      .orderBy("id").collect().map(_.toSeq)
+    val b = CharLangId.predict(test, "id", "text", loaded)
+      .orderBy("id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // a fresh write to an occupied dir overwrites cleanly (new generation)
+    CharLangId.write(CharLangId.train(train.where($"lang" =!= "zz"),
+      "text", "lang"), dir)
+    assert(CharLangId.load(spark, dir).stats.map(_.lang) == Seq("en", "fr"))
+  }
+
   test("null labels are ignored; empty vocabulary throws with a clear message") {
     val train = Seq((Some("en"), "the cat"), (None, "dropped row"))
       .toDF("lang", "text")
