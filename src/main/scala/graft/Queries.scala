@@ -69,6 +69,111 @@ object Queries {
       tmp
     })
 
+  /** The d52 oracle SQL — the full Gopher Table-A1 replay — factored
+    * out so the t05 composed-pipeline oracle can chain the IDENTICAL
+    * battery as a keep-filter CTE. Parameterized only on the stop-hits
+    * gate (see gopherSignals: the stop list is English-specific; every
+    * other threshold stays at its published value).
+    */
+  private[graft] def gopherSigSql(minStopHits: Int): String = (
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(coalesce(text,''))), '\s+'), x -> len(x) > 0) AS tk,
+        |    list_filter(list_transform(string_split(coalesce(text,''), chr(10)), s -> trim(s)), s -> len(s) > 0) AS ln,
+        |    list_filter(list_transform(string_split_regex(coalesce(text,''), '\n{2,}'), s -> trim(s)), s -> len(s) > 0) AS pg,
+        |    len(regexp_extract_all(coalesce(text,''), '#|\.\.\.|…')) AS sym
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, tk, sym, len(tk) AS n,
+        |    coalesce(list_aggregate(list_transform(tk, x -> len(x)), 'sum'), 0) AS tc,
+        |    len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+        |    len(list_intersect(list_distinct(tk),
+        |      ['the','be','to','of','and','that','have','with'])) AS stop,
+        |    len(ln) AS nl,
+        |    len(list_filter(ln, l -> regexp_matches(l, '^([-*•]|[0-9]+[.)])\s'))) AS bullet,
+        |    len(list_filter(ln, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS ellip
+        |  FROM t
+        |), seg AS (
+        |  SELECT doc_id, 'l' AS kind, seg FROM (SELECT doc_id, unnest(ln) AS seg FROM t)
+        |  UNION ALL
+        |  SELECT doc_id, 'p' AS kind, seg FROM (SELECT doc_id, unnest(pg) AS seg FROM t)
+        |), segc AS (
+        |  SELECT doc_id, kind, seg, count(*) AS c, len(seg) AS cl
+        |  FROM seg GROUP BY 1, 2, 3, 5
+        |), sega AS (
+        |  SELECT doc_id, kind, count(*) AS nd, sum(c) AS cnt,
+        |    sum((c - 1) * cl) AS dup, sum(c * cl) AS tot
+        |  FROM segc GROUP BY 1, 2
+        |), g AS (
+        |  SELECT doc_id, nn.gn AS gn,
+        |    CASE WHEN len(tk) >= nn.gn THEN list_transform(range(len(tk) - nn.gn + 1),
+        |      i -> array_to_string(tk[i+1:i+nn.gn], ' ')) ELSE [] END AS grams
+        |  FROM t CROSS JOIN (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS gn) nn
+        |), gc AS (
+        |  SELECT doc_id, gn, gram, count(*) AS c, len(gram) - (gn - 1) AS cl
+        |  FROM (SELECT doc_id, gn, unnest(grams) AS gram FROM g) GROUP BY 1, 2, 3, 5
+        |), gc2 AS (
+        |  SELECT *, max(c) OVER (PARTITION BY doc_id, gn) AS mc FROM gc
+        |), ga AS (
+        |  SELECT doc_id, gn, max(CASE WHEN c = mc THEN c * cl END) AS topm,
+        |    sum((c - 1) * cl) AS dupm
+        |  FROM gc2 GROUP BY 1, 2
+        |), gp AS (
+        |  SELECT doc_id,
+        |    coalesce(max(CASE WHEN gn = 2 THEN topm END), 0) AS top2,
+        |    coalesce(max(CASE WHEN gn = 3 THEN topm END), 0) AS top3,
+        |    coalesce(max(CASE WHEN gn = 4 THEN topm END), 0) AS top4,
+        |    coalesce(max(CASE WHEN gn = 5 THEN dupm END), 0) AS dup5,
+        |    coalesce(max(CASE WHEN gn = 6 THEN dupm END), 0) AS dup6,
+        |    coalesce(max(CASE WHEN gn = 7 THEN dupm END), 0) AS dup7,
+        |    coalesce(max(CASE WHEN gn = 8 THEN dupm END), 0) AS dup8,
+        |    coalesce(max(CASE WHEN gn = 9 THEN dupm END), 0) AS dup9,
+        |    coalesce(max(CASE WHEN gn = 10 THEN dupm END), 0) AS dup10
+        |  FROM ga GROUP BY 1
+        |), sigs AS (
+        |  SELECT b.doc_id,
+        |    CAST(b.n AS BIGINT) AS n_words,
+        |    CASE WHEN b.n <= 0 THEN 0.0 ELSE round(b.tc / CAST(b.n AS DOUBLE), 6) END AS mean_word_len,
+        |    CASE WHEN b.n <= 0 THEN 0.0 ELSE round(b.sym / CAST(b.n AS DOUBLE), 6) END AS symbol_word_ratio,
+        |    CASE WHEN b.n <= 0 THEN 0.0 ELSE round(b.alpha / CAST(b.n AS DOUBLE), 6) END AS alpha_word_frac,
+        |    CAST(b.stop AS BIGINT) AS stop_hits,
+        |    CASE WHEN b.nl <= 0 THEN 0.0 ELSE round(b.bullet / CAST(b.nl AS DOUBLE), 6) END AS bullet_line_frac,
+        |    CASE WHEN b.nl <= 0 THEN 0.0 ELSE round(b.ellip / CAST(b.nl AS DOUBLE), 6) END AS ellipsis_line_frac,
+        |    CASE WHEN coalesce(l.cnt, 0) <= 0 THEN 0.0
+        |         ELSE round((l.cnt - l.nd) / CAST(l.cnt AS DOUBLE), 6) END AS dup_line_frac,
+        |    CASE WHEN coalesce(l.tot, 0) <= 0 THEN 0.0
+        |         ELSE round(l.dup / CAST(l.tot AS DOUBLE), 6) END AS dup_line_char_frac,
+        |    CASE WHEN coalesce(p.cnt, 0) <= 0 THEN 0.0
+        |         ELSE round((p.cnt - p.nd) / CAST(p.cnt AS DOUBLE), 6) END AS dup_para_frac,
+        |    CASE WHEN coalesce(p.tot, 0) <= 0 THEN 0.0
+        |         ELSE round(p.dup / CAST(p.tot AS DOUBLE), 6) END AS dup_para_char_frac,
+        |    CASE WHEN b.n < 2 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.top2 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS top_2gram_char_frac,
+        |    CASE WHEN b.n < 3 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.top3 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS top_3gram_char_frac,
+        |    CASE WHEN b.n < 4 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.top4 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS top_4gram_char_frac,
+        |    CASE WHEN b.n < 5 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.dup5 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS dup_5gram_char_frac,
+        |    CASE WHEN b.n < 6 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.dup6 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS dup_6gram_char_frac,
+        |    CASE WHEN b.n < 7 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.dup7 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS dup_7gram_char_frac,
+        |    CASE WHEN b.n < 8 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.dup8 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS dup_8gram_char_frac,
+        |    CASE WHEN b.n < 9 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.dup9 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS dup_9gram_char_frac,
+        |    CASE WHEN b.n < 10 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.dup10 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS dup_10gram_char_frac
+        |  FROM base b
+        |  LEFT JOIN sega l ON l.doc_id = b.doc_id AND l.kind = 'l'
+        |  LEFT JOIN sega p ON p.doc_id = b.doc_id AND p.kind = 'p'
+        |  LEFT JOIN gp g ON g.doc_id = b.doc_id
+        |)
+        |SELECT *,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        |   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+        |   AND stop_hits >= __MIN_STOP__ AND dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+        |   AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+        |   AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+        |   AND top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15
+        |   AND dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13
+        |   AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
+        |   AND dup_10gram_char_frac <= 0.10) AS keep
+        |FROM sigs""").stripMargin
+    .replace("__MIN_STOP__", minStopHits.toString)
   /** s01: cube query compiled to portable SQL text (SqlCompiler) — the
     * identical string is executed by Spark (query side) and DuckDB
     * (oracle side).
@@ -1370,104 +1475,7 @@ object Queries {
     // and char-mass duplicate fractions, top-2/3/4-gram char shares
     // and dup-5..10-gram char masses, then the same threshold AND over
     // the same 6dp-rounded values.
-    "d52_gopher" -> oq(
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(trim(lower(coalesce(text,''))), '\s+'), x -> len(x) > 0) AS tk,
-        |    list_filter(list_transform(string_split(coalesce(text,''), chr(10)), s -> trim(s)), s -> len(s) > 0) AS ln,
-        |    list_filter(list_transform(string_split_regex(coalesce(text,''), '\n{2,}'), s -> trim(s)), s -> len(s) > 0) AS pg,
-        |    len(regexp_extract_all(coalesce(text,''), '#|\.\.\.|…')) AS sym
-        |  FROM documents
-        |), base AS (
-        |  SELECT doc_id, tk, sym, len(tk) AS n,
-        |    coalesce(list_aggregate(list_transform(tk, x -> len(x)), 'sum'), 0) AS tc,
-        |    len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS alpha,
-        |    len(list_intersect(list_distinct(tk),
-        |      ['the','be','to','of','and','that','have','with'])) AS stop,
-        |    len(ln) AS nl,
-        |    len(list_filter(ln, l -> regexp_matches(l, '^([-*•]|[0-9]+[.)])\s'))) AS bullet,
-        |    len(list_filter(ln, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS ellip
-        |  FROM t
-        |), seg AS (
-        |  SELECT doc_id, 'l' AS kind, seg FROM (SELECT doc_id, unnest(ln) AS seg FROM t)
-        |  UNION ALL
-        |  SELECT doc_id, 'p' AS kind, seg FROM (SELECT doc_id, unnest(pg) AS seg FROM t)
-        |), segc AS (
-        |  SELECT doc_id, kind, seg, count(*) AS c, len(seg) AS cl
-        |  FROM seg GROUP BY 1, 2, 3, 5
-        |), sega AS (
-        |  SELECT doc_id, kind, count(*) AS nd, sum(c) AS cnt,
-        |    sum((c - 1) * cl) AS dup, sum(c * cl) AS tot
-        |  FROM segc GROUP BY 1, 2
-        |), g AS (
-        |  SELECT doc_id, nn.gn AS gn,
-        |    CASE WHEN len(tk) >= nn.gn THEN list_transform(range(len(tk) - nn.gn + 1),
-        |      i -> array_to_string(tk[i+1:i+nn.gn], ' ')) ELSE [] END AS grams
-        |  FROM t CROSS JOIN (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS gn) nn
-        |), gc AS (
-        |  SELECT doc_id, gn, gram, count(*) AS c, len(gram) - (gn - 1) AS cl
-        |  FROM (SELECT doc_id, gn, unnest(grams) AS gram FROM g) GROUP BY 1, 2, 3, 5
-        |), gc2 AS (
-        |  SELECT *, max(c) OVER (PARTITION BY doc_id, gn) AS mc FROM gc
-        |), ga AS (
-        |  SELECT doc_id, gn, max(CASE WHEN c = mc THEN c * cl END) AS topm,
-        |    sum((c - 1) * cl) AS dupm
-        |  FROM gc2 GROUP BY 1, 2
-        |), gp AS (
-        |  SELECT doc_id,
-        |    coalesce(max(CASE WHEN gn = 2 THEN topm END), 0) AS top2,
-        |    coalesce(max(CASE WHEN gn = 3 THEN topm END), 0) AS top3,
-        |    coalesce(max(CASE WHEN gn = 4 THEN topm END), 0) AS top4,
-        |    coalesce(max(CASE WHEN gn = 5 THEN dupm END), 0) AS dup5,
-        |    coalesce(max(CASE WHEN gn = 6 THEN dupm END), 0) AS dup6,
-        |    coalesce(max(CASE WHEN gn = 7 THEN dupm END), 0) AS dup7,
-        |    coalesce(max(CASE WHEN gn = 8 THEN dupm END), 0) AS dup8,
-        |    coalesce(max(CASE WHEN gn = 9 THEN dupm END), 0) AS dup9,
-        |    coalesce(max(CASE WHEN gn = 10 THEN dupm END), 0) AS dup10
-        |  FROM ga GROUP BY 1
-        |), sigs AS (
-        |  SELECT b.doc_id,
-        |    CAST(b.n AS BIGINT) AS n_words,
-        |    CASE WHEN b.n <= 0 THEN 0.0 ELSE round(b.tc / CAST(b.n AS DOUBLE), 6) END AS mean_word_len,
-        |    CASE WHEN b.n <= 0 THEN 0.0 ELSE round(b.sym / CAST(b.n AS DOUBLE), 6) END AS symbol_word_ratio,
-        |    CASE WHEN b.n <= 0 THEN 0.0 ELSE round(b.alpha / CAST(b.n AS DOUBLE), 6) END AS alpha_word_frac,
-        |    CAST(b.stop AS BIGINT) AS stop_hits,
-        |    CASE WHEN b.nl <= 0 THEN 0.0 ELSE round(b.bullet / CAST(b.nl AS DOUBLE), 6) END AS bullet_line_frac,
-        |    CASE WHEN b.nl <= 0 THEN 0.0 ELSE round(b.ellip / CAST(b.nl AS DOUBLE), 6) END AS ellipsis_line_frac,
-        |    CASE WHEN coalesce(l.cnt, 0) <= 0 THEN 0.0
-        |         ELSE round((l.cnt - l.nd) / CAST(l.cnt AS DOUBLE), 6) END AS dup_line_frac,
-        |    CASE WHEN coalesce(l.tot, 0) <= 0 THEN 0.0
-        |         ELSE round(l.dup / CAST(l.tot AS DOUBLE), 6) END AS dup_line_char_frac,
-        |    CASE WHEN coalesce(p.cnt, 0) <= 0 THEN 0.0
-        |         ELSE round((p.cnt - p.nd) / CAST(p.cnt AS DOUBLE), 6) END AS dup_para_frac,
-        |    CASE WHEN coalesce(p.tot, 0) <= 0 THEN 0.0
-        |         ELSE round(p.dup / CAST(p.tot AS DOUBLE), 6) END AS dup_para_char_frac,
-        |    CASE WHEN b.n < 2 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.top2 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS top_2gram_char_frac,
-        |    CASE WHEN b.n < 3 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.top3 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS top_3gram_char_frac,
-        |    CASE WHEN b.n < 4 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.top4 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS top_4gram_char_frac,
-        |    CASE WHEN b.n < 5 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.dup5 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS dup_5gram_char_frac,
-        |    CASE WHEN b.n < 6 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.dup6 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS dup_6gram_char_frac,
-        |    CASE WHEN b.n < 7 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.dup7 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS dup_7gram_char_frac,
-        |    CASE WHEN b.n < 8 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.dup8 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS dup_8gram_char_frac,
-        |    CASE WHEN b.n < 9 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.dup9 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS dup_9gram_char_frac,
-        |    CASE WHEN b.n < 10 OR b.tc <= 0 THEN 0.0 ELSE round(least(g.dup10 / CAST(b.tc AS DOUBLE), 1.0), 6) END AS dup_10gram_char_frac
-        |  FROM base b
-        |  LEFT JOIN sega l ON l.doc_id = b.doc_id AND l.kind = 'l'
-        |  LEFT JOIN sega p ON p.doc_id = b.doc_id AND p.kind = 'p'
-        |  LEFT JOIN gp g ON g.doc_id = b.doc_id
-        |)
-        |SELECT *,
-        |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
-        |   AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
-        |   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
-        |   AND stop_hits >= 2 AND dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
-        |   AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
-        |   AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
-        |   AND top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15
-        |   AND dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13
-        |   AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
-        |   AND dup_10gram_char_frac <= 0.10) AS keep
-        |FROM sigs""") { (s, dir) =>
+    "d52_gopher" -> oq(gopherSigSql(2)) { (s, dir) =>
       graft.text.CorpusOps.gopherSignals(docs(s, dir), "doc_id", "text")
     },
 
@@ -2030,6 +2038,27 @@ object Queries {
         e.where(col("vec_id") < 128), "vec_id", "embedding", "label", k = 5)
     },
 
+    // §2.64c big-seed path: KNN label propagation THROUGH the served PQ
+    // index (knnLabelIndexed — the composition knnLabel's 2048-literal
+    // refusal points at): seeds = HALF the embedding table (scales with
+    // sf, past any literal cap at sf ≥ 1), indexed once by PqIndex.build,
+    // corpus rows ADC-prefilter to 64 candidate seeds, exact-rerank, and
+    // vote with e15's machinery. Rows-only: two Lloyd trainings inside
+    // build; SimilaritySpec pins indexed == brute at full probe, and the
+    // gate prices the batch-label pass at production probe settings.
+    "e16_knn_label_indexed" -> nq { (s, dir) =>
+      val e = emb(s, dir)
+      val seeds = e.where(col("vec_id") % 2 === 0)
+      val corpus = e.where(col("vec_id") % 2 === 1)
+      val idx = graft.sim.PqIndex.build(seeds, "vec_id", "embedding",
+        m = 8, codesPerSub = 16,
+        numCentroids = graft.sim.Similarity.suggestedCentroids(
+          graft.dedup.Dedup.approxRowCount(seeds)), iters = 2)
+      graft.sim.Similarity.knnLabelIndexed(corpus, "vec_id", "embedding",
+        idx, seeds, "vec_id", "embedding", "label", k = 5,
+        nProbe = 4, candidates = 64)
+    },
+
     // §2.42h serve path: IVFADC search against a PREBUILT index — the
     // production shape (codebooks + codes built once, searched many
     // times), and the wall the headline bench reports for the PQ tier.
@@ -2295,17 +2324,25 @@ object Queries {
     },
 
     // §2.53: the corpus pipeline END-TO-END — dedup → quality filter →
-    // mixture → split → shard composed into ONE lazy plan (each stage is
-    // a DataFrame transform, so Catalyst fuses the filters into a single
-    // pass and the only exchanges are the dedup window's and the shard
-    // window's). The oracle chains the per-stage SQL already proven by
-    // d13, d14, t04, t01 and t02.
+    // FULL Gopher battery → mixture → split → shard composed into ONE
+    // lazy plan (each stage is a DataFrame transform, so Catalyst fuses
+    // the filters into a single pass; exchanges are the dedup window's,
+    // the gopher semi-join's and the shard window's). The oracle chains
+    // the per-stage SQL already proven by d13, d14, d52, t04, t01 and
+    // t02. The battery runs at minStopHits=1: the Table-A1 stop list is
+    // English-specific and zeroes this synthetic corpus at the published
+    // 2 (d52 proves that form standalone); every other threshold is the
+    // published value, so the composition stays non-vacuous.
     "t05_corpus_pipeline" -> oq(
       s"""WITH dedup AS (
          |  SELECT doc_id, source, text FROM documents
          |  QUALIFY row_number() OVER (
          |    PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
          |    ORDER BY doc_id) = 1
+         |), gk AS (
+         |  SELECT doc_id FROM (
+         |${gopherSigSql(1)}
+         |  ) WHERE keep
          |), scored AS (
          |  SELECT doc_id, source, text,
          |    round((
@@ -2320,6 +2357,7 @@ object Queries {
          |), kept AS (
          |  SELECT doc_id, source, text FROM scored
          |  WHERE quality >= 0.5
+         |    AND doc_id IN (SELECT doc_id FROM gk)
          |    AND ${graft.text.CorpusOps.mixtureSql("doc_id", "source", mixtureRates)}
          |), tok AS (
          |  SELECT doc_id, source,
@@ -2336,8 +2374,9 @@ object Queries {
          |FROM cum GROUP BY 1, 2, 3""") { (s, dir) =>
       import graft.text.{CorpusOps, TextFunctions}
       val deduped = graft.dedup.Dedup.keepCanonical(docs(s, dir), "doc_id", "text")
-      val kept = deduped
-        .where(TextFunctions.qualityScore(col("text")) >= 0.5)
+      val kept = CorpusOps.gopherFilter(
+          deduped.where(TextFunctions.qualityScore(col("text")) >= 0.5),
+          "doc_id", "text", minStopHits = 1)
         .where(CorpusOps.mixtureFilter(col("doc_id"), col("source"), mixtureRates))
       CorpusOps.shardByTokenBudget(kept, "doc_id", "text", "source", 256)
         .withColumn("split", CorpusOps.splitColumn(col("doc_id"), corpusSplits))

@@ -586,8 +586,10 @@ object Dedup {
     * anywhere in the eval set is removed, plus `margin` tokens on each
     * side — the pipeline choice when train docs are long and
     * contamination is local, vs [[decontaminate]] which drops whole
-    * docs. Overlapping contaminated spans merge naturally through the
-    * per-token union, exactly like [[stripDuplicatedSpans]].
+    * docs. Overlapping contaminated spans merge into disjoint islands
+    * exactly like [[stripDuplicatedSpans]], and the rebuild is the same
+    * O(L+S) [[excideSpans]] cursor fold — linear in the doc's own
+    * length however much of it is contaminated.
     *
     * Untouched documents keep their text byte-identical; excised
     * documents rebuild from their surviving tokens (original case,
@@ -611,17 +613,26 @@ object Dedup {
     val removedStarts = windowHashes(train, idCol, textCol, k)
       .join(evalH, Seq("h"), "left_semi")
       .select(col("id"), col("pos"))
-    val removedTokens = removedStarts
+    // islands-merge the margin-widened windows into disjoint spans and
+    // rebuild via the O(L+S) cursor fold — the stripDuplicatedSpans
+    // shape; the per-token `array_contains(removed, i+1)` rebuild this
+    // replaces was O(L·|removed|) (a fully-contaminated 1M-token doc
+    // degenerated to ~10¹² comparisons in one task)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("tp"))
+    val removedSpans = removedStarts
       .select(col("id"), explode(sequence(
         greatest(col("pos") - margin, lit(1)),
         col("pos") + (k - 1) + margin)).as("tp"))
-      .groupBy("id").agg(collect_set(col("tp")).as("__rm"))
+      .distinct() // overlapping windows share positions; islands need one row each
+      .withColumn("__island", col("tp") - row_number().over(w))
+      .groupBy(col("id"), col("__island"))
+      .agg(min(col("tp")).cast("int").as("s"), max(col("tp")).cast("int").as("e"))
+      .groupBy("id").agg(collect_list(struct(col("s"), col("e"))).as("__spans"))
       .withColumnRenamed("id", "__rm_id")
-    val cleaned = when(col("__rm").isNull, col(textCol))
-      .otherwise(array_join(
-        filter(wsTokens(col(textCol)), (_, i) => !array_contains(col("__rm"), i + 1)),
-        " "))
-    train.join(removedTokens, col(idCol) === col("__rm_id"), "left")
+    val cleaned = when(col("__spans").isNull, col(textCol))
+      .otherwise(excideSpans(col(textCol), col("__spans")))
+    train.join(removedSpans, col(idCol) === col("__rm_id"), "left")
       .select(train.columns.map(c =>
         if (c == textCol) cleaned.as(textCol) else col(c)): _*)
   }
@@ -715,7 +726,9 @@ object Dedup {
     * L = |removed| = 10⁶ — degenerated to ~10¹² comparisons in one
     * task.) Spans are disjoint by construction (gaps-and-islands runs),
     * so `array_sort` on (s, e) structs orders them by start and each
-    * inter-span slice has non-negative length.
+    * inter-span slice has non-negative length. The tail slice clamps at
+    * zero because a margin-extended span ([[exciseContaminatedSpans]])
+    * may end past the document's last token.
     */
   private def excideSpans(text: Column, spans: Column): Column = {
     val toks = wsTokens(text)
@@ -728,7 +741,8 @@ object Dedup {
           slice(toks, st.getField("p") + 1,
             sp.getField("s") - st.getField("p") - 1)).as("acc")),
       st => concat(st.getField("acc"),
-        slice(toks, st.getField("p") + 1, size(toks) - st.getField("p"))))
+        slice(toks, st.getField("p") + 1,
+          greatest(size(toks) - st.getField("p"), lit(0)))))
     array_join(folded, " ")
   }
 

@@ -481,8 +481,9 @@ object Similarity {
       s"knnLabel: ${seedRows.length} seeds exceed maxSeeds=$maxSeeds — the " +
         "seeds ship as ONE Catalyst literal tree (seeds × dims constant " +
         "nodes), which analysis and codegen only tolerate at a few " +
-        "thousand vectors; use an IvfIndex/PqIndex search + vote for " +
-        "larger labeled corpora, or raise the cap deliberately for " +
+        "thousand vectors; use knnLabelIndexed (PqIndex.build over the " +
+        "seeds, ADC prefilter + exact rerank + the same vote) for larger " +
+        "labeled corpora, or raise the cap deliberately for " +
         "low-dimensional seeds")
     val labels = seedRows.map(_.getString(2)).distinct.sorted
     val seedLit = array(seedRows.map { r =>
@@ -517,6 +518,62 @@ object Similarity {
         (when(c > bc, lit(l)).otherwise(bl), when(c > bc, c).otherwise(bc))
     }
     counted.select(col("id"), bestLabel.as("label_pred"), bestVotes.as("votes"))
+  }
+
+  /** [[knnLabel]] for seed sets PAST the literal cap — the composition
+    * knnLabel's refusal points at: the labeled seeds live in a served
+    * [[PqIndex]] (built over (seed id, seed vector) — any size, the
+    * compressed tier), each corpus row ADC-prefilters to `candidates`
+    * seed neighbors ([[PqIndex.searchBatch]]), the survivors rerank by
+    * EXACT cosine against the seed vector table, and the top-k vote with
+    * knnLabel's exact machinery (cosine 6dp-rounded before ranking,
+    * seed-id ascending tie-break, vote ties to the lexicographically
+    * smaller label). With full probe and `candidates` ≥ |seeds| the ADC
+    * prefilter keeps every seed, so the result EQUALS the brute literal
+    * path id-for-id (SimilaritySpec pins it); at production settings the
+    * usual IVF-PQ recall trade applies.
+    *
+    * Scale shape: no seed literal, no window over the corpus — the ADC
+    * join meets only probed cells' codes, the rerank joins the bounded
+    * (corpus × candidates) rows to the seed table on the seed id, and
+    * the two ranking windows partition by corpus id (≤ candidates rows
+    * each). Seeds scale with the index tier, corpus scales map-wise:
+    * the 100 TB shape for "label the crawl from a million graded docs".
+    *
+    * Output: (idCol, label_pred string, votes long) — knnLabel's schema.
+    */
+  def knnLabelIndexed(df: DataFrame, idCol: String, vecCol: String,
+                      index: PqIndex, seeds: DataFrame,
+                      seedIdCol: String, seedVecCol: String,
+                      seedLabelCol: String, k: Int,
+                      nProbe: Int = 4, candidates: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(candidates >= k,
+      s"candidates ($candidates) must be >= k ($k): the exact rerank can " +
+        "only keep what the ADC prefilter returns")
+    val cand = index.searchBatch(df.select(col(idCol), col(vecCol)),
+      idCol, vecCol, k = candidates, nProbe = nProbe)
+    val sv = seeds.select(col(seedIdCol).as("id2"),
+      asDouble(col(seedVecCol)).as("__sv"),
+      col(seedLabelCol).cast("string").as("__sl"))
+    val qv = df.select(col(idCol).as("id1"), asDouble(col(vecCol)).as("__qv"))
+    // knnLabel's exact scoring arithmetic (6dp round, −0.0 folded away)
+    // so the two paths agree wherever the prefilter kept the true top-k
+    val scored = cand.join(sv, Seq("id2")).join(qv, Seq("id1"))
+      .select(col("id1"), col("id2"), col("__sl"),
+        (-round(dot(col("__qv"), col("__sv"))
+          / (norm(col("__qv")) * norm(col("__sv"))), 6) + lit(0.0)).as("__negcos"))
+    val wr = Window.partitionBy(col("id1"))
+      .orderBy(col("__negcos").asc, col("id2").asc)
+    val topk = scored.withColumn("__rk", row_number().over(wr))
+      .where(col("__rk") <= k)
+    val wv = Window.partitionBy(col("id1"))
+      .orderBy(col("__votes").desc, col("__sl").asc)
+    topk.groupBy(col("id1"), col("__sl"))
+      .agg(count(lit(1)).as("__votes"))
+      .withColumn("__vr", row_number().over(wv)).where(col("__vr") === 1)
+      .select(col("id1").as(idCol), col("__sl").as("label_pred"),
+        col("__votes").as("votes"))
   }
 
   // ---- int8 embedding quantization (storage scale path) ---------------

@@ -1902,7 +1902,11 @@ object CorpusOps {
     * so the boolean is engine-exact): 50 ≤ n_words ≤ 100000,
     * 3 ≤ mean_word_len ≤ 10, symbol_word_ratio ≤ 0.1,
     * bullet_line_frac ≤ 0.9, ellipsis_line_frac ≤ 0.3,
-    * alpha_word_frac ≥ 0.8, stop_hits ≥ 2, dup_line_frac ≤ 0.30,
+    * alpha_word_frac ≥ 0.8, stop_hits ≥ `minStopHits` (Table A1 fixes
+    * 2; the stop list is ENGLISH-specific, so non-English or synthetic
+    * corpora tune this one gate — the standard practice in Gopher
+    * reproductions — while every other threshold stays published),
+    * dup_line_frac ≤ 0.30,
     * dup_para_frac ≤ 0.30, dup_line_char_frac ≤ 0.20,
     * dup_para_char_frac ≤ 0.20, top n-gram ≤ 0.20/0.18/0.16 (n=2/3/4),
     * dup n-gram ≤ 0.15/0.14/0.13/0.12/0.11/0.10 (n=5..10).
@@ -1914,7 +1918,8 @@ object CorpusOps {
     * common-subexpression elimination — the d18 lesson) so the
     * tokenization runs once, not once per signal.
     */
-  def gopherSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def gopherSignals(df: DataFrame, idCol: String, textCol: String,
+                    minStopHits: Int = 2): DataFrame = {
     import TextFunctions._
     val t = coalesce(col(textCol), lit(""))
     val staged = df.select(col(idCol),
@@ -1975,7 +1980,7 @@ object CorpusOps {
         col("bullet_line_frac") <= 0.9 &&
         col("ellipsis_line_frac") <= 0.3 &&
         col("alpha_word_frac") >= 0.8 &&
-        col("stop_hits") >= 2L &&
+        col("stop_hits") >= minStopHits.toLong &&
         col("dup_line_frac") <= 0.30 && col("dup_para_frac") <= 0.30 &&
         col("dup_line_char_frac") <= 0.20 && col("dup_para_char_frac") <= 0.20 &&
         col("top_2gram_char_frac") <= 0.20 &&
@@ -1994,7 +1999,8 @@ object CorpusOps {
     * signal pass itself is map-only, so at 100 TB the join is the only
     * exchange and AQE sizes it).
     */
-  def gopherFilter(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.join(gopherSignals(df, idCol, textCol).where(col("keep"))
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+                   minStopHits: Int = 2): DataFrame =
+    df.join(gopherSignals(df, idCol, textCol, minStopHits).where(col("keep"))
       .select(col(idCol)), Seq(idCol), "left_semi")
 }

@@ -96,6 +96,20 @@ class DedupSpec extends SparkSpec {
     val g4 = Dedup.exciseContaminatedSpans(t4, evalSet, "doc_id", "text",
       k = 5, margin = 0).collect().head.getString(1)
     assert(g4 == "Pre Post", g4)
+
+    // a LARGE fully-contaminated doc: every window matches, so the old
+    // per-token array_contains rebuild was O(L·|removed|) = O(L²) — the
+    // islands+cursor-fold rebuild stays O(L log L) and excises to empty;
+    // a same-size doc with one contaminated island keeps its flanks
+    val big = (0 until 20000).map(i => s"w${i % 40}").mkString(" ")
+    val flanked = (0 until 9000).map(i => s"u$i").mkString(" ") +
+      " " + "e1 e2 e3 e4 e5" + " " + (0 until 9000).map(i => s"v$i").mkString(" ")
+    val t5 = Seq((6L, big), (7L, flanked)).toDF("doc_id", "text")
+    val ev5 = Seq((103L, big), (104L, "e1 e2 e3 e4 e5")).toDF("doc_id", "text")
+    val g5 = Dedup.exciseContaminatedSpans(t5, ev5, "doc_id", "text",
+      k = 5, margin = 0).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(g5(6L) == "")
+    assert(g5(7L) == flanked.replace(" e1 e2 e3 e4 e5 ", " "))
   }
 
   test("bloom-pruned decontamination: identical results, probe in the plan") {

@@ -703,6 +703,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnLabelIndexed at full probe equals knnLabel brute, id-for-id") {
+    // 60 labeled seeds in three angular blobs (past nothing — small on
+    // purpose: full probe + candidates=|seeds| makes the ADC prefilter
+    // keep EVERY seed, so the indexed path must reproduce the literal
+    // path exactly, vote counts included)
+    val rnd = new scala.util.Random(5)
+    def jitter(base: Array[Float]): Seq[Float] =
+      base.map(x => x + rnd.nextGaussian().toFloat * 0.05f).toSeq
+    val bases = Map("a" -> Array(1.0f, 0.0f, 0.0f, 0.0f),
+      "b" -> Array(0.0f, 1.0f, 0.0f, 0.0f),
+      "c" -> Array(0.0f, 0.0f, 1.0f, 0.0f))
+    val seeds = (0L until 60L).map { i =>
+      val l = Seq("a", "b", "c")(i.toInt % 3)
+      (i, jitter(bases(l)), l)
+    }.toDF("sid", "sv", "sl")
+    val corpus = (100L until 130L).map { i =>
+      (i, jitter(bases(Seq("a", "b", "c")(i.toInt % 3))))
+    }.toDF("id", "v")
+    val idx = PqIndex.build(seeds, "sid", "sv",
+      m = 2, codesPerSub = 8, numCentroids = 4, iters = 2)
+    val brute = Similarity.knnLabel(corpus, "id", "v", seeds,
+      "sid", "sv", "sl", k = 5).orderBy("id").collect().map(_.toSeq)
+    val indexed = Similarity.knnLabelIndexed(corpus, "id", "v", idx, seeds,
+      "sid", "sv", "sl", k = 5, nProbe = 4, candidates = 60)
+      .orderBy("id").collect().map(_.toSeq)
+    assert(indexed.toSeq == brute.toSeq)
+    // guard: a candidate pool smaller than k refuses
+    intercept[IllegalArgumentException] {
+      Similarity.knnLabelIndexed(corpus, "id", "v", idx, seeds,
+        "sid", "sv", "sl", k = 5, candidates = 3)
+    }
+  }
+
   test("knnLabel: non-numeric seed ids pass through as the tie-break, no cast-to-null") {
     // two IDENTICAL seed vectors, different labels: the k=1 winner is
     // decided purely by the seed-id tie-break, which must compare the
