@@ -1,6 +1,6 @@
 package graft.cube
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -66,7 +66,10 @@ final class CuttingBoard(
     * (bacon/cutting.py:216,262,313).
     */
   private final case class Cached(q: CubeQuery, df: DataFrame, rows: Long) {
-    val width: Int = df.columns.length
+    // width from the QUERY, not the frame: cached frames carry hidden
+    // maintenance companions (__m_*) that reuse never reads, and the
+    // cost score must keep mirroring the reference's visible-cell count
+    val width: Int = q.axes.length + math.max(q.valuesInSlice.length, 1)
     def cost: Long = rows * width
   }
 
@@ -107,9 +110,16 @@ final class CuttingBoard(
         val pq = new java.io.File(dir, mf.getName.stripSuffix(".manifest"))
         if (maxAgeMillis.forall(a => clock() - created <= a) && pq.exists()) {
           val q = UrlQueryBuilder.parse(url, cubedef)
-          val df = initialDataset.sparkSession.read
-            .parquet(pq.getAbsolutePath).persist(storageLevel)
-          cache = cache :+ Cached(q, df, rows)
+          val reread = initialDataset.sparkSession.read
+            .parquet(pq.getAbsolutePath)
+          // every table this board writes carries the __m_n maintenance
+          // companion; a companion-less table is from an older layout —
+          // skip it (recompute is always sound) rather than cache a
+          // frame the append/delete paths cannot maintain
+          if (reread.columns.contains("__m_n")) {
+            val df = reread.persist(storageLevel)
+            cache = cache :+ Cached(q, df, rows)
+          }
         }
       } catch { case scala.util.control.NonFatal(_) => () }
     }
@@ -145,15 +155,19 @@ final class CuttingBoard(
           // query may have just cached it.
           tryServe(q).getOrElse {
             val base = synchronized { missCount += 1; lastServedFrom = None; current }
-            val computed = Slicer.slice(base, cubedef, q)
             if (cacheable(q)) {
               // Materialize eagerly: the caller's next action reads the cache
               // instead of re-firing the base scan, and the row count becomes
               // the cost estimate for later cheapest-slice selection. With a
               // warehouse, materialization IS the parquet write; the cached
               // frame reads the table back so even post-eviction the bytes
-              // survive for a future board.
-              val (persisted, rows) = materialize(q, computed)
+              // survive for a future board. The cached form is WIDE: the
+              // query's own columns plus the hidden maintenance companions
+              // (companionAggs) riding the same groupBy — the caller only
+              // ever sees the query's columns.
+              val wide = Slicer.slice(base, cubedef, q,
+                extraAggs = companionAggs(q.valuesInSlice))
+              val (persisted, rows) = materialize(q, wide)
               synchronized {
                 if (cache.length >= maxSlices) {
                   // drop the in-memory handle; the parquet table (if any)
@@ -165,8 +179,11 @@ final class CuttingBoard(
                 cache = Cached(q, persisted, rows) +: cache
                 gcWarehouse()
               }
-              persisted
-            } else computed
+              val outCols =
+                if (q.valuesInSlice.nonEmpty) q.axes ++ q.valuesInSlice
+                else q.axes :+ "count"
+              persisted.select(outCols.map(col): _*)
+            } else Slicer.slice(base, cubedef, q)
           }
         }
     }
@@ -188,41 +205,57 @@ final class CuttingBoard(
 
   /** Incremental maintenance: the dataset grows by `delta` and every
     * cached slice is brought current WITHOUT touching the (100 TB) base
-    * table — the materialized-view maintenance step. A slice whose
-    * measures are all merge-capable (Sum/Count/Min/Max/Union — the same
-    * set the drill-down reuse path re-aggregates) is updated by slicing
-    * ONLY the delta with its own query and merging the two small
-    * aggregates; cost ∝ |delta| + |slice|, never ∝ |base|. Slices with
-    * non-mergeable finished measures (Avg/StdDev/Ratio/Group) are
-    * evicted — their warehouse tables and manifests are deleted so a
-    * future board cannot reload a stale materialization — and recompute
-    * on next touch.
+    * table — the materialized-view maintenance step. A slice is
+    * maintainable when every measure is merge-capable from its CACHED
+    * form: directly for Sum/Count/Min/Max/Union (the same set the
+    * drill-down reuse path re-aggregates), and through the hidden
+    * companion columns ([[companionAggs]]) for the quotient accumulators
+    * Avg/StdDev/RatioSum — their components (sum, count, sum²) merge
+    * additively and the finished quotient is rebuilt after the merge, so
+    * they too update at cost ∝ |delta| + |slice|, never ∝ |base|. Only
+    * GroupConsistent (and the distinct-count family) still evicts: its
+    * finished value cannot be merged and no bounded companion exists
+    * (all-agree-else-null needs the group's value multiset). Evicted
+    * slices delete their warehouse tables and manifests so a future
+    * board cannot reload a stale materialization, and recompute on next
+    * touch.
     *
     * The delta must carry the base schema (unionByName). Counts stay
     * exact: a delta row lands in exactly one group of each slice, and
-    * the merge rules are the accumulators' own merge semantics.
+    * the merge rules are the accumulators' own merge semantics. The
+    * rebuilt StdDev uses the closed form √((Σx² − (Σx)²/n)/(n−1))
+    * (clamped at 0 for FP dust on near-constant groups): same value as
+    * stddev_samp up to FP associativity — bit-exact on exactly-
+    * representable data, last-ulp on arbitrary doubles, the tolerance
+    * any distributed stddev already carries across partitionings.
     */
   def append(delta: DataFrame): Unit = synchronized {
     current = current.unionByName(delta)
     cache = cache.flatMap { c =>
-      if (!c.q.valuesInSlice.forall(reaggregatable) || c.q.valuesInSlice.isEmpty) {
+      val vals = c.q.valuesInSlice
+      if (!vals.forall(mergeableFromCache) || vals.isEmpty) {
         c.df.unpersist()
         dropPersisted(c.q)
         None
       } else {
-        val deltaSlice = Slicer.slice(delta, cubedef, c.q)
+        val deltaSlice = Slicer.slice(delta, cubedef, c.q,
+            extraAggs = companionAggs(vals))
           .select(c.df.columns.map(col): _*)
-        val aggs = c.q.valuesInSlice.map { v =>
+        val aggs = vals.map { v =>
           (cubedef.measure(v).agg match {
             case Agg.Count              => sum(col(v))
             case Agg.UnionIncludedEmpty => max(col(v))
+            // quotient placeholders: rebuilt from merged companions below
+            case Agg.Avg | Agg.StdDev | Agg.Ratio(_, _) => first(col(v))
             case other                  => other.compile(col(v))
           }).as(v)
-        }
+        } ++ companionCols(vals).map(cn => sum(col(cn)).as(cn))
         val axisCols = c.q.axes.map(col)
         val union = c.df.unionByName(deltaSlice)
-        val merged = union.groupBy(axisCols: _*).agg(aggs.head, aggs.tail: _*)
-          .select(c.df.columns.map(col): _*)
+        val merged0 = union.groupBy(axisCols: _*).agg(aggs.head, aggs.tail: _*)
+        val merged = vals.foldLeft(merged0) { (acc, v) =>
+          finishedFromCompanions(v).fold(acc)(f => acc.withColumn(v, f))
+        }.select(c.df.columns.map(col): _*)
         val (persisted, rows) = materialize(c.q, merged)
         c.df.unpersist()
         Some(Cached(c.q, persisted, rows))
@@ -234,26 +267,24 @@ final class CuttingBoard(
   /** Incremental DELETE maintenance — the takedown face of [[append]]:
     * the dataset shrinks by `deleted` and every cached slice is brought
     * current without touching the (100 TB) base table. A slice whose
-    * measures are all INVERTIBLE (Sum, Count — their group value is a
-    * linear sum of per-row contributions, so subtracting the deleted
-    * rows' own slice undoes them exactly) and which carries at least
-    * one Count measure is updated at delta cost: slice the deleted rows
-    * with the slice's own query, left-join on the axes, subtract — and
-    * the Count column doubles as the SUPPORT indicator, so a group all
-    * of whose rows were deleted drops out entirely (a zero-support row
-    * would be observably wrong, not just stale). Everything else
-    * evicts + recomputes on next touch, the [[append]] precedent, for
-    * three distinct reasons each pinned in the spec:
-    *  - Min/Max/Union/GroupConsistent are not invertible from their
-    *    finished value (deleting the max leaves no way to find the
-    *    runner-up without re-reading the group);
-    *  - Avg/StdDev/Ratio publish only a quotient — the components the
-    *    subtraction would need are not in the slice;
-    *  - a Sum-only slice (no Count) has no support indicator, so an
-    *    emptied group could not be dropped.
+    * measures are all INVERTIBLE is updated at delta cost: slice the
+    * deleted rows with the slice's own query, left-join on the axes,
+    * subtract. Invertible means the cached form is a linear sum of
+    * per-row contributions: Sum and Count directly, and Avg/StdDev/
+    * RatioSum through their hidden companion columns ([[companionAggs]])
+    * — components subtract, the finished quotient is rebuilt after. The
+    * always-present __m_n companion (count(*)) is the SUPPORT indicator,
+    * so a group all of whose rows were deleted drops out entirely (a
+    * zero-support row would be observably wrong, not just stale) — a
+    * Sum-only slice no longer needs an explicit Count measure for that.
+    * Min/Max/Union/GroupConsistent (and the distinct-count family) still
+    * evict + recompute on next touch: they are not invertible from any
+    * bounded cached form (deleting the max leaves no way to find the
+    * runner-up without re-reading the group).
     * Sum inversion yields 0 (not NULL) for a group whose surviving rows
     * are all-NULL in the measure column — exact under the cube
-    * convention that measure columns are non-null; evict-by-config if
+    * convention that measure columns are non-null (the same caveat
+    * applies to the Avg/StdDev/Ratio companion sums); evict-by-config if
     * that guarantee does not hold.
     *
     * `deleted` rows must be exact copies of base rows (the multiset
@@ -282,16 +313,17 @@ final class CuttingBoard(
       val vals = c.q.valuesInSlice
       val invertible = vals.nonEmpty &&
         vals.forall(v => cubedef.measure(v).agg match {
-          case Agg.Sum | Agg.Count => true
+          case Agg.Sum | Agg.Count | Agg.Avg | Agg.StdDev | Agg.Ratio(_, _) => true
           case _ => false
-        }) &&
-        vals.exists(v => cubedef.measure(v).agg == Agg.Count)
+        })
       if (!invertible) {
         c.df.unpersist()
         dropPersisted(c.q)
         None
       } else {
-        val deltaSlice = Slicer.slice(deletedRows, cubedef, c.q)
+        val comps = companionCols(vals)
+        val deltaSlice = Slicer.slice(deletedRows, cubedef, c.q,
+            extraAggs = companionAggs(vals))
           .select(c.df.columns.map(col): _*)
         val axes = c.q.axes
         // equi-join key even for the grand-total (axis-less) slice: a
@@ -301,17 +333,26 @@ final class CuttingBoard(
         val lhs = if (axes.nonEmpty) c.df else c.df.withColumn("__one", lit(1))
         val rhs0 = if (axes.nonEmpty) deltaSlice
           else deltaSlice.withColumn("__one", lit(1))
+        // subtracted columns: finished Sum/Count directly, quotient
+        // measures via their companions (finished value rebuilt below)
+        val subCols = vals.filter(v => cubedef.measure(v).agg match {
+          case Agg.Sum | Agg.Count => true
+          case _ => false
+        }) ++ comps
         val rhs = rhs0.select(joinKeys.map(k => col(k).as(s"__k_$k")) ++
-          vals.map(v => col(v).as(s"__d_$v")): _*)
-        val support = vals.find(v => cubedef.measure(v).agg == Agg.Count).get
+          subCols.map(v => col(v).as(s"__d_$v")): _*)
         // null-SAFE key equality: a NULL group (null axis value) must
         // still meet its delta row, or its measures silently stay stale
         val joinCond = joinKeys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
-        val merged = lhs.join(rhs, joinCond, "left")
+        val inverted0 = lhs.join(rhs, joinCond, "left")
           .select(joinKeys.filterNot(_ == "__one").map(col) ++
-            vals.map(v => (col(v) - coalesce(col(s"__d_$v"),
+            vals.filterNot(subCols.contains).map(col) ++
+            subCols.map(v => (col(v) - coalesce(col(s"__d_$v"),
               lit(0).cast("long"))).as(v)): _*)
-          .where(col(support) > 0)
+        val merged = vals.foldLeft(inverted0) { (acc, v) =>
+          finishedFromCompanions(v).fold(acc)(f => acc.withColumn(v, f))
+        }
+          .where(col("__m_n") > 0)
           .select(c.df.columns.map(col): _*)
         val (persisted, rows) = materialize(c.q, merged)
         c.df.unpersist()
@@ -320,6 +361,74 @@ final class CuttingBoard(
     }
     gcWarehouse()
   }
+
+  /** Measures maintainable under [[append]] from the cached (wide) form:
+    * directly mergeable finished values, plus the quotient accumulators
+    * whose companions merge. GroupConsistent / the distinct-count family
+    * stay out — no bounded cached form merges them.
+    */
+  private def mergeableFromCache(name: String): Boolean =
+    cubedef.measure(name).agg match {
+      case Agg.Sum | Agg.Min | Agg.Max | Agg.Count | Agg.UnionSet |
+           Agg.UnionIncludedEmpty | Agg.Avg | Agg.StdDev | Agg.Ratio(_, _) => true
+      case _ => false
+    }
+
+  /** Hidden maintenance companions riding the cached slice's own groupBy
+    * (one pass, one shuffle — Slicer.slice's extraAggs): per-group
+    * count(*) (`__m_n`, the universal support indicator) plus, per
+    * quotient measure, the decomposed parts its finished value divides —
+    * Avg: Σx; StdDev: Σx, Σx², non-null n; RatioSum: Σnum, Σden. The
+    * components merge (append) and invert (delete) additively where the
+    * published quotient cannot, which is what makes Avg/StdDev/Ratio
+    * slices delta-maintainable instead of evict-and-recompute.
+    */
+  private def companionAggs(vals: Vector[String]): Seq[Column] = {
+    val per = vals.flatMap { v =>
+      cubedef.measure(v).agg match {
+        case Agg.Avg => Seq(sum(cubedef.measure(v).expr).as(s"__m_${v}_s"))
+        case Agg.StdDev =>
+          val e = cubedef.measure(v).expr.cast("double")
+          Seq(sum(e).as(s"__m_${v}_s"), sum(e * e).as(s"__m_${v}_s2"),
+            count(e).as(s"__m_${v}_nn"))
+        case Agg.Ratio(num, den) =>
+          Seq(sum(num).as(s"__m_${v}_sn"), sum(den).as(s"__m_${v}_sd"))
+        case _ => Seq.empty
+      }
+    }
+    count(lit(1)).as("__m_n") +: per
+  }
+
+  /** The companion column names [[companionAggs]] produces, in order. */
+  private def companionCols(vals: Vector[String]): Seq[String] =
+    "__m_n" +: vals.flatMap { v =>
+      cubedef.measure(v).agg match {
+        case Agg.Avg         => Seq(s"__m_${v}_s")
+        case Agg.StdDev      => Seq(s"__m_${v}_s", s"__m_${v}_s2", s"__m_${v}_nn")
+        case Agg.Ratio(_, _) => Seq(s"__m_${v}_sn", s"__m_${v}_sd")
+        case _               => Seq.empty
+      }
+    }
+
+  /** Rebuild a quotient measure's finished value from (already merged or
+    * inverted) companion columns; None for measures whose finished value
+    * is maintained directly. Avg divides by the TOTAL row count (the
+    * reference's Average contract); StdDev is the closed sample form
+    * clamped at 0 against FP dust, NULL below two samples (stddev_samp's
+    * contract); RatioSum is NULL on a zero or NULL denominator.
+    */
+  private def finishedFromCompanions(v: String): Option[Column] =
+    cubedef.measure(v).agg match {
+      case Agg.Avg => Some(col(s"__m_${v}_s") / col("__m_n"))
+      case Agg.StdDev =>
+        val n = col(s"__m_${v}_nn")
+        val s = col(s"__m_${v}_s"); val s2 = col(s"__m_${v}_s2")
+        Some(when(n >= 2, sqrt(greatest((s2 - s * s / n) / (n - 1), lit(0.0)))))
+      case Agg.Ratio(_, _) =>
+        Some(when(col(s"__m_${v}_sd") =!= 0,
+          col(s"__m_${v}_sn") / col(s"__m_${v}_sd")))
+      case _ => None
+    }
 
   /** Materialize a computed slice: warehouse write + read-back when a
     * warehouse exists (the bytes survive the driver), plain persist

@@ -63,6 +63,12 @@ object Slicer {
     * aggregation — one extra narrow column through the shuffle, no
     * second pass.
     */
+  /** `extraAggs` rides EXTRA aggregate columns through the same groupBy
+    * (one pass, one shuffle) — the CuttingBoard materializes its hidden
+    * maintenance companions (per-group sum/count/sum² parts of quotient
+    * accumulators) this way. Plain-groupBy path only: pivot/totals
+    * slices are never cached, so they never need companions.
+    */
   def slice(
       df: DataFrame,
       cube: CubeDef,
@@ -70,6 +76,7 @@ object Slicer {
       totals: Totals = NoTotals,
       pivotValues: Seq[Any] = Nil,
       withGroupingId: Boolean = false,
+      extraAggs: Seq[Column] = Nil,
   ): DataFrame = {
     val filtered0 = filter(df, cube, q)
     // Explode set axes AFTER filtering (set filters test the whole set,
@@ -108,9 +115,10 @@ object Slicer {
           case RollupTotals => filtered.rollup(axisCols: _*)
           case CubeTotals   => filtered.cube(axisCols: _*)
         }
-        val out =
+        val out0 =
           if (withGroupingId && totals != NoTotals) aggCols :+ grouping_id().as("grouping_level")
           else aggCols
+        val out = out0 ++ (if (totals == NoTotals) extraAggs else Nil)
         grouped.agg(out.head, out.tail: _*)
       }
 

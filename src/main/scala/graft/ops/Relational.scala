@@ -270,14 +270,28 @@ object Relational {
     * equi-join on the gram, and the candidate dedup — each keyed and
     * AQE-sized; skew concentrates in frequent grams, which the prefix
     * filter is precisely designed to keep OUT of the index.
+    *
+    * Adversarial skew guard: when ALL keys are near-identical, even the
+    * rarest prefix grams carry huge posting lists, and a plain gram
+    * equi-join lands each hot gram's |L|·|R| work on ONE task. Posting
+    * grams whose document frequency reaches `skewedGramFreq` therefore
+    * join SALTED (the Skew.saltedAgg convention applied to a join):
+    * left postings spread over `saltFan` sub-keys by a deterministic id
+    * hash, right postings replicate `saltFan` ways — identical pairs
+    * out, hot-gram work bounded to ~1/saltFan per task. Cold grams pay
+    * nothing (salt pinned to 0, no replication).
     */
   def fuzzyJoin(left: DataFrame, right: DataFrame,
                 leftId: String, leftKey: String,
                 rightId: String, rightKey: String,
-                threshold: Double, gramLen: Int = 3): DataFrame = {
+                threshold: Double, gramLen: Int = 3,
+                skewedGramFreq: Long = 5000L, saltFan: Int = 16): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     require(gramLen >= 1, s"gramLen must be >= 1, got $gramLen")
+    require(saltFan >= 1, s"saltFan must be >= 1, got $saltFan")
+    require(skewedGramFreq >= 1,
+      s"skewedGramFreq must be >= 1, got $skewedGramFreq")
     // NULL and EMPTY keys are both unmatched: an empty key would gram to
     // the single "" (substr over the empty string), making every empty
     // left key pair with every empty right key at J=1.0 AND concentrating
@@ -304,10 +318,22 @@ object Relational {
         .groupBy(col(s"__${side}id"), n)
         .agg(array_sort(collect_list(struct(col("freq"), col("gram")))).as("__sorted"))
         .select(col(s"__${side}id"), n,
-          explode(slice(transform(col("__sorted"), x => x.getField("gram")),
-            lit(1), (n - ceil(n * lit(threshold)) + 1).cast("int"))).as("gram"))
+          explode(slice(col("__sorted"),
+            lit(1), (n - ceil(n * lit(threshold)) + 1).cast("int"))).as("__p"))
+        .select(col(s"__${side}id"), n, col("__p.gram").as("gram"),
+          col("__p.freq").as("__gf"))
     }
-    val cand = prefix(lg, "l").join(prefix(rg, "r"), "gram")
+    // salted posting join: hot grams (freq >= skewedGramFreq) spread the
+    // left side over saltFan deterministic sub-keys and replicate the
+    // right side; cold grams keep salt 0 / one copy
+    val hot = col("__gf") >= skewedGramFreq
+    val lp = prefix(lg, "l").withColumn("__salt",
+      when(hot, pmod(xxhash64(col("__lid")), lit(saltFan.toLong)))
+        .otherwise(lit(0L)))
+    val rp = prefix(rg, "r").select(col("__rid"), col("__rn"), col("gram"),
+      explode(when(hot, sequence(lit(0L), lit(saltFan.toLong - 1)))
+        .otherwise(array(lit(0L)))).as("__salt"))
+    val cand = lp.join(rp, Seq("gram", "__salt"))
       .where(col("__rn") >= ceil(col("__ln") * lit(threshold)) &&
         col("__ln") >= ceil(col("__rn") * lit(threshold)))
       .select(col("__lid"), col("__rid")).distinct()

@@ -280,14 +280,42 @@ class CuttingBoardSpec extends SparkSpec {
     board.clear()
   }
 
-  test("append() evicts slices with non-mergeable measures; recompute is correct") {
-    val board = freshBoard()
-    val q = CubeQuery().addAxis("k").addValue("avg_v")
+  test("append() maintains Avg/StdDev/Ratio slices at delta cost through companions") {
+    val df = Seq(("A", 1.0, 1.0), ("A", 3.0, 2.0), ("B", 8.0, 4.0))
+      .toDF("k", "v", "d")
+    val cube = CubeDef(
+      labels = Seq(Label("k")),
+      measures = Seq(
+        Measure("avg_v", col("v"), Agg.Avg),
+        Measure("sd_v", col("v"), Agg.StdDev),
+        Measure("ratio", lit(1), Agg.Ratio(col("v"), col("d"))),
+        Measure("grp", col("d"), Agg.GroupConsistent)))
+    val board = new CuttingBoard(df, cube)
+    val q = CubeQuery().addAxis("k").addValue("avg_v").addValue("sd_v")
+      .addValue("ratio")
     board.slice(q).collect()
-    board.append(Seq(("A", "z", 2022, 9.0)).toDF("k", "s", "y", "v"))
-    val got = asMap(board.slice(q))
-    assert(board.stats == (0L, 2L), "avg slice cannot merge -> evicted, recomputed")
-    assert(got("A") == 16.0 / 4) // (1+2+4+9)/4
+    board.append(Seq(("A", 5.0, 1.0), ("B", 4.0, 4.0)).toDF("k", "v", "d"))
+    val got = board.slice(q).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // served FROM CACHE (a hit) — the quotient components merged, the
+    // finished values rebuilt — and hash-exact vs a fresh recompute
+    assert(board.stats == (1L, 1L), "quotient slice must stay a cache hit")
+    val want = Slicer.slice(board.dataset, cube, q).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got == want)
+    // A {1,3,5}: avg 3, sample sd 2, ratio 9/4; B {8,4}: avg 6, sd √8, 12/8
+    assert(got("A") == ((3.0, 2.0, 2.25)))
+    assert(got("B") == ((6.0, math.sqrt(8.0), 1.5)))
+    // GroupConsistent stays unmergeable: evicted, recompute is correct
+    val qGrp = CubeQuery().addAxis("k").addValue("grp")
+    board.slice(qGrp).collect()
+    board.append(Seq(("B", 1.0, 5.0)).toDF("k", "v", "d"))
+    val grp = board.slice(qGrp).collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(board.stats == (1L, 3L), "group slice must evict on append")
+    assert(grp("B").isEmpty && grp("A").isEmpty) // B now disagrees; A always did
     board.clear()
   }
 
@@ -341,29 +369,50 @@ class CuttingBoardSpec extends SparkSpec {
     board.clear()
   }
 
-  test("delete() evicts non-invertible and support-less slices; recompute is correct") {
-    // Min is not invertible from its finished value; a Sum-only slice
-    // has no support indicator — both must evict and recompute fresh.
-    val df = Seq(("A", 1.0), ("A", 5.0), ("B", 8.0)).toDF("k", "v")
+  test("delete() maintains quotient and Sum-only slices; Min still evicts (not invertible)") {
+    // Min is not invertible from its finished value (deleting the group
+    // minimum must surface the runner-up) — it evicts. Avg/StdDev/Ratio
+    // invert through their companions, and a Sum-only slice no longer
+    // needs an explicit Count: the __m_n companion is its support.
+    val df = Seq(("A", 1.0, 1.0), ("A", 3.0, 2.0), ("A", 5.0, 1.0),
+      ("B", 8.0, 4.0)).toDF("k", "v", "d")
     val cube = CubeDef(
       labels = Seq(Label("k")),
       measures = Seq(Measure("sum_v", col("v"), Agg.Sum),
         Measure("n", lit(1), Agg.Count),
-        Measure("min_v", col("v"), Agg.Min)))
+        Measure("min_v", col("v"), Agg.Min),
+        Measure("avg_v", col("v"), Agg.Avg),
+        Measure("sd_v", col("v"), Agg.StdDev),
+        Measure("ratio", lit(1), Agg.Ratio(col("v"), col("d")))))
     val board = new CuttingBoard(df, cube)
     val qMin = CubeQuery().addAxis("k").addValue("min_v").addValue("n")
     val qSumOnly = CubeQuery().addAxis("k").addValue("sum_v")
+    val qQuot = CubeQuery().addAxis("k").addValue("avg_v").addValue("sd_v")
+      .addValue("ratio")
     board.slice(qMin).collect(); board.slice(qSumOnly).collect()
-    assert(board.stats == (0L, 2L))
-    // deleting the group minimum: the runner-up must surface (5.0)
-    board.delete(Seq(("A", 1.0)).toDF("k", "v"))
-    val gotMin = board.slice(qMin).collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    board.slice(qQuot).collect()
+    assert(board.stats == (0L, 3L))
+    // delete the A minimum and the ONLY B row: runner-up must surface in
+    // the min slice (via eviction + recompute), B must drop everywhere
+    board.delete(Seq(("A", 1.0, 1.0), ("B", 8.0, 4.0)).toDF("k", "v", "d"))
     val gotSum = board.slice(qSumOnly).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(board.stats == (0L, 4L), "both slices must have been evicted")
-    assert(gotMin == Map("A" -> 5.0, "B" -> 8.0))
-    assert(gotSum == Map("A" -> 5.0, "B" -> 8.0))
+    val gotQuot = board.slice(qQuot).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(board.stats == (2L, 3L),
+      "Sum-only and quotient slices must stay cache hits across delete")
+    assert(gotSum == Map("A" -> 8.0))
+    // A {3,5}: avg 4, sample sd √2, ratio 8/3 — hash-exact vs fresh
+    val wantQuot = Slicer.slice(board.dataset, cube, qQuot).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(gotQuot == wantQuot)
+    assert(gotQuot == Map("A" -> ((4.0, math.sqrt(2.0), 8.0 / 3.0))))
+    val gotMin = board.slice(qMin).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(board.stats == (2L, 4L), "min slice must have been evicted")
+    assert(gotMin == Map("A" -> 3.0))
     board.clear()
   }
 

@@ -259,6 +259,51 @@ class RelationalSpec extends SparkSpec {
     assert(got == Set((1L, 10L, 1.0), (1L, 12L, 1.0), (2L, 11L, 1.0)))
   }
 
+  test("fuzzyJoin salts hot-gram postings: adversarial all-similar keys, brute parity, bounded spread") {
+    // 2000 near-identical keys per side — every key shares the long
+    // common stem, so even the rarest prefix grams have posting lists
+    // covering most of the corpus: the exact shape where an unsalted
+    // gram equi-join lands |L|*|R| work for a hot gram on one task.
+    // True pairs are only the suffix-equal ones (the unique suffix
+    // drops gram-jaccard below threshold otherwise).
+    val stem = "the quick brown fox jumps over the lazy dog catalog entry"
+    val ls = (0L until 2000L).map(i => (i, s"$stem ${i % 500}"))
+    val rs = (0L until 2000L).map(i => (10000L + i, s"$stem ${i % 500}"))
+    val got = Relational.fuzzyJoin(ls.toDF("lid", "lname"), rs.toDF("rid", "rname"),
+      "lid", "lname", "rid", "rname", threshold = 0.9,
+      skewedGramFreq = 100L, saltFan = 8)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    // serial brute force over the distinct SUFFIX classes (keys in the
+    // same class are gram-identical; cross-class pairs share the stem)
+    def grams(s: String): Set[String] = s.toLowerCase.sliding(3).toSet
+    val classGrams = (0 until 500).map(c => c -> grams(s"$stem $c")).toMap
+    val want = (for {
+      (lc, lg) <- classGrams.toSeq; (rc, rg) <- classGrams.toSeq
+      inter = (lg & rg).size.toDouble
+      j = inter / (lg.size + rg.size - inter)
+      if j >= 0.9
+      li <- 0L until 2000L if li % 500 == lc
+      ri <- 0L until 2000L if ri % 500 == rc
+    } yield (li, 10000L + ri, math.rint(j * 1e6) / 1e6)).toSet
+    assert(got == want)
+    assert(want.size >= 2000 * 4) // each key matches its 4+4 class-mates
+    // the candidate join really is salted: the physical plan joins on
+    // (gram, salt), and the deterministic id hash spreads any hot
+    // gram's left postings across all 8 salt cells with no cell holding
+    // a straggler share (hash balance over 2000 ids)
+    val plan = Relational.fuzzyJoin(ls.toDF("lid", "lname"),
+      rs.toDF("rid", "rname"), "lid", "lname", "rid", "rname", 0.9,
+      skewedGramFreq = 100L, saltFan = 8)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__salt"), plan.take(2000))
+    val cells = ls.toDF("lid", "lname")
+      .select(pmod(xxhash64(col("lid")), lit(8L)).as("c"))
+      .groupBy("c").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells.keySet == (0L until 8L).toSet)
+    assert(cells.values.max <= 2 * cells.values.min,
+      s"salt cells unbalanced: $cells")
+  }
+
   test("fuzzyJoin: empty keys never match (no J=1.0 empty-empty pairs, no \"\" posting hotspot)") {
     // empty strings would gram to the single "" and pair all-with-all at
     // jaccard 1.0 through one unprunable posting list — they are treated
