@@ -1479,6 +1479,22 @@ object Queries {
       graft.text.CorpusOps.gopherSignals(docs(s, dir), "doc_id", "text")
     },
 
+    // §2.46b bench form: the SAME battery over a CONSTANT 20% sample
+    // (the d51 sampled-slice precedent applied to the sweep's top
+    // absolute walls): d52 is an honest linear map pass, so a fifth of
+    // the corpus prices the same plan at a fifth of the wall — the
+    // full-corpus form stays the correctness gate at every sf (Verify/
+    // scalecheck) and is bench-excluded like d02/d06. The oracle is
+    // d52's own SQL restricted to the sampled ids — valid because every
+    // signal is a per-document pure function of text.
+    "d52s_gopher_sample" -> oq(
+      s"""SELECT * FROM (
+         |${gopherSigSql(2)}
+         |) WHERE doc_id % 5 = 3""") { (s, dir) =>
+      graft.text.CorpusOps.gopherSignals(
+        docs(s, dir).where(col("doc_id") % 5 === 3), "doc_id", "text")
+    },
+
     // §2.75d: intrinsic tokenizer eval — per-source fertility (subword
     // tokens per word), bytes/token compression and word-splitting rate
     // under the t13 BPE table. Rows-only: the min-rank encoder is not
@@ -2038,6 +2054,40 @@ object Queries {
         e.where(col("vec_id") < 128), "vec_id", "embedding", "label", k = 5)
     },
 
+    // §2.64c bench form: e15's scoring pass over a CONSTANT 20% corpus
+    // sample (the d51/d52s sampled-slice precedent) — the map-only
+    // n·|seeds| dot-product pass prices identically per row, so the
+    // sample prices the same plan at a fifth of the wall; the
+    // full-corpus e15 stays the correctness gate at every sf and is
+    // bench-excluded. Oracle = e15's SQL with the corpus CTE sampled
+    // (per-row independence makes the restriction exact).
+    "e15s_knn_label_sample" -> oq(
+      """WITH s AS (SELECT vec_id AS sid, CAST(label AS VARCHAR) AS sl,
+        |             CAST(embedding AS DOUBLE[]) AS sv
+        |           FROM embeddings WHERE vec_id < 128),
+        |c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings WHERE vec_id >= 128 AND vec_id % 5 = 1),
+        |sc AS (
+        |  SELECT c.id, s.sid, s.sl,
+        |    round(list_cosine_similarity(c.cv, s.sv), 6) AS cos
+        |  FROM c CROSS JOIN s
+        |), top AS (
+        |  SELECT id, sl FROM (
+        |    SELECT id, sl,
+        |      row_number() OVER (PARTITION BY id ORDER BY cos DESC, sid ASC) AS rnk
+        |    FROM sc) t WHERE rnk <= 5
+        |), votes AS (
+        |  SELECT id, sl, count(*) AS v FROM top GROUP BY 1, 2
+        |)
+        |SELECT id, sl AS label_pred, v AS votes FROM votes
+        |QUALIFY row_number() OVER (PARTITION BY id ORDER BY v DESC, sl ASC) = 1""") { (s, dir) =>
+      val e = emb(s, dir)
+      graft.sim.Similarity.knnLabel(
+        e.where(col("vec_id") >= 128 && col("vec_id") % 5 === 1),
+        "vec_id", "embedding",
+        e.where(col("vec_id") < 128), "vec_id", "embedding", "label", k = 5)
+    },
+
     // §2.64c big-seed path: KNN label propagation THROUGH the served PQ
     // index (knnLabelIndexed — the composition knnLabel's 2048-literal
     // refusal points at): seeds = HALF the embedding table (scales with
@@ -2049,7 +2099,11 @@ object Queries {
     "e16_knn_label_indexed" -> nq { (s, dir) =>
       val e = emb(s, dir)
       val seeds = e.where(col("vec_id") % 2 === 0)
-      val corpus = e.where(col("vec_id") % 2 === 1)
+      // label a constant 10% corpus sample (disjoint from the seeds):
+      // the gate prices build + the batch-label pass per corpus row —
+      // the d51/d52s sampled-slice rule keeps the sweep wall honest
+      // without scaling the expensive side twice
+      val corpus = e.where(col("vec_id") % 10 === 1)
       val idx = graft.sim.PqIndex.build(seeds, "vec_id", "embedding",
         m = 8, codesPerSub = 16,
         numCentroids = graft.sim.Similarity.suggestedCentroids(
