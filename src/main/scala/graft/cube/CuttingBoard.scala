@@ -112,11 +112,14 @@ final class CuttingBoard(
           val q = UrlQueryBuilder.parse(url, cubedef)
           val reread = initialDataset.sparkSession.read
             .parquet(pq.getAbsolutePath)
-          // every table this board writes carries the __m_n maintenance
-          // companion; a companion-less table is from an older layout —
-          // skip it (recompute is always sound) rather than cache a
-          // frame the append/delete paths cannot maintain
-          if (reread.columns.contains("__m_n")) {
+          // every table this board writes carries the full companion set
+          // for ITS CubeDef's measures; a table missing any (older
+          // layout, or the same measure name re-declared with a
+          // different accumulator — the URL fingerprint cannot see an
+          // agg change) is skipped (recompute is always sound) rather
+          // than cached as a frame the append/delete paths cannot
+          // maintain
+          if (companionCols(q.valuesInSlice).forall(reread.columns.contains)) {
             val df = reread.persist(storageLevel)
             cache = cache :+ Cached(q, df, rows)
           }
@@ -218,7 +221,8 @@ final class CuttingBoard(
     * (all-agree-else-null needs the group's value multiset). Evicted
     * slices delete their warehouse tables and manifests so a future
     * board cannot reload a stale materialization, and recompute on next
-    * touch.
+    * touch. A values-less query (the reference's default row count)
+    * maintains too: its synthetic "count" column merges like Agg.Count.
     *
     * The delta must carry the base schema (unionByName). Counts stay
     * exact: a delta row lands in exactly one group of each slice, and
@@ -233,16 +237,22 @@ final class CuttingBoard(
     current = current.unionByName(delta)
     cache = cache.flatMap { c =>
       val vals = c.q.valuesInSlice
-      if (!vals.forall(mergeableFromCache) || vals.isEmpty) {
+      if (!vals.forall(mergeableFromCache)) {
         c.df.unpersist()
         dropPersisted(c.q)
         None
       } else {
+        // a values-less query slices to the reference's default row
+        // count — a synthetic Count measure named "count", maintainable
+        // like any other (the __m_n companion is its support on delete)
+        val measureCols = if (vals.nonEmpty) vals else Vector("count")
+        def aggOf(v: String): Agg =
+          if (vals.isEmpty) Agg.Count else cubedef.measure(v).agg
         val deltaSlice = Slicer.slice(delta, cubedef, c.q,
             extraAggs = companionAggs(vals))
           .select(c.df.columns.map(col): _*)
-        val aggs = vals.map { v =>
-          (cubedef.measure(v).agg match {
+        val aggs = measureCols.map { v =>
+          (aggOf(v) match {
             case Agg.Count              => sum(col(v))
             case Agg.UnionIncludedEmpty => max(col(v))
             // quotient placeholders: rebuilt from merged companions below
@@ -253,8 +263,8 @@ final class CuttingBoard(
         val axisCols = c.q.axes.map(col)
         val union = c.df.unionByName(deltaSlice)
         val merged0 = union.groupBy(axisCols: _*).agg(aggs.head, aggs.tail: _*)
-        val merged = vals.foldLeft(merged0) { (acc, v) =>
-          finishedFromCompanions(v).fold(acc)(f => acc.withColumn(v, f))
+        val merged = measureCols.foldLeft(merged0) { (acc, v) =>
+          finishedFromCompanions(v, aggOf(v)).fold(acc)(f => acc.withColumn(v, f))
         }.select(c.df.columns.map(col): _*)
         val (persisted, rows) = materialize(c.q, merged)
         c.df.unpersist()
@@ -311,11 +321,13 @@ final class CuttingBoard(
       else base.exceptAll(deleted)
     cache = cache.flatMap { c =>
       val vals = c.q.valuesInSlice
-      val invertible = vals.nonEmpty &&
-        vals.forall(v => cubedef.measure(v).agg match {
-          case Agg.Sum | Agg.Count | Agg.Avg | Agg.StdDev | Agg.Ratio(_, _) => true
-          case _ => false
-        })
+      val measureCols = if (vals.nonEmpty) vals else Vector("count")
+      def aggOf(v: String): Agg =
+        if (vals.isEmpty) Agg.Count else cubedef.measure(v).agg
+      val invertible = measureCols.forall(v => aggOf(v) match {
+        case Agg.Sum | Agg.Count | Agg.Avg | Agg.StdDev | Agg.Ratio(_, _) => true
+        case _ => false
+      })
       if (!invertible) {
         c.df.unpersist()
         dropPersisted(c.q)
@@ -335,7 +347,7 @@ final class CuttingBoard(
           else deltaSlice.withColumn("__one", lit(1))
         // subtracted columns: finished Sum/Count directly, quotient
         // measures via their companions (finished value rebuilt below)
-        val subCols = vals.filter(v => cubedef.measure(v).agg match {
+        val subCols = measureCols.filter(v => aggOf(v) match {
           case Agg.Sum | Agg.Count => true
           case _ => false
         }) ++ comps
@@ -346,11 +358,11 @@ final class CuttingBoard(
         val joinCond = joinKeys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
         val inverted0 = lhs.join(rhs, joinCond, "left")
           .select(joinKeys.filterNot(_ == "__one").map(col) ++
-            vals.filterNot(subCols.contains).map(col) ++
+            measureCols.filterNot(subCols.contains).map(col) ++
             subCols.map(v => (col(v) - coalesce(col(s"__d_$v"),
               lit(0).cast("long"))).as(v)): _*)
-        val merged = vals.foldLeft(inverted0) { (acc, v) =>
-          finishedFromCompanions(v).fold(acc)(f => acc.withColumn(v, f))
+        val merged = measureCols.foldLeft(inverted0) { (acc, v) =>
+          finishedFromCompanions(v, aggOf(v)).fold(acc)(f => acc.withColumn(v, f))
         }
           .where(col("__m_n") > 0)
           .select(c.df.columns.map(col): _*)
@@ -417,8 +429,8 @@ final class CuttingBoard(
     * clamped at 0 against FP dust, NULL below two samples (stddev_samp's
     * contract); RatioSum is NULL on a zero or NULL denominator.
     */
-  private def finishedFromCompanions(v: String): Option[Column] =
-    cubedef.measure(v).agg match {
+  private def finishedFromCompanions(v: String, agg: Agg): Option[Column] =
+    agg match {
       case Agg.Avg => Some(col(s"__m_${v}_s") / col("__m_n"))
       case Agg.StdDev =>
         val n = col(s"__m_${v}_nn")
@@ -652,7 +664,17 @@ final class CuttingBoard(
       promote(exact)
       val c = cache.head
       lastServedFrom = Some(c.q)
-      return Some(finish(c.df.select((q.axes ++ q.values).map(col): _*), q))
+      // a values-less query's slice is the synthetic row count: its own
+      // "count" column, or — when the exact match is a value-carrying
+      // slice (∅ ⊆ anything) — the __m_n companion, which IS count(*)
+      // at the same (axes, filters). Otherwise the visible values;
+      // companions never leave here.
+      val served: Seq[org.apache.spark.sql.Column] =
+        if (q.valuesInSlice.isEmpty)
+          q.axes.map(col) :+ (if (c.df.columns.contains("count")) col("count")
+            else col("__m_n").as("count"))
+        else (q.axes ++ q.values).map(col)
+      return Some(finish(c.df.select(served: _*), q))
     }
 
     // Strategy 2: re-aggregate a finer cached slice. Conditions mirror

@@ -245,11 +245,12 @@ object IvfIndex {
     // tombstoned rows die here for real: the destination is written
     // without them and starts with an empty tombstone set
     val raw = spark.read.parquet(s"$srcDir/postings")
-    // dropDuplicates(id) collapses replay-duplicated rows (a batch that
-    // crashed between insert and checkpoint commit re-inserts identical
-    // postings on replay — same frozen quantizer, same row, so exact)
+    // full-row dropDuplicates collapses replay-duplicated rows (a batch
+    // that crashed between insert and checkpoint commit re-inserts
+    // identical postings on replay — same frozen quantizer, same row);
+    // genuinely conflicting same-id rows both survive, staying visible
     val posts = graft.sources.Tombstones.filterOut(spark, srcDir, raw, "id")
-      .dropDuplicates("id")
+      .dropDuplicates()
     val before = raw.inputFiles.length
     // align rows to their bucket's task before the bucketed write:
     // repartition's HashPartitioning and the bucket spec share the same

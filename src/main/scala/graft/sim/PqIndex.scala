@@ -280,12 +280,14 @@ object PqIndex {
     * when managed). Returns (filesBefore, filesAfter) for the codes
     * table.
     *
-    * Compaction also collapses REPLAY-DUPLICATED ids: a micro-batch that
-    * crashed between its insert and its checkpoint commit re-inserts its
-    * survivors on replay (the ingest loop's documented at-least-once
-    * window), leaving two identical code rows for the same id. The rows
-    * are bit-identical (same frozen quantizer + codebooks ⇒ same cid and
-    * codes), so dropDuplicates(id) here is exact, not a choice.
+    * Compaction also collapses REPLAY-DUPLICATED rows: a micro-batch
+    * that crashed between its insert and its checkpoint commit
+    * re-inserts its survivors on replay (the ingest loop's documented
+    * at-least-once window), leaving two identical code rows for the
+    * same id. The dedup is over the FULL row, so only bit-identical
+    * replays collapse — two genuinely CONFLICTING rows for one id (a
+    * caller double-inserting different vectors) both survive and stay
+    * visible, rather than one being dropped arbitrarily.
     */
   def compactTo(spark: SparkSession, srcDir: String, dstDir: String,
                 buckets: Int = IvfIndex.DefaultBuckets): (Int, Int) = {
@@ -293,7 +295,7 @@ object PqIndex {
     // without them and starts with an empty tombstone set
     val raw = spark.read.parquet(s"$srcDir/codes")
     val codes = graft.sources.Tombstones.filterOut(spark, srcDir, raw, "id")
-      .dropDuplicates("id")
+      .dropDuplicates()
     val before = raw.inputFiles.length
     new PqIndex(spark.read.parquet(s"$srcDir/centroids"),
         spark.read.parquet(s"$srcDir/codebooks"),

@@ -540,7 +540,9 @@ object Similarity {
     * each). Seeds scale with the index tier, corpus scales map-wise:
     * the 100 TB shape for "label the crawl from a million graded docs".
     *
-    * Output: (idCol, label_pred string, votes long) — knnLabel's schema.
+    * Output: (idCol, label_pred string, votes long) — knnLabel's
+    * schema, one row per corpus row; rows the prefilter found no seed
+    * candidates for carry (NULL, 0).
     */
   def knnLabelIndexed(df: DataFrame, idCol: String, vecCol: String,
                       index: PqIndex, seeds: DataFrame,
@@ -569,11 +571,18 @@ object Similarity {
       .where(col("__rk") <= k)
     val wv = Window.partitionBy(col("id1"))
       .orderBy(col("__votes").desc, col("__sl").asc)
-    topk.groupBy(col("id1"), col("__sl"))
+    val voted = topk.groupBy(col("id1"), col("__sl"))
       .agg(count(lit(1)).as("__votes"))
       .withColumn("__vr", row_number().over(wv)).where(col("__vr") === 1)
+      .select(col("id1"), col("__sl"), col("__votes"))
+    // EVERY corpus row appears in the output (knnLabel's contract): a
+    // row whose probed cells held no seed codes (empty or fully
+    // tombstoned cells at low nProbe) comes back with a NULL label and
+    // 0 votes — observable, never silently dropped; raise nProbe /
+    // candidates to close that recall gap, the standard IVF trade
+    qv.select(col("id1")).join(voted, Seq("id1"), "left")
       .select(col("id1").as(idCol), col("__sl").as("label_pred"),
-        col("__votes").as("votes"))
+        coalesce(col("__votes"), lit(0L)).as("votes"))
   }
 
   // ---- int8 embedding quantization (storage scale path) ---------------

@@ -399,7 +399,7 @@ object Streams {
     * The duplicates are bit-identical and TRANSIENT — searchBatch may
     * answer the same id in more than one top-k slot until the next
     * compaction hop, where [[graft.sim.PqIndex.compactTo]]'s
-    * dropDuplicates(id) collapses them — a window of at most
+    * full-row dropDuplicates collapses them — a window of at most
     * `maintainEvery` batches. Exactly-once would need the insert and
     * the checkpoint in one transaction, which plain parquet cannot give.
     *

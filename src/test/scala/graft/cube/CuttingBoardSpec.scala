@@ -342,6 +342,30 @@ class CuttingBoardSpec extends SparkSpec {
     board.clear()
   }
 
+  test("values-less (row-count) slice maintains across append and delete") {
+    // the reference's default query carries no values — it slices to a
+    // row count, which merges and inverts like any Count measure (the
+    // __m_n companion is its delete support)
+    val board = freshBoard()
+    val q = CubeQuery().addAxis("k")
+    board.slice(q).collect()
+    assert(board.stats == (0L, 1L))
+    board.append(Seq(("A", "z", 2022, 10.0), ("C", "x", 2022, 5.0))
+      .toDF("k", "s", "y", "v"))
+    val got = board.slice(q).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(board.stats == (1L, 1L), "count-only slice must stay a cache hit")
+    assert(got == Map("A" -> 4L, "B" -> 2L, "C" -> 1L))
+    // delete empties C entirely — its group must drop out
+    board.delete(Seq(("C", "x", 2022, 5.0), ("A", "z", 2022, 10.0))
+      .toDF("k", "s", "y", "v"))
+    val got2 = board.slice(q).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(board.stats == (2L, 1L), "count-only slice must stay a hit across delete")
+    assert(got2 == Map("A" -> 3L, "B" -> 2L))
+    board.clear()
+  }
+
   test("delete() maintains NULL groups (null-safe axis join)") {
     // a NULL axis value forms its own group; the delta join must be
     // null-SAFE or that group silently stale-serves pre-delete numbers

@@ -736,6 +736,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnLabelIndexed never drops a corpus row: empty probed cells yield NULL, 0") {
+    // two far-apart seed clusters; tombstone the whole "b" cluster in
+    // the written index — a "b"-side corpus row probing ONE cell then
+    // meets no seed codes, and must come back (NULL, 0), not vanish
+    val seeds = (0L until 20L).map { i =>
+      if (i % 2 == 0) (i, Seq(10.0f, 0.0f), "a") else (i, Seq(-10.0f, 0.0f), "b")
+    }.toDF("sid", "sv", "sl")
+    val dir = java.nio.file.Files.createTempDirectory("graft-knnidx").toString
+    PqIndex.build(seeds, "sid", "sv",
+      m = 2, codesPerSub = 4, numCentroids = 2, iters = 3).write(dir)
+    PqIndex.removeFrom(spark, dir,
+      seeds.where(col("sl") === "b").select("sid"), "sid")
+    val idx = PqIndex.load(spark, dir)
+    val corpus = Seq((100L, Seq(-10.0f, 0.0f)), (101L, Seq(10.0f, 0.0f)))
+      .toDF("id", "v")
+    val got = Similarity.knnLabelIndexed(corpus, "id", "v", idx, seeds,
+      "sid", "sv", "sl", k = 3, nProbe = 1, candidates = 10)
+      .collect().map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getLong(2))))
+      .toMap
+    assert(got.keySet == Set(100L, 101L), "every corpus row must appear")
+    assert(got(101L) == ((Some("a"), 3L)))
+    assert(got(100L) == ((None, 0L)), s"empty-cell row must be (NULL, 0): $got")
+  }
+
   test("knnLabel: non-numeric seed ids pass through as the tie-break, no cast-to-null") {
     // two IDENTICAL seed vectors, different labels: the k=1 winner is
     // decided purely by the seed-id tie-break, which must compare the
