@@ -26,6 +26,10 @@ object PlanAudit {
     // pass as e02/e03 (e12: the QUERY frame's probe ranking against the
     // loaded index's centroid table)
     "e08_ivfadc", "e09_ivfadc_residual", "e12_pq_batch_search",
+    // same pass again: e16 builds its seed index in-gate (residual
+    // assignment) and batch-probes it (searchBatch) — both are
+    // rankCentroids against the ≤√n-row broadcast centroid table
+    "e16_knn_label_indexed",
     "q53_mutual_info")
 
   /** Queries whose (only) unpartitioned windows are
