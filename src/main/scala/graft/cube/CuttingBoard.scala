@@ -18,10 +18,15 @@ import org.apache.spark.storage.StorageLevel
   *    finer slice is maybe 10⁶ rows while the base is 10¹²; every
   *    dashboard drill-down after the first scan is served from it.
   *
-  * Only algebraically re-aggregatable measures (Sum/Min/Max/Count/
-  * UnionSet) can be served from a coarser-than-cached query; others
-  * (Avg/StdDev/CountDistinct/Ratio/Group) fall through to the base scan,
-  * exactly as a correct materialized-view rewriter must.
+  * Directly re-aggregatable measures (Sum/Min/Max/Count/UnionSet) merge
+  * their finished values from a coarser-than-cached query; the quotient
+  * accumulators Avg/StdDev/RatioSum are served through the hidden
+  * companion columns every cached slice carries ([[companionAggs]]):
+  * the components (Σx, Σx², counts) re-aggregate additively and the
+  * finished quotient is rebuilt after the merge — never avg-of-avgs.
+  * Only GroupConsistent and the distinct-count family fall through to
+  * the base scan (no bounded cached form merges them), exactly as a
+  * correct materialized-view rewriter must.
   *
   * Persistence: with `warehouseDir` set, every cached slice is ALSO
   * written as a parquet table named by a fingerprint of its query (plus a
@@ -605,10 +610,20 @@ final class CuttingBoard(
   private def promote(i: Int): Unit =
     if (i > 0) cache = cache(i) +: (cache.take(i) ++ cache.drop(i + 1))
 
-  private def reaggregatable(name: String): Boolean =
+  /** Can a wanted measure be re-aggregated to a coarser grain from this
+    * cached frame? Directly-mergeable finished values always; the
+    * quotient accumulators (Avg/StdDev/RatioSum) only when the frame
+    * carries their companion columns — every table THIS board writes
+    * does, but the check keeps an older-layout or hand-written frame
+    * from being served wrong (it falls through to the base scan, which
+    * is always sound).
+    */
+  private def reaggregatableFrom(name: String, cachedColumns: Array[String]): Boolean =
     cubedef.measure(name).agg match {
       case Agg.Sum | Agg.Min | Agg.Max | Agg.Count | Agg.UnionSet |
            Agg.UnionIncludedEmpty => true
+      case Agg.Avg | Agg.StdDev | Agg.Ratio(_, _) =>
+        companionCols(Vector(name)).forall(cachedColumns.contains)
       case _ => false
     }
 
@@ -700,12 +715,18 @@ final class CuttingBoard(
       val setAxesKept = cq.axes
         .filter(a => cubedef.hasLabel(a) && cubedef.label(a).isSet)
         .forall(q.axes.contains)
-      setAxesKept && q.valuesInSlice.nonEmpty &&
+      // a values-less query (the reference's default row count) re-sums
+      // the cached per-group support: __m_n on a value-carrying slice,
+      // the visible "count" on a values-less one — identical values by
+      // construction; the presence check guards older-layout frames
+      val countable = q.valuesInSlice.nonEmpty ||
+        cache(i).df.columns.contains("__m_n") || cache(i).df.columns.contains("count")
+      setAxesKept && countable &&
         q.axes.forall(a => overSlice(a, cq.axes).isDefined) &&
         cq.filters.toSet.subsetOf(q.filters.toSet) &&
         (q.filters.toSet -- cq.filters.toSet).forall(f => overSlice(f.name, cq.axes).isDefined) &&
         q.valuesInSlice.toSet.subsetOf(cq.valuesInSlice.toSet) &&
-        q.valuesInSlice.forall(reaggregatable)
+        q.valuesInSlice.forall(v => reaggregatableFrom(v, cache(i).df.columns))
     }
     if (finerIdx.nonEmpty) {
       val best = finerIdx.minBy(i => (cache(i).cost, i))
@@ -720,16 +741,33 @@ final class CuttingBoard(
         acc.where(FilterOp.compile(f.op, overSlice(f.name, cq.axes).get, f.value))
       }
       val axisCols = q.axes.map(a => overSlice(a, cq.axes).get.as(a))
+      if (q.valuesInSlice.isEmpty) {
+        val src = if (df.columns.contains("__m_n")) "__m_n" else "count"
+        val counted = filtered.groupBy(axisCols: _*).agg(sum(col(src)).as("count"))
+        return Some(finish(counted.select((q.axes :+ "count").map(col): _*), q))
+      }
+      // quotient measures (Avg/StdDev/RatioSum) cannot merge their
+      // finished values — they re-aggregate through the slice's hidden
+      // companion columns and the quotient is rebuilt after the merge
+      // (never avg-of-avgs), same machinery as append/delete maintenance
+      val quotient = q.valuesInSlice.filter(v =>
+        finishedFromCompanions(v, cubedef.measure(v).agg).isDefined)
+      val comps = if (quotient.isEmpty) Seq.empty else companionCols(quotient)
       val aggs = q.valuesInSlice.map { v =>
         (cubedef.measure(v).agg match {
           case Agg.Count => sum(col(v)) // counts add up
           // merging cached flags is any-true, NOT the base-expression
           // size test (the cached column is already boolean)
           case Agg.UnionIncludedEmpty => max(col(v))
+          // quotient placeholders: rebuilt from merged companions below
+          case Agg.Avg | Agg.StdDev | Agg.Ratio(_, _) => first(col(v))
           case other                  => other.compile(col(v))
         }).as(v)
+      } ++ comps.map(cn => sum(col(cn)).as(cn))
+      val merged0 = filtered.groupBy(axisCols: _*).agg(aggs.head, aggs.tail: _*)
+      val merged = quotient.foldLeft(merged0) { (acc, v) =>
+        acc.withColumn(v, finishedFromCompanions(v, cubedef.measure(v).agg).get)
       }
-      val merged = filtered.groupBy(axisCols: _*).agg(aggs.head, aggs.tail: _*)
       return Some(finish(merged.select((q.axes ++ q.values).map(col): _*), q))
     }
 

@@ -74,15 +74,96 @@ class CuttingBoardSpec extends SparkSpec {
     assert(again.collect().length == 3 && board.stats._1 == 1L)
   }
 
-  test("non-reaggregatable measure (Avg) falls back to the base data") {
+  test("quotient measure (Avg) is served coarser through companions, never avg-of-avgs") {
     val board = freshBoard()
     board.slice(CubeQuery().addAxis("k").addAxis("s").addValue("avg_v")).collect()
     val coarse = CubeQuery().addAxis("k").addValue("avg_v")
     val got = board.slice(coarse).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(board.stats == (0L, 2L)) // no unsound reuse
-    assert(got("A") == 7.0 / 3) // true avg over base rows, not avg-of-avgs
+    assert(board.stats == (1L, 1L), "quotient coarsening must be a cache hit")
+    // A rows {1,2,4}: avg-of-avgs over (x: 2.5, y: 2.0) would be 2.25 —
+    // the companion path re-sums Σx and n instead and lands the true avg
+    assert(got("A") == 7.0 / 3 && got("B") == 12.0)
     board.clear()
+  }
+
+  test("quotient coarsening parity: Avg/StdDev/Ratio served from a finer slice match a fresh recompute") {
+    val df = Seq(("A", "x", 1.0, 1.0), ("A", "x", 3.0, 2.0), ("A", "y", 5.0, 1.0),
+      ("B", "x", 8.0, 4.0), ("B", "y", 4.0, 4.0)).toDF("k", "s", "v", "d")
+    val cube = CubeDef(
+      labels = Seq(Label("k"), Label("s")),
+      measures = Seq(
+        Measure("avg_v", col("v"), Agg.Avg),
+        Measure("sd_v", col("v"), Agg.StdDev),
+        Measure("ratio", lit(1), Agg.Ratio(col("v"), col("d"))),
+        Measure("grp", col("d"), Agg.GroupConsistent)))
+    val board = new CuttingBoard(df, cube)
+    val fine = CubeQuery().addAxis("k").addAxis("s").addValue("avg_v")
+      .addValue("sd_v").addValue("ratio")
+    board.slice(fine).collect()
+    val coarse = CubeQuery().addAxis("k").addValue("avg_v").addValue("sd_v")
+      .addValue("ratio")
+    val got = board.slice(coarse).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(board.stats == (1L, 1L), "quotient coarsening must be a cache hit")
+    assert(board.lastServedFrom.contains(fine))
+    val want = Slicer.slice(board.dataset, cube, coarse).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got == want)
+    // A {1,3,5}: avg 3, sample sd 2, ratio 9/4; B {8,4}: avg 6, sd √8, 12/8
+    assert(got("A") == ((3.0, 2.0, 2.25)))
+    assert(got("B") == ((6.0, math.sqrt(8.0), 1.5)))
+    // an extra eq-filter on the dropped axis rides the same reuse path
+    val filteredQ = CubeQuery().addAxis("k").addFilter("s", "x").addValue("avg_v")
+    val gotF = board.slice(filteredQ).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(board.stats == (2L, 1L), "filtered quotient drill must be a cache hit")
+    assert(gotF == Map("A" -> 2.0, "B" -> 8.0))
+    // GroupConsistent still has no mergeable cached form: base recompute
+    val fineGrp = CubeQuery().addAxis("k").addAxis("s").addValue("grp")
+    board.slice(fineGrp).collect()
+    board.slice(CubeQuery().addAxis("k").addValue("grp")).collect()
+    assert(board.stats == (2L, 3L), "group coarsening must NOT be served from cache")
+    board.clear()
+  }
+
+  test("hierarchy widening serves quotient measures (monthly Avg from a day-grained cache)") {
+    val df = Seq(
+      ("2024-01-03", 1.0), ("2024-01-20", 2.0), ("2024-02-03", 4.0),
+      ("2024-02-29", 8.0), ("2024-03-01", 16.0),
+    ).toDF("d", "v").withColumn("d", to_date(col("d")))
+    val cube = CubeDef(
+      labels = DateLabels.hierarchy("d", dim = "t"),
+      measures = Seq(Measure("avg_v", col("v"), Agg.Avg)))
+    val board = new CuttingBoard(df, cube)
+    board.slice(CubeQuery().addAxis("d_day").addValue("avg_v")).collect()
+    val monthly = CubeQuery().addAxis("d_month").addValue("avg_v")
+    val got = board.slice(monthly).collect()
+      .map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
+    assert(board.stats._1 == 1L, "expected a widening cache hit")
+    assert(got == Map("2024-01-01" -> 1.5, "2024-02-01" -> 6.0, "2024-03-01" -> 16.0))
+    board.clear()
+  }
+
+  test("values-less (row-count) query is served coarser from a finer cached slice") {
+    val board = freshBoard()
+    // from a VALUE-CARRYING finer slice: __m_n is the per-group support
+    board.slice(CubeQuery().addAxis("k").addAxis("s").addValue("sum_v")).collect()
+    val counts = board.slice(CubeQuery().addAxis("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(board.stats == (1L, 1L), "row-count coarsening must be a cache hit")
+    assert(counts == Map("A" -> 3L, "B" -> 2L))
+    board.clear()
+    // from a VALUES-LESS finer slice: its visible "count" column re-sums
+    val board2 = freshBoard()
+    board2.slice(CubeQuery().addAxis("k").addAxis("y")).collect()
+    val counts2 = board2.slice(CubeQuery().addAxis("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(board2.stats == (1L, 1L), "count-from-count coarsening must be a cache hit")
+    assert(counts2 == Map("A" -> 3L, "B" -> 2L))
+    board2.clear()
   }
 
   test("pivot query is never served from a cached long slice") {
