@@ -132,6 +132,33 @@ object CharLangId {
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Publish a trained model as a new GENERATION under a managed base
+    * dir — the cross-session serve convention the index tiers use
+    * ([[graft.sources.GenerationPointer]]): the model lands complete in
+    * `baseDir/gen-<n+1>`, then the `_current` pointer flips atomically,
+    * so a concurrent [[loadCurrent]] sees either the old model or the
+    * complete new one, never a half-written dir. A retrain (drift, or a
+    * takedown answered by retraining on the purged corpus) is publish +
+    * [[graft.sources.Sources.retireOldGenerations]] once in-flight
+    * readers drain — the model itself stays a monolithic artifact (no
+    * per-row tombstones; see [[write]]).
+    */
+  def publish(model: Model, baseDir: String): String = {
+    val spark = model.gramLogCounts.sparkSession
+    val n = graft.sources.GenerationPointer.current(spark, baseDir)
+      .flatMap(_.stripPrefix("gen-").toIntOption).getOrElse(-1)
+    val gen = s"gen-${n + 1}"
+    write(model, s"$baseDir/$gen")
+    graft.sources.GenerationPointer.write(spark, baseDir, gen)
+    gen
+  }
+
+  /** Load the generation the `_current` pointer names — throws when the
+    * base dir is unmanaged (a managed reader must not guess).
+    */
+  def loadCurrent(spark: org.apache.spark.sql.SparkSession, baseDir: String): Model =
+    load(spark, graft.sources.GenerationPointer.currentDir(spark, baseDir))
+
   /** Load a [[write]]-persisted model. The lpc table stays a lazy scan
     * (bounded: vocab-sized) — persist it when scoring many batches
     * against one model; the two manifests collect (K rows, ≤ a few

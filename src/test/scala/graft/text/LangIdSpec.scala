@@ -136,6 +136,38 @@ class LangIdSpec extends SparkSpec {
     assert(CharLangId.load(spark, dir).stats.map(_.lang) == Seq("en", "fr"))
   }
 
+  test("publish/loadCurrent: generation pointer serves the newest model; old gens retire") {
+    val train1 = Seq(
+      ("en", "the cat sat on the mat"), ("en", "the dog ate the food"),
+      ("fr", "le chat sur le tapis"), ("fr", "le chien et le chiot"),
+      ("zz", "zzz zaz zzz zuz zzz")).toDF("lang", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-lid-gen").toString
+    // unmanaged dir: a managed reader must refuse, not guess
+    intercept[IllegalStateException] { CharLangId.loadCurrent(spark, base) }
+    assert(CharLangId.publish(CharLangId.train(train1, "text", "lang"), base) == "gen-0")
+    assert(CharLangId.loadCurrent(spark, base).stats.map(_.lang) == Seq("en", "fr", "zz"))
+    // retrain (takedown: zz purged) publishes a NEW generation and flips
+    // the pointer; the old generation's bytes survive until retired
+    val gen2 = CharLangId.publish(
+      CharLangId.train(train1.where($"lang" =!= "zz"), "text", "lang"), base)
+    assert(gen2 == "gen-1")
+    val served = CharLangId.loadCurrent(spark, base)
+    assert(served.stats.map(_.lang) == Seq("en", "fr"))
+    // served == freshly loaded gen dir, id for id
+    val test = (0L until 12L).map(i =>
+      (i, if (i % 2 == 0) s"the cow and the hen $i" else s"le chapeau du chat $i"))
+      .toDF("id", "text")
+    val a = CharLangId.predict(test, "id", "text", served)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val b = CharLangId.predict(test, "id", "text",
+      CharLangId.load(spark, s"$base/gen-1")).orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(new java.io.File(base, "gen-0").exists())
+    val retired = graft.sources.Sources.retireOldGenerations(spark, base)
+    assert(retired == Seq("gen-0") && !new java.io.File(base, "gen-0").exists())
+    assert(CharLangId.loadCurrent(spark, base).stats.map(_.lang) == Seq("en", "fr"))
+  }
+
   test("null labels are ignored; empty vocabulary throws with a clear message") {
     val train = Seq((Some("en"), "the cat"), (None, "dropped row"))
       .toDF("lang", "text")
