@@ -274,18 +274,24 @@ object Relational {
     * Adversarial skew guard: when ALL keys are near-identical, even the
     * rarest prefix grams carry huge posting lists, and a plain gram
     * equi-join lands each hot gram's |L|·|R| work on ONE task. Posting
-    * grams whose document frequency reaches `skewedGramFreq` therefore
-    * join SALTED (the Skew.saltedAgg convention applied to a join):
-    * left postings spread over `saltFan` sub-keys by a deterministic id
-    * hash, right postings replicate `saltFan` ways — identical pairs
-    * out, hot-gram work bounded to ~1/saltFan per task. Cold grams pay
-    * nothing (salt pinned to 0, no replication).
+    * grams therefore join on an ADAPTIVE 2-D GRID (the AQE skew-split
+    * idea applied symmetrically): each gram's fan is sized from its own
+    * measured document frequency — `fan = ⌈freq / skewedGramFreq⌉`
+    * capped at `saltFan` — and both sides split by a deterministic id
+    * hash into `fan` cells while replicating `fan` ways across the
+    * other side's cells, so every (l, r) pair meets exactly once at
+    * cell (h(l), h(r)). Per-task input stays ≈ `skewedGramFreq` posting
+    * rows and per-task verify work ≈ (skewedGramFreq/2)² pairs NO
+    * MATTER how hot the gram — a 200×-threshold monster just gets a
+    * 200-cell-per-side grid (until the `saltFan` cap) instead of one
+    * straggler task. Cold grams (freq < 2×threshold) take fan 1: a
+    * plain join row, no replication, no cost.
     */
   def fuzzyJoin(left: DataFrame, right: DataFrame,
                 leftId: String, leftKey: String,
                 rightId: String, rightKey: String,
                 threshold: Double, gramLen: Int = 3,
-                skewedGramFreq: Long = 5000L, saltFan: Int = 16): DataFrame = {
+                skewedGramFreq: Long = 5000L, saltFan: Int = 64): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     require(gramLen >= 1, s"gramLen must be >= 1, got $gramLen")
@@ -323,17 +329,26 @@ object Relational {
         .select(col(s"__${side}id"), n, col("__p.gram").as("gram"),
           col("__p.freq").as("__gf"))
     }
-    // salted posting join: hot grams (freq >= skewedGramFreq) spread the
-    // left side over saltFan deterministic sub-keys and replicate the
-    // right side; cold grams keep salt 0 / one copy
-    val hot = col("__gf") >= skewedGramFreq
-    val lp = prefix(lg, "l").withColumn("__salt",
-      when(hot, pmod(xxhash64(col("__lid")), lit(saltFan.toLong)))
-        .otherwise(lit(0L)))
-    val rp = prefix(rg, "r").select(col("__rid"), col("__rn"), col("gram"),
-      explode(when(hot, sequence(lit(0L), lit(saltFan.toLong - 1)))
-        .otherwise(array(lit(0L)))).as("__salt"))
-    val cand = lp.join(rp, Seq("gram", "__salt"))
+    // adaptive 2-D grid join: each gram's fan derives from its own
+    // document frequency (identical on both sides — same broadcast freq
+    // table), each side hash-splits its ids into fan cells and
+    // replicates fan ways across the other side's cells; a pair meets
+    // exactly once at (h(l), h(r)). Cold grams take fan 1: plain row.
+    val fanOf = least(
+      greatest(ceil(col("__gf").cast("double") / lit(skewedGramFreq.toDouble))
+        .cast("long"), lit(1L)),
+      lit(saltFan.toLong))
+    val lp = prefix(lg, "l").withColumn("__fan", fanOf)
+      .withColumn("__salt", pmod(xxhash64(col("__lid")), col("__fan")))
+      .withColumn("__rsalt",
+        explode(sequence(lit(0L), col("__fan") - 1)))
+      .drop("__fan", "__gf")
+    val rp = prefix(rg, "r").withColumn("__fan", fanOf)
+      .withColumn("__rsalt", pmod(xxhash64(col("__rid")), col("__fan")))
+      .withColumn("__salt",
+        explode(sequence(lit(0L), col("__fan") - 1)))
+      .drop("__fan", "__gf")
+    val cand = lp.join(rp, Seq("gram", "__salt", "__rsalt"))
       .where(col("__rn") >= ceil(col("__ln") * lit(threshold)) &&
         col("__ln") >= ceil(col("__rn") * lit(threshold)))
       .select(col("__lid"), col("__rid")).distinct()

@@ -287,21 +287,55 @@ class RelationalSpec extends SparkSpec {
     } yield (li, 10000L + ri, math.rint(j * 1e6) / 1e6)).toSet
     assert(got == want)
     assert(want.size >= 2000 * 4) // each key matches its 4+4 class-mates
-    // the candidate join really is salted: the physical plan joins on
-    // (gram, salt), and the deterministic id hash spreads any hot
-    // gram's left postings across all 8 salt cells with no cell holding
-    // a straggler share (hash balance over 2000 ids)
+    // the candidate join really is grid-salted: the physical plan joins
+    // on (gram, salt, rsalt), and the deterministic id hash spreads any
+    // hot gram's postings across all 8 cells per side with no cell
+    // holding a straggler share (hash balance over 2000 ids)
     val plan = Relational.fuzzyJoin(ls.toDF("lid", "lname"),
       rs.toDF("rid", "rname"), "lid", "lname", "rid", "rname", 0.9,
       skewedGramFreq = 100L, saltFan = 8)
       .queryExecution.optimizedPlan.toString
-    assert(plan.contains("__salt"), plan.take(2000))
+    assert(plan.contains("__salt") && plan.contains("__rsalt"), plan.take(2000))
     val cells = ls.toDF("lid", "lname")
       .select(pmod(xxhash64(col("lid")), lit(8L)).as("c"))
       .groupBy("c").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cells.keySet == (0L until 8L).toSet)
     assert(cells.values.max <= 2 * cells.values.min,
       s"salt cells unbalanced: $cells")
+    // adaptive fan: UNCAPPED (saltFan past the need), the per-gram grid
+    // sizes itself from the measured freq instead of the cap, and the
+    // result must still be the exact pair set — each pair met exactly
+    // once at (h(l), h(r)), no duplicates, no drops
+    val adaptive = Relational.fuzzyJoin(ls.toDF("lid", "lname"),
+      rs.toDF("rid", "rname"), "lid", "lname", "rid", "rname", 0.9,
+      skewedGramFreq = 100L, saltFan = 1024)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(adaptive == want)
+  }
+
+  test("fuzzyJoin grid salt at maximum pressure: every gram fanned, still the exact pair set") {
+    // skewedGramFreq=1 forces EVERY gram to its full adaptive fan — the
+    // degenerate all-cells case where an off-by-one in the grid (wrong
+    // meet cell, double replication) would duplicate or drop pairs
+    val l = Seq((1L, "alpha beta"), (2L, "alpha betx"), (3L, "gamma delta"),
+      (4L, "unrelated")).toDF("lid", "lname")
+    val r = Seq((10L, "alpha beta"), (11L, "gamma delta"), (12L, "alpha bety"))
+      .toDF("rid", "rname")
+    def grams(s: String): Set[String] =
+      if (s.length < 3) Set(s.toLowerCase) else s.toLowerCase.sliding(3).toSet
+    val want = (for {
+      (li, lk) <- Seq((1L, "alpha beta"), (2L, "alpha betx"), (3L, "gamma delta"),
+        (4L, "unrelated"))
+      (ri, rk) <- Seq((10L, "alpha beta"), (11L, "gamma delta"), (12L, "alpha bety"))
+      lg = grams(lk); rg = grams(rk)
+      inter = (lg & rg).size.toDouble
+      j = inter / (lg.size + rg.size - inter)
+      if j >= 0.5
+    } yield (li, ri, math.rint(j * 1e6) / 1e6)).toSet
+    val got = Relational.fuzzyJoin(l, r, "lid", "lname", "rid", "rname", 0.5,
+      skewedGramFreq = 1L, saltFan = 7)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(got == want, s"got $got want $want")
   }
 
   test("fuzzyJoin: empty keys never match (no J=1.0 empty-empty pairs, no \"\" posting hotspot)") {
