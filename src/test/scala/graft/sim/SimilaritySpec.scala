@@ -736,6 +736,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnLabelIndexed recall sweep: label agreement vs brute at narrowing probes; shipped settings >= 0.95") {
+    // the e02/e03 recall@k harness applied to LABELS: 600 seeds (well
+    // past a comfortable literal, the size knnLabelIndexed exists for —
+    // brute still runs here as the baseline), 300 queries, four blobs;
+    // quantifies the nProbe/candidates trade the scaladoc documents
+    val rnd = new scala.util.Random(17)
+    val labels = Vector("a", "b", "c", "d")
+    def base(l: Int) = Array.tabulate(8)(j =>
+      if (j == 2 * l || j == 2 * l + 1) 1.0f else 0.0f)
+    // heavy overlap on purpose: with clean blobs every probe width
+    // scores 1.0 and the sweep quantifies nothing — at 0.45σ the blobs
+    // interleave enough that a 1-of-24-cell probe visibly loses
+    // neighbors while the shipped defaults stay above the bar
+    def jitter(b: Array[Float]): Seq[Float] =
+      b.map(x => x + rnd.nextGaussian().toFloat * 0.45f).toSeq
+    val seeds = (0L until 600L).map { i =>
+      val l = (i % 4).toInt; (i, jitter(base(l)), labels(l))
+    }.toDF("sid", "sv", "sl")
+    val corpus = (1000L until 1300L).map { i =>
+      (i, jitter(base((i % 4).toInt)))
+    }.toDF("id", "v")
+    val idx = PqIndex.build(seeds, "sid", "sv",
+      m = 4, codesPerSub = 16, numCentroids = 24, iters = 3)
+    val brute = Similarity.knnLabel(corpus, "id", "v", seeds,
+      "sid", "sv", "sl", k = 5).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def agree(nProbe: Int, candidates: Int): Double = {
+      val got = Similarity.knnLabelIndexed(corpus, "id", "v", idx, seeds,
+        "sid", "sv", "sl", k = 5, nProbe = nProbe, candidates = candidates)
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      brute.count { case (id, l) => got(id).contains(l) }.toDouble / brute.size
+    }
+    val narrow = agree(1, 8)
+    val shipped = agree(4, 64)
+    val full = agree(24, 600)
+    info(f"label agreement vs brute: nProbe=1/c=8 $narrow%.4f, " +
+      f"nProbe=4/c=64 $shipped%.4f, full $full%.4f (300 queries, 600 seeds)")
+    assert(full == 1.0, f"full probe + all candidates must equal brute, got $full%.4f")
+    assert(shipped >= 0.95, f"shipped-default agreement $shipped%.4f < 0.95")
+    assert(narrow >= 0.5, f"even the narrowest probe should beat chance: $narrow%.4f")
+  }
+
   test("knnLabelIndexed never drops a corpus row: empty probed cells yield NULL, 0") {
     // two far-apart seed clusters; tombstone the whole "b" cluster in
     // the written index — a "b"-side corpus row probing ONE cell then
