@@ -716,11 +716,16 @@ final class CuttingBoard(
         .filter(a => cubedef.hasLabel(a) && cubedef.label(a).isSet)
         .forall(q.axes.contains)
       // a values-less query (the reference's default row count) re-sums
-      // the cached per-group support: __m_n on a value-carrying slice,
-      // the visible "count" on a values-less one — identical values by
-      // construction; the presence check guards older-layout frames
+      // the cached per-group __m_n support — present on EVERY frame this
+      // board holds (materialization always rides companionAggs, reload
+      // requires companionCols ⊆ columns); the check guards older-layout
+      // frames, which fall through to the (always sound) base scan. The
+      // visible "count" of a values-less slice is NOT an alternative
+      // source: a frame without __m_n could carry a user measure merely
+      // NAMED count, and summing it would serve an arbitrary sum as a
+      // row count.
       val countable = q.valuesInSlice.nonEmpty ||
-        cache(i).df.columns.contains("__m_n") || cache(i).df.columns.contains("count")
+        cache(i).df.columns.contains("__m_n")
       setAxesKept && countable &&
         q.axes.forall(a => overSlice(a, cq.axes).isDefined) &&
         cq.filters.toSet.subsetOf(q.filters.toSet) &&
@@ -742,8 +747,8 @@ final class CuttingBoard(
       }
       val axisCols = q.axes.map(a => overSlice(a, cq.axes).get.as(a))
       if (q.valuesInSlice.isEmpty) {
-        val src = if (df.columns.contains("__m_n")) "__m_n" else "count"
-        val counted = filtered.groupBy(axisCols: _*).agg(sum(col(src)).as("count"))
+        val counted = filtered.groupBy(axisCols: _*)
+          .agg(sum(col("__m_n")).as("count"))
         return Some(finish(counted.select((q.axes :+ "count").map(col): _*), q))
       }
       // quotient measures (Avg/StdDev/RatioSum) cannot merge their

@@ -284,8 +284,10 @@ object Relational {
     * rows and per-task verify work ≈ (skewedGramFreq/2)² pairs NO
     * MATTER how hot the gram — a 200×-threshold monster just gets a
     * 200-cell-per-side grid (until the `saltFan` cap) instead of one
-    * straggler task. Cold grams (freq < 2×threshold) take fan 1: a
-    * plain join row, no replication, no cost.
+    * straggler task. Cold grams (freq ≤ skewedGramFreq, so
+    * ⌈freq/skewedGramFreq⌉ = 1) take fan 1: a plain join row, no
+    * replication, no cost; just past the threshold fan is 2 (each
+    * posting row duplicated twice per side).
     */
   def fuzzyJoin(left: DataFrame, right: DataFrame,
                 leftId: String, leftKey: String,

@@ -145,9 +145,26 @@ object CharLangId {
     */
   def publish(model: Model, baseDir: String): String = {
     val spark = model.gramLogCounts.sparkSession
+    // a pointer that is not gen-<int> is foreign/torn state: refuse (the
+    // compactManaged convention) rather than silently writing gen-0 over
+    // history — retireOldGenerations is the ONLY sanctioned delete
     val n = graft.sources.GenerationPointer.current(spark, baseDir)
-      .flatMap(_.stripPrefix("gen-").toIntOption).getOrElse(-1)
+      .map { g =>
+        g.stripPrefix("gen-").toIntOption.filter(_ => g.startsWith("gen-"))
+          .getOrElse(throw new IllegalStateException(
+            s"unrecognized generation '$g' at $baseDir/_current — not gen-<n>"))
+      }.getOrElse(-1)
     val gen = s"gen-${n + 1}"
+    // never overwrite an existing generation dir: a concurrent publisher
+    // that read the same pointer would otherwise delete parquet files a
+    // reader of the just-flipped pointer is already scanning — the torn
+    // state the pointer protocol exists to prevent. Publishers must
+    // serialize (the lost race retries and lands on the next n).
+    val genPath = new org.apache.hadoop.fs.Path(s"$baseDir/$gen")
+    val fs = genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(genPath)) throw new IllegalStateException(
+      s"generation dir $genPath already exists (concurrent publish?) — " +
+        "re-read the pointer and retry")
     write(model, s"$baseDir/$gen")
     graft.sources.GenerationPointer.write(spark, baseDir, gen)
     gen

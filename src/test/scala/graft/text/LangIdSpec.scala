@@ -166,6 +166,18 @@ class LangIdSpec extends SparkSpec {
     val retired = graft.sources.Sources.retireOldGenerations(spark, base)
     assert(retired == Seq("gen-0") && !new java.io.File(base, "gen-0").exists())
     assert(CharLangId.loadCurrent(spark, base).stats.map(_.lang) == Seq("en", "fr"))
+    // a foreign/torn pointer refuses instead of silently overwriting
+    // gen-0 (the only sanctioned delete is retireOldGenerations)
+    val m = CharLangId.train(train1, "text", "lang")
+    graft.sources.GenerationPointer.write(spark, base, "v2-final")
+    intercept[IllegalStateException] { CharLangId.publish(m, base) }
+    // a lost publish race (pointer behind an existing gen dir) refuses
+    // rather than overwrite files a reader may be scanning
+    graft.sources.GenerationPointer.write(spark, base, "gen-0")
+    intercept[IllegalStateException] { CharLangId.publish(m, base) }
+    // both refusals left the served generation intact
+    graft.sources.GenerationPointer.write(spark, base, "gen-1")
+    assert(CharLangId.loadCurrent(spark, base).stats.map(_.lang) == Seq("en", "fr"))
   }
 
   test("null labels are ignored; empty vocabulary throws with a clear message") {
