@@ -629,6 +629,36 @@ class CuttingBoardSpec extends SparkSpec {
     b1.clear(); b2.clear(); b3.clear()
   }
 
+  test("quotient coarsening works over a warehouse-RELOADED slice (companions survive parquet)") {
+    // the companion columns ride the persisted table, so a brand-new
+    // board (fresh JVM in production) serves coarser Avg/StdDev/Ratio
+    // queries from the reloaded finer slice without a base rescan
+    val dir = java.nio.file.Files.createTempDirectory("graft-wh-quot").toString
+    val df = Seq(("A", "x", 1.0, 1.0), ("A", "x", 3.0, 2.0), ("A", "y", 5.0, 1.0),
+      ("B", "x", 8.0, 4.0), ("B", "y", 4.0, 4.0)).toDF("k", "s", "v", "d")
+    val cube = CubeDef(
+      labels = Seq(Label("k"), Label("s")),
+      measures = Seq(
+        Measure("avg_v", col("v"), Agg.Avg),
+        Measure("sd_v", col("v"), Agg.StdDev),
+        Measure("ratio", lit(1), Agg.Ratio(col("v"), col("d")))))
+    val fine = CubeQuery().addAxis("k").addAxis("s").addValue("avg_v")
+      .addValue("sd_v").addValue("ratio")
+    val b1 = new CuttingBoard(df, cube, warehouseDir = Some(dir))
+    b1.slice(fine).collect()
+    val b2 = new CuttingBoard(df, cube, warehouseDir = Some(dir))
+    val coarse = CubeQuery().addAxis("k").addValue("avg_v").addValue("sd_v")
+      .addValue("ratio")
+    val got = b2.slice(coarse).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(b2.stats == (1L, 0L), "reloaded quotient slice must serve the coarse query")
+    assert(b2.lastServedFrom.map(_.axes).contains(Vector("k", "s")))
+    assert(got("A") == ((3.0, 2.0, 2.25)))
+    assert(got("B") == ((6.0, math.sqrt(8.0), 1.5)))
+    b1.clear(); b2.clear()
+  }
+
   test("warehouse GC evicts the least-recently-served cold slice past maxWarehouseSlices") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wh-gc").toString
     val df = Seq(("A", "x", 2020, 1.0), ("B", "y", 2021, 8.0)).toDF("k", "s", "y", "v")
