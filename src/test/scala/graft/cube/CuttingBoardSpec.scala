@@ -129,6 +129,23 @@ class CuttingBoardSpec extends SparkSpec {
     board.clear()
   }
 
+  test("invisible quotient value rides strategy-2: accumulated in the merge, hidden from the output") {
+    val board = freshBoard()
+    board.slice(CubeQuery().addAxis("k").addAxis("s").addValue("avg_v")
+      .addValue("n")).collect()
+    // coarser query keeps avg_v INVISIBLE: it must still re-aggregate
+    // through the companions (it is in valuesInSlice) but the served
+    // frame shows only the visible columns
+    val coarse = CubeQuery().addAxis("k").addValue("avg_v", visible = false)
+      .addValue("n")
+    val out = board.slice(coarse)
+    assert(out.columns.toSeq == Seq("k", "n"))
+    val got = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(board.stats == (1L, 1L), "invisible-quotient coarsening must be a cache hit")
+    assert(got == Map("A" -> 3L, "B" -> 2L))
+    board.clear()
+  }
+
   test("hierarchy widening serves quotient measures (monthly Avg from a day-grained cache)") {
     val df = Seq(
       ("2024-01-03", 1.0), ("2024-01-20", 2.0), ("2024-02-03", 4.0),
