@@ -87,22 +87,26 @@ final class PqIndex private[sim] (val centroids: DataFrame,
 
   /** Batch ADC search — a QUERY FRAME against the index, the
     * [[IvfIndex.search]] contract on compressed codes. Per-query LUT
-    * literals (the single-query path) cannot scale to a frame, so the
-    * ADC distance is computed INLINE where the cell equi-join
-    * co-locates a query's residual with a code row: the m·k codebooks
-    * travel as ONE constant literal (m·k·dsub floats — structure-sized,
-    * never data- or query-sized), and each pair row evaluates
-    * Σ_s ‖qr_sub(s) − codebook(s, codes[s])‖² by slicing its own
-    * residual — m·dsub multiplies per pair instead of m lookups, in
-    * exchange for no per-query driver work at all.
+    * literals (the single-query path) cannot scale to a frame, so each
+    * probe ROW builds its own lookup table where the data still lives
+    * distributed: the m·k codebooks travel as ONE constant literal
+    * (m·k·dsub floats — structure-sized, never data- or query-sized),
+    * and every (query, probed cell) row materializes
+    * lut[s][c] = ‖qr_sub(s) − codebook(s, c)‖² ONCE — the classic ADC
+    * discipline (Jégou et al. 2011 §V.A). Pair rows then pay m
+    * element_at lookups + a sum, not m·dsub multiplies: the residual
+    * arithmetic runs |queries|·nProbe times instead of once per
+    * (probe × cell-occupancy) pair — a ~cell-size reduction in
+    * floating-point work, with bit-identical d2 (the per-subspace
+    * accumulation order is unchanged, the hoist only changes WHERE it
+    * runs).
     *
     * Shape: probes = |queries|·nProbe slim rows carrying the query's
-    * per-cell residual (the one vector-width column, the
-    * [[IvfIndex.search]] discipline); the cell equi-join meets only the
-    * probed cells' codes; pair rows are (id1, id2, d2) after the
-    * aggregate. Returns the per-query ADC top-k — compose an exact
-    * rerank over the survivors when fine ranking matters (the
-    * [[search]] split).
+    * per-cell LUT (m·k floats — comparable to the residual it
+    * replaces); the cell equi-join meets only the probed cells' codes;
+    * pair rows are (id1, id2, d2) after the lookup-sum. Returns the
+    * per-query ADC top-k — compose an exact rerank over the survivors
+    * when fine ranking matters (the [[search]] split).
     */
   def searchBatch(queries: DataFrame, idCol: String, vecCol: String,
                   k: Int, nProbe: Int = 4,
@@ -125,18 +129,23 @@ final class PqIndex private[sim] (val centroids: DataFrame,
           .otherwise(col("v")))
       .withColumn("nrm", Similarity.norm(col("v")))
     // per-(query, probed cell) residual: the nProbe cell ranking plus one
-    // broadcast centroid join — |queries|·nProbe rows, each with its qr
+    // broadcast centroid join — |queries|·nProbe rows. The LUT projection
+    // sits BELOW the cell equi-join (computed once per probe row, reused
+    // across every code row the join matches), which is the whole point
+    // of the hoist — Catalyst never collapses a Project through a Join,
+    // so the placement is stable.
+    val qr = zip_with(col("v"), col("__ccv"), (a, b) => a - b)
     val probes = Similarity.rankCentroids(q, centroids, nProbe).join(q, "id")
       .join(broadcast(centroids.select(col("cid"), col("cv").as("__ccv"))), Seq("cid"))
       .select(col("id").as("id1"), col("cid"),
-        zip_with(col("v"), col("__ccv"), (a, b) => a - b).as("qr"))
+        transform(bookLit, (bs, s) => transform(bs, bv =>
+          aggregate(
+            zip_with(slice(qr, s * dsub + 1, lit(dsub)), bv,
+              (a, b) => (a - b) * (a - b)),
+            lit(0.0f), (acc, x) => acc + x))).as("lut"))
     val idCond = if (excludeSelf) col("id1") =!= col("id2") else lit(true)
     val contrib = transform(col("codes"), (c, s) =>
-      aggregate(
-        zip_with(slice(col("qr"), s * dsub + 1, lit(dsub)),
-          element_at(element_at(bookLit, s + 1), c),
-          (a, b) => (a - b) * (a - b)),
-        lit(0.0f), (acc, x) => acc + x))
+      element_at(element_at(col("lut"), s + 1), c))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id1")).orderBy(col("d2").asc, col("id2").asc)
     probes.join(codes.withColumnRenamed("id", "id2"), Seq("cid"))
