@@ -50,6 +50,19 @@ import org.apache.spark.storage.StorageLevel
   * still in the in-memory cache are never deleted — the persisted frame
   * re-reads those files on block eviction — they count toward the
   * budget but only cold tables are evictable.
+  *
+  * Warehouse concurrency: READERS are always safe — tables land
+  * temp-then-swap and manifests rename atomically, so a second board's
+  * reload (or a persisted frame's lazy re-read) sees a complete old or
+  * complete new table, never a torn one. WRITERS within one JVM are
+  * safe too: every filesystem mutation of a warehouse serializes on a
+  * JVM-wide lock keyed by the dir's canonical path
+  * ([[CuttingBoard.warehouseWriteLock]]), so two boards sharing a
+  * warehouseDir cannot interleave a temp-dir clobber or a delete
+  * mid-swap. ACROSS processes the contract is single-writer: two
+  * writer PROCESSES on one warehouse are unguarded (as with any
+  * filesystem-backed materialized-view store without a lock service) —
+  * run one writing board per warehouse and any number of readers.
   */
 final class CuttingBoard(
     initialDataset: DataFrame,
@@ -194,6 +207,41 @@ final class CuttingBoard(
             } else Slicer.slice(base, cubedef, q)
           }
         }
+    }
+  }
+
+  /** [[slice]] plus post-aggregation MEASURE predicates — the HAVING
+    * face of the board (the §2.33 post-agg filter composed WITH the
+    * reuse strategies instead of applied to a raw Slicer pass). Each
+    * `having` term names a visible measure of `q` (or "count" on a
+    * values-less query) and evaluates on the FINISHED served frame —
+    * after cache serving, strategy-2 re-aggregation, hierarchy widening
+    * and quotient rebuild — so a coarse HAVING query over an
+    * Avg/StdDev/RatioSum measure is answered from a finer cached slice
+    * through the companion columns at re-aggregation cost, never a base
+    * rescan (previously only quotient VALUES served; a filter on one
+    * recomputed). The underlying predicate-free query is what the cache
+    * keys on, so ONE materialization serves every HAVING variant over
+    * it — the right cache economics: measure thresholds vary per
+    * dashboard interaction, the grouped slice does not.
+    *
+    * limit/offset are refused here: [[slice]] applies them before this
+    * predicate could run (not HAVING semantics) — order and limit on
+    * the returned frame instead.
+    */
+  def sliceHaving(q: CubeQuery, having: Seq[Filter]): DataFrame = {
+    require(q.limit.isEmpty && q.offset.isEmpty,
+      "sliceHaving: limit/offset would apply BEFORE the measure " +
+        "predicate — compose them on the returned frame")
+    having.foreach { f =>
+      val ok =
+        if (q.valuesInSlice.isEmpty) f.name == "count"
+        else q.values.contains(f.name)
+      require(ok, s"sliceHaving: '${f.name}' is not a visible measure of " +
+        "this query (HAVING terms evaluate on the finished slice output)")
+    }
+    having.foldLeft(slice(q)) { (acc, f) =>
+      acc.where(FilterOp.compile(f.op, col(f.name), f.value))
     }
   }
 
@@ -465,7 +513,7 @@ final class CuttingBoard(
     */
   private def materialize(q: CubeQuery, computed: DataFrame): (DataFrame, Long) =
     warehouseDir match {
-      case Some(dir) =>
+      case Some(dir) => CuttingBoard.warehouseWriteLock(dir).synchronized {
         val fp = fingerprint(q)
         val tmp = new java.io.File(dir, s".slice_$fp.tmp")
         val dst = new java.io.File(dir, s"slice_$fp")
@@ -479,6 +527,7 @@ final class CuttingBoard(
         writeManifest(dir, fp, s"${UrlQueryBuilder.toUrlString(q, cubedef)}\n$n\n${clock()}\n")
         touchManifest(fp) // GC recency from the injectable clock, not FS time
         (reread, n)
+      }
       case None =>
         val p = computed.persist(storageLevel)
         (p, p.count())
@@ -504,6 +553,10 @@ final class CuttingBoard(
     */
   private def gcWarehouse(): Unit = warehouseDir.foreach { dir =>
     if (maxWarehouseSlices == Int.MaxValue && maxWarehouseBytes == Long.MaxValue) return
+    CuttingBoard.warehouseWriteLock(dir).synchronized { gcWarehouseLocked(dir) }
+  }
+
+  private def gcWarehouseLocked(dir: String): Unit = {
     val pinned = cache.map(c => fingerprint(c.q)).toSet
     def entries = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.startsWith("slice_") && f.getName.endsWith(".manifest"))
@@ -533,10 +586,12 @@ final class CuttingBoard(
     * not resurrect on reload — e.g. made stale by `append`).
     */
   private def dropPersisted(q: CubeQuery): Unit = warehouseDir.foreach { dir =>
-    val fp = fingerprint(q)
-    deleteRecursively(new java.io.File(dir, s"slice_$fp"))
-    new java.io.File(dir, s"slice_$fp.manifest").delete()
-    ()
+    CuttingBoard.warehouseWriteLock(dir).synchronized {
+      val fp = fingerprint(q)
+      deleteRecursively(new java.io.File(dir, s"slice_$fp"))
+      new java.io.File(dir, s"slice_$fp.manifest").delete()
+      ()
+    }
   }
 
   /** Atomic manifest write: temp name + rename, so a writer crashing
@@ -587,9 +642,11 @@ final class CuttingBoard(
 
   /** Delete every persisted slice table + manifest in the warehouse. */
   private def purgePersisted(): Unit = warehouseDir.foreach { dir =>
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.getName.startsWith("slice_") || f.getName.startsWith(".slice_"))
-      .foreach(deleteRecursively)
+    CuttingBoard.warehouseWriteLock(dir).synchronized {
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith("slice_") || f.getName.startsWith(".slice_"))
+        .foreach(deleteRecursively)
+    }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -679,14 +736,18 @@ final class CuttingBoard(
       promote(exact)
       val c = cache.head
       lastServedFrom = Some(c.q)
-      // a values-less query's slice is the synthetic row count: its own
-      // "count" column, or — when the exact match is a value-carrying
-      // slice (∅ ⊆ anything) — the __m_n companion, which IS count(*)
-      // at the same (axes, filters). Otherwise the visible values;
-      // companions never leave here.
+      // a values-less query's slice is the synthetic row count: a
+      // values-less CACHED slice's own "count" column, or — when the
+      // exact match is a value-carrying slice (∅ ⊆ anything) — the
+      // __m_n companion, which IS count(*) at the same (axes, filters).
+      // The dispatch keys on the cached QUERY's shape, never on column
+      // presence: a value-carrying slice whose user measure is merely
+      // NAMED "count" (Sum of an arbitrary column) must not be served
+      // as a row count (strategy-2's rule, applied here too). Otherwise
+      // the visible values; companions never leave here.
       val served: Seq[org.apache.spark.sql.Column] =
         if (q.valuesInSlice.isEmpty)
-          q.axes.map(col) :+ (if (c.df.columns.contains("count")) col("count")
+          q.axes.map(col) :+ (if (c.q.valuesInSlice.isEmpty) col("count")
             else col("__m_n").as("count"))
         else (q.axes ++ q.values).map(col)
       return Some(finish(c.df.select(served: _*), q))
@@ -798,4 +859,23 @@ final class CuttingBoard(
     cache = Vector.empty
     lastServedFrom = None
   }
+}
+
+object CuttingBoard {
+  /** JVM-wide per-warehouse write locks (canonical path → monitor):
+    * every filesystem MUTATION of a warehouse — slice-table
+    * temp-then-swap, manifest write, eviction delete, purge, GC —
+    * serializes here, so two boards sharing one warehouseDir in the
+    * same JVM can never interleave a temp-dir clobber or a delete
+    * mid-swap. Lock ordering: this is the INNERMOST lock (taken under
+    * the board lock or a per-query compute lock, never the reverse),
+    * so no cycle is possible. Cross-process write safety is the
+    * documented single-writer contract (see the class scaladoc).
+    */
+  private val warehouseWriteLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def warehouseWriteLock(dir: String): Object =
+    warehouseWriteLocks.computeIfAbsent(
+      new java.io.File(dir).getCanonicalPath, _ => new Object)
 }

@@ -395,20 +395,75 @@ object Dedup {
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     graft.functions.VectorFunctions.minhash(shingles, numHashes)
 
+  /** Adaptive 2-D grid salt for a banded SELF-join — the
+    * [[graft.ops.Relational.fuzzyJoin]] grid convention applied to
+    * dedup band buckets: per-bucket frequency is measured (one slim
+    * aggregation; only buckets PAST `hotFreq` survive into the
+    * broadcast, so the fan table is bounded by n/hotFreq entries), each
+    * hot bucket splits both join sides into `fan = ⌈freq/hotFreq⌉`
+    * id-hash cells (capped at `saltFan`) while replicating `fan` ways
+    * across the other side's cells, and every (a, b) pair meets exactly
+    * once at cell (h(a), h(b)). Per-task input stays ≈ `hotFreq` banded
+    * rows no matter how hot a bucket gets — the adversarial corpus
+    * where one band bucket concentrates (all-near-identical docs, or a
+    * constant dHash) becomes a fan²-cell grid instead of one quadratic
+    * straggler task. Cold buckets (the entire corpus in the benign
+    * case) take fan 1: a plain join row, no replication. The same
+    * shuffle-volume trade as fuzzyJoin's grid applies: a hot bucket's
+    * rows replicate up to `saltFan`× per side — bounded balance bought
+    * with bounded duplication.
+    *
+    * Returns the two sides to equi-join on `keyCols ++ (__salt,
+    * __rsalt)`; callers keep their own pair predicates (id ordering,
+    * first-agreeing-table, verify-inline).
+    */
+  private def gridSaltedSides(banded: DataFrame, idCol: String,
+                              keyCols: Seq[String], hotFreq: Long,
+                              saltFan: Int): (DataFrame, DataFrame) = {
+    val hot = banded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__bf")).where(col("__bf") > hotFreq)
+    val fanOf = least(
+      greatest(ceil(col("__bf").cast("double") / lit(hotFreq.toDouble))
+        .cast("long"), lit(1L)),
+      lit(saltFan.toLong))
+    val withFan = banded.join(broadcast(hot), keyCols, "left")
+      .withColumn("__fan", coalesce(fanOf, lit(1L))).drop("__bf")
+    val aSide = withFan
+      .withColumn("__salt", pmod(xxhash64(col(idCol)), col("__fan")))
+      .withColumn("__rsalt", explode(sequence(lit(0L), col("__fan") - 1)))
+      .drop("__fan")
+    val bSide = withFan
+      .withColumn("__rsalt", pmod(xxhash64(col(idCol)), col("__fan")))
+      .withColumn("__salt", explode(sequence(lit(0L), col("__fan") - 1)))
+      .drop("__fan")
+    (aSide, bSide)
+  }
+
   /** MinHash + LSH candidate pairs, verified by true Jaccard.
     *
     * bands × rowsPerBand = numHashes. Docs collide in a bucket iff one
     * band of their signatures matches exactly; candidates are then
     * verified with exact shingle Jaccard. The shuffle key is
     * (band, bandHash) — tiny — and the verify join only touches
-    * candidate ids.
+    * candidate ids. Hot band buckets (≥ `skewedBucketFreq` members —
+    * the adversarial all-near-identical corpus) join through the
+    * measured 2-D grid salt ([[gridSaltedSides]]) so no single bucket
+    * lands its f²/2 candidate pairs on one task.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      skewedBucketFreq: Long = 5000L,
+                      saltFan: Int = 64): DataFrame = {
+    require(skewedBucketFreq >= 1 && saltFan >= 1,
+      s"skewedBucketFreq/saltFan must be >= 1, got $skewedBucketFreq/$saltFan")
     val rows = numHashes / bands
+    // checkpointed: the signature/shingle pass feeds the frequency scan,
+    // both grid sides AND the verify join — without the cut Spark would
+    // recompute the shingling per consumer
     val withSig = df.select(col(idCol).as("id"), shingleSet(col(textCol), k).as("shingles"))
       .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      .localCheckpoint(false)
 
     // The band explode carries ONLY (id, band, bucket) into the bucket
     // join — shingle arrays must not ride through it, or every doc's full
@@ -422,9 +477,13 @@ object Dedup {
           xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))).as("bucket")))).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
 
-    val a = banded.alias("a"); val b = banded.alias("b")
+    val (aS, bS) = gridSaltedSides(banded, "id", Seq("band", "bucket"),
+      skewedBucketFreq, saltFan)
+    val a = aS.alias("a"); val b = bS.alias("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.__salt") === col("b.__salt") &&
+          col("a.__rsalt") === col("b.__rsalt") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .dropDuplicates("id1", "id2")
@@ -938,21 +997,37 @@ object Dedup {
     * leave the join stage (random band collisions die inline, the same
     * restructure the ANN rerank got). NULL hashes (e.g. undecodable
     * images) drop out.
+    *
+    * Hot band buckets — a constant or near-constant hash across a large
+    * corpus fraction (every scan of one image, boilerplate text) — join
+    * through the measured 2-D grid salt ([[gridSaltedSides]], threshold
+    * `skewedBandFreq`), so the inline verify work spreads across
+    * fan²-cell tasks instead of one quadratic straggler.
     */
   def hammingPairs64(df: DataFrame, idCol: String, hashCol: String,
-                     maxHamming: Int = 3, wide: Boolean = false): DataFrame = {
+                     maxHamming: Int = 3, wide: Boolean = false,
+                     skewedBandFreq: Long = 5000L,
+                     saltFan: Int = 64): DataFrame = {
     // Both schemes are only complete for ≤3 differing bits; a larger
     // radius would silently drop pairs spread across all bands/blocks.
     require(maxHamming >= 0 && maxHamming <= 3,
       s"hammingPairs64 supports maxHamming in [0,3] (pigeonhole banding), got $maxHamming")
+    require(skewedBandFreq >= 1 && saltFan >= 1,
+      s"skewedBandFreq/saltFan must be >= 1, got $skewedBandFreq/$saltFan")
     val (tables, tableKey) = hammingBanding(wide)
+    // checkpointed: the (possibly expensive — image decode) hash pass
+    // feeds the frequency scan and both grid sides; without the cut it
+    // would recompute per consumer
     val hashed = df.select(col(idCol).as("id"), col(hashCol).as("sh"))
       .where(col("sh").isNotNull)
+      .localCheckpoint(false)
     val banded = hashed.select(col("id"), col("sh"),
       explode(array(tables.indices.map(t =>
         struct(lit(t).as("t"), tableKey(col("sh"), t).as("band"))): _*)).as("tb"))
       .select(col("id"), col("sh"), col("tb.t"), col("tb.band"))
-    val a = banded.alias("a"); val b = banded.alias("b")
+    val (aS, bS) = gridSaltedSides(banded, "id", Seq("t", "band"),
+      skewedBandFreq, saltFan)
+    val a = aS.alias("a"); val b = bS.alias("b")
     // the first table on which this pair's keys agree — a function of
     // the two hashes, so each qualifying pair survives exactly one t
     val firstAgree = tables.indices.reverse.foldLeft(lit(tables.size): Column) {
@@ -961,6 +1036,8 @@ object Dedup {
           .otherwise(rest)
     }
     a.join(b, col("a.t") === col("b.t") && col("a.band") === col("b.band") &&
+        col("a.__salt") === col("b.__salt") &&
+        col("a.__rsalt") === col("b.__rsalt") &&
         col("a.id") < col("b.id") && col("a.t") === firstAgree &&
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming)
       .select(col("a.id").as("id1"), col("b.id").as("id2"),

@@ -288,6 +288,17 @@ object Relational {
     * ⌈freq/skewedGramFreq⌉ = 1) take fan 1: a plain join row, no
     * replication, no cost; just past the threshold fan is 2 (each
     * posting row duplicated twice per side).
+    *
+    * The trade the grid buys balance with: BOTH sides replicate `fan`
+    * ways, so a hot gram's shuffled posting volume grows as freq·fan ≈
+    * freq²/skewedGramFreq until the `saltFan` cap — up to saltFan×
+    * replication of a huge posting list per side. That is the standard
+    * symmetric-skew-join cost (the pairs genuinely number |L|·|R|; the
+    * grid only chooses to pay them as bounded shuffle volume instead of
+    * one unbounded straggler task). For corpora where hot grams are
+    * EXPECTED, lower `saltFan` to cap the replication (tasks then grow
+    * past skewedGramFreq instead) or raise `skewedGramFreq`/`gramLen`
+    * so fewer grams qualify.
     */
   def fuzzyJoin(left: DataFrame, right: DataFrame,
                 leftId: String, leftKey: String,

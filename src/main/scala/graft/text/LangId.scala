@@ -159,12 +159,24 @@ object CharLangId {
     // that read the same pointer would otherwise delete parquet files a
     // reader of the just-flipped pointer is already scanning — the torn
     // state the pointer protocol exists to prevent. Publishers must
-    // serialize (the lost race retries and lands on the next n).
+    // serialize (the lost race retries and lands on the next n); the
+    // exists-check is the fast path, and the exclusive `_claim` create
+    // below closes its TOCTOU window: two publishers that both read the
+    // same pointer and both pass the check race on ONE create(…,
+    // overwrite=false) — namenode-atomic on HDFS-style stores, a narrow
+    // best-effort window on the raw local FS — so the loser refuses
+    // cleanly instead of co-writing a torn generation.
     val genPath = new org.apache.hadoop.fs.Path(s"$baseDir/$gen")
     val fs = genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(genPath)) throw new IllegalStateException(
       s"generation dir $genPath already exists (concurrent publish?) — " +
         "re-read the pointer and retry")
+    try fs.create(new org.apache.hadoop.fs.Path(genPath, "_claim"), false).close()
+    catch {
+      case _: java.io.IOException => throw new IllegalStateException(
+        s"lost the publish race claiming $genPath (concurrent publish) — " +
+          "re-read the pointer and retry")
+    }
     write(model, s"$baseDir/$gen")
     graft.sources.GenerationPointer.write(spark, baseDir, gen)
     gen

@@ -853,4 +853,86 @@ class CuttingBoardSpec extends SparkSpec {
     assert(b2.stats == (1L, 0L))
     board.clear(); b2.clear()
   }
+
+  test("sliceHaving: coarse HAVING on Avg is served from the finer cached slice, values == fresh recompute") {
+    val board = freshBoard()
+    val fine = CubeQuery().addAxis("k").addAxis("s").addValue("avg_v").addValue("n")
+    board.slice(fine).collect()
+    // coarse query + a measure predicate: the slice serves from cache
+    // (quotient rebuilt from companions) and the HAVING term evaluates
+    // on the finished frame — no base rescan
+    val coarse = CubeQuery().addAxis("k").addValue("avg_v").addValue("n")
+    val got = board.sliceHaving(coarse, Seq(Filter("avg_v", FilterOp.Gt, 3.0)))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(board.stats == (1L, 1L), "HAVING query must be a cache hit")
+    assert(board.lastServedFrom.map(_.axes).contains(Vector("k", "s")))
+    // fresh recompute parity: A avg {1,2,4} = 7/3 < 3 filtered out;
+    // B avg {8,16} = 12 kept
+    assert(got == Map("B" -> 12.0))
+    // the same threshold against a fresh Slicer pass agrees exactly
+    val fresh = Slicer.slice(board.dataset, board.cubedef, coarse)
+      .where(col("avg_v") > 3.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fresh == got)
+    // a term naming a non-measure (or hidden) column refuses loudly
+    intercept[IllegalArgumentException] {
+      board.sliceHaving(coarse, Seq(Filter("nope", FilterOp.Gt, 1.0)))
+    }
+    // limit would apply before the predicate — refused
+    intercept[IllegalArgumentException] {
+      board.sliceHaving(coarse.setLimit(1), Seq(Filter("avg_v", FilterOp.Gt, 3.0)))
+    }
+    board.clear()
+  }
+
+  test("sliceHaving: values-less query filters its row count") {
+    val board = freshBoard()
+    val q = CubeQuery().addAxis("k")
+    val got = board.sliceHaving(q, Seq(Filter("count", FilterOp.Ge, 3L)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("A" -> 3L))
+    board.clear()
+  }
+
+  test("strategy-1: a user measure merely NAMED count is never served as a row count") {
+    // cube whose Sum measure is called "count" — the values-less default
+    // query must serve the __m_n companion (true row count), not the sum
+    val df = Seq(("A", 10.0), ("A", 20.0), ("B", 5.0)).toDF("k", "v")
+    val cube = CubeDef(
+      labels = Seq(Label("k")),
+      measures = Seq(Measure("count", col("v"), Agg.Sum)))
+    val board = new CuttingBoard(df, cube)
+    board.slice(CubeQuery().addAxis("k").addValue("count")).collect()
+    val got = board.slice(CubeQuery().addAxis("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(board.stats._1 == 1L, "exact-axes match must still serve from cache")
+    assert(got == Map("A" -> 2L, "B" -> 1L),
+      s"row count must come from __m_n, not the Sum named 'count' — got $got")
+    board.clear()
+  }
+
+  test("two boards over one warehouse: concurrent same-slice writes serialize (no torn table)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wh-2w").toString
+    val df = Seq(("A", "x", 2020, 1.0), ("B", "x", 2020, 8.0)).toDF("k", "s", "y", "v")
+    val cube = CubeDef(
+      labels = Seq(Label("k"), Label("s"), Label("y")),
+      measures = Seq(Measure("sum_v", col("v"), Agg.Sum)))
+    val b1 = new CuttingBoard(df, cube, warehouseDir = Some(dir))
+    val b2 = new CuttingBoard(df, cube, warehouseDir = Some(dir))
+    val q = CubeQuery().addAxis("k").addValue("sum_v")
+    // both boards miss and materialize the SAME fingerprint concurrently:
+    // the JVM-wide warehouse write lock serializes the temp-then-swap,
+    // so neither clobbers the other's in-flight temp dir
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val (r1, r2) = Await.result(
+      Future(asMap(b1.slice(q))).zip(Future(asMap(b2.slice(q)))), 120.seconds)
+    assert(r1 == Map("A" -> 1.0, "B" -> 8.0) && r2 == r1)
+    // the surviving table is complete and reloadable by a fresh board
+    val b3 = new CuttingBoard(df, cube, warehouseDir = Some(dir))
+    assert(asMap(b3.slice(q)) == r1)
+    assert(b3.stats == (1L, 0L), "fresh board must reload a complete table")
+    b1.clear(); b2.clear(); b3.clear()
+  }
 }

@@ -586,4 +586,61 @@ class DedupSpec extends SparkSpec {
     assert(m(("A", "s1")) == ((1L, 3L, 0.333333)), m.toString)
     assert(m(("B", "s2")) == ((1L, 1L, 1.0)), m.toString)
   }
+
+  test("minhash LSH grid-salts a planted hot band bucket: brute parity, bounded per-task input") {
+    // 120 IDENTICAL documents: every band bucket concentrates the whole
+    // corpus — the adversarial shape where an unsalted bucket self-join
+    // lands 120²/2 candidate pairs on one task. A low skew threshold
+    // forces the measured grid; the pair set must stay EXACTLY the
+    // brute-force one (every identical pair at J=1.0, the distinct doc
+    // unmatched), met once each.
+    val hot = (0L until 120L).map(i => (i, "the same exact document body words"))
+    val rows = hot :+ ((999L, "completely different text entirely here"))
+    val df = rows.toDF("id", "text")
+    val got = Dedup.minhashLshPairs(df, "id", "text", k = 3, numHashes = 32,
+      bands = 8, threshold = 0.5, skewedBucketFreq = 10L, saltFan = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = (for { a <- 0L until 120L; b <- 0L until 120L if a < b }
+      yield (a, b, 1.0)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    // the candidate join really is grid-salted (plan joins on salt cols)
+    val plan = Dedup.minhashLshPairs(df, "id", "text", k = 3, numHashes = 32,
+      bands = 8, threshold = 0.5, skewedBucketFreq = 10L, saltFan = 8)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__salt") && plan.contains("__rsalt"), plan.take(2000))
+    // bounded per-task input: the deterministic id hash spreads the hot
+    // bucket's 120 members across all 8 cells per side, no straggler cell
+    val cells = df.select(pmod(xxhash64(col("id")), lit(8L)).as("c"))
+      .groupBy("c").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells.keySet == (0L until 8L).toSet)
+    assert(cells.values.max <= 2 * cells.values.min, s"salt cells unbalanced: $cells")
+    // and the default (cold) threshold returns the identical pair set —
+    // the grid changes placement, never membership
+    val cold = Dedup.minhashLshPairs(df, "id", "text", k = 3, numHashes = 32,
+      bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cold == want)
+  }
+
+  test("hammingPairs64 grid-salts a planted hot band: brute parity in both regimes") {
+    // 100 rows share ONE hash (every banding table concentrates them in
+    // one bucket) plus a 1-bit neighbor and far rows; forcing the grid
+    // (skewedBandFreq = 10) must reproduce the brute pair set exactly —
+    // each pair once, at its first agreeing table, in BOTH band regimes.
+    val rows = (0L until 100L).map(i => (i, 0x0123456789abcdefL)) ++
+      Seq((200L, 0x0123456789abcdeeL),             // 1 bit off: pairs with all
+        (300L, 0x0123456789abcdefL ^ 0x0101010101010101L)) // 8 bits: never
+    val df = rows.toDF("id", "h")
+    val brute = (for {
+      (a, ha) <- rows; (b, hb) <- rows if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    for (wide <- Seq(false, true)) {
+      val got = Dedup.hammingPairs64(df, "id", "h", maxHamming = 3, wide = wide,
+        skewedBandFreq = 10L, saltFan = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+      assert(got.length == got.toSet.size, s"duplicate pairs (wide=$wide)")
+      assert(got.toSet == brute, s"parity failed (wide=$wide)")
+    }
+  }
 }
