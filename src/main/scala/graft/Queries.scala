@@ -743,6 +743,33 @@ object Queries {
           date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("n_events"), round(col("sum_value"), 2).as("sum_value"))
     },
+
+    // §2.33 composed with §2.19f: HAVING over a SERVED slice — the
+    // board's sliceHaving applies a post-aggregation measure predicate
+    // ON the reuse strategies' output: the fine (band, returnflag) Avg
+    // slice caches once, then the coarse per-band HAVING query is
+    // answered FROM it through the quotient companions (Σx / __m_n
+    // re-summed, never avg-of-avgs) with the predicate on the rebuilt
+    // finished value — no second base scan. Threshold 30.0 sits mid-gap
+    // between adjacent bands' means (≈ band+4.5, ~10 apart), so FP
+    // summation-order noise can never flip a group across it at any sf.
+    // The oracle replays group + HAVING directly; Avg is the cube's
+    // total-rows form (sum/count(*)), written explicitly in the SQL.
+    "q56_having_served" -> oq(
+      """SELECT CAST(floor(l_quantity / 10) * 10 AS BIGINT) AS l_quantity_band,
+        |round(sum(l_quantity) / count(*), 6) AS avg_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY 1
+        |HAVING sum(l_quantity) / count(*) > 30.0""") { (s, dir) =>
+      val board = new CuttingBoard(li(s, dir), Tpch.lineitemCube)
+      val fine = CubeQuery().addAxis("l_quantity_band").addAxis("l_returnflag")
+        .addValue("avg_qty").addValue("n_rows")
+      board.slice(fine)
+      val coarse = CubeQuery().addAxis("l_quantity_band")
+        .addValue("avg_qty").addValue("n_rows")
+      board.sliceHaving(coarse, Seq(Filter("avg_qty", FilterOp.Gt, 30.0)))
+        .select(col("l_quantity_band"),
+          round(col("avg_qty"), 6).as("avg_qty"), col("n_rows"))
+    },
   )
 
   private def docs(s: SparkSession, dir: String) = Tpch.table(s, dir, "documents")
