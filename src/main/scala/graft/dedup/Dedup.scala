@@ -416,10 +416,43 @@ object Dedup {
     * Returns the two sides to equi-join on `keyCols ++ (__salt,
     * __rsalt)`; callers keep their own pair predicates (id ordering,
     * first-agreeing-table, verify-inline).
+    *
+    * BENIGN-CASE COST: the hot-bucket DETECTION runs on `probeBanded` —
+    * the caller's banding of a deterministic ~1/probeMod id-hash sample
+    * of the input (see [[gridProbeMod]]: probeMod is sized so a bucket
+    * AT the threshold still yields ~10 expected sample hits, so a
+    * genuinely hot bucket is detected with overwhelming probability
+    * while the probe reads ~1.5% of the corpus). When no bucket is
+    * suspected — every real corpus at sane thresholds — both returned
+    * sides are the SAME plain frame with constant salts, so the
+    * self-join's two exchanges stay identical and Spark's
+    * ReusedExchange computes the banded subtree once: exactly the
+    * pre-grid plan, plus only the tiny probe job. Only a suspected hot
+    * bucket triggers the FULL frequency measure (fans derive from
+    * exact counts, never estimates) and the grid plan. A borderline
+    * bucket the sample misses (freq just past the threshold) costs at
+    * most a ~(2·hotFreq)²/2-pair task — bounded degradation, while the
+    * monster bucket the grid exists for (≫ threshold) cannot be
+    * missed; a false POSITIVE merely measures exactly and finds every
+    * fan = 1, a plain join with wider keys.
     */
-  private def gridSaltedSides(banded: DataFrame, idCol: String,
+  private def gridSaltedSides(banded: DataFrame, probeBanded: DataFrame,
+                              probeMod: Int, idCol: String,
                               keyCols: Seq[String], hotFreq: Long,
                               saltFan: Int): (DataFrame, DataFrame) = {
+    // probeMod = 1 means the probe IS the exact measure — trigger at the
+    // threshold itself; a sampled probe triggers at half-threshold scaled
+    // by the sampling rate (conservative: a false positive only measures)
+    val trigger =
+      if (probeMod <= 1) hotFreq.toDouble
+      else hotFreq.toDouble / (2.0 * probeMod)
+    val suspected = probeBanded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__bf")).where(col("__bf") > trigger)
+    if (suspected.isEmpty) {
+      val plain = banded.withColumn("__salt", lit(0L))
+        .withColumn("__rsalt", lit(0L))
+      return (plain, plain)
+    }
     val hot = banded.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__bf")).where(col("__bf") > hotFreq)
     val fanOf = least(
@@ -439,6 +472,26 @@ object Dedup {
     (aSide, bSide)
   }
 
+  /** Probe sample modulus for [[gridSaltedSides]]: 1/probeMod of the
+    * input ids (deterministic xxhash64 — repeatable plans), sized so a
+    * bucket exactly AT `hotFreq` expects ≥ ~10 sample hits (never
+    * undetectable), capped at 64 (≈1.5% — the probe's cost floor).
+    * Small thresholds (specs, tiny corpora) degrade to probeMod = 1:
+    * the probe IS the full measure there, which is both exact and
+    * cheap at that scale.
+    */
+  private def gridProbeMod(hotFreq: Long): Int =
+    math.min(64L, math.max(1L, hotFreq / 10L)).toInt
+
+  /** The deterministic probe sample of `df` for [[gridSaltedSides]] —
+    * filter BEFORE the expensive per-row map (shingling, media decode):
+    * Catalyst pushes the id predicate below the projection, so the
+    * probe evaluates the map for ~1/probeMod of the rows only.
+    */
+  private def gridProbeRows(df: DataFrame, idCol: String, probeMod: Int): DataFrame =
+    if (probeMod <= 1) df
+    else df.where(pmod(xxhash64(col(idCol)), lit(probeMod.toLong)) === 0L)
+
   /** MinHash + LSH candidate pairs, verified by true Jaccard.
     *
     * bands × rowsPerBand = numHashes. Docs collide in a bucket iff one
@@ -453,32 +506,39 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5,
-                      skewedBucketFreq: Long = 5000L,
+                      skewedBucketFreq: Long = 20000L,
                       saltFan: Int = 64): DataFrame = {
     require(skewedBucketFreq >= 1 && saltFan >= 1,
       s"skewedBucketFreq/saltFan must be >= 1, got $skewedBucketFreq/$saltFan")
     val rows = numHashes / bands
-    // checkpointed: the signature/shingle pass feeds the frequency scan,
-    // both grid sides AND the verify join — without the cut Spark would
-    // recompute the shingling per consumer
-    val withSig = df.select(col(idCol).as("id"), shingleSet(col(textCol), k).as("shingles"))
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
-      .localCheckpoint(false)
+    // NOT checkpointed: shingling + MinHashSig are native codegen'd
+    // expressions — cheap to recompute — while materializing the (fat)
+    // shingle arrays measured ~10 s per gate at sf10. The benign-case
+    // join sides stay identical (gridSaltedSides' probe short-circuit),
+    // so ReusedExchange computes the banded subtree once, as before the
+    // grid, and hot detection reads only the ~1/probeMod sample.
+    def sigOf(input: DataFrame): DataFrame =
+      input.select(col(idCol).as("id"), shingleSet(col(textCol), k).as("shingles"))
+        .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+    val withSig = sigOf(df)
 
     // The band explode carries ONLY (id, band, bucket) into the bucket
     // join — shingle arrays must not ride through it, or every doc's full
     // shingle set is duplicated `bands`× into the shuffle. Candidates are
     // id pairs; the exact-Jaccard verify joins shingles back by id, so
     // each shingle set crosses the wire at most once per side.
-    val banded = withSig.select(
+    def bandedOf(ws: DataFrame): DataFrame = ws.select(
       col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))).as("bucket")))).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val banded = bandedOf(withSig)
 
-    val (aS, bS) = gridSaltedSides(banded, "id", Seq("band", "bucket"),
-      skewedBucketFreq, saltFan)
+    val pm = gridProbeMod(skewedBucketFreq)
+    val (aS, bS) = gridSaltedSides(banded,
+      bandedOf(sigOf(gridProbeRows(df, idCol, pm))), pm,
+      "id", Seq("band", "bucket"), skewedBucketFreq, saltFan)
     val a = aS.alias("a"); val b = bS.alias("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -1006,7 +1066,7 @@ object Dedup {
     */
   def hammingPairs64(df: DataFrame, idCol: String, hashCol: String,
                      maxHamming: Int = 3, wide: Boolean = false,
-                     skewedBandFreq: Long = 5000L,
+                     skewedBandFreq: Long = 20000L,
                      saltFan: Int = 64): DataFrame = {
     // Both schemes are only complete for ≤3 differing bits; a larger
     // radius would silently drop pairs spread across all bands/blocks.
@@ -1015,9 +1075,15 @@ object Dedup {
     require(skewedBandFreq >= 1 && saltFan >= 1,
       s"skewedBandFreq/saltFan must be >= 1, got $skewedBandFreq/$saltFan")
     val (tables, tableKey) = hammingBanding(wide)
-    // checkpointed: the (possibly expensive — image decode) hash pass
-    // feeds the frequency scan and both grid sides; without the cut it
-    // would recompute per consumer
+    // checkpointed: the (possibly expensive — image/audio decode) hash
+    // pass is computed ONCE and reused by the probe AND both join
+    // sides. The hash frames here come from mapPartitions decoders —
+    // filters cannot push below them, so a SAMPLED probe on the raw df
+    // would re-decode the full corpus a second time (measured: 2× the
+    // a02 decode wall); instead the probe is the EXACT frequency
+    // measure over the checkpointed slim (id, hash) rows — its first
+    // action materializes the checkpoint the main query needs anyway,
+    // and the aggregation itself reads 8-byte hashes, not media.
     val hashed = df.select(col(idCol).as("id"), col(hashCol).as("sh"))
       .where(col("sh").isNotNull)
       .localCheckpoint(false)
@@ -1025,8 +1091,8 @@ object Dedup {
       explode(array(tables.indices.map(t =>
         struct(lit(t).as("t"), tableKey(col("sh"), t).as("band"))): _*)).as("tb"))
       .select(col("id"), col("sh"), col("tb.t"), col("tb.band"))
-    val (aS, bS) = gridSaltedSides(banded, "id", Seq("t", "band"),
-      skewedBandFreq, saltFan)
+    val (aS, bS) = gridSaltedSides(banded, banded, 1,
+      "id", Seq("t", "band"), skewedBandFreq, saltFan)
     val a = aS.alias("a"); val b = bS.alias("b")
     // the first table on which this pair's keys agree — a function of
     // the two hashes, so each qualifying pair survives exactly one t
