@@ -27,6 +27,37 @@ object Queries {
   /** Rows-only query (no SQL-expressible oracle). */
   private def nq(f: Q): (Q, Option[String]) = (f, None)
 
+  /** Scratch dirs created by the per-JVM materialized caches below
+    * (sample tables, serve indexes, LM ladders) plus the per-invocation
+    * index-build gates, all registered for a shutdown-hook delete:
+    * these hold full parquet copies of corpus slices (20% of documents,
+    * half the embedding table plus PQ/IVF indexes), so repeated
+    * bench/verify JVMs would otherwise accumulate multi-GB temp data at
+    * sf10. Best-effort: a kill -9 still leaks, but every normal JVM
+    * exit — including a failed run — cleans up after itself.
+    */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    scratchDirs.forEach { root =>
+      try {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        val all = Files.walk(root)
+        try all.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
+        finally all.close()
+      } catch { case _: Exception => () }
+    }
+  }, "graft-scratch-cleanup"))
+
+  private[graft] def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p.toString
+  }
+
   /** Per-JVM PQ index dirs for the e11/e12 serve-path gates: sf dir →
     * a built-and-written index, created on first use so repeated
     * invocations (bench reps) measure search-only cost — the
@@ -41,13 +72,36 @@ object Queries {
     */
   private def pqServeIndexDir(s: SparkSession, dir: String): String =
     pqServeIndexes.computeIfAbsent(dir, d => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-pq-srv").toString
+      val tmp = scratchDir("graft-pq-srv")
       val eAll = emb(s, d)
       graft.sim.PqIndex.build(eAll.where(col("vec_id") =!= 0L),
           "vec_id", "embedding", m = 8, codesPerSub = 16,
           numCentroids = graft.sim.Similarity.suggestedCentroids(
             graft.dedup.Dedup.approxRowCount(eAll)), iters = 2)
         .write(tmp)
+      tmp
+    })
+
+  /** Per-JVM persistent IVF index for the e03b serve gate — the
+    * e10/e11 build/serve split applied to the IVF tier (round-14
+    * verdict, Next #2): e03 keeps pricing the one-time build + write
+    * (and stays the correctness gate); this index builds once per JVM
+    * per sf dir with e03's exact sizing, so e03b's median prices load +
+    * probe alone — the production serve shape (an index outlives the
+    * queries against it).
+    */
+  private val ivfServeIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfServeIndexDir(s: SparkSession, dir: String): String =
+    ivfServeIndexes.computeIfAbsent(dir, d => {
+      val tmp = scratchDir("graft-ivf-srv")
+      val e = emb(s, d)
+      val cents = graft.sim.Similarity.suggestedCentroids(
+        graft.dedup.Dedup.approxRowCount(e))
+      graft.sim.IvfIndex.build(e, "vec_id", "embedding",
+        numCentroids = cents, iters = 2,
+        trainCap = math.max(2000, 40 * cents)).write(tmp)
       tmp
     })
 
@@ -66,7 +120,7 @@ object Queries {
 
   private def e16SeedIndexDir(s: SparkSession, dir: String): String =
     e16SeedIndexes.computeIfAbsent(dir, d => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-e16-srv").toString
+      val tmp = scratchDir("graft-e16-srv")
       val seeds = sampleTable(s, d, "embeddings", "m2r0")(col("vec_id") % 2 === 0)
       graft.sim.PqIndex.build(seeds, "vec_id", "embedding",
           m = 8, codesPerSub = 16,
@@ -87,7 +141,7 @@ object Queries {
 
   private def langIdServeModelDir(s: SparkSession, dir: String): String =
     langIdServeModels.computeIfAbsent(dir, d => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-lid-srv").toString
+      val tmp = scratchDir("graft-lid-srv")
       graft.text.CharLangId.write(
         graft.text.CharLangId.train(
           sampleTable(s, d, "documents", "lt250")(col("doc_id") < 250),
@@ -118,11 +172,73 @@ object Queries {
   private def sampleTable(s: SparkSession, dir: String, table: String,
       key: String)(pred: org.apache.spark.sql.Column): DataFrame = {
     val path = sampleTables.computeIfAbsent(s"$dir#$table#$key", _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sample").toString
+      val tmp = scratchDir("graft-sample")
       Tpch.table(s, dir, table).where(pred).write.mode("overwrite").parquet(tmp)
       tmp
     })
     s.read.parquet(path)
+  }
+
+  /** Per-JVM MATERIALIZED n-gram LM ladder (round-14 verdict, Next #1 —
+    * the sampleTable convention applied to DERIVED aggregates): the
+    * d31/d36/d41/d43/d46 perplexity family each trained overlapping
+    * n-gram count tables from the 'en' corpus slice per gate — five
+    * corpus scans + shuffles per sweep rep rebuilding what is ONE
+    * Zipf-bounded artifact (d46 alone rebuilt the whole 1..5 ladder per
+    * invocation, 71.5 s at sf10). Here the full ladder — exactly
+    * [[graft.text.CorpusOps.ngramLms]](en, 5, minN = 1), one corpus
+    * pass, one aggregation — is written once per JVM per sf dir,
+    * partitioned by order so each gate's tier read partition-prunes to
+    * its own files. This is the production layout: a 100 TB pipeline
+    * trains its reference LM once per corpus generation and scores many
+    * batches against the stored counts, never retraining per query.
+    * The oracles keep replaying train + score from the BASE table —
+    * counts are exact integers, so the materialized ladder is
+    * row-identical to the per-gate rebuild by construction
+    * (CorpusOpsSpec pins every tier == the per-order builders,
+    * including the named-column bigram/trigram derivations below).
+    */
+  private val lmLadders =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** One tier of the materialized ladder as (ctx, token, ngram_count) —
+    * the [[graft.text.CorpusOps.ngramLm]] shape (ctx = "" at n = 1).
+    */
+  private def lmTier(s: SparkSession, dir: String, n: Int): DataFrame = {
+    val path = lmLadders.computeIfAbsent(dir, d => {
+      val tmp = scratchDir("graft-lm")
+      graft.text.CorpusOps.ngramLms(
+          docs(s, d).where(col("lang") === "en"), "text", 5, minN = 1)
+        .write.mode("overwrite").partitionBy("n").parquet(tmp)
+      tmp
+    })
+    s.read.parquet(path).where(col("n") === n)
+      .select(col("ctx"), col("token"), col("ngram_count"))
+  }
+
+  /** The ladder's unigram tier in [[graft.text.CorpusOps.unigramLm]]'s
+    * (token, token_count) shape — spec-pinned equal, including 1-token
+    * documents no higher order sees.
+    */
+  private def lmUnigram(s: SparkSession, dir: String): DataFrame =
+    lmTier(s, dir, 1).select(col("token"), col("ngram_count").as("token_count"))
+
+  /** The n = 2 tier in [[graft.text.CorpusOps.bigramLm]]'s named-column
+    * shape: a bigram's ctx IS the single previous token.
+    */
+  private def lmBigram(s: SparkSession, dir: String): DataFrame =
+    lmTier(s, dir, 2).select(col("ctx").as("prev_token"), col("token"),
+      col("ngram_count").as("bigram_count"))
+
+  /** The n = 3 tier in [[graft.text.CorpusOps.trigramLm]]'s shape: the
+    * space-joined 2-token ctx splits back bijectively (whitespace
+    * tokenization — tokens contain no spaces), spec-pinned equal.
+    */
+  private def lmTrigram(s: SparkSession, dir: String): DataFrame = {
+    val c = split(col("ctx"), " ")
+    lmTier(s, dir, 3).select(element_at(c, 1).as("prev2_token"),
+      element_at(c, 2).as("prev_token"), col("token"),
+      col("ngram_count").as("trigram_count"))
   }
 
   /** The d52 oracle SQL — the full Gopher Table-A1 replay — factored
@@ -846,7 +962,8 @@ object Queries {
     // oracle even though DuckDB cannot reproduce the xxhash64 banding.
     "d03_minhash_lsh" -> oq(exactJaccardSql) { (s, dir) =>
       graft.dedup.Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
-        k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        k = 3, numHashes = 32, bands = 8, threshold = 0.5,
+        verdictKey = s"$dir#docs")
     },
 
     // §2.39: SimHash near-dup (rows-only)
@@ -855,7 +972,8 @@ object Queries {
       // banding width sized from the corpus: past ~2M docs the narrow
       // 16-bit bands' random collisions dominate (see wideHammingBands)
       graft.dedup.Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3,
-        wide = graft.dedup.Dedup.wideHammingBands(graft.dedup.Dedup.approxRowCount(d)))
+        wide = graft.dedup.Dedup.wideHammingBands(graft.dedup.Dedup.approxRowCount(d)),
+        verdictKey = s"$dir#docs")
     },
 
     // §2.54: train/eval DECONTAMINATION — drop training docs sharing ≥4
@@ -1659,7 +1777,7 @@ object Queries {
         |GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
         |HAVING CAST(count(*) AS DOUBLE)/(a.sz + b.sz - count(*)) >= 0.5""") { (s, dir) =>
       val d = docs(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-mhidx-gate").toString
+      val tmp = scratchDir("graft-mhidx-gate")
       val idx = graft.dedup.MinHashIndex.create(s, tmp,
         d.where(col("doc_id") % 2 === 0), "doc_id", "text",
         k = 3, numHashes = 32, bands = 8)
@@ -1852,7 +1970,8 @@ object Queries {
       // DedupSpec asserts it at these parameters), so the recursive-CTE
       // oracle over exact pairs still validates the cluster labels.
       val pairs = graft.dedup.Dedup.minhashLshPairs(
-        docs(s, dir), "doc_id", "text", k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        docs(s, dir), "doc_id", "text", k = 3, numHashes = 32, bands = 8,
+        threshold = 0.5, verdictKey = s"$dir#docs")
       graft.dedup.Dedup.duplicateClusters(pairs)
     },
 
@@ -1889,7 +2008,8 @@ object Queries {
         |SELECT id, least(id, min(r)) AS cluster_id
         |FROM closure GROUP BY id""") { (s, dir) =>
       val pairs = graft.dedup.Dedup.minhashLshPairs(
-        docs(s, dir), "doc_id", "text", k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        docs(s, dir), "doc_id", "text", k = 3, numHashes = 32, bands = 8,
+        threshold = 0.5, verdictKey = s"$dir#docs")
       graft.dedup.Dedup.duplicateClustersStar(pairs)
     },
 
@@ -1960,7 +2080,7 @@ object Queries {
     // from the stored tables alone (rows-only; spec proves full-probe
     // equality with brute force through the parquet round-trip)
     "e03_ann_index" -> nq { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      val tmp = scratchDir("graft-ivf")
       val e = emb(s, dir)
       // same √n cell sizing as e02 — the persistent index carries the
       // cell count in its meta, so the search side needs no knob
@@ -1971,6 +2091,28 @@ object Queries {
         trainCap = math.max(2000, 40 * cents)).write(tmp)
       graft.sim.IvfIndex.load(s, tmp).search(e, "vec_id", "embedding",
         k = 5, nProbe = 4, excludeSelf = true)
+    },
+
+    // §2.42c serve path: search against a PREBUILT persistent IVF index
+    // — the e10/e11 build/serve split applied to the IVF tier (round-14
+    // verdict, Next #2). The index (e03's exact sizing) builds + writes
+    // ONCE per JVM per sf dir; every later invocation — bench reps
+    // 2..n, whose median is the recorded wall — prices load + probe
+    // only: one query vector per label (the e12 batch shape) probed
+    // through the cid-bucketed postings, whose loaded scan reports
+    // HashPartitioning so repeat searches skip the postings-side
+    // exchange. e03 keeps pricing the one-time build and stays the
+    // correctness gate. Rows-only: IvfIndexSpec pins loaded-search ==
+    // brute force at full probe through the parquet round-trip.
+    "e03b_ann_index_serve" -> nq { (s, dir) =>
+      val e = emb(s, dir)
+      val queries = e.groupBy(col("label"))
+        .agg(min(col("vec_id")).as("vec_id"))
+        .join(e, Seq("vec_id", "label"))
+        .select(col("vec_id"), col("embedding"))
+      graft.sim.IvfIndex.load(s, ivfServeIndexDir(s, dir))
+        .search(queries, "vec_id", "embedding", k = 10, nProbe = 4,
+          excludeSelf = true)
     },
 
     // §2.42e: product quantization + ADC (Jégou et al. 2011 — FAISS
@@ -2029,7 +2171,7 @@ object Queries {
     // trainings inside build; PqSpec pins loaded-search == in-memory
     // search id-for-id through the parquet round-trip.
     "e10_pq_index" -> nq { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-pq").toString
+      val tmp = scratchDir("graft-pq")
       val e = emb(s, dir)
       val q = e.where(col("vec_id") === 0L)
         .select(col("embedding")).head().getSeq[Float](0).toArray
@@ -2247,7 +2389,8 @@ object Queries {
       val media = withSharedScenes(d, "doc_id", nScenes = suggestedScenes(n))
       graft.dedup.Dedup.hammingPairs64(
         imageDHash(media.repartition(col("media_id"))), "media_id", "dhash",
-        maxHamming = 3, wide = graft.dedup.Dedup.wideHammingBands(n))
+        maxHamming = 3, wide = graft.dedup.Dedup.wideHammingBands(n),
+        verdictKey = s"$dir#dhash")
         .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
     },
 
@@ -2291,7 +2434,8 @@ object Queries {
       val media = withSharedAudioScenes(d, "doc_id", nScenes = suggestedScenes(n))
       graft.dedup.Dedup.hammingPairs64(
         audioFingerprint(media.repartition(col("media_id"))), "media_id", "afp",
-        maxHamming = 3, wide = graft.dedup.Dedup.wideHammingBands(n))
+        maxHamming = 3, wide = graft.dedup.Dedup.wideHammingBands(n),
+        verdictKey = s"$dir#afp")
         .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
     },
 
@@ -2435,7 +2579,8 @@ object Queries {
          |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id""") { (s, dir) =>
       val d = docs(s, dir)
       val pairs = graft.dedup.Dedup.minhashLshPairs(
-        d, "doc_id", "text", k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        d, "doc_id", "text", k = 3, numHashes = 32, bands = 8,
+        threshold = 0.5, verdictKey = s"$dir#docs")
       graft.text.CorpusOps.leakageSafeSplit(d, pairs, "doc_id", corpusSplits)
         .select(col("doc_id"), col("split"))
     },
@@ -2767,8 +2912,7 @@ object Queries {
         |FROM tf LEFT JOIN lm USING (token) CROSS JOIN tot
         |GROUP BY doc_id""") { (s, dir) =>
       val d = docs(s, dir)
-      val lm = graft.text.CorpusOps.unigramLm(d.where(col("lang") === "en"), "text")
-      graft.text.CorpusOps.crossEntropyScore(d, "doc_id", "text", lm)
+      graft.text.CorpusOps.crossEntropyScore(d, "doc_id", "text", lmUnigram(s, dir))
         .select(col("doc_id"), col("n_tokens"),
           round(col("cross_entropy"), 6).as("xent"))
     },
@@ -3730,7 +3874,8 @@ object Queries {
         |WHERE d.doc_id NOT IN (SELECT id FROM lose)""") { (s, dir) =>
       val d = docs(s, dir)
       val pairs = graft.dedup.Dedup.minhashLshPairs(
-        d, "doc_id", "text", k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        d, "doc_id", "text", k = 3, numHashes = 32, bands = 8,
+        threshold = 0.5, verdictKey = s"$dir#docs")
       graft.dedup.Dedup.keepBestInCluster(d, "doc_id", pairs,
         round(graft.text.TextFunctions.qualityScore(col("text")), 6))
         .select(col("doc_id"), col("lang"), col("source"))
@@ -3764,8 +3909,7 @@ object Queries {
         |FROM tf LEFT JOIN lm USING (a, b) LEFT JOIN ctx USING (a) CROSS JOIN vv
         |GROUP BY doc_id""") { (s, dir) =>
       val d = docs(s, dir)
-      val lm = graft.text.CorpusOps.bigramLm(d.where(col("lang") === "en"), "text")
-      graft.text.CorpusOps.bigramCrossEntropy(d, "doc_id", "text", lm)
+      graft.text.CorpusOps.bigramCrossEntropy(d, "doc_id", "text", lmBigram(s, dir))
         .select(col("doc_id"), col("n_bigrams"),
           round(col("cross_entropy"), 6).as("xent"))
     },
@@ -3800,9 +3944,8 @@ object Queries {
         |FROM tf LEFT JOIN lm USING (a, b, c) LEFT JOIN ctx USING (a, b) CROSS JOIN vv
         |GROUP BY doc_id""") { (s, dir) =>
       val d = docs(s, dir)
-      val lm = graft.text.CorpusOps.trigramLm(d.where(col("lang") === "en"), "text")
-      graft.text.CorpusOps.trigramCrossEntropy(d, "doc_id", "text", lm,
-          hashContext = true)
+      graft.text.CorpusOps.trigramCrossEntropy(d, "doc_id", "text",
+          lmTrigram(s, dir), hashContext = true)
         .select(col("doc_id"), col("n_trigrams"),
           round(col("cross_entropy"), 6).as("xent"))
     },
@@ -3851,11 +3994,8 @@ object Queries {
         |        LEFT JOIN uni USING (c) CROSS JOIN nv
         |GROUP BY doc_id""") { (s, dir) =>
       val d = docs(s, dir)
-      val en = d.where(col("lang") === "en")
       val sb = graft.text.CorpusOps.stupidBackoffScore(d, "doc_id", "text",
-        graft.text.CorpusOps.unigramLm(en, "text"),
-        graft.text.CorpusOps.bigramLm(en, "text"),
-        graft.text.CorpusOps.trigramLm(en, "text"))
+        lmUnigram(s, dir), lmBigram(s, dir), lmTrigram(s, dir))
       sb.select(col("doc_id"), col("n_scored"), round(col("score"), 6).as("score"))
     },
 
@@ -3926,16 +4066,11 @@ object Queries {
         |        LEFT JOIN uni USING (e) CROSS JOIN nv
         |GROUP BY doc_id""") { (s, dir) =>
       val d = docs(s, dir)
-      val en = d.where(col("lang") === "en")
-      // the whole 1..5 ladder (unigram tier folded in) from ONE corpus
-      // pass, materialized once (Zipf-bounded) so the per-tier slices
-      // below are checkpoint scans
-      val lms = graft.text.CorpusOps.ngramLms(en, "text", 5, minN = 1)
-        .localCheckpoint(true)
+      // the whole 1..5 ladder from the per-JVM materialized store
+      // (lmTier) — the tier reads are partition-pruned parquet scans,
+      // never a per-invocation retrain
       val sb = graft.text.CorpusOps.stupidBackoffScoreN(d, "doc_id", "text",
-        lms.where(col("n") === 1)
-          .select(col("token"), col("ngram_count").as("token_count")),
-        (2 to 5).map(n => lms.where(col("n") === n).drop("n")))
+        lmUnigram(s, dir), (2 to 5).map(n => lmTier(s, dir, n)))
       // + 0.0: a perfectly-predicted doc scores −0.0/n — normalize the
       // IEEE sign on both sides (the e01 convention)
       sb.select(col("doc_id"), col("n_scored"),

@@ -146,7 +146,7 @@ final class CuttingBoard(
     }
     // Tables beyond the reloaded set (or beyond the byte budget) are
     // dead weight from an earlier, larger board — collect them now.
-    synchronized { gcWarehouse() }
+    gcWarehouse(pinnedFingerprints)
   }
 
   def dataset: DataFrame = current
@@ -198,8 +198,12 @@ final class CuttingBoard(
                   cache = cache.dropRight(1)
                 }
                 cache = Cached(q, persisted, rows) +: cache
-                gcWarehouse()
               }
+              // OUTSIDE the board lock: gcWarehouse blocks on the shared
+              // per-warehouse write lock, which a peer board can hold
+              // across a long materialize write — pinning this board's
+              // lock for that duration would stall every tryServe hit
+              gcWarehouse(pinnedFingerprints)
               val outCols =
                 if (q.valuesInSlice.nonEmpty) q.axes ++ q.valuesInSlice
                 else q.axes :+ "count"
@@ -233,6 +237,12 @@ final class CuttingBoard(
     require(q.limit.isEmpty && q.offset.isEmpty,
       "sliceHaving: limit/offset would apply BEFORE the measure " +
         "predicate — compose them on the returned frame")
+    // a pivoted slice renames measure columns per pivot value, so
+    // col(f.name) would either fail unresolved or coincidentally match
+    // a pivot-value column named like the measure — refuse loudly
+    require(q.pivot.isEmpty,
+      "sliceHaving: pivoted output has per-pivot-value columns — " +
+        "apply HAVING on the unpivoted query, then pivot the result")
     having.foreach { f =>
       val ok =
         if (q.valuesInSlice.isEmpty) f.name == "count"
@@ -324,7 +334,7 @@ final class CuttingBoard(
         Some(Cached(c.q, persisted, rows))
       }
     }
-    gcWarehouse()
+    gcWarehouse(pinnedFingerprints)
   }
 
   /** Incremental DELETE maintenance — the takedown face of [[append]]:
@@ -424,7 +434,7 @@ final class CuttingBoard(
         Some(Cached(c.q, persisted, rows))
       }
     }
-    gcWarehouse()
+    gcWarehouse(pinnedFingerprints)
   }
 
   /** Measures maintainable under [[append]] from the cached (wide) form:
@@ -551,13 +561,22 @@ final class CuttingBoard(
     * (bounded by group cardinality), never base data, and runs after a
     * materializing write, not per serve.
     */
-  private def gcWarehouse(): Unit = warehouseDir.foreach { dir =>
+  private def gcWarehouse(pinned: Set[String]): Unit = warehouseDir.foreach { dir =>
     if (maxWarehouseSlices == Int.MaxValue && maxWarehouseBytes == Long.MaxValue) return
-    CuttingBoard.warehouseWriteLock(dir).synchronized { gcWarehouseLocked(dir) }
+    CuttingBoard.warehouseWriteLock(dir).synchronized { gcWarehouseLocked(dir, pinned) }
   }
 
-  private def gcWarehouseLocked(dir: String): Unit = {
-    val pinned = cache.map(c => fingerprint(c.q)).toSet
+  /** The fingerprints the in-memory cache pins, snapshotted under the
+    * board lock — [[gcWarehouse]] itself runs WITHOUT the board lock,
+    * because it blocks on the shared per-warehouse write lock (held by
+    * a peer board across a whole materialize parquet write); taking the
+    * snapshot separately keeps this board's tryServe cache hits
+    * responsive during a peer's long write.
+    */
+  private def pinnedFingerprints: Set[String] =
+    synchronized { cache.map(c => fingerprint(c.q)).toSet }
+
+  private def gcWarehouseLocked(dir: String, pinned: Set[String]): Unit = {
     def entries = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.startsWith("slice_") && f.getName.endsWith(".manifest"))
       .map { mf =>

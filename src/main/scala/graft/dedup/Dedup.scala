@@ -436,10 +436,31 @@ object Dedup {
     * missed; a false POSITIVE merely measures exactly and finds every
     * fan = 1, a plain join with wider keys.
     */
+  /** JVM-wide verdict cache for [[gridSaltedSides]]' hot-bucket probe,
+    * keyed by the caller-supplied `verdictKey` plus the grid parameters
+    * (the Queries.sampleTables convention). The probe is a real Spark
+    * job at PLAN-CONSTRUCTION time — the one eager action in the band
+    * joins — so gates that rebuild their plan per invocation (bench
+    * reps, Verify, PlanAudit's dry queryExecution derivation) would
+    * re-pay it every time; a cached verdict makes every construction
+    * after the first job-free in BOTH regimes (the hot path's full
+    * frequency measure is a lazy broadcast build side). Callers must
+    * key uniquely per (dataset, banding params); the cache is
+    * correctness-neutral either way — a stale "no hot bucket" verdict
+    * on data that grew a hot bucket degrades to the pre-grid
+    * single-task join (perf only, and impossible for the immutable
+    * per-sf-dir gate datasets that use this), a stale "hot" verdict on
+    * benign data runs the exact measure, finds every fan = 1 and joins
+    * plain with wider keys.
+    */
+  private val gridVerdicts =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
   private def gridSaltedSides(banded: DataFrame, probeBanded: DataFrame,
                               probeMod: Int, idCol: String,
                               keyCols: Seq[String], hotFreq: Long,
-                              saltFan: Int): (DataFrame, DataFrame) = {
+                              saltFan: Int,
+                              verdictKey: String = ""): (DataFrame, DataFrame) = {
     // probeMod = 1 means the probe IS the exact measure — trigger at the
     // threshold itself; a sampled probe triggers at half-threshold scaled
     // by the sampling rate (conservative: a false positive only measures)
@@ -448,7 +469,13 @@ object Dedup {
       else hotFreq.toDouble / (2.0 * probeMod)
     val suspected = probeBanded.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__bf")).where(col("__bf") > trigger)
-    if (suspected.isEmpty) {
+    def probeIsBenign(): Boolean = suspected.isEmpty
+    val benign =
+      if (verdictKey.isEmpty) probeIsBenign()
+      else gridVerdicts.computeIfAbsent(
+        s"$verdictKey#${keyCols.mkString(",")}#$hotFreq#$saltFan#$probeMod",
+        _ => probeIsBenign())
+    if (benign) {
       val plain = banded.withColumn("__salt", lit(0L))
         .withColumn("__rsalt", lit(0L))
       return (plain, plain)
@@ -502,12 +529,23 @@ object Dedup {
     * the adversarial all-near-identical corpus) join through the
     * measured 2-D grid salt ([[gridSaltedSides]]) so no single bucket
     * lands its f²/2 candidate pairs on one task.
+    *
+    * NOT a pure plan builder: the hot-bucket detection probe (a ~1.5%
+    * sampled aggregation) runs as a Spark job at CALL time — callers
+    * composing plans lazily (a dry explain, a plan audit) trigger it.
+    * Pass `verdictKey` (unique per dataset + banding params — e.g.
+    * "sfdir#minhash-docs") to cache the probe's verdict JVM-wide: every
+    * call after the first is then job-free at construction in both
+    * regimes. Leave it empty when the input changes call-to-call (a
+    * streaming batch) — a stale benign verdict would skip the grid on a
+    * batch that needs it.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5,
                       skewedBucketFreq: Long = 20000L,
-                      saltFan: Int = 64): DataFrame = {
+                      saltFan: Int = 64,
+                      verdictKey: String = ""): DataFrame = {
     require(skewedBucketFreq >= 1 && saltFan >= 1,
       s"skewedBucketFreq/saltFan must be >= 1, got $skewedBucketFreq/$saltFan")
     val rows = numHashes / bands
@@ -538,7 +576,8 @@ object Dedup {
     val pm = gridProbeMod(skewedBucketFreq)
     val (aS, bS) = gridSaltedSides(banded,
       bandedOf(sigOf(gridProbeRows(df, idCol, pm))), pm,
-      "id", Seq("band", "bucket"), skewedBucketFreq, saltFan)
+      "id", Seq("band", "bucket"), skewedBucketFreq, saltFan,
+      if (verdictKey.isEmpty) "" else s"$verdictKey#mh$k/$numHashes/$bands")
     val a = aS.alias("a"); val b = bS.alias("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -1011,13 +1050,15 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming: the
-    * generic 64-bit banding join over the text simhash.
+    * generic 64-bit banding join over the text simhash. `verdictKey`
+    * passes through to [[hammingPairs64]]'s hot-bucket verdict cache.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, wide: Boolean = false): DataFrame =
+                   maxHamming: Int = 3, wide: Boolean = false,
+                   verdictKey: String = ""): DataFrame =
     hammingPairs64(
       df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh")),
-      "id", "sh", maxHamming, wide)
+      "id", "sh", maxHamming, wide, verdictKey = verdictKey)
 
   /** Whether `hammingPairs64` should use the wide 20-table banding for a
     * corpus of `n` hashes. Narrow 16-bit bands admit ~4·n²/2¹⁶ random
@@ -1063,11 +1104,29 @@ object Dedup {
     * through the measured 2-D grid salt ([[gridSaltedSides]], threshold
     * `skewedBandFreq`), so the inline verify work spreads across
     * fan²-cell tasks instead of one quadratic straggler.
+    *
+    * Two execution caveats callers must know (not a pure plan builder):
+    *
+    *  - The hot-bucket detection here is the EXACT frequency measure
+    *    over the checkpointed (id, hash) rows (probeMod = 1 — see the
+    *    checkpoint note in the body), so a bare call runs a Spark job —
+    *    including the full upstream hash/decode pass — at CALL time.
+    *    Pass `verdictKey` (unique per dataset + banding regime) to
+    *    cache the verdict JVM-wide and make later constructions
+    *    job-free; leave it empty for changing inputs.
+    *  - `localCheckpoint` stores the hashed rows on EXECUTORS with no
+    *    replication: losing an executor after materialization fails the
+    *    query (Spark cannot recompute truncated lineage) instead of
+    *    recovering. The trade is deliberate — re-deriving the hashes
+    *    would re-decode the full media corpus per join side — but under
+    *    dynamic allocation or preemptible workers, prefer writing the
+    *    hash table to storage first and calling this on the scan.
     */
   def hammingPairs64(df: DataFrame, idCol: String, hashCol: String,
                      maxHamming: Int = 3, wide: Boolean = false,
                      skewedBandFreq: Long = 20000L,
-                     saltFan: Int = 64): DataFrame = {
+                     saltFan: Int = 64,
+                     verdictKey: String = ""): DataFrame = {
     // Both schemes are only complete for ≤3 differing bits; a larger
     // radius would silently drop pairs spread across all bands/blocks.
     require(maxHamming >= 0 && maxHamming <= 3,
@@ -1092,7 +1151,8 @@ object Dedup {
         struct(lit(t).as("t"), tableKey(col("sh"), t).as("band"))): _*)).as("tb"))
       .select(col("id"), col("sh"), col("tb.t"), col("tb.band"))
     val (aS, bS) = gridSaltedSides(banded, banded, 1,
-      "id", Seq("t", "band"), skewedBandFreq, saltFan)
+      "id", Seq("t", "band"), skewedBandFreq, saltFan,
+      if (verdictKey.isEmpty) "" else s"$verdictKey#hp$maxHamming/$wide")
     val a = aS.alias("a"); val b = bS.alias("b")
     // the first table on which this pair's keys agree — a function of
     // the two hashes, so each qualifying pair survives exactly one t

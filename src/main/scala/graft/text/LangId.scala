@@ -171,11 +171,28 @@ object CharLangId {
     if (fs.exists(genPath)) throw new IllegalStateException(
       s"generation dir $genPath already exists (concurrent publish?) — " +
         "re-read the pointer and retry")
+    // Only the already-exists outcome IS the race; any other IO failure
+    // (permissions, quota, a transient store error) must surface as
+    // itself, cause attached — masking it as "lost the race" would send
+    // the caller into a futile retry loop against a broken filesystem.
     try fs.create(new org.apache.hadoop.fs.Path(genPath, "_claim"), false).close()
     catch {
-      case _: java.io.IOException => throw new IllegalStateException(
-        s"lost the publish race claiming $genPath (concurrent publish) — " +
-          "re-read the pointer and retry")
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"lost the publish race claiming $genPath (concurrent publish) — " +
+            "re-read the pointer and retry")
+      case e: java.nio.file.FileAlreadyExistsException =>
+        // RawLocalFileSystem surfaces the non-overwrite create this way
+        throw new IllegalStateException(
+          s"lost the publish race claiming $genPath (concurrent publish) — " +
+            "re-read the pointer and retry", e)
+      case e: java.io.IOException
+          if e.getMessage != null && e.getMessage.contains("already exists") =>
+        // ChecksumFileSystem/older FS impls report the same condition as
+        // a plain IOException with an "already exists" message
+        throw new IllegalStateException(
+          s"lost the publish race claiming $genPath (concurrent publish) — " +
+            "re-read the pointer and retry", e)
     }
     write(model, s"$baseDir/$gen")
     graft.sources.GenerationPointer.write(spark, baseDir, gen)

@@ -885,6 +885,43 @@ class CuttingBoardSpec extends SparkSpec {
     board.clear()
   }
 
+  test("sliceHaving composed with hierarchy widening + label filter serves from cache, values == fresh recompute") {
+    // the combined case: widened date axis (month from a day-grained
+    // cache) + eq-filter on a DROPPED label axis + a quotient-measure
+    // HAVING predicate, all through the one served path
+    val df = Seq(
+      ("A", "2024-01-03", 1.0), ("A", "2024-01-20", 2.0), ("B", "2024-01-21", 7.0),
+      ("A", "2024-02-03", 4.0), ("A", "2024-02-29", 8.0), ("B", "2024-02-10", 3.0),
+      ("A", "2024-03-01", 16.0),
+    ).toDF("k", "d", "v").withColumn("d", to_date(col("d")))
+    val cube = CubeDef(
+      labels = Label("k") +: DateLabels.hierarchy("d", dim = "t"),
+      measures = Seq(Measure("avg_v", col("v"), Agg.Avg),
+        Measure("n", lit(1), Agg.Count)))
+    val board = new CuttingBoard(df, cube)
+    board.slice(CubeQuery().addAxis("k").addAxis("d_day")
+      .addValue("avg_v").addValue("n")).collect()
+    val coarse = CubeQuery().addAxis("d_month").addValue("avg_v").addValue("n")
+      .addFilter("k", "A")
+    val got = board.sliceHaving(coarse, Seq(Filter("avg_v", FilterOp.Gt, 2.0)))
+      .collect().map(r => r.getDate(0).toString -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(board.stats == (1L, 1L), "the composed HAVING query must serve from cache")
+    assert(board.lastServedFrom.map(_.axes).contains(Vector("k", "d_day")))
+    // A's months: Jan avg {1,2} = 1.5 (cut by HAVING), Feb avg {4,8} = 6,
+    // Mar avg {16} = 16; B's rows are gone before aggregation (WHERE)
+    assert(got == Map("2024-02-01" -> (6.0, 2L), "2024-03-01" -> (16.0, 1L)))
+    val fresh = Slicer.slice(df, cube, coarse).where(col("avg_v") > 2.0)
+      .collect().map(r => r.getDate(0).toString -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(fresh == got)
+    // a pivoted query renames measure columns per pivot value — refused
+    intercept[IllegalArgumentException] {
+      board.sliceHaving(
+        CubeQuery().addAxis("d_month").addAxis("k").addValue("avg_v").setPivot("k"),
+        Seq(Filter("avg_v", FilterOp.Gt, 2.0)))
+    }
+    board.clear()
+  }
+
   test("sliceHaving: values-less query filters its row count") {
     val board = freshBoard()
     val q = CubeQuery().addAxis("k")

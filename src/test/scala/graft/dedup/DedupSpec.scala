@@ -643,4 +643,58 @@ class DedupSpec extends SparkSpec {
       assert(got.toSet == brute, s"parity failed (wide=$wide)")
     }
   }
+
+  test("grid verdict cache: keyed repeat plan construction runs ZERO Spark jobs, both regimes, pair sets unchanged") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    def mh(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val benign = (0L until 200L).map(i =>
+      (i, s"unique document number $i body alpha$i beta$i gamma$i")).toDF("id", "text")
+    val hotDf = ((0L until 120L).map(i => (i, "the same exact document body words"))
+      :+ ((999L, "completely different text entirely here"))).toDF("id", "text")
+    val hashes = ((0L until 100L).map(i => (i, 0x0123456789abcdefL))
+      :+ ((300L, 0x0123456789abcdefL ^ 0x0101010101010101L))).toDF("id", "h")
+    def benignPairs() = Dedup.minhashLshPairs(benign, "id", "text",
+      verdictKey = "spec#verdict-benign")
+    def hotPairs() = Dedup.minhashLshPairs(hotDf, "id", "text",
+      skewedBucketFreq = 10L, saltFan = 8, verdictKey = "spec#verdict-hot")
+    def hamPairs() = Dedup.hammingPairs64(hashes, "id", "h",
+      skewedBandFreq = 10L, saltFan = 8, verdictKey = "spec#verdict-ham")
+    // first keyed construction per dataset runs the probe and caches the
+    // verdict (benign / hot / hot) for the JVM
+    val benignWant = mh(benignPairs())
+    val hotWant = mh(hotPairs())
+    val hamWant = hamPairs().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // now re-CONSTRUCTING the plans must trigger no job at all: count
+    // jobs in a dedicated job group (concurrent suites can't pollute it)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit =
+        if (s.properties != null &&
+            "grid-verdict-spec" == s.properties.getProperty("spark.jobGroup.id"))
+          jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup("grid-verdict-spec", "construction must be job-free")
+      val plans = Seq(benignPairs(), hotPairs(), hamPairs())
+      plans.foreach(_.queryExecution.executedPlan) // full planning, no action
+      // sentinel job: the listener bus is FIFO, so once its event has
+      // arrived, any construction-time job's event would have too. An
+      // RDD action, not a DataFrame one — AQE splits df.count() into
+      // one job per query stage, which would miscount the sentinel
+      spark.sparkContext.parallelize(Seq(1)).count()
+      val deadline = System.currentTimeMillis() + 30000
+      while (jobs.get() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      spark.sparkContext.clearJobGroup()
+      assert(jobs.get() == 1,
+        s"plan construction ran ${jobs.get() - 1} Spark job(s) — the verdict cache missed")
+      // the cached-verdict plans still compute the exact same pair sets
+      assert(mh(benignPairs()) == benignWant)
+      assert(mh(hotPairs()) == hotWant)
+      assert(hamPairs().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet == hamWant)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

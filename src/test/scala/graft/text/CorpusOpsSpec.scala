@@ -709,6 +709,30 @@ class CorpusOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { CorpusOps.ngramLms(train, "text", 5, minN = 0) }
   }
 
+  test("ngramLm tiers derive the named-column bigram/trigram LM shapes exactly") {
+    // the Queries lmBigram/lmTrigram derivations: n=2's ctx IS the
+    // previous token; n=3's space-joined ctx splits back bijectively
+    // (whitespace tokens contain no spaces) — pinned so the per-JVM
+    // materialized ladder serves the d36/d41/d43 gates row-identically
+    // to the per-gate bigramLm/trigramLm rebuilds it replaced
+    val train = Seq("the cat sat on the mat", "the cat sat", "x").toDF("text")
+    val biGot = CorpusOps.ngramLm(train, "text", 2)
+      .select(col("ctx").as("prev_token"), col("token"),
+        col("ngram_count").as("bigram_count"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val biWant = CorpusOps.bigramLm(train, "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(biGot === biWant)
+    val c = split(col("ctx"), " ")
+    val triGot = CorpusOps.ngramLm(train, "text", 3)
+      .select(element_at(c, 1).as("prev2_token"), element_at(c, 2).as("prev_token"),
+        col("token"), col("ngram_count").as("trigram_count"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val triWant = CorpusOps.trigramLm(train, "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(triGot === triWant)
+  }
+
   test("stupidBackoffScoreN: every tier of the 5-gram ladder closed-form; hashed == unhashed; order-3 == fixed trigram form") {
     // train "the cat sat on the mat": uni the:2 cat sat on mat (N=6,
     // V=5); the only 5-grams are (the cat sat on the) and
