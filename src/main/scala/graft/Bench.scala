@@ -105,9 +105,14 @@ object Bench {
     // constant-20%-sample forms d52s_gopher_sample / e15s_knn_label_sample
     // (same plan, a fifth of the rows — the d02 → d02s precedent for the
     // map-only class). The full forms stay correctness gates at every sf.
+    // t05 joined the excluded full forms in round 15: the composed
+    // pipeline re-derives dedup + the full Gopher battery + mixture +
+    // shard from the base table per rep (the top sf0.1 line at 7.9 s);
+    // the benched counterpart is t05s_corpus_pipeline_sample over the
+    // constant materialized 20% slice — same plan, a fifth of the rows.
     val benchExclude = Set("d06_cosine_topk", "d02_ngram_jaccard", "d05_embed_dup",
       "e07_pq_adc", "e08_ivfadc", "e09_ivfadc_residual",
-      "d52_gopher", "e15_knn_label")
+      "d52_gopher", "e15_knn_label", "t05_corpus_pipeline")
     // Per-query MEDIAN of `reps` runs: single-run walls on a contended
     // box swing 3× at identical plans (round-7 driver vs builder runs),
     // so cross-round per-query deltas were noise. The median of 3

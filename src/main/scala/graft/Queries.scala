@@ -207,13 +207,20 @@ object Queries {
   private def lmTier(s: SparkSession, dir: String, n: Int): DataFrame = {
     val path = lmLadders.computeIfAbsent(dir, d => {
       val tmp = scratchDir("graft-lm")
-      graft.text.CorpusOps.ngramLms(
-          docs(s, d).where(col("lang") === "en"), "text", 5, minN = 1)
+      val lms = graft.text.CorpusOps.ngramLms(
+        docs(s, d).where(col("lang") === "en"), "text", 5, minN = 1)
+      // ctx totals DENORMALIZED onto every row at build time: the
+      // Stupid Backoff ladder reads a tier's total only when the
+      // (ctx, token) row exists, so carrying it here removes one
+      // grain-sized join per tier from every scoring query
+      lms.join(lms.groupBy(col("n"), col("ctx"))
+            .agg(sum(col("ngram_count")).as("ctx_total")),
+          Seq("n", "ctx"))
         .write.mode("overwrite").partitionBy("n").parquet(tmp)
       tmp
     })
     s.read.parquet(path).where(col("n") === n)
-      .select(col("ctx"), col("token"), col("ngram_count"))
+      .select(col("ctx"), col("token"), col("ngram_count"), col("ctx_total"))
   }
 
   /** The ladder's unigram tier in [[graft.text.CorpusOps.unigramLm]]'s
@@ -898,6 +905,68 @@ object Queries {
     * src0 drops out entirely — the rate-0 edge.
     */
   private val mixtureRates = Seq("src0" -> 0.0, "src1" -> 0.5, "src2" -> 0.25)
+
+  /** The t05 composed-pipeline oracle SQL, factored so the sampled
+    * bench form t05s can shadow `documents` with a filtered CTE
+    * (`baseCte`, e.g. "documents AS (SELECT … WHERE doc_id % 5 = 4),") —
+    * DuckDB resolves the inner `FROM documents` references to the CTE,
+    * so the whole chained pipeline replays on the identical sample.
+    */
+  private def t05Sql(baseCte: String): String =
+    s"""WITH ${baseCte}dedup AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+       |    ORDER BY doc_id) = 1
+       |), gk AS (
+       |  SELECT doc_id FROM (
+       |${gopherSigSql(1)}
+       |  ) WHERE keep
+       |), scored AS (
+       |  SELECT doc_id, source, text,
+       |    round((
+       |      least(CAST(len(list_filter(string_split_regex(trim(text),'\\s+'), t -> len(t)>0)) AS DOUBLE)/100.0, 1.0)
+       |      + (1.0 - least(CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+       |                     / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0))
+       |      + least(CAST(len(list_filter(string_split_regex(lower(trim(text)),'\\s+'),
+       |          t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE)
+       |          / greatest(CAST(len(list_filter(string_split_regex(trim(text),'\\s+'), t -> len(t)>0)) AS DOUBLE), 1.0) * 5.0, 1.0)
+       |    ) / 3.0, 6) AS quality
+       |  FROM dedup
+       |), kept AS (
+       |  SELECT doc_id, source, text FROM scored
+       |  WHERE quality >= 0.5
+       |    AND doc_id IN (SELECT doc_id FROM gk)
+       |    AND ${graft.text.CorpusOps.mixtureSql("doc_id", "source", mixtureRates)}
+       |), tok AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split_regex(trim(text),'\\s+'), t -> len(t)>0)) AS BIGINT) AS tokens
+       |  FROM kept
+       |), cum AS (
+       |  SELECT doc_id, source, tokens,
+       |    sum(tokens) OVER (PARTITION BY source ORDER BY doc_id) AS c
+       |  FROM tok
+       |)
+       |SELECT ${graft.text.CorpusOps.splitSql("doc_id", corpusSplits)} AS split,
+       |  source, CAST(floor((c - tokens) / 256) AS BIGINT) AS shard,
+       |  count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS sum_tokens
+       |FROM cum GROUP BY 1, 2, 3"""
+
+  /** The t05 composed pipeline over an arbitrary base-table loader —
+    * shared by t05 (full corpus) and t05s (materialized 20% sample).
+    */
+  private def t05Query(base: Q): Q = (s, dir) => {
+    import graft.text.{CorpusOps, TextFunctions}
+    val deduped = graft.dedup.Dedup.keepCanonical(base(s, dir), "doc_id", "text")
+    val kept = CorpusOps.gopherFilter(
+        deduped.where(TextFunctions.qualityScore(col("text")) >= 0.5),
+        "doc_id", "text", minStopHits = 1)
+      .where(CorpusOps.mixtureFilter(col("doc_id"), col("source"), mixtureRates))
+    CorpusOps.shardByTokenBudget(kept, "doc_id", "text", "source", 256)
+      .withColumn("split", CorpusOps.splitColumn(col("doc_id"), corpusSplits))
+      .groupBy("split", "source", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("sum_tokens"))
+  }
 
   /** Exact n-gram-Jaccard pair SQL (word 3-shingles, θ=0.5) — the shared
     * oracle for d02 (exact mode), d02s (the stop-shingle cut is provably
@@ -2633,56 +2702,24 @@ object Queries {
     // English-specific and zeroes this synthetic corpus at the published
     // 2 (d52 proves that form standalone); every other threshold is the
     // published value, so the composition stays non-vacuous.
-    "t05_corpus_pipeline" -> oq(
-      s"""WITH dedup AS (
-         |  SELECT doc_id, source, text FROM documents
-         |  QUALIFY row_number() OVER (
-         |    PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
-         |    ORDER BY doc_id) = 1
-         |), gk AS (
-         |  SELECT doc_id FROM (
-         |${gopherSigSql(1)}
-         |  ) WHERE keep
-         |), scored AS (
-         |  SELECT doc_id, source, text,
-         |    round((
-         |      least(CAST(len(list_filter(string_split_regex(trim(text),'\\s+'), t -> len(t)>0)) AS DOUBLE)/100.0, 1.0)
-         |      + (1.0 - least(CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
-         |                     / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0))
-         |      + least(CAST(len(list_filter(string_split_regex(lower(trim(text)),'\\s+'),
-         |          t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE)
-         |          / greatest(CAST(len(list_filter(string_split_regex(trim(text),'\\s+'), t -> len(t)>0)) AS DOUBLE), 1.0) * 5.0, 1.0)
-         |    ) / 3.0, 6) AS quality
-         |  FROM dedup
-         |), kept AS (
-         |  SELECT doc_id, source, text FROM scored
-         |  WHERE quality >= 0.5
-         |    AND doc_id IN (SELECT doc_id FROM gk)
-         |    AND ${graft.text.CorpusOps.mixtureSql("doc_id", "source", mixtureRates)}
-         |), tok AS (
-         |  SELECT doc_id, source,
-         |    CAST(len(list_filter(string_split_regex(trim(text),'\\s+'), t -> len(t)>0)) AS BIGINT) AS tokens
-         |  FROM kept
-         |), cum AS (
-         |  SELECT doc_id, source, tokens,
-         |    sum(tokens) OVER (PARTITION BY source ORDER BY doc_id) AS c
-         |  FROM tok
-         |)
-         |SELECT ${graft.text.CorpusOps.splitSql("doc_id", corpusSplits)} AS split,
-         |  source, CAST(floor((c - tokens) / 256) AS BIGINT) AS shard,
-         |  count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS sum_tokens
-         |FROM cum GROUP BY 1, 2, 3""") { (s, dir) =>
-      import graft.text.{CorpusOps, TextFunctions}
-      val deduped = graft.dedup.Dedup.keepCanonical(docs(s, dir), "doc_id", "text")
-      val kept = CorpusOps.gopherFilter(
-          deduped.where(TextFunctions.qualityScore(col("text")) >= 0.5),
-          "doc_id", "text", minStopHits = 1)
-        .where(CorpusOps.mixtureFilter(col("doc_id"), col("source"), mixtureRates))
-      CorpusOps.shardByTokenBudget(kept, "doc_id", "text", "source", 256)
-        .withColumn("split", CorpusOps.splitColumn(col("doc_id"), corpusSplits))
-        .groupBy("split", "source", "shard")
-        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("sum_tokens"))
-    },
+    "t05_corpus_pipeline" -> oq(t05Sql(""))(t05Query(docs)),
+
+    // §2.53 bench form: the IDENTICAL composed pipeline over the
+    // CONSTANT 20% materialized sample (doc_id % 5 = 4 — disjoint from
+    // d52s's slice; the d52 → d52s precedent applied to the composed
+    // gate, round-14 verdict Next #6). Every stage is either per-doc
+    // pure (quality, Gopher, mixture, split) or a pure function of the
+    // sampled SET (keepCanonical's min-id canonical, the shard window's
+    // cumulative sum), and BOTH sides run the pipeline on the same
+    // sample — the oracle shadows `documents` with the same modulo CTE,
+    // so the checked rows are identical by construction. The full-corpus
+    // t05 stays the correctness gate at every sf and is bench-excluded.
+    // (main.documents: DuckDB needs the schema qualifier to reference
+    // the shadowed base table from inside the same-named CTE)
+    "t05s_corpus_pipeline_sample" -> oq(t05Sql(
+      "documents AS (SELECT * FROM main.documents WHERE doc_id % 5 = 4),\n"))(
+      t05Query((s, dir) =>
+        sampleTable(s, dir, "documents", "m5r4")(col("doc_id") % 5 === 4))),
 
     // §2.60: deterministic per-stratum cap — at most 10 docs per source,
     // selected by the engine-replayable md5-of-id order.
@@ -3994,6 +4031,10 @@ object Queries {
         |        LEFT JOIN uni USING (c) CROSS JOIN nv
         |GROUP BY doc_id""") { (s, dir) =>
       val d = docs(s, dir)
+      // the fixed trigram form, NOT the order-3 scoreN: measured at sf10
+      // the generic grain (per-position ctx-key arrays) costs more than
+      // its hashed joins save at this order (14.3 s vs 16.0 s) — the
+      // hash win only dominates from order 5 (see d46)
       val sb = graft.text.CorpusOps.stupidBackoffScore(d, "doc_id", "text",
         lmUnigram(s, dir), lmBigram(s, dir), lmTrigram(s, dir))
       sb.select(col("doc_id"), col("n_scored"), round(col("score"), 6).as("score"))
@@ -4068,9 +4109,12 @@ object Queries {
       val d = docs(s, dir)
       // the whole 1..5 ladder from the per-JVM materialized store
       // (lmTier) — the tier reads are partition-pruned parquet scans,
-      // never a per-invocation retrain
+      // never a per-invocation retrain; hashContext packs every tier's
+      // ctx (up to 4 space-joined tokens) to an 8-byte xxhash key on
+      // both sides of all 9 joins (spec-pinned hashed == unhashed)
       val sb = graft.text.CorpusOps.stupidBackoffScoreN(d, "doc_id", "text",
-        lmUnigram(s, dir), (2 to 5).map(n => lmTier(s, dir, n)))
+        lmUnigram(s, dir), (2 to 5).map(n => lmTier(s, dir, n)),
+        hashContext = true)
       // + 0.0: a perfectly-predicted doc scores −0.0/n — normalize the
       // IEEE sign on both sides (the e01 convention)
       sb.select(col("doc_id"), col("n_scored"),

@@ -1596,19 +1596,26 @@ object CorpusOps {
     * CorpusOpsSpec), one more 0.4 rung per extra order.
     *
     * `hashContext = true` is the 100 TB form (the d41 machinery
-    * generalized): every tier's ctx string — corpus side and LM side —
-    * packs to ONE 64-bit xxhash key before its joins, so shuffled rows
-    * carry 8 bytes per tier instead of up-to-(o−1) repeated token
-    * strings. Scores identical absent a 64-bit collision; the oracle
+    * generalized): every tier's ctx string AND the token key — corpus
+    * side and LM side — pack to 64-bit xxhash keys before the joins, so
+    * shuffled/sorted rows are fixed-width numeric instead of carrying
+    * up-to-(o−1) repeated token strings (at 500M+ grain rows the
+    * string comparisons inside the sort-merge joins were the measured
+    * cost). Scores identical absent a 64-bit collision; the oracle
     * replays the string-keyed form.
     *
-    * Scale shape: ONE corpus pass to per-doc top-order-grain counts
-    * (each row carrying its lower-order ctx keys as derived columns —
-    * no extra passes per tier), then 2·(o−1)+1 vocab-sized equi-joins
-    * (each LM + its context totals + unigrams; AQE broadcasts each when
-    * it fits) and one per-doc sum. N and V are one driver scalar
-    * aggregate. Scoring 100 TB stays one pass plus Zipf-bounded joins —
-    * the property Brants designed for.
+    * Scale shape: ONE corpus pass to the top-order position grain (each
+    * row carrying its lower-order ctx keys as derived columns — no
+    * extra passes per tier, and NO grain pre-aggregation: top-order
+    * n-grams rarely repeat within a document, so a per-doc gram groupBy
+    * would shuffle the whole grain for ~no combining), then o
+    * vocab-sized equi-joins — each tier's LM row carries its context
+    * total DENORMALIZED (`ctx_total`; computed here when the caller
+    * didn't pre-materialize it), which halves the former
+    * LM-plus-totals join chain — and one map-side-combining per-doc
+    * sum. N and V are one driver scalar aggregate. Scoring 100 TB stays
+    * one pass plus Zipf-bounded joins — the property Brants designed
+    * for.
     */
   def stupidBackoffScoreN(df: DataFrame, idCol: String, textCol: String,
                           uniLm: DataFrame, ctxLms: Seq[DataFrame],
@@ -1624,7 +1631,10 @@ object CorpusOps {
       "stupidBackoffScoreN: empty unigram LM — train on non-empty text")
     val (n, v) = (nv.getDouble(0), nv.getDouble(1))
     // tier L (context length L, 1 ≤ L < order): join key = the last L
-    // context tokens, space-joined (optionally hashed)
+    // context tokens, space-joined. hashContext packs BOTH the ctx and
+    // the token key to xxhash64 longs, so every shuffled/sorted grain
+    // row is fixed-width numeric — at 500M+ rows the string comparisons
+    // in the sort-merge joins were the measured cost, not the hash
     def ctxKey(c: Column): Column = if (hashContext) xxhash64(c) else c
     val tk = TextFunctions.wsTokens(lower(trim(col(textCol))))
     val width = size(col("__tk")) - (order - 1)
@@ -1637,30 +1647,51 @@ object CorpusOps {
       .select(col("__id") +: slices: _*)
       .select(col("__id"),
         explode(arrays_zip((0 until order).map(j => col(s"__s$j")): _*)).as("__g"))
-      .select(Seq(col("__id"), col(s"__g.__s${order - 1}").as("token")) ++
+      .select(Seq(col("__id"),
+          ctxKey(col(s"__g.__s${order - 1}")).as("token")) ++
         (1 until order).map { l =>
           ctxKey(concat_ws(" ",
             (order - 1 - l until order - 1).map(j => col(s"__g.__s$j")): _*))
             .as(s"__ctx$l")
         }: _*)
-    val tfKeys = Seq("token") ++ (1 until order).map(l => s"__ctx$l")
-    val tf = grain.groupBy((Seq("__id") ++ tfKeys).map(col): _*)
-      .agg(count(lit(1)).as("__tf"))
-    // per-tier LM + context-total frames, keyed to this tier's ctx name
+    // NO per-doc grain pre-aggregation (unlike the unigram scorer,
+    // where per-doc term counts shrink tokens to vocab): top-order
+    // n-grams rarely repeat within a document, so a groupBy on the
+    // wide (id, token, ctx1..ctx{o−1}) key would shuffle the entire
+    // grain for ~no combining — at 100 TB that one exchange dominates
+    // the query. Each position scores individually through the joins
+    // (broadcast when the Zipf-bounded LMs fit) and the only shuffle
+    // left is the final per-doc sum of slim (id, lnS) rows, which
+    // map-side-combines per doc. Identical result: Σ tf·ln S over
+    // grouped grams == Σ ln S over positions.
+    val tf = grain.withColumn("__tf", lit(1L))
+    // per-tier LM frames keyed to this tier's ctx name, each row
+    // carrying ITS context's total DENORMALIZED in (`ctx_total` when the
+    // caller pre-materialized it — the Queries.lmTier ladder — else a
+    // groupBy + self-join here): the ladder only ever reads tot_l when
+    // c_l > 0, i.e. when the (ctx, token) row EXISTS, so a separate
+    // ctx-keyed total join per tier is redundant — dropping it halves
+    // the grain-sized joins from 2(o−1)+1 to o
     val keyedLms = (1 until order).map { l =>
-      val lm = ctxLms(l - 1)
-        .select(ctxKey(col("ctx")).as(s"__ctx$l"), col("token"),
-          col("ngram_count").as(s"__c${l + 1}"))
-      val tot = lm.groupBy(col(s"__ctx$l"))
-        .agg(sum(col(s"__c${l + 1}")).cast("double").as(s"__tot$l"))
-      (lm, tot)
+      val src = ctxLms(l - 1)
+      val withTot =
+        if (src.columns.contains("ctx_total")) src
+        else src.join(
+          src.groupBy(col("ctx")).agg(sum(col("ngram_count")).as("ctx_total")),
+          Seq("ctx"))
+      withTot.select(ctxKey(col("ctx")).as(s"__ctx$l"),
+        ctxKey(col("token")).as("token"),
+        col("ngram_count").as(s"__c${l + 1}"),
+        col("ctx_total").cast("double").as(s"__tot$l"))
     }
+    val uniKeyed =
+      if (hashContext)
+        uniLm.select(xxhash64(col("token")).as("token"), col("token_count"))
+      else uniLm.select(col("token"), col("token_count"))
     val joined = keyedLms.zipWithIndex.foldLeft(tf) {
-      case (acc, ((lm, tot), i)) =>
-        val l = i + 1
-        acc.join(lm, Seq(s"__ctx$l", "token"), "left")
-          .join(tot, Seq(s"__ctx$l"), "left")
-    }.join(uniLm, Seq("token"), "left")
+      case (acc, (lm, i)) =>
+        acc.join(lm, Seq(s"__ctx${i + 1}", "token"), "left")
+    }.join(uniKeyed, Seq("token"), "left")
     // the backoff ladder, floor first so the highest seen tier wins
     val floor = lit(math.pow(backoff, order - 1)) *
       (coalesce(col("token_count"), lit(0L)).cast("double") + alpha) / (n + alpha * v)
