@@ -30,6 +30,10 @@ object PlanAudit {
     // assignment) and batch-probes it (searchBatch) — both are
     // rankCentroids against the ≤√n-row broadcast centroid table
     "e16_knn_label_indexed",
+    // e03's search against the per-JVM PREBUILT index: the identical
+    // rankCentroids query-batch × broadcast(loaded ≤√n-row centroid
+    // table) probe pass, minus the build
+    "e03b_ann_index_serve",
     "q53_mutual_info")
 
   /** Queries whose (only) unpartitioned windows are
