@@ -47,14 +47,46 @@ object Bench {
     // hashing. Diffing these across rounds catches plan regressions (a
     // lost broadcast, a new exchange) that wall-clock noise can hide.
     //
-    // Known sensitivity: plans with several distinct aggregates (q38's
-    // profile) order their Expand/gid rewrite by iterating a hash set
-    // keyed on GLOBAL expression ids, so editing any earlier query's
-    // allocation count can reorder an untouched query's plan STRING
-    // (same plan, shuffled projection list). A cross-round hash diff on
-    // such a query is confirmed/refuted by `runMain graft.PlanDump
-    // <query> <out>` at both commits — identical dumps mean the diff is
-    // allocation noise, not a regression.
+    // Id-sensitivity fix (round-15 verdict, What's wrong #1): plans with
+    // several distinct aggregates (q38's profile) order their Expand/gid
+    // rewrite by iterating a hash structure keyed on GLOBAL expression
+    // ids, so the id OFFSET a query's plan happens to start at — a
+    // function of every allocation before it, including per-JVM store
+    // builds that only run on a cold JVM — can reorder an untouched
+    // query's plan STRING (same plan, shuffled projection list). The
+    // stripping regexes cannot normalize an order change, so the q38
+    // hash flaked between same-code sweeps. Fixed at the root by
+    // [[pinExprIds]]: before constructing each query's rep-0 frame (the
+    // one that is hashed) the global expression-id counter is set to a
+    // value derived from the QUERY NAME alone, making every hashed
+    // plan's ids — and therefore any id-keyed iteration order — a pure
+    // function of (code, query), independent of sweep composition and
+    // JVM history. Safe because ids only need uniqueness WITHIN a plan
+    // (the counter runs monotonically from the pinned base during one
+    // construction) and nothing in graft holds live frames across gate
+    // invocations (the per-JVM stores cache PATHS, never plans);
+    // Spark's own cross-plan machinery (CacheManager lookups) compares
+    // canonicalized plans, which are id-insensitive by construction.
+    // Pin the global expression-id counter to a per-query-name base
+    // (1e9 + hash(name)·1e3 — far above anything a warm session has
+    // allocated, 1000-wide... the GAP between bases is irrelevant:
+    // a plan allocating past another query's base is harmless, ids
+    // only collide across plans that never meet). See the planHash
+    // comment for why this exists and why it is safe.
+    def pinExprIds(name: String): Unit =
+      try {
+        val f = Class
+          .forName("org.apache.spark.sql.catalyst.expressions.NamedExpression$")
+          .getDeclaredField("curId")
+        f.setAccessible(true)
+        val base = 1_000_000_000L +
+          (scala.util.hashing.MurmurHash3.stringHash(name).toLong & 0xFFFFFL) * 1_000L
+        f.get(null).asInstanceOf[java.util.concurrent.atomic.AtomicLong].set(base)
+      } catch {
+        // a Spark upgrade renaming the field degrades to the old
+        // (unpinned, occasionally order-flaky) hashes, never a failure
+        case _: ReflectiveOperationException => ()
+      }
     def planHash(df: org.apache.spark.sql.DataFrame): String = {
       val canon = df.queryExecution.executedPlan.toString
         .replaceAll("#\\d+[L]?", "#")
@@ -110,8 +142,15 @@ object Bench {
     // shard from the base table per rep (the top sf0.1 line at 7.9 s);
     // the benched counterpart is t05s_corpus_pipeline_sample over the
     // constant materialized 20% slice — same plan, a fifth of the rows.
+    // e02 joined the e07–e09 class in round 16 (round-15 verdict, Next
+    // #2): it is the train-INCLUDED IVF correctness gate (one Lloyd
+    // training per invocation — the dominant share of its 34.9 s sf10
+    // wall), and with e03 pricing the one-time persistent build and
+    // e03b the recurring serve, its in-loop training priced the same
+    // tier a redundant third time. It stays in SparkEntry.queries for
+    // the correctness gate.
     val benchExclude = Set("d06_cosine_topk", "d02_ngram_jaccard", "d05_embed_dup",
-      "e07_pq_adc", "e08_ivfadc", "e09_ivfadc_residual",
+      "e02_ann_ivf", "e07_pq_adc", "e08_ivfadc", "e09_ivfadc_residual",
       "d52_gopher", "e15_knn_label", "t05_corpus_pipeline")
     // Per-query MEDIAN of `reps` runs: single-run walls on a contended
     // box swing 3× at identical plans (round-7 driver vs builder runs),
@@ -132,6 +171,7 @@ object Bench {
       var failed = false
       var r = 0
       while (r < reps && !failed) {
+        if (r == 0) pinExprIds(name) // rep 0 is the hashed construction
         val t0 = System.nanoTime()
         try {
           val df = fn(spark, sfDir)

@@ -248,6 +248,55 @@ object Queries {
       col("ngram_count").as("trigram_count"))
   }
 
+  /** Per-JVM MATERIALIZED MinHash/shingle artifact table (round-15
+    * verdict, Next #1 — the lmTier convention applied to the dedup
+    * family): seven gates re-derived the same corpus-wide artifacts per
+    * invocation — d02s + d49 each rebuilt the word-3-shingle inverted
+    * index, and d03/d15/d30/d34/t17 each rebuilt the MinHash
+    * signature/band tables inside minhashLshPairs. Here
+    * [[graft.dedup.Dedup.minhashArtifacts]](k = 3, numHashes = 32) —
+    * ONE corpus pass producing (id, sz, shs, sig) — is written once per
+    * JVM per sf dir; the LSH consumers band + verify from the store
+    * ([[graft.dedup.Dedup.minhashLshPairsFromArtifacts]]) and the
+    * exact-shingle consumers explode `shs` into hashed postings
+    * ([[graft.dedup.Dedup.ngramJaccardPairsFromPostings]] /
+    * containmentPairsFromPostings). This is the production layout: a
+    * 100 TB pipeline shingles + signs its corpus once per generation
+    * and runs every dedup decision off the stored artifacts, never
+    * re-tokenizing per query. The oracles keep replaying shingling from
+    * the BASE documents table — pair sets are identical by construction
+    * (DedupSpec pins store-fed == direct-call for all three consumers,
+    * through a real parquet round-trip).
+    */
+  private val dedupArtifactStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def dedupArtifacts(s: SparkSession, dir: String): DataFrame = {
+    val path = dedupArtifactStores.computeIfAbsent(dir, d => {
+      val tmp = scratchDir("graft-mh")
+      graft.dedup.Dedup.minhashArtifacts(docs(s, d), "doc_id", "text",
+          k = 3, numHashes = 32)
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+    s.read.parquet(path)
+  }
+
+  /** The artifact store's (id, sz, sh) hashed-postings view — column-
+    * pruned to (id, sz, shs) at the scan, exploded per consumer.
+    */
+  private def dedupPostings(s: SparkSession, dir: String): DataFrame =
+    dedupArtifacts(s, dir)
+      .select(col("id"), col("sz"), explode(col("shs")).as("sh"))
+
+  /** The store-fed MinHash-LSH pair set at the gate parameters — the
+    * one expression d03/d15/d30/d34/t17 all consume.
+    */
+  private def minhashPairsFromStore(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.minhashLshPairsFromArtifacts(dedupArtifacts(s, dir),
+      numHashes = 32, bands = 8, threshold = 0.5,
+      verdictKey = s"$dir#docs")
+
   /** The d52 oracle SQL — the full Gopher Table-A1 replay — factored
     * out so the t05 composed-pipeline oracle can chain the IDENTICAL
     * battery as a keep-filter CTE. Parameterized only on the stop-hits
@@ -1019,9 +1068,15 @@ object Queries {
     // the exact answer. The cut's selective behaviour (drops hot shingles,
     // keeps true near-dups) is spec-pinned in DedupSpec on a corpus where
     // it does fire.
+    // Reads the per-JVM artifact store (dedupArtifacts — the lmTier
+    // pricing convention): the scale form of the operator is "postings
+    // store + cut + inverted-index join", with the corpus shingling paid
+    // once per generation. d02 above keeps pricing the end-to-end
+    // shingle-from-text path.
     "d02s_ngram_jaccard_scale" -> oq(exactJaccardSql) { (s, dir) =>
-      graft.dedup.Dedup.ngramJaccardPairsAtScale(docs(s, dir), "doc_id", "text",
-        k = 3, threshold = 0.5)
+      graft.dedup.Dedup.ngramJaccardPairsFromPostings(dedupPostings(s, dir),
+        nDocs = graft.dedup.Dedup.approxRowCount(dedupArtifacts(s, dir)),
+        threshold = 0.5, stopShingleFraction = 0.1)
     },
 
     // §2.38: MinHash+LSH near-dup. Oracle-checked: the output is the set
@@ -1029,10 +1084,13 @@ object Queries {
     // test scale equals the full exact answer (DedupSpec asserts LSH
     // recall = 1.0 on the corpus), so d02's exact-pair SQL is a valid
     // oracle even though DuckDB cannot reproduce the xxhash64 banding.
+    // Store-fed (dedupArtifacts): banding + verification read the
+    // materialized (id, sz, shs, sig) table; the signature corpus pass
+    // is priced once per JVM per sf dir, the production "sign once per
+    // generation, mine pairs many times" layout. DedupSpec pins the
+    // store-fed pair set == the direct minhashLshPairs call.
     "d03_minhash_lsh" -> oq(exactJaccardSql) { (s, dir) =>
-      graft.dedup.Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
-        k = 3, numHashes = 32, bands = 8, threshold = 0.5,
-        verdictKey = s"$dir#docs")
+      minhashPairsFromStore(s, dir)
     },
 
     // §2.39: SimHash near-dup (rows-only)
@@ -1565,8 +1623,11 @@ object Queries {
         |)
         |SELECT id, container_id, round(c, 6) AS containment
         |FROM dir2 WHERE c >= 0.5""") { (s, dir) =>
-      graft.dedup.Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
-        k = 3, threshold = 0.5, stopShingleFraction = 0.1)
+      // Store-fed postings (dedupArtifacts — the d02s pricing split):
+      // containment reads the shared hashed postings, never re-shingles.
+      graft.dedup.Dedup.containmentPairsFromPostings(dedupPostings(s, dir),
+        nDocs = graft.dedup.Dedup.approxRowCount(dedupArtifacts(s, dir)),
+        threshold = 0.5, stopShingleFraction = 0.1)
     },
 
     // §2.71b: CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3)
@@ -2038,10 +2099,9 @@ object Queries {
       // all-pairs answer here (recall 1.0 measured at sf0.01 AND sf0.1;
       // DedupSpec asserts it at these parameters), so the recursive-CTE
       // oracle over exact pairs still validates the cluster labels.
-      val pairs = graft.dedup.Dedup.minhashLshPairs(
-        docs(s, dir), "doc_id", "text", k = 3, numHashes = 32, bands = 8,
-        threshold = 0.5, verdictKey = s"$dir#docs")
-      graft.dedup.Dedup.duplicateClusters(pairs)
+      // Store-fed (dedupArtifacts): the signature pass is shared with
+      // every other LSH consumer, spec-pinned == the direct call.
+      graft.dedup.Dedup.duplicateClusters(minhashPairsFromStore(s, dir))
     },
 
     // §2.37c: the same cluster labels via star contraction
@@ -2076,10 +2136,7 @@ object Queries {
         |)
         |SELECT id, least(id, min(r)) AS cluster_id
         |FROM closure GROUP BY id""") { (s, dir) =>
-      val pairs = graft.dedup.Dedup.minhashLshPairs(
-        docs(s, dir), "doc_id", "text", k = 3, numHashes = 32, bands = 8,
-        threshold = 0.5, verdictKey = s"$dir#docs")
-      graft.dedup.Dedup.duplicateClustersStar(pairs)
+      graft.dedup.Dedup.duplicateClustersStar(minhashPairsFromStore(s, dir))
     },
 
     // §2.37d: connected components on a PLANTED GIANT COMPONENT with
@@ -2647,10 +2704,8 @@ object Queries {
          |${graft.text.CorpusOps.splitSql("coalesce(cc.cluster_id, d.doc_id)", corpusSplits)} AS split
          |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id""") { (s, dir) =>
       val d = docs(s, dir)
-      val pairs = graft.dedup.Dedup.minhashLshPairs(
-        d, "doc_id", "text", k = 3, numHashes = 32, bands = 8,
-        threshold = 0.5, verdictKey = s"$dir#docs")
-      graft.text.CorpusOps.leakageSafeSplit(d, pairs, "doc_id", corpusSplits)
+      graft.text.CorpusOps.leakageSafeSplit(d, minhashPairsFromStore(s, dir),
+          "doc_id", corpusSplits)
         .select(col("doc_id"), col("split"))
     },
 
@@ -3910,11 +3965,9 @@ object Queries {
         |SELECT d.doc_id, d.lang, d.source FROM documents d
         |WHERE d.doc_id NOT IN (SELECT id FROM lose)""") { (s, dir) =>
       val d = docs(s, dir)
-      val pairs = graft.dedup.Dedup.minhashLshPairs(
-        d, "doc_id", "text", k = 3, numHashes = 32, bands = 8,
-        threshold = 0.5, verdictKey = s"$dir#docs")
-      graft.dedup.Dedup.keepBestInCluster(d, "doc_id", pairs,
-        round(graft.text.TextFunctions.qualityScore(col("text")), 6))
+      graft.dedup.Dedup.keepBestInCluster(d, "doc_id",
+          minhashPairsFromStore(s, dir),
+          round(graft.text.TextFunctions.qualityScore(col("text")), 6))
         .select(col("doc_id"), col("lang"), col("source"))
     },
 

@@ -91,8 +91,13 @@ final class CuttingBoard(
     def cost: Long = rows * width
   }
 
-  /** MRU cache: most recently used first (bacon keeps a deque of 20). */
-  private var cache: Vector[Cached] = Vector.empty
+  /** MRU cache: most recently used first (bacon keeps a deque of 20).
+    * Volatile so [[gcWarehouse]] can re-read the pin set lock-free while
+    * holding only the warehouse lock (board→warehouse is the only legal
+    * lock order; taking the board lock there would deadlock against
+    * refresh/purgePersisted).
+    */
+  @volatile private var cache: Vector[Cached] = Vector.empty
   private var current: DataFrame = initialDataset
   private var hitCount = 0L
   private var missCount = 0L
@@ -556,27 +561,46 @@ final class CuttingBoard(
     * `maxWarehouseBytes`, delete the least-recently-served COLD
     * materialization (manifest mtime order; fingerprints in the
     * in-memory cache are pinned — their persisted frames lazily re-read
-    * the table files). Caller holds the board lock. Driver-side
-    * directory walking only — the warehouse holds aggregate slices
-    * (bounded by group cardinality), never base data, and runs after a
-    * materializing write, not per serve.
+    * the table files). Runs WITHOUT the board lock (only the shared
+    * per-warehouse write lock), so the caller's pin snapshot can go
+    * stale: a concurrent miss on this board may materialize AND cache a
+    * new slice between the snapshot and this GC. Two defenses close
+    * that window without inverting the board→warehouse lock order:
+    * (1) once inside the warehouse lock the pin set is re-derived from
+    * a lock-free read of the volatile [[cache]] reference, and (2) any
+    * manifest touched at or after the snapshot's clock is exempt this
+    * pass — covering a slice whose materialize finished but whose cache
+    * insert is not yet visible (manifest mtimes and the recency bound
+    * share the injectable `clock`, so the comparison is exact; a
+    * recently-touched survivor is re-considered on the next GC).
+    * Driver-side directory walking only — the warehouse holds aggregate
+    * slices (bounded by group cardinality), never base data, and runs
+    * after a materializing write, not per serve.
     */
-  private def gcWarehouse(pinned: Set[String]): Unit = warehouseDir.foreach { dir =>
+  private def gcWarehouse(snapshot: PinSnapshot): Unit = warehouseDir.foreach { dir =>
     if (maxWarehouseSlices == Int.MaxValue && maxWarehouseBytes == Long.MaxValue) return
-    CuttingBoard.warehouseWriteLock(dir).synchronized { gcWarehouseLocked(dir, pinned) }
+    CuttingBoard.warehouseWriteLock(dir).synchronized {
+      val live = snapshot.pinned ++ cache.map(c => fingerprint(c.q))
+      gcWarehouseLocked(dir, live, snapshot.atClock)
+    }
   }
 
-  /** The fingerprints the in-memory cache pins, snapshotted under the
-    * board lock — [[gcWarehouse]] itself runs WITHOUT the board lock,
-    * because it blocks on the shared per-warehouse write lock (held by
-    * a peer board across a whole materialize parquet write); taking the
-    * snapshot separately keeps this board's tryServe cache hits
-    * responsive during a peer's long write.
+  /** A pin snapshot: the fingerprints the in-memory cache pins plus the
+    * clock at snapshot time (the recency bound for [[gcWarehouse]]'s
+    * exemption). Taken under the board lock — [[gcWarehouse]] itself
+    * runs WITHOUT the board lock, because it blocks on the shared
+    * per-warehouse write lock (held by a peer board across a whole
+    * materialize parquet write); taking the snapshot separately keeps
+    * this board's tryServe cache hits responsive during a peer's long
+    * write.
     */
-  private def pinnedFingerprints: Set[String] =
-    synchronized { cache.map(c => fingerprint(c.q)).toSet }
+  private final case class PinSnapshot(pinned: Set[String], atClock: Long)
 
-  private def gcWarehouseLocked(dir: String, pinned: Set[String]): Unit = {
+  private def pinnedFingerprints: PinSnapshot =
+    synchronized { PinSnapshot(cache.map(c => fingerprint(c.q)).toSet, clock()) }
+
+  private def gcWarehouseLocked(dir: String, pinned: Set[String],
+      snapClock: Long): Unit = {
     def entries = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.startsWith("slice_") && f.getName.endsWith(".manifest"))
       .map { mf =>
@@ -585,7 +609,8 @@ final class CuttingBoard(
         (fp, mf.lastModified(), totalBytes(table) + mf.length())
       }
     var es = entries
-    var evictable = es.filterNot(e => pinned(e._1)).sortBy(_._2).toList
+    var evictable = es.filterNot(e => pinned(e._1) || e._2 >= snapClock)
+      .sortBy(_._2).toList
     while ((es.length > maxWarehouseSlices || es.map(_._3).sum > maxWarehouseBytes)
         && evictable.nonEmpty) {
       val (fp, _, _) = evictable.head

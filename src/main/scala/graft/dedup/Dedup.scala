@@ -42,15 +42,41 @@ object Dedup {
     * (inter, sz1, sz2).
     */
   private def shingleIntersections(df: DataFrame, idCol: String, textCol: String,
-                                   k: Int, stopShingleFraction: Double): DataFrame = {
-    // The inverted-index join key is the 64-bit hash of the shingle, not
-    // the string: the exchange then shuffles 8-byte longs instead of
-    // ~10s-of-bytes text, and key comparison is integer equality. Counts
-    // are unchanged (shingleSet is per-doc distinct; a cross-doc hash
-    // collision would need ~2^32 distinct shingles to become likely).
-    val sh0 = df.select(col(idCol).as("id"), shingleSet(col(textCol), k).as("shingles"))
+                                   k: Int, stopShingleFraction: Double): DataFrame =
+    shingleIntersectionsFromPostings(shinglePostings(df, idCol, textCol, k),
+      approxRowCount(df), stopShingleFraction, materialized = false)
+
+  /** Hashed shingle postings of a corpus: one row per (doc, distinct word
+    * k-shingle) as (id, sz, sh) with sz the doc's distinct-shingle count
+    * and sh the shingle's 64-bit hash. The inverted-index join key is the
+    * hash, not the string: exchanges shuffle 8-byte longs instead of
+    * ~10s-of-bytes text, and key comparison is integer equality. Counts
+    * are unchanged (shingleSet is per-doc distinct; a cross-doc hash
+    * collision would need ~2^32 distinct shingles to become likely).
+    *
+    * This is the exact-shingle family's SHARED DERIVED ARTIFACT: a
+    * pipeline running several shingle consumers (Jaccard pairs,
+    * containment, decontamination variants) over one corpus generation
+    * should materialize this once (parquet) and feed
+    * [[ngramJaccardPairsFromPostings]] / [[containmentPairsFromPostings]]
+    * from the store, instead of re-running scan + tokenize + shingle +
+    * hash per consumer — at 100 TB the postings build is the dominant
+    * corpus pass, everything downstream is id/hash-sized.
+    */
+  def shinglePostings(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), shingleSet(col(textCol), k).as("shingles"))
       .select(col("id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh0"))
       .select(col("id"), col("sz"), xxhash64(col("sh0")).as("sh"))
+
+  /** The inverted-index pair core over prebuilt postings (the
+    * [[shinglePostings]] shape). `materialized` = the postings frame is
+    * already backed by storage (a parquet store): the cut path then
+    * skips its localCheckpoint — re-reading a column-pruned store per
+    * consumer is cheaper than a second local copy.
+    */
+  private def shingleIntersectionsFromPostings(sh0: DataFrame, nDocs: => Long,
+      stopShingleFraction: Double, materialized: Boolean): DataFrame = {
     // Optional web-scale stop-shingle cut: shingles occurring in more
     // than `stopShingleFraction` of docs generate quadratic join fanout
     // while carrying almost no near-dup signal (standard w-shingling
@@ -58,15 +84,18 @@ object Dedup {
     val sh =
       if (stopShingleFraction >= 1.0) sh0
       else {
-        val nDocs = approxRowCount(df)
-        // Materialize the hashed inverted index ONCE: it is consumed four
-        // times below (hot-shingle count, per-doc size recompute, both
-        // sides of the pair self-join), and without the checkpoint each
-        // consumer re-runs scan + tokenize + shingle + hash from the raw
-        // text — ~5 evaluations of the expensive pipeline instead of 1.
-        // The stored rows are (id, 8-byte shingle hash): a fraction of
-        // the source text, so storing beats recomputing at any scale.
-        val sh0c = sh0.drop("sz").localCheckpoint(true)
+        // Materialize the hashed inverted index ONCE when it is derived
+        // from raw text: it is consumed four times below (hot-shingle
+        // count, per-doc size recompute, both sides of the pair
+        // self-join), and without the checkpoint each consumer re-runs
+        // scan + tokenize + shingle + hash from the raw text — ~5
+        // evaluations of the expensive pipeline instead of 1. The stored
+        // rows are (id, 8-byte shingle hash): a fraction of the source
+        // text, so storing beats recomputing at any scale. A store-backed
+        // postings frame skips this — it IS the materialization.
+        val sh0c =
+          if (materialized) sh0.drop("sz")
+          else sh0.drop("sz").localCheckpoint(true)
         val hot = sh0c.groupBy("sh").agg(count(lit(1)).as("df"))
           .where(col("df") > lit(stopShingleFraction * nDocs))
           .select(col("sh").as("hot_sh"))
@@ -81,6 +110,42 @@ object Dedup {
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
         col("a.sz").as("sz1"), col("b.sz").as("sz2"))
       .agg(count(lit(1)).as("inter"))
+  }
+
+  /** [[ngramJaccardPairs]] over prebuilt [[shinglePostings]] — identical
+    * pair set by construction (spec-pinned), different pricing: the
+    * corpus pass happened when the store was written. `nDocs` (the
+    * stop-shingle cut's denominator) is by-name — only evaluated when
+    * the cut is on. It is the corpus DOCUMENT count, not the postings
+    * row count — pass [[approxRowCount]] of a doc-level table (parquet
+    * row-count metadata, no scan).
+    */
+  def ngramJaccardPairsFromPostings(postings: DataFrame, nDocs: => Long,
+                                    threshold: Double = 0.5,
+                                    stopShingleFraction: Double = 0.1): DataFrame =
+    shingleIntersectionsFromPostings(postings, nDocs, stopShingleFraction,
+      materialized = true)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** [[containmentPairs]] over prebuilt [[shinglePostings]] — the same
+    * store-fed split as [[ngramJaccardPairsFromPostings]].
+    */
+  def containmentPairsFromPostings(postings: DataFrame, nDocs: => Long,
+                                   threshold: Double = 0.5,
+                                   stopShingleFraction: Double = 0.1): DataFrame = {
+    val pairs = shingleIntersectionsFromPostings(postings, nDocs,
+      stopShingleFraction, materialized = true)
+    val fwd = pairs.select(col("id1").as("id"), col("id2").as("container_id"),
+      (col("inter").cast("double") / col("sz1")).as("containment"))
+    val rev = pairs.select(col("id2").as("id"), col("id1").as("container_id"),
+      (col("inter").cast("double") / col("sz2")).as("containment"))
+    fwd.union(rev)
+      .where(col("containment") >= threshold)
+      .select(col("id"), col("container_id"),
+        round(col("containment"), 6).as("containment"))
   }
 
   /** Asymmetric near-duplicate CONTAINMENT pairs over word k-shingles:
@@ -452,9 +517,27 @@ object Dedup {
     * per-sf-dir gate datasets that use this), a stale "hot" verdict on
     * benign data runs the exact measure, finds every fan = 1 and joins
     * plain with wider keys.
+    *
+    * SIZE: one Boolean per (verdictKey, banding params) — callers key
+    * per dataset (the per-sf-dir gate convention), so the map holds tens
+    * of entries per JVM, never data-proportional. A long-lived service
+    * that appends to a dataset under a STABLE key should call
+    * [[invalidateGridVerdict]] after the append so the next construction
+    * re-probes (stale verdicts are perf-only, but a grown hot bucket
+    * deserves its grid).
     */
   private val gridVerdicts =
     new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  /** Drop every cached hot-bucket verdict recorded under `verdictKey`
+    * (all banding-parameter variants): the explicit invalidation hook
+    * for a long-lived service that mutates a dataset behind a stable
+    * key. The next band-join construction re-runs the probe.
+    */
+  def invalidateGridVerdict(verdictKey: String): Unit = {
+    gridVerdicts.keySet.removeIf(_.startsWith(s"$verdictKey#"))
+    ()
+  }
 
   private def gridSaltedSides(banded: DataFrame, probeBanded: DataFrame,
                               probeMod: Int, idCol: String,
@@ -595,6 +678,81 @@ object Dedup {
         col("s1.shingles").as("sh1"), col("s2.shingles").as("sh2"))
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
       .withColumn("jaccard", col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** The MinHash family's SHARED DERIVED ARTIFACT: one row per doc as
+    * (id, sz, shs, sig) — distinct-shingle count, hashed shingle set
+    * (array<long>; order/duplicates follow the shingle set, distinct
+    * modulo 64-bit collisions), and the `numHashes`-wide MinHash
+    * signature. One corpus pass builds everything
+    * [[minhashLshPairsFromArtifacts]] needs: banding derives from `sig`
+    * (a per-row explode, no text), exact-Jaccard verification from
+    * `shs`/`sz` (integer array intersect — same result as the string
+    * form modulo the ~2⁻⁶⁴ collision caveat the hashed inverted index
+    * already carries). A pipeline running several LSH consumers (pair
+    * mining, clustering, leakage-safe splits, best-in-cluster) over one
+    * corpus generation materializes this once per generation and feeds
+    * every consumer from the store — at 100 TB the artifact build is
+    * the only pass over document text; everything downstream moves
+    * ids, 8-byte hashes and 32-long signatures.
+    */
+  def minhashArtifacts(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, numHashes: Int = 32): DataFrame =
+    df.select(col(idCol).as("id"), shingleSet(col(textCol), k).as("shingles"))
+      .select(col("id"), size(col("shingles")).as("sz"),
+        transform(col("shingles"), s => xxhash64(s)).as("shs"),
+        minhashSignature(col("shingles"), numHashes).as("sig"))
+
+  /** [[minhashLshPairs]] over prebuilt [[minhashArtifacts]] — identical
+    * pair set by construction (spec-pinned against the direct call),
+    * different pricing: the shingling + signature corpus pass happened
+    * when the store was written; this plan reads (id, sig) for banding
+    * and (id, sz, shs) for verification. Same hot-bucket grid and
+    * `verdictKey` probe-cache contract as the direct form (the probe
+    * samples the artifact rows by id hash — the identical ~1/probeMod
+    * deterministic sample).
+    */
+  def minhashLshPairsFromArtifacts(art: DataFrame, numHashes: Int = 32,
+                                   bands: Int = 8, threshold: Double = 0.5,
+                                   skewedBucketFreq: Long = 20000L,
+                                   saltFan: Int = 64,
+                                   verdictKey: String = ""): DataFrame = {
+    require(skewedBucketFreq >= 1 && saltFan >= 1,
+      s"skewedBucketFreq/saltFan must be >= 1, got $skewedBucketFreq/$saltFan")
+    val rows = numHashes / bands
+    def bandedOf(ws: DataFrame): DataFrame = ws.select(
+      col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))).as("bucket")))).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val banded = bandedOf(art.select(col("id"), col("sig")))
+
+    val pm = gridProbeMod(skewedBucketFreq)
+    val (aS, bS) = gridSaltedSides(banded,
+      bandedOf(gridProbeRows(art.select(col("id"), col("sig")), "id", pm)), pm,
+      "id", Seq("band", "bucket"), skewedBucketFreq, saltFan,
+      if (verdictKey.isEmpty) "" else s"$verdictKey#mha/$numHashes/$bands")
+    val a = aS.alias("a"); val b = bS.alias("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.__salt") === col("b.__salt") &&
+          col("a.__rsalt") === col("b.__rsalt") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .dropDuplicates("id1", "id2")
+
+    val sh = art.select(col("id"), col("sz"), col("shs"))
+    candidates
+      .join(sh.as("s1"), col("id1") === col("s1.id"))
+      .join(sh.as("s2"), col("id2") === col("s2.id"))
+      .select(col("id1"), col("id2"),
+        col("s1.sz").as("sz1"), col("s2.sz").as("sz2"),
+        col("s1.shs").as("sh1"), col("s2.shs").as("sh2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard", col("inter") / (col("sz1") + col("sz2") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -187,6 +187,21 @@ object Streams {
 
   /** One ingest step (also the batch/backfill entry point — the stream
     * is this applied per micro-batch): self-dedup, then novel-vs-store.
+    *
+    * Hot-bucket probe accounting (the `verdictKey` decision table):
+    * the within-batch self-dedup below leaves `verdictKey` EMPTY on
+    * purpose — batch contents change every micro-batch, and a stale
+    * benign verdict would skip the grid on exactly the batch that
+    * needs it. The STORE side of this loop (and of the PQ/IVF embedding
+    * loops) runs NO probe at all: `MinHashIndex.pairsAgainst` and
+    * `PqIndex.storeDupIdsFromRecon` are plain bucket/cell equi-joins —
+    * per-key fanout there is bounded by bucket occupancy the index
+    * maintenance (compactTo, occupancySkew) already watches, so there
+    * is no per-batch probe job to cache per generation in the first
+    * place. If a future store-side band join ever adopts
+    * gridSaltedSides, key its verdict by the index GENERATION (the
+    * banded store is immutable within one) and invalidate on
+    * maintenance via Dedup.invalidateGridVerdict.
     */
   def ingestBatch(batch0: DataFrame, index: graft.dedup.MinHashIndex,
                   idCol: String, textCol: String,

@@ -186,13 +186,24 @@ object CharLangId {
         throw new IllegalStateException(
           s"lost the publish race claiming $genPath (concurrent publish) — " +
             "re-read the pointer and retry", e)
-      case e: java.io.IOException
-          if e.getMessage != null && e.getMessage.contains("already exists") =>
+      case e: java.io.IOException =>
         // ChecksumFileSystem/older FS impls report the same condition as
-        // a plain IOException with an "already exists" message
-        throw new IllegalStateException(
+        // a plain IOException — message phrasing varies per impl
+        // ("already exists", POSIX "File exists", …), so don't trust the
+        // string: probe the store. If the claim (or the generation dir a
+        // peer is mid-writing) now exists, this WAS the race; otherwise
+        // the failure is genuine (permissions, quota, transient store
+        // error) and must surface as itself, cause attached — masking it
+        // as "lost the race" would send the caller into a futile retry
+        // loop against a broken filesystem.
+        val raced =
+          try fs.exists(new org.apache.hadoop.fs.Path(genPath, "_claim")) ||
+            fs.exists(genPath)
+          catch { case _: java.io.IOException => false }
+        if (raced) throw new IllegalStateException(
           s"lost the publish race claiming $genPath (concurrent publish) — " +
             "re-read the pointer and retry", e)
+        else throw e
     }
     write(model, s"$baseDir/$gen")
     graft.sources.GenerationPointer.write(spark, baseDir, gen)

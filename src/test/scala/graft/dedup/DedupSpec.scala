@@ -155,6 +155,43 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact, "LSH must verify to the exact pair set (values included)")
   }
 
+  test("artifact store round-trip: store-fed pair mining == direct calls, all three consumers") {
+    // round-15 verdict Next #1: the dedup gates read one materialized
+    // (id, sz, shs, sig) artifact table instead of re-shingling per
+    // gate. Pin store-fed == direct THROUGH a real parquet round-trip
+    // (schema/nullability survive), with the stop-shingle cut both off
+    // and firing.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mh-spec").toString
+    Dedup.minhashArtifacts(docs, "doc_id", "text", k = 3, numHashes = 32)
+      .write.mode("overwrite").parquet(tmp)
+    val art = spark.read.parquet(tmp)
+    val postings = art.select(col("id"), col("sz"), explode(col("shs")).as("sh"))
+    val nDocs = docs.count()
+
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val lshStore = tuples(Dedup.minhashLshPairsFromArtifacts(art,
+      numHashes = 32, bands = 8, threshold = 0.5))
+    val lshDirect = tuples(Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, threshold = 0.5))
+    assert(lshStore == lshDirect && lshStore.nonEmpty,
+      "store-fed LSH pairs must equal the direct call (values included)")
+
+    for (frac <- Seq(1.0, 0.5)) {
+      assert(tuples(Dedup.ngramJaccardPairsFromPostings(postings, nDocs,
+          threshold = 0.3, stopShingleFraction = frac)) ==
+        tuples(Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3,
+          threshold = 0.3, stopShingleFraction = frac)),
+        s"store-fed jaccard must equal direct at cut=$frac")
+      assert(tuples(Dedup.containmentPairsFromPostings(postings, nDocs,
+          threshold = 0.3, stopShingleFraction = frac)) ==
+        tuples(Dedup.containmentPairs(docs, "doc_id", "text", k = 3,
+          threshold = 0.3, stopShingleFraction = frac)),
+        s"store-fed containment must equal direct at cut=$frac")
+    }
+  }
+
   test("keepCanonical keeps one row per content with all original columns") {
     val kept = Dedup.keepCanonical(docs, "doc_id", "text").collect()
     assert(kept.map(_.getLong(0)).toSet == Set(1L, 2L, 4L, 5L)) // 3 is a dup of 1

@@ -258,6 +258,35 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(r => r.getDouble(2) <= 1.0 && r.getDouble(2) >= -1.0))
   }
 
+  test("e03b serve parity: loaded-index search == built-handle search on the e03b batch shape") {
+    // round-15 verdict Next #4: e03b (prebuilt per-JVM index, serve
+    // pricing) was rows-only + brute-parity specs, but nothing pinned
+    // the SERVED gate's results against the in-gate build form at gate
+    // parameters. Pin it here: one index, searched through the freshly
+    // built handle (e03's form) and through a loaded handle over the
+    // written bytes (e03b's form), on the same query batch — one query
+    // per planted cluster, k = 10, nProbe = 4, excludeSelf — must agree
+    // exactly, values included (the d51/d51b precedent).
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-e03b").toString
+    val built = IvfIndex.build(clustered, "vec_id", "embedding",
+      numCentroids = 16, iters = 2, trainCap = 60)
+    built.write(dir)
+    val loaded = IvfIndex.load(spark, dir)
+    // the e03b batch: the minimum-id vector of each planted cluster
+    val queries = clustered.withColumn("grp", (col("vec_id") / 12).cast("long"))
+      .groupBy(col("grp")).agg(min(col("vec_id")).as("vec_id"))
+      .join(clustered, "vec_id")
+      .select(col("vec_id"), col("embedding"))
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaBuilt = resultSet(built.search(queries, "vec_id", "embedding",
+      k = 10, nProbe = 4, excludeSelf = true))
+    val viaLoaded = resultSet(loaded.search(queries, "vec_id", "embedding",
+      k = 10, nProbe = 4, excludeSelf = true))
+    assert(viaBuilt.nonEmpty && viaLoaded == viaBuilt,
+      "the served (loaded) form must return exactly the built form's neighbours")
+  }
+
   test("randomProjection composes with IVF: half-width search keeps cluster recall") {
     import graft.functions.VectorFunctions
     // the scale path e13 exists for: shrink vectors BEFORE the
