@@ -44,7 +44,7 @@ object Dedup {
   private def shingleIntersections(df: DataFrame, idCol: String, textCol: String,
                                    k: Int, stopShingleFraction: Double): DataFrame =
     shingleIntersectionsFromPostings(shinglePostings(df, idCol, textCol, k),
-      approxRowCount(df), stopShingleFraction, materialized = false)
+      approxRowCount(df), stopShingleFraction)
 
   /** Hashed shingle postings of a corpus: one row per (doc, distinct word
     * k-shingle) as (id, sz, sh) with sz the doc's distinct-shingle count
@@ -54,14 +54,12 @@ object Dedup {
     * are unchanged (shingleSet is per-doc distinct; a cross-doc hash
     * collision would need ~2^32 distinct shingles to become likely).
     *
-    * This is the exact-shingle family's SHARED DERIVED ARTIFACT: a
-    * pipeline running several shingle consumers (Jaccard pairs,
-    * containment, decontamination variants) over one corpus generation
-    * should materialize this once (parquet) and feed
-    * [[ngramJaccardPairsFromPostings]] / [[containmentPairsFromPostings]]
-    * from the store, instead of re-running scan + tokenize + shingle +
-    * hash per consumer — at 100 TB the postings build is the dominant
-    * corpus pass, everything downstream is id/hash-sized.
+    * This is the DIRECT form's working set; the shared derived artifact
+    * a multi-consumer pipeline materializes instead is
+    * [[minhashArtifacts]], whose df-sorted arrays additionally enable
+    * the prefix-filtered pair mining
+    * ([[ngramJaccardPairsFromArtifacts]] /
+    * [[containmentPairsFromArtifacts]]).
     */
   def shinglePostings(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3): DataFrame =
@@ -70,13 +68,13 @@ object Dedup {
       .select(col("id"), col("sz"), xxhash64(col("sh0")).as("sh"))
 
   /** The inverted-index pair core over prebuilt postings (the
-    * [[shinglePostings]] shape). `materialized` = the postings frame is
-    * already backed by storage (a parquet store): the cut path then
-    * skips its localCheckpoint — re-reading a column-pruned store per
-    * consumer is cheaper than a second local copy.
+    * [[shinglePostings]] shape) — the DIRECT from-text form. The scale
+    * path is [[ngramJaccardPairsFromArtifacts]] /
+    * [[containmentPairsFromArtifacts]]: prefix-filtered mining over the
+    * materialized artifact store.
     */
   private def shingleIntersectionsFromPostings(sh0: DataFrame, nDocs: => Long,
-      stopShingleFraction: Double, materialized: Boolean): DataFrame = {
+      stopShingleFraction: Double): DataFrame = {
     // Optional web-scale stop-shingle cut: shingles occurring in more
     // than `stopShingleFraction` of docs generate quadratic join fanout
     // while carrying almost no near-dup signal (standard w-shingling
@@ -84,18 +82,15 @@ object Dedup {
     val sh =
       if (stopShingleFraction >= 1.0) sh0
       else {
-        // Materialize the hashed inverted index ONCE when it is derived
-        // from raw text: it is consumed four times below (hot-shingle
-        // count, per-doc size recompute, both sides of the pair
-        // self-join), and without the checkpoint each consumer re-runs
-        // scan + tokenize + shingle + hash from the raw text — ~5
-        // evaluations of the expensive pipeline instead of 1. The stored
-        // rows are (id, 8-byte shingle hash): a fraction of the source
-        // text, so storing beats recomputing at any scale. A store-backed
-        // postings frame skips this — it IS the materialization.
-        val sh0c =
-          if (materialized) sh0.drop("sz")
-          else sh0.drop("sz").localCheckpoint(true)
+        // Materialize the hashed inverted index ONCE: it is consumed
+        // four times below (hot-shingle count, per-doc size recompute,
+        // both sides of the pair self-join), and without the checkpoint
+        // each consumer re-runs scan + tokenize + shingle + hash from
+        // the raw text — ~5 evaluations of the expensive pipeline
+        // instead of 1. The stored rows are (id, 8-byte shingle hash):
+        // a fraction of the source text, so storing beats recomputing
+        // at any scale.
+        val sh0c = sh0.drop("sz").localCheckpoint(true)
         val hot = sh0c.groupBy("sh").agg(count(lit(1)).as("df"))
           .where(col("df") > lit(stopShingleFraction * nDocs))
           .select(col("sh").as("hot_sh"))
@@ -112,32 +107,29 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
   }
 
-  /** [[ngramJaccardPairs]] over prebuilt [[shinglePostings]] — identical
-    * pair set by construction (spec-pinned), different pricing: the
-    * corpus pass happened when the store was written. `nDocs` (the
-    * stop-shingle cut's denominator) is by-name — only evaluated when
-    * the cut is on. It is the corpus DOCUMENT count, not the postings
-    * row count — pass [[approxRowCount]] of a doc-level table (parquet
-    * row-count metadata, no scan).
+  /** [[ngramJaccardPairs]] over a prebuilt [[shinglePairsFromArtifacts]]
+    * table — identical pair set to the direct from-text call
+    * (spec-pinned in both cut regimes), priced as a per-row projection:
+    * J = inter/(sz1+sz2-inter), exact rational threshold compare, THEN
+    * 6dp rounding. Requires `threshold >= the pair table's minCoeff`
+    * (J <= max-containment, so nothing a valid caller needs was
+    * pruned).
     */
-  def ngramJaccardPairsFromPostings(postings: DataFrame, nDocs: => Long,
-                                    threshold: Double = 0.5,
-                                    stopShingleFraction: Double = 0.1): DataFrame =
-    shingleIntersectionsFromPostings(postings, nDocs, stopShingleFraction,
-      materialized = true)
+  def ngramJaccardPairsFromArtifacts(pairs: DataFrame,
+                                     threshold: Double = 0.5): DataFrame =
+    pairs
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
 
-  /** [[containmentPairs]] over prebuilt [[shinglePostings]] — the same
-    * store-fed split as [[ngramJaccardPairsFromPostings]].
+  /** [[containmentPairs]] over a prebuilt [[shinglePairsFromArtifacts]]
+    * table — both directions projected from the single unordered-pair
+    * row, exactly like the direct form. Requires `threshold >= the pair
+    * table's minCoeff` (each direction's C <= max-containment).
     */
-  def containmentPairsFromPostings(postings: DataFrame, nDocs: => Long,
-                                   threshold: Double = 0.5,
-                                   stopShingleFraction: Double = 0.1): DataFrame = {
-    val pairs = shingleIntersectionsFromPostings(postings, nDocs,
-      stopShingleFraction, materialized = true)
+  def containmentPairsFromArtifacts(pairs: DataFrame,
+                                    threshold: Double = 0.5): DataFrame = {
     val fwd = pairs.select(col("id1").as("id"), col("id2").as("container_id"),
       (col("inter").cast("double") / col("sz1")).as("containment"))
     val rev = pairs.select(col("id2").as("id"), col("id1").as("container_id"),
@@ -682,28 +674,131 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** The MinHash family's SHARED DERIVED ARTIFACT: one row per doc as
-    * (id, sz, shs, sig) — distinct-shingle count, hashed shingle set
-    * (array<long>; order/duplicates follow the shingle set, distinct
-    * modulo 64-bit collisions), and the `numHashes`-wide MinHash
-    * signature. One corpus pass builds everything
-    * [[minhashLshPairsFromArtifacts]] needs: banding derives from `sig`
-    * (a per-row explode, no text), exact-Jaccard verification from
-    * `shs`/`sz` (integer array intersect — same result as the string
-    * form modulo the ~2⁻⁶⁴ collision caveat the hashed inverted index
-    * already carries). A pipeline running several LSH consumers (pair
-    * mining, clustering, leakage-safe splits, best-in-cluster) over one
-    * corpus generation materializes this once per generation and feeds
-    * every consumer from the store — at 100 TB the artifact build is
-    * the only pass over document text; everything downstream moves
-    * ids, 8-byte hashes and 32-long signatures.
+  /** The dedup family's SHARED DERIVED ARTIFACT: one row per doc as
+    * (id, sz, shs, dfs, sig) — distinct-shingle count, hashed shingle
+    * set (array<long>, distinct modulo 64-bit collisions) sorted
+    * RAREST-FIRST by (global document frequency, hash) — the shared
+    * total order the AllPairs prefix filter needs — the parallel
+    * per-shingle df array, and the `numHashes`-wide MinHash signature.
+    * One corpus pass (plus one shingle-keyed df aggregation, both paid
+    * at STORE BUILD time) yields everything every consumer needs:
+    *  - [[minhashLshPairsFromArtifacts]] bands from `sig` and verifies
+    *    from `shs`/`sz` (array_intersect is order-insensitive);
+    *  - [[ngramJaccardPairsFromArtifacts]] /
+    *    [[containmentPairsFromArtifacts]] run the exact prefix-filtered
+    *    set-similarity join straight off the sorted arrays: the
+    *    stop-shingle cut is a per-row `dfs` filter (no corpus-wide
+    *    hot-count aggregation, no anti-join, no size-recompute shuffle
+    *    at query time).
+    * A pipeline running several dedup consumers over one corpus
+    * generation materializes this once per generation and feeds every
+    * consumer from the store — at 100 TB the artifact build is the only
+    * pass over document text; everything downstream moves ids, 8-byte
+    * hashes and fixed-width signatures.
     */
   def minhashArtifacts(df: DataFrame, idCol: String, textCol: String,
-                       k: Int = 3, numHashes: Int = 32): DataFrame =
-    df.select(col(idCol).as("id"), shingleSet(col(textCol), k).as("shingles"))
+                       k: Int = 3, numHashes: Int = 32): DataFrame = {
+    // One shingling pass feeds both the df aggregation and the final
+    // row — checkpoint so the expensive text pass runs once, not once
+    // per consumer branch (this is the one-time store build; the
+    // checkpoint is its working set, ids + hashes, not text).
+    val base = df
+      .select(col(idCol).as("id"), shingleSet(col(textCol), k).as("shingles"))
       .select(col("id"), size(col("shingles")).as("sz"),
-        transform(col("shingles"), s => xxhash64(s)).as("shs"),
+        transform(col("shingles"), s => xxhash64(s)).as("shs0"),
         minhashSignature(col("shingles"), numHashes).as("sig"))
+      .localCheckpoint(true)
+    val posts = base.select(col("id"), explode(col("shs0")).as("sh"))
+    // Global shingle -> document frequency (bounded by shingle
+    // vocabulary). NOT broadcast: at corpus scale the vocabulary is
+    // data-sized; the sort-merge join below shuffles only (id, sh, df)
+    // longs.
+    val freq = posts.groupBy("sh").agg(count(lit(1)).as("df"))
+    val sorted = posts.join(freq, "sh")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("a"))
+      .select(col("id"),
+        transform(col("a"), x => x.getField("sh")).as("shs"),
+        transform(col("a"), x => x.getField("df")).as("dfs"))
+    // Left join + empty-array coalesce: a doc with NO shingles (text
+    // shorter than k tokens) keeps its artifact row — consumers emit no
+    // pairs for it, but corpus-level counts (approxRowCount over the
+    // store) stay doc-exact.
+    base.join(sorted, Seq("id"), "left")
+      .select(col("id"), col("sz"),
+        coalesce(col("shs"), array().cast("array<bigint>")).as("shs"),
+        coalesce(col("dfs"), array().cast("array<bigint>")).as("dfs"),
+        col("sig"))
+  }
+
+  /** The post-cut view of the artifact arrays: shingles with document
+    * frequency above `stopShingleFraction * nDocs` are dropped PER ROW
+    * (a zip_with filter over the carried `dfs` — the cut that used to
+    * cost a corpus-wide aggregation, an anti-join and a size-recompute
+    * shuffle is now a map-side expression), sizes recomputed over the
+    * reduced universe, rarest-first order preserved. `frac >= 1` = cut
+    * off (`shs` passed through). Docs left with zero shingles are
+    * dropped — they can pair with nothing.
+    */
+  private def cutArtifacts(art: DataFrame, nDocs: => Long,
+                           stopShingleFraction: Double): DataFrame = {
+    val cut =
+      if (stopShingleFraction >= 1.0) art.select(col("id"), col("shs"))
+      else {
+        val cutoff = lit(stopShingleFraction * nDocs)
+        art.select(col("id"),
+          filter(zip_with(col("shs"), col("dfs"),
+              (s, d) => struct(s.as("sh"), d.as("df"))),
+            x => !(x.getField("df") > cutoff)).as("a"))
+          .select(col("id"), transform(col("a"), x => x.getField("sh")).as("shs"))
+      }
+    cut.select(col("id"), col("shs"), size(col("shs")).as("szc"))
+      .where(col("szc") > 0)
+  }
+
+  /** The exact-shingle family's shared PAIR CORE over prebuilt
+    * [[minhashArtifacts]]: one row per unordered candidate pair
+    * (id1 < id2) as (id1, id2, sz1, sz2, inter) — post-cut shingle
+    * counts and exact intersection size — PRUNED to pairs whose maximum
+    * containment inter/min(sz1, sz2) >= `minCoeff`. Because both
+    * Jaccard and either-direction containment are bounded above by the
+    * max containment (J = i/|A∪B| <= i/min, C(A→B) = i/|A| <= i/min),
+    * every consumer with threshold >= minCoeff derives its exact answer
+    * from this one table: [[ngramJaccardPairsFromArtifacts]] /
+    * [[containmentPairsFromArtifacts]] are per-row projections of it.
+    * CALLER CONTRACT: never consume with a threshold BELOW the
+    * `minCoeff` the table was built with — those pairs were pruned.
+    *
+    * A pipeline materializes this once per corpus generation (the
+    * near-dup pair table IS the production artifact every dedup
+    * decision reads) — the join+count pass below is paid once, and the
+    * stop-shingle cut costs a per-row `dfs` array filter instead of the
+    * direct path's corpus-wide hot-count aggregation + anti-join +
+    * size-recompute shuffles.
+    *
+    * Shape note (measured, round 16): an AllPairs prefix-filtered
+    * variant (the q55 fuzzyJoin algorithm over the df-sorted arrays)
+    * was built and benched first — 41.8 s (Jaccard) / 138.5 s
+    * (containment) at sf10 vs 23.4 / 26.1 for this count-aggregated
+    * core. On a corpus whose co-occurrence is NOT concentrated in hot
+    * shingles, prefixes prune little, and shipping the shingle arrays
+    * through candidate-verify joins costs far more than aggregating
+    * intersection COUNTS map-side in the pair groupBy. Measured no-go;
+    * the count core stayed.
+    */
+  def shinglePairsFromArtifacts(art: DataFrame, nDocs: => Long,
+                                minCoeff: Double = 0.5,
+                                stopShingleFraction: Double = 0.1): DataFrame = {
+    val sh = cutArtifacts(art, nDocs, stopShingleFraction)
+      .select(col("id"), col("szc").as("sz"), explode(col("shs")).as("sh"))
+    val a = sh.alias("a"); val b = sh.alias("b")
+    a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+      .agg(count(lit(1)).as("inter"))
+      .where(col("inter").cast("double") / least(col("sz1"), col("sz2"))
+        >= lit(minCoeff))
+  }
 
   /** [[minhashLshPairs]] over prebuilt [[minhashArtifacts]] — identical
     * pair set by construction (spec-pinned against the direct call),

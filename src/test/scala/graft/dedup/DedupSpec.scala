@@ -165,7 +165,6 @@ class DedupSpec extends SparkSpec {
     Dedup.minhashArtifacts(docs, "doc_id", "text", k = 3, numHashes = 32)
       .write.mode("overwrite").parquet(tmp)
     val art = spark.read.parquet(tmp)
-    val postings = art.select(col("id"), col("sz"), explode(col("shs")).as("sh"))
     val nDocs = docs.count()
 
     def tuples(df: org.apache.spark.sql.DataFrame) =
@@ -178,17 +177,27 @@ class DedupSpec extends SparkSpec {
     assert(lshStore == lshDirect && lshStore.nonEmpty,
       "store-fed LSH pairs must equal the direct call (values included)")
 
+    // The shared pair core (built at minCoeff = the LOWEST consumer
+    // threshold) feeds both coefficient projections — equality with the
+    // direct from-text calls pinned with the cut off (1.0) and firing
+    // (0.5), at the build threshold and above it, THROUGH a second
+    // parquet round-trip (the Queries.dedupShinglePairs layout).
     for (frac <- Seq(1.0, 0.5)) {
-      assert(tuples(Dedup.ngramJaccardPairsFromPostings(postings, nDocs,
-          threshold = 0.3, stopShingleFraction = frac)) ==
-        tuples(Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3,
-          threshold = 0.3, stopShingleFraction = frac)),
-        s"store-fed jaccard must equal direct at cut=$frac")
-      assert(tuples(Dedup.containmentPairsFromPostings(postings, nDocs,
-          threshold = 0.3, stopShingleFraction = frac)) ==
-        tuples(Dedup.containmentPairs(docs, "doc_id", "text", k = 3,
-          threshold = 0.3, stopShingleFraction = frac)),
-        s"store-fed containment must equal direct at cut=$frac")
+      val ptmp = java.nio.file.Files.createTempDirectory("graft-shp-spec").toString
+      Dedup.shinglePairsFromArtifacts(art, nDocs,
+          minCoeff = 0.3, stopShingleFraction = frac)
+        .write.mode("overwrite").parquet(ptmp)
+      val pairs = spark.read.parquet(ptmp)
+      for (t <- Seq(0.3, 0.6)) {
+        assert(tuples(Dedup.ngramJaccardPairsFromArtifacts(pairs, threshold = t)) ==
+          tuples(Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3,
+            threshold = t, stopShingleFraction = frac)),
+          s"store-fed jaccard must equal direct at cut=$frac t=$t")
+        assert(tuples(Dedup.containmentPairsFromArtifacts(pairs, threshold = t)) ==
+          tuples(Dedup.containmentPairs(docs, "doc_id", "text", k = 3,
+            threshold = t, stopShingleFraction = frac)),
+          s"store-fed containment must equal direct at cut=$frac t=$t")
+      }
     }
   }
 
