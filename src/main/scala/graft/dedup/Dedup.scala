@@ -264,6 +264,13 @@ object Dedup {
       .agg(least(col("src"), min(col("dst"))).as("comp"))
       .select(col("src").as("id"), col("comp"))
       .persist()
+    // NOT loop-repartitioned like duplicateClustersStar: this path is
+    // the DENSE-graph default that converges in 2-3 rounds, so a
+    // measured edge count + pre-partitioned edge cache + per-round
+    // re-keying cost MORE than they save (measured at sf0.1: d15
+    // 0.47 → 1.48 s, d34 0.97 → 1.86 s with the star treatment applied
+    // here — reverted). High-diameter graphs, where the loop shape
+    // dominates, take duplicateClustersStar, which is loop-partitioned.
     var iter = 1
     var changed = true
     while (changed && iter < maxIter) {
@@ -307,6 +314,19 @@ object Dedup {
     lastConvergenceRounds = iter
     labels.select(col("id"), col("comp").as("cluster_id"))
   }
+
+  /** Partition count for a contraction/propagation loop's exchanges,
+    * sized from the MEASURED row count of the loop's largest frame
+    * (~4M two-long rows ≈ 64–128 MB a partition, the guide's advisory
+    * range) instead of the session's shuffle partitions — the session
+    * constant is tuned for corpus-sized scans and over-splits the
+    * loop-sized frames by orders of magnitude (per-round fixed task
+    * cost then dominates), while at 100 TB the edge set grows and `p`
+    * grows with it. No upper cap: a trillion-edge graph legitimately
+    * wants ~250k partitions.
+    */
+  private[dedup] def loopPartitions(rows: Long): Int =
+    math.max(1L, (rows + 3999999L) / 4000000L).toInt
 
   /** Diagnostic: rounds the last duplicateClusters call used (including
     * the final no-change round). Lets specs pin the O(log diameter)
@@ -354,6 +374,19 @@ object Dedup {
         coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).first()
       (r.getLong(0), r.getLong(1))
     }
+    var fp = fingerprint(edges)
+    // Scale-adaptive loop partitioning: every exchange inside the
+    // contraction is an EXPLICIT repartition to `p` partitions, sized
+    // from the measured initial edge count (~4M edge rows ≈ 64–128 MB a
+    // partition), instead of the session's shuffle.partitions — a
+    // constant tuned for corpus-sized scans is 1-2 orders too wide for
+    // the edge set, and the loop pays it per exchange per round (32-task
+    // stages over a few thousand rows dominated d42's wall: 2,966 tasks
+    // / 139 s summed task time for 2 MB of shuffle). The explicit
+    // repartition also lets the min-aggregate and the re-point join
+    // SHARE one exchange per phase (both need hash(u)); the implicit
+    // plan shuffled `sym` twice.
+    val p = loopPartitions(fp._1)
     // One phase: for every node, m = min(neighborhood ∪ self); re-point
     // the selected side of each neighborhood at m. `keepLarger` selects
     // large-star (strictly larger neighbors) vs small-star (the rest,
@@ -361,6 +394,7 @@ object Dedup {
     def phase(e: DataFrame, keepLarger: Boolean): DataFrame = {
       val sym = e.select(col("u"), col("v"))
         .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(p, col("u"))
       val m = sym.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
       val joined = sym.join(m, "u")
       val out =
@@ -374,9 +408,9 @@ object Dedup {
           joined.where(col("v") < col("u"))
             .select(col("m").as("u"), col("v"))
             .unionByName(m.select(col("m").as("u"), col("u").as("v")))
-      out.where(col("u") =!= col("v")).distinct()
+      out.where(col("u") =!= col("v"))
+        .repartition(p, col("u"), col("v")).distinct()
     }
-    var fp = fingerprint(edges)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {

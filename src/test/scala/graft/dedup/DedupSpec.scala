@@ -287,6 +287,19 @@ class DedupSpec extends SparkSpec {
       s"expected O(log diameter) rounds on the hubbed giant, used ${Dedup.lastConvergenceRounds}")
   }
 
+  test("loopPartitions sizes the CC loops' exchanges from the measured edge count") {
+    // one partition until ~4M edge rows (~64-128 MB), then linear growth
+    // with no upper cap — the session's shuffle.partitions constant must
+    // never leak into the loop (it is sized for corpus scans, not the
+    // contracted edge set), in either direction.
+    assert(Dedup.loopPartitions(0L) == 1)
+    assert(Dedup.loopPartitions(3400L) == 1) // d42's sf0.1 edge set
+    assert(Dedup.loopPartitions(4000000L) == 1)
+    assert(Dedup.loopPartitions(4000001L) == 2)
+    assert(Dedup.loopPartitions(1000000000L) == 250)
+    assert(Dedup.loopPartitions(1000000000000L) == 250000)
+  }
+
   test("duplicateClusters throws instead of returning partial labels at maxIter") {
     // a path graph 0-1-2-...-9 needs ~8 propagation rounds to pull the
     // far end down to label 0; maxIter=3 must fail loudly, not silently
