@@ -320,13 +320,28 @@ object Dedup {
     * (~4M two-long rows ≈ 64–128 MB a partition, the guide's advisory
     * range) instead of the session's shuffle partitions — the session
     * constant is tuned for corpus-sized scans and over-splits the
-    * loop-sized frames by orders of magnitude (per-round fixed task
-    * cost then dominates), while at 100 TB the edge set grows and `p`
-    * grows with it. No upper cap: a trillion-edge graph legitimately
-    * wants ~250k partitions.
+    * loop-sized frames by orders of magnitude (measured on d42 at
+    * sf0.1: 2,966 tasks / 139 s summed task time for 2 MB of shuffle).
+    * Two regimes:
+    *  - small graphs: enough partitions to FILL the available cores at
+    *    ≥ ~32k edge rows a task (below that, per-task fixed cost beats
+    *    the parallelism — a 3k-edge round on one core beats 32
+    *    near-empty tasks), capped at defaultParallelism (cluster-aware,
+    *    not a local constant);
+    *  - large graphs: ~4M two-long rows ≈ 64–128 MB a partition (the
+    *    guide's advisory range), growing with the graph, no upper cap —
+    *    a trillion-edge graph legitimately wants ~250k partitions.
+    * The max of the two hands over exactly where the byte sizing
+    * starts asking for more than the core count (measured: the pure
+    * 4M-row form ran d42's 350k-edge sf10 rounds on ONE core and
+    * regressed 19.7 → 29 s; this form restores the parallelism small
+    * real rounds need while keeping the 3k-edge sf0.1 rounds on one).
     */
-  private[dedup] def loopPartitions(rows: Long): Int =
-    math.max(1L, (rows + 3999999L) / 4000000L).toInt
+  private[dedup] def loopPartitions(rows: Long, cores: Int): Int = {
+    val bySize = (rows + 3999999L) / 4000000L
+    val byCores = math.min((rows + 31999L) / 32000L, cores.toLong)
+    math.max(1L, math.max(bySize, byCores)).toInt
+  }
 
   /** Diagnostic: rounds the last duplicateClusters call used (including
     * the final no-change round). Lets specs pin the O(log diameter)
@@ -386,7 +401,8 @@ object Dedup {
     // repartition also lets the min-aggregate and the re-point join
     // SHARE one exchange per phase (both need hash(u)); the implicit
     // plan shuffled `sym` twice.
-    val p = loopPartitions(fp._1)
+    val p = loopPartitions(fp._1,
+      pairs.sparkSession.sparkContext.defaultParallelism)
     // One phase: for every node, m = min(neighborhood ∪ self); re-point
     // the selected side of each neighborhood at m. `keepLarger` selects
     // large-star (strictly larger neighbors) vs small-star (the rest,

@@ -292,12 +292,13 @@ class DedupSpec extends SparkSpec {
     // with no upper cap — the session's shuffle.partitions constant must
     // never leak into the loop (it is sized for corpus scans, not the
     // contracted edge set), in either direction.
-    assert(Dedup.loopPartitions(0L) == 1)
-    assert(Dedup.loopPartitions(3400L) == 1) // d42's sf0.1 edge set
-    assert(Dedup.loopPartitions(4000000L) == 1)
-    assert(Dedup.loopPartitions(4000001L) == 2)
-    assert(Dedup.loopPartitions(1000000000L) == 250)
-    assert(Dedup.loopPartitions(1000000000000L) == 250000)
+    assert(Dedup.loopPartitions(0L, 32) == 1)
+    assert(Dedup.loopPartitions(3400L, 32) == 1) // d42's sf0.1 edge set
+    assert(Dedup.loopPartitions(350000L, 32) == 11) // d42's sf10 edge set
+    assert(Dedup.loopPartitions(4000000L, 32) == 32) // core-filling regime
+    assert(Dedup.loopPartitions(200000000L, 32) == 50) // byte regime takes over
+    assert(Dedup.loopPartitions(1000000000L, 32) == 250)
+    assert(Dedup.loopPartitions(1000000000000L, 32) == 250000)
   }
 
   test("duplicateClusters throws instead of returning partial labels at maxIter") {
