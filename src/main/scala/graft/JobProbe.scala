@@ -67,7 +67,8 @@ object JobProbe {
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"[jobprobe] $n rep=$rep wall=$wall%.2fs jobs=${jobs.get} " +
         f"stages=${stages.get} tasks=${tasks.get} taskTime=${taskMs.get / 1000.0}%.2fs " +
-        f"shufR=${shufRead.get / 1e6}%.1fMB shufW=${shufWrite.get / 1e6}%.1fMB")
+        f"shufR=${shufRead.get / 1e6}%.1fMB shufW=${shufWrite.get / 1e6}%.1fMB " +
+        f"ccRounds=${graft.dedup.Dedup.lastConvergenceRounds}")
     }
     spark.stop()
   }

@@ -176,7 +176,11 @@ object Queries {
       Tpch.table(s, dir, table).where(pred).write.mode("overwrite").parquet(tmp)
       tmp
     })
-    s.read.parquet(path)
+    // The slice is small by construction (a few % of an already-small
+    // test table — often one parquet file), and its consumers are the
+    // priced scoring paths (NB train, Gopher battery, composed
+    // pipeline): fill the core set above the scan (see Tpch.fillCores).
+    Tpch.fillCores(s.read.parquet(path))
   }
 
   /** Per-JVM MATERIALIZED n-gram LM ladder (round-14 verdict, Next #1 —
@@ -279,7 +283,9 @@ object Queries {
         .write.mode("overwrite").parquet(tmp)
       tmp
     })
-    s.read.parquet(path)
+    // Banding + verification run per-row above this scan: fill cores
+    // (no-op when the store already has >= cores files).
+    Tpch.fillCores(s.read.parquet(path))
   }
 
   /** The store-fed MinHash-LSH pair set at the gate parameters — the
@@ -971,8 +977,19 @@ object Queries {
     },
   )
 
-  private def docs(s: SparkSession, dir: String) = Tpch.table(s, dir, "documents")
-  private def emb(s: SparkSession, dir: String) = Tpch.table(s, dir, "embeddings")
+  // Both readers fill the core set (Tpch.fillCores): every consumer of
+  // documents/embeddings runs compute-heavy per-row work (tokenize,
+  // shingle, window-hash, decode, dot products) directly above the scan,
+  // and the test parquets are 1 file (sf0.1) / 8-16 files (the ScaleUp
+  // replicas) — fewer partitions than cores, so the map half of those
+  // gates was running 1-to-half-parallel. The q-series fact tables
+  // (lineitem/orders/events) are NOT wrapped: their gates are
+  // sub-second scan+agg shapes where an extra exchange costs more than
+  // the parallelism buys.
+  private def docs(s: SparkSession, dir: String) =
+    Tpch.fillCores(Tpch.table(s, dir, "documents"))
+  private def emb(s: SparkSession, dir: String) =
+    Tpch.fillCores(Tpch.table(s, dir, "embeddings"))
 
   /** t01's split weights — shared by the Spark column and the SQL oracle. */
   private val corpusSplits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)

@@ -412,7 +412,14 @@ object Dedup {
         .unionByName(e.select(col("v").as("u"), col("u").as("v")))
         .repartition(p, col("u"))
       val m = sym.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
-      val joined = sym.join(m, "u")
+      // SHUFFLE_HASH, not broadcast and not sort-merge: both sides hang
+      // off sym's one explicit hash(u, p) exchange, so the equi-join is
+      // exchange-free; a broadcast build would add a per-phase broadcast
+      // JOB (driver round-trip — the loop's wall is scheduling latency),
+      // and the AQE-off default (sort-merge) would sort both sides per
+      // phase. The build side (m, one row per live node) always fits: it
+      // shrinks with the contraction and `p` grows with the edge count.
+      val joined = sym.join(m.hint("SHUFFLE_HASH"), "u")
       val out =
         if (keepLarger)
           // large-star(u): {(m, w) : w ∈ Γ(u), w > u}; m ≤ u < w keeps
@@ -429,6 +436,25 @@ object Dedup {
     }
     var iter = 0
     var converged = false
+    // AQE OFF for the loop body (restored in the finally): with every
+    // exchange explicitly repartitioned to `p` there is nothing for AQE
+    // to adapt, but its stage-by-stage execution turns each round's ~5
+    // exchanges into separate stage-materialization JOBS with a driver
+    // round-trip between them — measured at sf0.1 on d42, the loop ran
+    // 133 jobs for ~7 rounds of 2 MB frames, pure scheduling latency
+    // (8.5 s wall on 0.9 s of task time). With AQE off each round is ONE
+    // job whose stages pipeline inside the scheduler. Skew: per-key
+    // multiplicity in the contracted edge set is bounded (a hub key's
+    // edges collapse into one star after its first round), and `p` keeps
+    // partitions at ~32k rows minimum, so AQE's skew splitting has
+    // nothing to do here either. The conf is session-scoped: the loop is
+    // synchronous and the flag is restored before the (lazily planned)
+    // output join below, so only the loop's own internal actions plan
+    // with it off.
+    val sess = pairs.sparkSession
+    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     while (!converged && iter < maxIter) {
       // The large-star half is persisted for the round: small-star's
       // min-aggregate and re-point join both read it.
@@ -437,9 +463,16 @@ object Dedup {
       // path: each phase references its input ~4× (sym union + min agg +
       // re-point join), so the uncut logical plan grows ~16× per round
       // and OOMs the driver on plan stringification by round 4. The
-      // checkpoint truncates lineage at the cost of making each round
-      // two actions (materialization + the convergence aggregate).
-      val mat = phase(ls, keepLarger = false).localCheckpoint(true)
+      // checkpoint is LAZY (eager = false): the logical plan is truncated
+      // immediately either way, and the convergence fingerprint right
+      // below is the round's single action — it computes the round's
+      // edges, local-checkpoints them as a side effect (the block-manager
+      // cache IS the local checkpoint), and aggregates them in ONE job.
+      // The eager form paid a second, near-identical job per round just
+      // to materialize before aggregating; on the small per-round frames
+      // the loop's wall is job-scheduling latency (labels and round
+      // counts are identical either way).
+      val mat = phase(ls, keepLarger = false).localCheckpoint(false)
       val nfp = fingerprint(mat)
       converged = nfp == fp
       ls.unpersist()
@@ -448,6 +481,7 @@ object Dedup {
       fp = nfp
       iter += 1
     }
+    } finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
     if (!converged) {
       throw new IllegalStateException(
         s"duplicateClustersStar did not converge within maxIter=$maxIter rounds; raise maxIter")

@@ -69,8 +69,14 @@ object Pq {
           .partitionBy(col("sub")).orderBy(col("id"))))
       .select(col("sub"), col("code"), col("subv").as("cv"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val assigned = assign(sub, books)
+      // Lazy checkpoint for the inner refits (the trainQuantizer
+      // convention): the m·k-row codebook's eager materialization was a
+      // dedicated near-empty job per iteration; the next iteration's
+      // broadcast build materializes-and-caches it inside the job it
+      // already runs. The last refit stays eager — callers (encode, the
+      // ADC LUT collect) fan out into several plans.
       books = Similarity.centroids(
           assigned.join(sub, Seq("id", "sub"))
             .select(concat_ws(":", col("sub"), col("code")).as("__g"), col("subv")),
@@ -78,7 +84,7 @@ object Pq {
         .select(split(col("grp"), ":").getItem(0).cast("int").as("sub"),
           split(col("grp"), ":").getItem(1).cast("int").as("code"),
           transform(col("centroid"), x => x.cast("float")).as("cv"))
-        .localCheckpoint(true)
+        .localCheckpoint(i == iters)
     }
     books
   }

@@ -231,18 +231,26 @@ object Similarity {
       .select((monotonically_increasing_id() + 1).cast("int").as("cid"),
         col("v").as("cv"), col("nrm").as("cnrm"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val assigned = rankCentroids(trainV, cents, 1)
-      // the centroid table is numCentroids rows — eagerly checkpoint each
-      // refit so the next iteration (and the final probe plan) reads a
+      // the centroid table is numCentroids rows — checkpoint each refit
+      // so the next iteration (and the final probe plan) reads a
       // materialized table instead of re-evaluating the whole Lloyd
-      // lineage multiple times. The double→float cast runs over
-      // numCentroids rows only.
+      // lineage multiple times. The checkpoint is LAZY for the inner
+      // iterations: the logical plan is truncated immediately either
+      // way, and the NEXT iteration's broadcast build (rankCentroids)
+      // is the action that materializes-and-caches it — the eager form
+      // paid a dedicated near-empty job per iteration on a
+      // numCentroids-row frame whose cost is pure scheduling latency.
+      // The LAST refit stays eager: callers fan out into several plans
+      // (postings + probes both broadcast it) and a lazy tail would
+      // let two concurrent broadcast builds race to materialize it.
+      // The double→float cast runs over numCentroids rows only.
       cents = centroids(assigned.join(trainV.select(col("id"), col("v")), "id"), "cid", "v")
         .select(col("grp").as("cid"),
           transform(col("centroid"), x => x.cast("float")).as("cv"))
         .withColumn("cnrm", norm(col("cv")))
-        .localCheckpoint(true)
+        .localCheckpoint(i == iters)
     }
     cents
   }

@@ -11,6 +11,34 @@ import graft.cube._
   * concrete cube wiring for the test star schema.
   */
 object Tpch {
+  /** Fill the machine's cores for a COMPUTE-HEAVY map path whose source
+    * scan yields fewer partitions than the session has cores (small or
+    * few-files parquet — a single-row-group file cannot be split no
+    * matter what `maxPartitionBytes` says). One round-robin exchange
+    * right above the scan spreads the downstream per-row work
+    * (tokenize/shingle/decode/dot-product) across the whole executor
+    * set; at real scale the scan already produces >= cores partitions
+    * and NO exchange is added, so the shuffle only ever moves a
+    * "fewer-partitions-than-cores" amount of bytes (bounded by
+    * cores × maxPartitionBytes). Scale-adaptive by construction:
+    * sized from defaultParallelism, never a local constant.
+    *
+    * Measured motivation (guide §2.2/§6): the sf0.1 documents/embeddings
+    * tables are one ~1 MB parquet file each → every text/dedup/sim gate's
+    * scan-side stage (tokenize + window-hash, hyperplane buckets, Lloyd
+    * assignment) ran on ONE core of 32 — e.g. e10's Lloyd iterations were
+    * 2–3 s single-task stages; the sf10 replicas are 8–16 files on a
+    * 32-core box, so even the scale sweep ran the map half-parallel.
+    * Results are layout-independent: every consumer is an aggregation,
+    * join or per-row map (check.py/oracle compare sorted rows), and the
+    * only layout-sensitive expressions in the tree (epochShuffle's
+    * zipWithIndex, Skew's salt) re-key or drop the dependence.
+    */
+  def fillCores(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   /** Load a test table, normalizing the events `ts` column to a UTC
     * TimestampType regardless of how the parquet writer annotated it:
     *  - TIMESTAMP(NANOS) → Spark rejects it unless sessions set
