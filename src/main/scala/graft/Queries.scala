@@ -977,19 +977,32 @@ object Queries {
     },
   )
 
-  // Both readers fill the core set (Tpch.fillCores): every consumer of
-  // documents/embeddings runs compute-heavy per-row work (tokenize,
-  // shingle, window-hash, decode, dot products) directly above the scan,
-  // and the test parquets are 1 file (sf0.1) / 8-16 files (the ScaleUp
-  // replicas) — fewer partitions than cores, so the map half of those
-  // gates was running 1-to-half-parallel. The q-series fact tables
-  // (lineitem/orders/events) are NOT wrapped: their gates are
-  // sub-second scan+agg shapes where an extra exchange costs more than
-  // the parallelism buys.
+  // The documents reader fills the core set (Tpch.fillCores): every
+  // consumer runs compute-heavy per-row work (tokenize, shingle,
+  // window-hash, decode) directly above the scan, and the test parquets
+  // are 1 file (sf0.1) / 16 files (the ScaleUp replicas) — fewer
+  // partitions than cores, so the map half of those gates ran
+  // 1-to-half-parallel (measured: d23 2.47 → 1.07 s, d52s 2.00 → 1.05,
+  // t12 1.28 → 0.44, v01/v02 2.2 → 1.35 at sf0.1; task CPU rises
+  // ~2.5-3× from per-task fixed costs — regex/codegen init × 32 tasks —
+  // but the wall wins by 2-4× down to single-digit core counts).
+  //
+  // The embeddings reader is deliberately NOT filled: the same wrap
+  // amplified the e-tier's task CPU far past the per-task-init model
+  // (e03 warm task time 1.9 → 188 s for identical results — every one
+  // of the build's ~40 jobs re-executes the scan+exchange and the
+  // 32-way stages pay a fixed cost per reference that the 1-partition
+  // scan never did), so the exchange cost the sweep more than the map
+  // parallelism returned. Parallelizing the sim-tier builds needs a
+  // narrower lever (see OPTIMIZATION_r16.md "Not yet optimized").
+  //
+  // The q-series fact tables (lineitem/orders/events) are NOT wrapped:
+  // their gates are sub-second scan+agg shapes where an extra exchange
+  // costs more than the parallelism buys.
   private def docs(s: SparkSession, dir: String) =
     Tpch.fillCores(Tpch.table(s, dir, "documents"))
   private def emb(s: SparkSession, dir: String) =
-    Tpch.fillCores(Tpch.table(s, dir, "embeddings"))
+    Tpch.table(s, dir, "embeddings")
 
   /** t01's split weights — shared by the Spark column and the SQL oracle. */
   private val corpusSplits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)

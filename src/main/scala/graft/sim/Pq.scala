@@ -48,11 +48,10 @@ object Pq {
     val dsub = dim / m
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val trainV = {
-      val stats = v.queryExecution.optimizedPlan.stats
-      val estRows = stats.rowCount.map(_.toLong).getOrElse(v.count())
-      if (estRows <= trainCap) v
+      val n = Similarity.estRows(v)
+      if (n <= trainCap) v
       else v.sample(withReplacement = false,
-          math.min(1.0, trainCap.toDouble / estRows), seed = 42L)
+          math.min(1.0, trainCap.toDouble / n), seed = 42L)
         .localCheckpoint(true)
     }
     val sub = subvectors(trainV, dsub, m).localCheckpoint(true)
@@ -69,14 +68,11 @@ object Pq {
           .partitionBy(col("sub")).orderBy(col("id"))))
       .select(col("sub"), col("code"), col("subv").as("cv"))
       .localCheckpoint(true)
-    for (i <- 1 to iters) {
+    for (_ <- 1 to iters) {
       val assigned = assign(sub, books)
-      // Lazy checkpoint for the inner refits (the trainQuantizer
-      // convention): the m·k-row codebook's eager materialization was a
-      // dedicated near-empty job per iteration; the next iteration's
-      // broadcast build materializes-and-caches it inside the job it
-      // already runs. The last refit stays eager — callers (encode, the
-      // ADC LUT collect) fan out into several plans.
+      // Eager checkpoint per refit — a lazy variant (materialize inside
+      // the next iteration's broadcast build) was measured WORSE in the
+      // r16 optimization round (see trainQuantizer's loop comment).
       books = Similarity.centroids(
           assigned.join(sub, Seq("id", "sub"))
             .select(concat_ws(":", col("sub"), col("code")).as("__g"), col("subv")),
@@ -84,7 +80,7 @@ object Pq {
         .select(split(col("grp"), ":").getItem(0).cast("int").as("sub"),
           split(col("grp"), ":").getItem(1).cast("int").as("code"),
           transform(col("centroid"), x => x.cast("float")).as("cv"))
-        .localCheckpoint(i == iters)
+        .localCheckpoint(true)
     }
     books
   }

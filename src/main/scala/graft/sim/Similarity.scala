@@ -200,23 +200,38 @@ object Similarity {
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Optimizer row-count estimate, falling back to an exact count. */
+  private[sim] def estRows(v: DataFrame): Long =
+    v.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong)
+      .getOrElse(v.count())
+
   /** Lloyd-train the IVF coarse quantizer over a BOUNDED seeded sample of
     * `v` (columns id/v/nrm): at 100 TB the quantizer needs ~1M
     * representative vectors, not `iters` full scans. The sample is
     * materialized once (localCheckpoint) so every Lloyd iteration re-reads
     * the bounded table. Returns the (cid, cv, cnrm) centroid table —
     * numCentroids rows, checkpointed, broadcast-ready.
+    *
+    * PARTITIONING NOTE (r16 optimization round): widening these bounded
+    * frames to the core count was tried two ways — wrapping the
+    * embeddings reader in a fill-cores exchange, and repartitioning the
+    * train sample / residuals at their one materialization point — and
+    * BOTH measured strictly worse at identical results (e10 warm task
+    * CPU 7 → 116 s; ~0.35 s/task of fixed overhead across the builds'
+    * many small stages dwarfs the map work). The 1-partition execution
+    * of a ≤ trainCap-row frame is the efficient local shape; at real
+    * scale the scan itself yields the parallelism. Do not re-try
+    * without re-running the JobProbe A/B.
     */
   private[sim] def trainQuantizer(v: DataFrame, numCentroids: Int, iters: Int,
                                   trainCap: Long): DataFrame = {
     require(numCentroids > 0)
     require(trainCap >= numCentroids, s"trainCap=$trainCap < numCentroids=$numCentroids")
     val trainV = {
-      val stats = v.queryExecution.optimizedPlan.stats
-      val estRows = stats.rowCount.map(_.toLong).getOrElse(v.count())
-      if (estRows <= trainCap) v
+      val n = estRows(v)
+      if (n <= trainCap) v
       else v.sample(withReplacement = false,
-          math.min(1.0, trainCap.toDouble / estRows), seed = 42L)
+          math.min(1.0, trainCap.toDouble / n), seed = 42L)
         .localCheckpoint(true)
     }
     // deterministic init: the numCentroids lowest-id training vectors. The
@@ -231,26 +246,24 @@ object Similarity {
       .select((monotonically_increasing_id() + 1).cast("int").as("cid"),
         col("v").as("cv"), col("nrm").as("cnrm"))
       .localCheckpoint(true)
-    for (i <- 1 to iters) {
+    for (_ <- 1 to iters) {
       val assigned = rankCentroids(trainV, cents, 1)
-      // the centroid table is numCentroids rows — checkpoint each refit
-      // so the next iteration (and the final probe plan) reads a
+      // the centroid table is numCentroids rows — eagerly checkpoint each
+      // refit so the next iteration (and the final probe plan) reads a
       // materialized table instead of re-evaluating the whole Lloyd
-      // lineage multiple times. The checkpoint is LAZY for the inner
-      // iterations: the logical plan is truncated immediately either
-      // way, and the NEXT iteration's broadcast build (rankCentroids)
-      // is the action that materializes-and-caches it — the eager form
-      // paid a dedicated near-empty job per iteration on a
-      // numCentroids-row frame whose cost is pure scheduling latency.
-      // The LAST refit stays eager: callers fan out into several plans
-      // (postings + probes both broadcast it) and a lazy tail would
-      // let two concurrent broadcast builds race to materialize it.
-      // The double→float cast runs over numCentroids rows only.
+      // lineage multiple times. A LAZY checkpoint here (materialize
+      // inside the next iteration's broadcast build) was tried in the
+      // r16 optimization round and MEASURED WORSE: the broadcast-thread
+      // materialization re-evaluated more of the chain than the
+      // dedicated one-task checkpoint job ever cost (e03 warm task time
+      // 5.1 s eager vs 8.5 s lazy; e10 7.2 vs 33.4 at sf0.1) — keep the
+      // eager form. The double→float cast runs over numCentroids rows
+      // only.
       cents = centroids(assigned.join(trainV.select(col("id"), col("v")), "id"), "cid", "v")
         .select(col("grp").as("cid"),
           transform(col("centroid"), x => x.cast("float")).as("cv"))
         .withColumn("cnrm", norm(col("cv")))
-        .localCheckpoint(i == iters)
+        .localCheckpoint(true)
     }
     cents
   }

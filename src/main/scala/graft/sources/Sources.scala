@@ -58,7 +58,17 @@ object Sources {
     */
   def writeBucketed(df: DataFrame, key: String, buckets: Int, table: String,
                     path: String): Unit = {
-    df.write.bucketBy(buckets, key).sortBy(key).mode("overwrite")
+    // Align the input to the bucket spec before writing: a bucketed
+    // write splits EVERY task's rows by bucket, so an unaligned
+    // N-partition input fans out up to N × buckets files (measured on
+    // the d20 index build after its source scan went 32-way: the
+    // 2 s build became 30+ s of small-file writes and the probe scans
+    // read the shards back). repartition(buckets, key) uses the same
+    // hash the bucket spec does, giving the one-file-per-bucket floor
+    // at any input partitioning; when a caller already aligned, the
+    // optimizer collapses the adjacent repartitions.
+    df.repartition(buckets, col(key))
+      .write.bucketBy(buckets, key).sortBy(key).mode("overwrite")
       .option("path", path).saveAsTable(table)
     val spark = df.sparkSession
     import spark.implicits._
