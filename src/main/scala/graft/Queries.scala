@@ -176,11 +176,11 @@ object Queries {
       Tpch.table(s, dir, table).where(pred).write.mode("overwrite").parquet(tmp)
       tmp
     })
-    // The slice is small by construction (a few % of an already-small
-    // test table — often one parquet file), and its consumers are the
-    // priced scoring paths (NB train, Gopher battery, composed
-    // pipeline): fill the core set above the scan (see Tpch.fillCores).
-    Tpch.fillCores(s.read.parquet(path))
+    // The read-back is BARE: most consumers are light scoring passes
+    // where a fill-the-cores exchange measured as a net loss (see the
+    // docs/docsWide comment) — the one heavy consumer (d52s's Gopher
+    // battery) wraps its slice in Tpch.fillCores at the call site.
+    s.read.parquet(path)
   }
 
   /** Per-JVM MATERIALIZED n-gram LM ladder (round-14 verdict, Next #1 —
@@ -212,7 +212,7 @@ object Queries {
     val path = lmLadders.computeIfAbsent(dir, d => {
       val tmp = scratchDir("graft-lm")
       val lms = graft.text.CorpusOps.ngramLms(
-        docs(s, d).where(col("lang") === "en"), "text", 5, minN = 1)
+        docsWide(s, d).where(col("lang") === "en"), "text", 5, minN = 1)
       // ctx totals DENORMALIZED onto every row at build time: the
       // Stupid Backoff ladder reads a tier's total only when the
       // (ctx, token) row exists, so carrying it here removes one
@@ -278,14 +278,17 @@ object Queries {
   private def dedupArtifacts(s: SparkSession, dir: String): DataFrame = {
     val path = dedupArtifactStores.computeIfAbsent(dir, d => {
       val tmp = scratchDir("graft-mh")
-      graft.dedup.Dedup.minhashArtifacts(docs(s, d), "doc_id", "text",
+      graft.dedup.Dedup.minhashArtifacts(docsWide(s, d), "doc_id", "text",
           k = 3, numHashes = 32)
         .write.mode("overwrite").parquet(tmp)
       tmp
     })
-    // Banding + verification run per-row above this scan: fill cores
-    // (no-op when the store already has >= cores files).
-    Tpch.fillCores(s.read.parquet(path))
+    // BARE read-back: banding + verification above this scan are light
+    // enough that the fill-the-cores exchange measured as a small net
+    // loss across all five LSH consumers (interleaved on/off minima:
+    // d03 -0.13, d15 -0.15, d34 -0.17, t17 -0.23, d30 +0.16 noise) —
+    // see the docs/docsWide comment for the per-gate fill policy.
+    s.read.parquet(path)
   }
 
   /** The store-fed MinHash-LSH pair set at the gate parameters — the
@@ -977,15 +980,25 @@ object Queries {
     },
   )
 
-  // The documents reader fills the core set (Tpch.fillCores): every
-  // consumer runs compute-heavy per-row work (tokenize, shingle,
-  // window-hash, decode) directly above the scan, and the test parquets
-  // are 1 file (sf0.1) / 16 files (the ScaleUp replicas) — fewer
-  // partitions than cores, so the map half of those gates ran
-  // 1-to-half-parallel (measured: d23 2.47 → 1.07 s, d52s 2.00 → 1.05,
-  // t12 1.28 → 0.44, v01/v02 2.2 → 1.35 at sf0.1; task CPU rises
-  // ~2.5-3× from per-task fixed costs — regex/codegen init × 32 tasks —
-  // but the wall wins by 2-4× down to single-digit core counts).
+  // Two documents readers: [[docs]] is the BARE scan, [[docsWide]]
+  // inserts a fill-the-cores exchange above it (Tpch.fillCores — a
+  // no-op whenever the scan already yields >= cores partitions, i.e.
+  // at any real corpus scale).
+  //
+  // The round-16 blanket fill of every docs consumer was re-measured
+  // per gate with interleaved on/off benches (ambient noise on this
+  // box swings whole runs 2-4x, so each side ran twice and the minima
+  // were compared): the exchange only pays for itself where the
+  // per-row work above the scan is HEAVY — decode (m01-m04, v01/v02,
+  // a01/a02), regex batteries (t12, t03, d23, d32), window-hash /
+  // shingle spans (d18, d19, d47, d48), entropy/ladder scoring (d29,
+  // d36, d43, d44, d46), the Gopher battery (d52s) — winning 0.2-2.5 s
+  // per gate at sf0.1. On the ~40 LIGHT tokenize-then-aggregate gates
+  // the same exchange LOST 0.2-2.7 s each (sum ~ -12 s per sweep:
+  // d45 -2.7, d42 -2.5, d21 -1.5, d17 -1.4, d25 -1.1 ...): their map
+  // half is cheaper than one extra stage + 32-task fixed costs
+  // (codegen/regex init per task). So the fill is now PER-GATE: the
+  // measured winners call docsWide, everything else scans bare.
   //
   // The embeddings reader is deliberately NOT filled: the same wrap
   // amplified the e-tier's task CPU far past the per-task-init model
@@ -1000,7 +1013,9 @@ object Queries {
   // their gates are sub-second scan+agg shapes where an extra exchange
   // costs more than the parallelism buys.
   private def docs(s: SparkSession, dir: String) =
-    Tpch.fillCores(Tpch.table(s, dir, "documents"))
+    Tpch.table(s, dir, "documents")
+  private def docsWide(s: SparkSession, dir: String) =
+    Tpch.fillCores(docs(s, dir))
   private def emb(s: SparkSession, dir: String) =
     Tpch.table(s, dir, "embeddings")
 
@@ -1393,7 +1408,7 @@ object Queries {
       // evaluate interpreted with no subexpression elimination — without
       // the stage the whole tokenize+wrap pipeline re-runs per reference
       // (measured 3x on this query)
-      docs(s, dir)
+      docsWide(s, dir)
         .select(col("doc_id"), col("text"),
           wrap(2, "\n").as("__w2"), wrap(3, "\n\n").as("__w3"))
         .select(col("doc_id"),
@@ -1438,7 +1453,7 @@ object Queries {
         |           ln(len(list_filter(tk, y -> y = x)))), 'sum') / len(tk), 6)
         |END AS entropy
         |FROM t""") { (s, dir) =>
-      docs(s, dir).select(col("doc_id"),
+      docsWide(s, dir).select(col("doc_id"),
         graft.text.TextFunctions.tokenEntropy(col("text")).as("entropy"))
     },
 
@@ -1479,7 +1494,7 @@ object Queries {
       val lines = transform(toks, (x, i) => concat(
         when((i + 1) % 5 === 0, lit("- ")).otherwise(lit("")), x,
         when((i + 1) % 3 === 0, lit(".")).otherwise(lit(""))))
-      docs(s, dir)
+      docsWide(s, dir)
         .where(size(filter(wsTokens(lower(trim(col("text")))), t => length(t) > 0)) > 0)
         .select(col("doc_id"), lineStats(array_join(lines, "\n")).as("__s"))
         .select(col("doc_id"), col("__s.n_lines").as("n_lines"),
@@ -1515,7 +1530,7 @@ object Queries {
         |  CAST(coalesce(s.n_shingles, 0) AS BIGINT) AS n_shingles,
         |  CAST(coalesce(s.n_dup, 0) AS BIGINT) AS n_dup_shingles
         |FROM documents dd LEFT JOIN s USING (doc_id)""") { (s, dir) =>
-      graft.dedup.Dedup.dupSpanStats(docs(s, dir), "doc_id", "text", k = 20)
+      graft.dedup.Dedup.dupSpanStats(docsWide(s, dir), "doc_id", "text", k = 20)
         .withColumnRenamed("id", "doc_id")
     },
 
@@ -1554,7 +1569,7 @@ object Queries {
         |  END AS text
         |FROM documents d JOIN t USING (doc_id) LEFT JOIN rml USING (doc_id)
         |WHERE d.doc_id % 50 <> 0""") { (s, dir) =>
-      val d = docs(s, dir)
+      val d = docsWide(s, dir)
       graft.dedup.Dedup.exciseContaminatedSpans(
         d.where(col("doc_id") % 50 =!= 0), d.where(col("doc_id") % 50 === 0),
         "doc_id", "text", k = 13, margin = 2)
@@ -1617,7 +1632,7 @@ object Queries {
         |  CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed
         |FROM documents d JOIN t USING (doc_id) LEFT JOIN agg USING (doc_id)""") { (s, dir) =>
       graft.dedup.Dedup.exactSubstrDedup(
-          docs(s, dir).select(col("doc_id"), col("text")),
+          docsWide(s, dir).select(col("doc_id"), col("text")),
           "doc_id", "text", minTokens = 30)
         .select(col("doc_id"), col("text"), col("n_spans"), col("n_removed"))
     },
@@ -1644,7 +1659,7 @@ object Queries {
         |  coalesce(round(exp(-mlc), 6), 1.0) AS weight
         |FROM documents d LEFT JOIN p USING (doc_id)""") { (s, dir) =>
       graft.dedup.Dedup.softDedupWeights(
-          docs(s, dir).select(col("doc_id"), col("text")), "doc_id", "text", k = 13)
+          docsWide(s, dir).select(col("doc_id"), col("text")), "doc_id", "text", k = 13)
         .withColumnRenamed("id", "doc_id")
     },
 
@@ -1895,7 +1910,8 @@ object Queries {
          |${gopherSigSql(2)}
          |) WHERE doc_id % 5 = 3""") { (s, dir) =>
       graft.text.CorpusOps.gopherSignals(
-        sampleTable(s, dir, "documents", "m5r3")(col("doc_id") % 5 === 3),
+        Tpch.fillCores(
+          sampleTable(s, dir, "documents", "m5r3")(col("doc_id") % 5 === 3)),
         "doc_id", "text")
     },
 
@@ -2568,7 +2584,7 @@ object Queries {
       // scene pool sized from the corpus (~50 copies/scene) — a fixed
       // pool makes the hamming pair join quadratic in the corpus
       // (measured 10.6× wall on 3× rows at the 30× scale point)
-      val d = docs(s, dir)
+      val d = docsWide(s, dir)
       val n = graft.dedup.Dedup.approxRowCount(d)
       val media = withSharedScenes(d, "doc_id", nScenes = suggestedScenes(n))
       graft.dedup.Dedup.hammingPairs64(
@@ -2588,7 +2604,7 @@ object Queries {
     // engine-side decode; MultimodalSpec pins brute-force parity.
     "m04_image_decontam" -> nq { (s, dir) =>
       import graft.multimodal.Multimodal._
-      val d = docs(s, dir)
+      val d = docsWide(s, dir)
       val n = graft.dedup.Dedup.approxRowCount(d)
       val nScenes = suggestedScenes(n)
       val train = withSharedScenes(d, "doc_id", nScenes)
@@ -2613,7 +2629,7 @@ object Queries {
     "a02_audio_dedup" -> nq { (s, dir) =>
       import graft.multimodal.Multimodal._
       // same corpus-sized scene pool as m03 (see the comment there)
-      val d = docs(s, dir)
+      val d = docsWide(s, dir)
       val n = graft.dedup.Dedup.approxRowCount(d)
       val media = withSharedAudioScenes(d, "doc_id", nScenes = suggestedScenes(n))
       graft.dedup.Dedup.hammingPairs64(
@@ -3111,7 +3127,7 @@ object Queries {
       val nb = floor((n + lit(7)) / lit(8)).cast("int")
       val body = transform(sequence(lit(0), nb - 1),
         g => array_join(slice(tk, g * 8 + 1, lit(8)), " "))
-      val built = docs(s, dir).select(col("doc_id"),
+      val built = docsWide(s, dir).select(col("doc_id"),
         concat_ws("\n",
           lit("nav menu home about contact"),
           concat(lit("copyright "), col("source")),
@@ -3162,7 +3178,7 @@ object Queries {
       val nb = floor((n + lit(7)) / lit(8)).cast("int")
       val body = transform(sequence(lit(0), nb - 1),
         g => array_join(slice(tk, g * 8 + 1, lit(8)), " "))
-      val built = docs(s, dir).select(col("doc_id"),
+      val built = docsWide(s, dir).select(col("doc_id"),
         concat_ws("\n",
           lit("nav menu home about contact"),
           concat(lit("copyright "), col("source")),
@@ -3350,7 +3366,7 @@ object Queries {
         col("text"), lit(" contact: user"), col("doc_id").cast("string"),
         lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
         lit(".1 acct "), (col("doc_id") % 1000 + 123456789L).cast("string"))
-      docs(s, dir).select(col("doc_id"),
+      docsWide(s, dir).select(col("doc_id"),
         md5(graft.text.CorpusOps.redactPii(in)).as("red_fp"))
     },
 
@@ -3389,7 +3405,7 @@ object Queries {
     // pixels (rows-only: payload synthesis is engine-side)
     "m01_multimodal" -> nq { (s, dir) =>
       import graft.multimodal.Multimodal._
-      val media = withFakeMediaPixels(docs(s, dir), "doc_id", "image")
+      val media = withFakeMediaPixels(docsWide(s, dir), "doc_id", "image")
       decodeImage(media.repartition(col("media_id")))
         .groupBy("format")
         .agg(count(lit(1)).as("n"), avg(col("width")).as("avg_w"),
@@ -3403,7 +3419,7 @@ object Queries {
     // the thumbnails proves the output bytes are genuine images
     "m02_resize" -> nq { (s, dir) =>
       import graft.multimodal.Multimodal._
-      val media = withFakeMediaPixels(docs(s, dir), "doc_id", "image")
+      val media = withFakeMediaPixels(docsWide(s, dir), "doc_id", "image")
       decodeImage(resize(media.repartition(col("media_id")), 16))
         .groupBy("format")
         .agg(count(lit(1)).as("n"), max(col("px_width")).as("max_w"),
@@ -3417,7 +3433,7 @@ object Queries {
     // as a standalone PNG (a training pipeline's frame-sampling stage)
     "v01_frames" -> nq { (s, dir) =>
       import graft.multimodal.Multimodal._
-      val media = withFakeMediaPixels(docs(s, dir), "doc_id", "video")
+      val media = withFakeMediaPixels(docsWide(s, dir), "doc_id", "video")
       sampleFrames(media.repartition(col("media_id")), 3)
         .groupBy("frame_idx")
         .agg(count(lit(1)).as("n"), avg(col("frame_width")).as("avg_w"),
@@ -3430,7 +3446,7 @@ object Queries {
     // constructed multi-scene clip); all work stays in-partition.
     "v02_scene_changes" -> nq { (s, dir) =>
       import graft.multimodal.Multimodal._
-      val media = withFakeMediaPixels(docs(s, dir), "doc_id", "video")
+      val media = withFakeMediaPixels(docsWide(s, dir), "doc_id", "video")
       sceneChanges(media.repartition(col("media_id")), n = 4)
         .groupBy("is_cut")
         .agg(count(lit(1)).as("n_pairs"), avg(col("hamming")).as("avg_hamming"))
@@ -3441,7 +3457,7 @@ object Queries {
     // `rms` is computed from the sample bytes (≈ amplitude/√2)
     "a01_audio_meta" -> nq { (s, dir) =>
       import graft.multimodal.Multimodal._
-      val media = withFakeMediaPixels(docs(s, dir), "doc_id", "audio")
+      val media = withFakeMediaPixels(docsWide(s, dir), "doc_id", "audio")
       decodeAudioMeta(media.repartition(col("media_id")))
         .groupBy("sample_rate")
         .agg(count(lit(1)).as("n"), round(avg(col("seconds")), 4).as("avg_secs"),
@@ -3960,7 +3976,7 @@ object Queries {
       val body = transform(sequence(lit(0), nb - 1),
         g => concat(array_join(slice(tk, g * 4 + 1, lit(4)), " "),
           when(g % 5 === 4, lit("")).otherwise(lit("."))))
-      val built = docs(s, dir).select(col("doc_id"),
+      val built = docsWide(s, dir).select(col("doc_id"),
         concat_ws("\n",
           lit("javascript required for this site."),
           array_join(body, "\n"),
@@ -4056,7 +4072,7 @@ object Queries {
         |        / sum(tf), 6) AS xent
         |FROM tf LEFT JOIN lm USING (a, b) LEFT JOIN ctx USING (a) CROSS JOIN vv
         |GROUP BY doc_id""") { (s, dir) =>
-      val d = docs(s, dir)
+      val d = docsWide(s, dir)
       graft.text.CorpusOps.bigramCrossEntropy(d, "doc_id", "text", lmBigram(s, dir))
         .select(col("doc_id"), col("n_bigrams"),
           round(col("cross_entropy"), 6).as("xent"))
@@ -4141,7 +4157,7 @@ object Queries {
         |        LEFT JOIN bi USING (b, c) LEFT JOIN ctx1 USING (b)
         |        LEFT JOIN uni USING (c) CROSS JOIN nv
         |GROUP BY doc_id""") { (s, dir) =>
-      val d = docs(s, dir)
+      val d = docsWide(s, dir)
       // the fixed trigram form, NOT the order-3 scoreN: measured at sf10
       // the generic grain (per-position ctx-key arrays) costs more than
       // its hashed joins save at this order (14.3 s vs 16.0 s) — the
@@ -4217,7 +4233,7 @@ object Queries {
         |        LEFT JOIN bi USING (d, e) LEFT JOIN ctx1 USING (d)
         |        LEFT JOIN uni USING (e) CROSS JOIN nv
         |GROUP BY doc_id""") { (s, dir) =>
-      val d = docs(s, dir)
+      val d = docsWide(s, dir)
       // the whole 1..5 ladder from the per-JVM materialized store
       // (lmTier) — the tier reads are partition-pruned parquet scans,
       // never a per-invocation retrain; hashContext packs every tier's
