@@ -1316,7 +1316,8 @@ object Queries {
         threshold = 0.45,
         numPlanes = graft.sim.Similarity.suggestedPlanes(
           graft.dedup.Dedup.approxRowCount(e)),
-        numTables = 16)
+        numTables = 16,
+        verdictKey = s"$dir#emb")
     },
 
     // §2.41: brute-force cosine top-k ANN baseline
@@ -1343,7 +1344,8 @@ object Queries {
         k = 5,
         numPlanes = graft.sim.Similarity.suggestedPlanes(
           graft.dedup.Dedup.approxRowCount(e)),
-        numTables = 8)
+        numTables = 8,
+        verdictKey = s"$dir#emb")
     },
 
     // §2.42b: IVF ANN — k-means coarse quantizer + posting-list probe

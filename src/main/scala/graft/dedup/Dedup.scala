@@ -615,7 +615,7 @@ object Dedup {
     ()
   }
 
-  private def gridSaltedSides(banded: DataFrame, probeBanded: DataFrame,
+  private[graft] def gridSaltedSides(banded: DataFrame, probeBanded: DataFrame,
                               probeMod: Int, idCol: String,
                               keyCols: Seq[String], hotFreq: Long,
                               saltFan: Int,
@@ -666,7 +666,7 @@ object Dedup {
     * the probe IS the full measure there, which is both exact and
     * cheap at that scale.
     */
-  private def gridProbeMod(hotFreq: Long): Int =
+  private[graft] def gridProbeMod(hotFreq: Long): Int =
     math.min(64L, math.max(1L, hotFreq / 10L)).toInt
 
   /** The deterministic probe sample of `df` for [[gridSaltedSides]] —
@@ -674,7 +674,7 @@ object Dedup {
     * Catalyst pushes the id predicate below the projection, so the
     * probe evaluates the map for ~1/probeMod of the rows only.
     */
-  private def gridProbeRows(df: DataFrame, idCol: String, probeMod: Int): DataFrame =
+  private[graft] def gridProbeRows(df: DataFrame, idCol: String, probeMod: Int): DataFrame =
     if (probeMod <= 1) df
     else df.where(pmod(xxhash64(col(idCol)), lit(probeMod.toLong)) === 0L)
 

@@ -94,19 +94,50 @@ object Similarity {
     * across tables cost one extra codegen'd dot product each; callers
     * dedup the slim output where it is cheapest (after their threshold
     * filter, or before top-k ranking).
+    *
+    * Hot buckets (≥ `skewedBucketFreq` members — an adversarial
+    * all-near-identical embedding corpus, or a degenerate plane set)
+    * join through the measured 2-D grid salt
+    * ([[graft.dedup.Dedup.gridSaltedSides]] — the hamming joins'
+    * machinery verbatim): each member of a hot bucket carries
+    * salt = hash(id) mod fan on one side and explodes the fan on the
+    * other, so the bucket's f²/2 candidate pairs spread over fan²
+    * join blocks instead of landing on one task. The pair set is
+    * IDENTICAL (every in-bucket pair meets in exactly one block —
+    * spec-pinned); suggestedPlanes keeps buckets ~64 rows so the salt
+    * is dormant on healthy corpora. Detection is a ~1.5% sampled probe
+    * over the slim (t, bucket) projection — the vector column never
+    * rides the probe; pass `verdictKey` (unique per dataset + params)
+    * to cache its verdict JVM-wide, leaving repeat plan construction
+    * job-free (the minhashLshPairs convention).
     */
   private def lshScoredPairs(v: DataFrame, numPlanes: Int, numTables: Int,
-                             ordered: Boolean): DataFrame = {
-    val tabled = v.select(col("id"), col("v"), col("nrm"),
-      explode(array((0 until numTables).map(t =>
-        struct(lit(t).as("t"),
-          hyperplaneBucket(col("v"), numPlanes, seed = t).as("bucket"))): _*)).as("tb"))
-      .select(col("id"), col("v"), col("nrm"), col("tb.t"),
-        xxhash64(concat_ws(":", col("tb.t"), col("tb.bucket"))).as("bucket"))
-    val a = tabled.alias("a"); val b = tabled.alias("b")
+                             ordered: Boolean,
+                             skewedBucketFreq: Long = 20000L,
+                             saltFan: Int = 64,
+                             verdictKey: String = ""): DataFrame = {
+    import graft.dedup.Dedup.{gridProbeMod, gridProbeRows, gridSaltedSides}
+    def banded(in: DataFrame, withVec: Boolean) = {
+      val cols = if (withVec) Seq(col("id"), col("v"), col("nrm")) else Seq(col("id"))
+      in.select(cols :+
+          explode(array((0 until numTables).map(t =>
+            struct(lit(t).as("t"),
+              hyperplaneBucket(col("v"), numPlanes, seed = t).as("bucket"))): _*)).as("tb"): _*)
+        .select(cols ++ Seq(col("tb.t"),
+          xxhash64(concat_ws(":", col("tb.t"), col("tb.bucket"))).as("bucket")): _*)
+    }
+    val tabled = banded(v, withVec = true)
+    val probeMod = gridProbeMod(skewedBucketFreq)
+    val probe = banded(gridProbeRows(v, "id", probeMod), withVec = false)
+    val (aS, bS) = gridSaltedSides(tabled, probe, probeMod,
+      "id", Seq("t", "bucket"), skewedBucketFreq, saltFan,
+      if (verdictKey.isEmpty) "" else s"$verdictKey#lsh$numPlanes/$numTables")
+    val a = aS.alias("a"); val b = bS.alias("b")
     val idCond =
       if (ordered) col("a.id") =!= col("b.id") else col("a.id") < col("b.id")
-    a.join(b, col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") && idCond)
+    a.join(b, col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+        col("a.__salt") === col("b.__salt") &&
+        col("a.__rsalt") === col("b.__rsalt") && idCond)
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
   }
@@ -116,11 +147,13 @@ object Similarity {
     * at the bucket join), cross-table dedup on the slim pair rows, top-k.
     */
   def annLshTopK(df: DataFrame, idCol: String, vecCol: String,
-                 k: Int, numPlanes: Int = 12, numTables: Int = 4): DataFrame = {
+                 k: Int, numPlanes: Int = 12, numTables: Int = 4,
+                 verdictKey: String = ""): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
     val w = Window.partitionBy(col("id1")).orderBy(col("cos").desc, col("id2").asc)
-    lshScoredPairs(v, numPlanes, numTables, ordered = true)
+    lshScoredPairs(v, numPlanes, numTables, ordered = true,
+        verdictKey = verdictKey)
       // same pair from different tables has the identical cosine, so the
       // dedup key is the pair alone — and it dedups 24-byte rows
       .dropDuplicates("id1", "id2")
@@ -324,7 +357,10 @@ object Similarity {
   def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, numPlanes: Int = 8,
                      numTables: Int = 16,
-                     maxExactBytes: Long = ExactPathMaxBytes): DataFrame = {
+                     maxExactBytes: Long = ExactPathMaxBytes,
+                     skewedBucketFreq: Long = 20000L,
+                     saltFan: Int = 64,
+                     verdictKey: String = ""): DataFrame = {
     if (numTables <= 0) guardQuadratic(df, "cosineDupPairs(numTables=0)", maxExactBytes)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -334,7 +370,8 @@ object Similarity {
         a.join(b, col("a.id") < col("b.id"))
           .select(col("a.id").as("id1"), col("b.id").as("id2"),
             (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
-      } else lshScoredPairs(v, numPlanes, numTables, ordered = false)
+      } else lshScoredPairs(v, numPlanes, numTables, ordered = false,
+        skewedBucketFreq, saltFan, verdictKey)
     // threshold first, THEN cross-table dedup: the surviving dup set is
     // tiny, so the dedup never touches the full candidate stream
     scored.where(col("cos") >= threshold)

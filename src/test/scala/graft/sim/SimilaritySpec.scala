@@ -97,6 +97,26 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("grid-salted hot LSH buckets return the identical pair set") {
+    // a 60-vector near-identical cluster (plus the base corpus) with
+    // skewedBucketFreq = 8 forces every bucket hot: the 2-D grid salt
+    // must spread the bucket's pair blocks WITHOUT changing the pair
+    // set or the cosines — compared against the default (dormant-salt)
+    // call at identical LSH parameters.
+    val rnd = new scala.util.Random(11)
+    val crowd = (100L until 160L).map(i =>
+      (i, Seq(1.0f + rnd.nextFloat() * 1e-3f, rnd.nextFloat() * 1e-3f, 0.0f)))
+    val df = vecs.unionByName(crowd.toDF("vec_id", "embedding"))
+    def pairs(freq: Long) = Similarity.cosineDupPairs(df, "vec_id", "embedding",
+        0.95, numPlanes = 4, numTables = 4, skewedBucketFreq = freq)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val plain = pairs(20000L) // dormant: nothing is hot at this corpus
+    val salted = pairs(8L)    // every crowd bucket over the threshold
+    assert(salted == plain, "grid salt must not change the pair set or cosines")
+    assert(plain.keySet.exists { case (a, b) => a >= 100L && b >= 100L },
+      "the crowd must actually produce in-bucket pairs for the test to bite")
+  }
+
   test("LSH dup pairs at the d16 parameters: subset of exact, all above threshold") {
     val exact = Similarity.cosineDupPairs(vecs, "vec_id", "embedding", 0.95, numTables = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
