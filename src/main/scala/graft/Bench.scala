@@ -227,7 +227,12 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     }
     spark.stop()
+    // Driver contract: the stdout line carries the PER-QUERY median map
+    // (`"queries":{...}`) — the round-16 omission (on a 2000-char-tail
+    // guess) left the driver's PERF per_query/scaling ingestion empty
+    // two rounds running (round-16 verdict, Next #2). The plans map
+    // stays file-only (hash evidence, not part of the driver contract).
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries_run":${results.size},"reps":$reps,"sf":"$sfDir","detail":"BENCH.json + BENCH_LOG.jsonl (per-query medians + plan hashes)"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_run":${results.size},"reps":$reps,"sf":"$sfDir","detail":"full line incl. plan hashes in BENCH.json + BENCH_LOG.jsonl"}""")
   }
 }

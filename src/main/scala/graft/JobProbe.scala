@@ -35,15 +35,26 @@ object JobProbe {
     val stages = new AtomicInteger
     val tasks = new AtomicInteger
     val taskMs = new AtomicLong
+    val deserMs = new AtomicLong
+    val gcMs = new AtomicLong
     val shufRead = new AtomicLong
     val shufWrite = new AtomicLong
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (sys.env.contains("GRAFT_JOBPROBE_JOBS")) {
+          val site = j.stageInfos.sortBy(_.stageId).lastOption
+            .map(_.name.take(90)).getOrElse("?")
+          println(f"[job] id=${j.jobId}%4d stages=${j.stageInfos.size}%2d $site")
+        }
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         if (sys.env.contains("GRAFT_JOBPROBE_STAGES")) {
           val i = s.stageInfo
-          println(f"[stage] tasks=${i.numTasks}%4d ms=${i.taskMetrics.executorRunTime}%6d ${i.name.take(90)}")
+          val m = i.taskMetrics
+          println(f"[stage] tasks=${i.numTasks}%4d ms=${m.executorRunTime}%6d " +
+            f"deser=${m.executorDeserializeTime}%5d gc=${m.jvmGCTime}%5d ${i.name.take(90)}")
         }
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -51,6 +62,8 @@ object JobProbe {
         val m = t.taskMetrics
         if (m != null) {
           taskMs.addAndGet(m.executorRunTime)
+          deserMs.addAndGet(m.executorDeserializeTime)
+          gcMs.addAndGet(m.jvmGCTime)
           shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         }
@@ -59,7 +72,7 @@ object JobProbe {
     spark.sparkContext.addSparkListener(listener)
     for (n <- names; rep <- 0 to 1) {
       jobs.set(0); stages.set(0); tasks.set(0)
-      taskMs.set(0); shufRead.set(0); shufWrite.set(0)
+      taskMs.set(0); deserMs.set(0); gcMs.set(0); shufRead.set(0); shufWrite.set(0)
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -67,6 +80,7 @@ object JobProbe {
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"[jobprobe] $n rep=$rep wall=$wall%.2fs jobs=${jobs.get} " +
         f"stages=${stages.get} tasks=${tasks.get} taskTime=${taskMs.get / 1000.0}%.2fs " +
+        f"deser=${deserMs.get / 1000.0}%.2fs gc=${gcMs.get / 1000.0}%.2fs " +
         f"shufR=${shufRead.get / 1e6}%.1fMB shufW=${shufWrite.get / 1e6}%.1fMB " +
         f"ccRounds=${graft.dedup.Dedup.lastConvergenceRounds}")
     }

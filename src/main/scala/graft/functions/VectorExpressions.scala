@@ -74,6 +74,66 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** Σ (aᵢ − bᵢ)² over two array<float> columns, FLOAT accumulation —
+  * bit-identical to the interpreted HOF form
+  * `aggregate(zip_with(a, b, (x, y) => (x−y)·(x−y)), 0.0f, _ + _)`
+  * it replaces (per element: float subtract, float square, float
+  * accumulate — the same IEEE ops in the same order), but generated as
+  * a tight Java loop inside whole-stage codegen. The HOF form was the
+  * PQ train/encode/rerank hot path: ~1M interpreted evaluations per
+  * assignment pass (r17 JobProbe: 0.4–0.9 s single-task stages).
+  */
+case class L2SquaredFloat(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = FloatType
+  override def prettyName: String = "graft_l2sq"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_l2sq expects array<float>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0f
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i) - y.getFloat(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |float $s = 0.0f;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  float $d = $a.getFloat($i) - $b.getFloat($i);
+        |  $s += $d * $d;
+        |}
+        |${ev.value} = $s;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** 64-bit SimHash over array<string> tokens: bit i set iff the sum of
   * ±1 votes from bit i of xxhash64(token, seed=42) is positive.
   */
@@ -437,6 +497,9 @@ object VectorFunctions {
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def normCol(a: Column): Column = org.apache.spark.sql.functions.sqrt(dotp(a, a))
+
+  def l2sq(a: Column, b: Column): Column =
+    ColumnBridge.column(L2SquaredFloat(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))

@@ -72,7 +72,10 @@ final class IvfIndex private (val centroids: DataFrame, val postings: DataFrame)
     // fresh generation: drop any tombstones left by a previous index in
     // this dir, which would otherwise mask freshly-written rows
     graft.sources.Tombstones.clear(spark, dir)
-    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    // coalesce(1): structure-sized table, usually a LocalRelation whose
+    // scan otherwise fans out to defaultParallelism near-empty tasks
+    // (see PqIndex.write)
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     graft.sources.Sources.writeBucketed(
       postings, "cid", buckets, IvfIndex.postingsTable(dir), s"$dir/postings")
     // bucket count for a FRESH session's load (which must re-register the
@@ -96,8 +99,10 @@ object IvfIndex {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
     val cents = Similarity.trainQuantizer(v, numCentroids, iters, trainCap)
-    val postings = Similarity.rankCentroids(v, cents, 1)
-      .join(v, "id")
+    // assignment carries the vector through the aggregation (one pass)
+    // instead of a slim (id, cid) assignment + an id equi-join back to
+    // the corpus — same rows, one fewer join build per invocation
+    val postings = Similarity.assignWithVec(v, cents)
       .select(col("id"), col("cid"), col("v"), col("nrm"))
     new IvfIndex(cents, postings)
   }

@@ -47,41 +47,59 @@ object Pq {
     require(dim % m == 0, s"dim=$dim must divide evenly into m=$m subspaces")
     val dsub = dim / m
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val trainV = {
-      val n = Similarity.estRows(v)
-      if (n <= trainCap) v
+    val nEst = Similarity.estRows(v)
+    val trainV =
+      if (nEst <= trainCap) v
       else v.sample(withReplacement = false,
-          math.min(1.0, trainCap.toDouble / n), seed = 42L)
+          math.min(1.0, trainCap.toDouble / nEst), seed = 42L)
         .localCheckpoint(true)
-    }
     val sub = subvectors(trainV, dsub, m).localCheckpoint(true)
     // init: the k lowest-id training subvectors PER subspace — the same
     // deterministic init as the IVF quantizer. Each id contributes
     // exactly one subvector per subspace, so this is just the slices of
-    // the k lowest-id training vectors: a bounded orderBy/limit (never
-    // an unbounded per-group collect).
-    val initIds = trainV.orderBy(col("id")).limit(k)
-    var books = subvectors(initIds, dsub, m)
-      .select(col("sub"), col("id"), col("subv"))
-      .withColumn("code", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("sub")).orderBy(col("id"))))
-      .select(col("sub"), col("code"), col("subv").as("cv"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val assigned = assign(sub, books)
-      // Eager checkpoint per refit — a lazy variant (materialize inside
-      // the next iteration's broadcast build) was measured WORSE in the
-      // r16 optimization round (see trainQuantizer's loop comment).
-      books = Similarity.centroids(
-          assigned.join(sub, Seq("id", "sub"))
-            .select(concat_ws(":", col("sub"), col("code")).as("__g"), col("subv")),
-          "__g", "subv")
-        .select(split(col("grp"), ":").getItem(0).cast("int").as("sub"),
-          split(col("grp"), ":").getItem(1).cast("int").as("code"),
-          transform(col("centroid"), x => x.cast("float")).as("cv"))
-        .localCheckpoint(true)
-    }
+    // the k lowest-id training vectors, sliced DRIVER-side from one
+    // bounded orderBy/limit collect (identical floats — Scala slice ==
+    // the Spark slice expression; code = 1-based rank by id per sub,
+    // exactly the row_number the previous window form stamped).
+    //
+    // The per-round codebook is a driver-held LocalRelation — see
+    // trainQuantizer's job-structure note: broadcast from LocalTableScan
+    // is job-free, the refit carries subv through the aggregation
+    // instead of re-joining `sub`, and each round collapses to ONE job.
+    val spark = df.sparkSession
+    val bookSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sub",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("cv", sub.schema("subv").dataType)))
+    val initRows = trainV.select(col("id"), col("v"))
+      .orderBy(col("id")).limit(k).collect()
+    var books = Similarity.localTable(spark,
+      (for {
+        s <- 0 until m
+        (r, i) <- initRows.zipWithIndex // collect() of orderBy+limit is id-ordered
+      } yield org.apache.spark.sql.Row(
+        s, i + 1, r.getSeq[Float](1).slice(s * dsub, (s + 1) * dsub))).toArray,
+      bookSchema)
+    // bytes-sized shuffle partitions for the bounded loop — see
+    // trainQuantizer's scope note (m subvector rows per train vector)
+    val loopP = Similarity.boundedShufflePartitions(spark,
+      math.min(nEst, trainCap) * m)
+    val prevP = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopP.toString)
+    try {
+      for (_ <- 1 to iters) {
+        val assigned = assignCarrying(sub, books)
+        val refit = Similarity.centroids(
+            assigned.select(concat_ws(":", col("sub"), col("code")).as("__g"), col("subv")),
+            "__g", "subv")
+          .select(split(col("grp"), ":").getItem(0).cast("int").as("sub"),
+            split(col("grp"), ":").getItem(1).cast("int").as("code"),
+            transform(col("centroid"), x => x.cast("float")).as("cv"))
+        books = Similarity.localTable(spark, refit.collect(), bookSchema)
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevP)
     books
   }
 
@@ -271,9 +289,10 @@ object Pq {
                           query: Array[Float], k: Int): DataFrame = {
     val qCol = typedlit(query.toSeq)
     cand.join(v.select(col("id"), col("v")), Seq("id"))
-      .withColumn("exact_d2", aggregate(
-        zip_with(col("v"), qCol, (a, b) => (a - b) * (a - b)),
-        lit(0.0f), (acc, x) => acc + x))
+      // native codegen'd L2 (bit-identical float accumulation to the
+      // interpreted aggregate(zip_with(...)) form it replaces)
+      .withColumn("exact_d2",
+        graft.functions.VectorFunctions.l2sq(col("v"), qCol))
       .select(col("id").as(idCol), col("exact_d2"))
       .orderBy(col("exact_d2").asc, col(idCol).asc)
       .limit(k)
@@ -289,13 +308,31 @@ object Pq {
     * table, one distance expression, map-side-combinable min(struct).
     */
   private[sim] def assign(sub: DataFrame, codebooks: DataFrame): DataFrame = {
-    val d2 = aggregate(
-      zip_with(col("subv"), col("cv"), (a, b) => (a - b) * (a - b)),
-      lit(0.0f), (acc, x) => acc + x)
+    // native codegen'd L2 (bit-identical float accumulation to the
+    // interpreted aggregate(zip_with(...)) form it replaces — the PQ
+    // hot path: |train|·m·k evaluations per pass)
+    val d2 = graft.functions.VectorFunctions.l2sq(col("subv"), col("cv"))
     sub.join(broadcast(codebooks), Seq("sub"))
       .withColumn("__d2", d2)
       .groupBy(col("id"), col("sub"))
       .agg(min(struct(col("__d2"), col("code"))).as("__best"))
       .select(col("id"), col("sub"), col("__best.code").as("code"))
+  }
+
+  /** [[assign]] CARRYING the subvector through the aggregation —
+    * (id, sub, code, subv) — so the Lloyd refit consumes the assignment
+    * directly instead of equi-joining back to the subvector frame
+    * (a broadcast/shuffle build job per training round). `subv` is
+    * constant within each (id, sub) group, so first() is deterministic
+    * in value and the refit input multiset is identical to the join's.
+    */
+  private[sim] def assignCarrying(sub: DataFrame, codebooks: DataFrame): DataFrame = {
+    val d2 = graft.functions.VectorFunctions.l2sq(col("subv"), col("cv"))
+    sub.join(broadcast(codebooks), Seq("sub"))
+      .withColumn("__d2", d2)
+      .groupBy(col("id"), col("sub"))
+      .agg(min(struct(col("__d2"), col("code"))).as("__best"),
+        first(col("subv")).as("subv"))
+      .select(col("id"), col("sub"), col("__best.code").as("code"), col("subv"))
   }
 }

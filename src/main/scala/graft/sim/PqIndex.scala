@@ -168,8 +168,14 @@ final class PqIndex private[sim] (val centroids: DataFrame,
     // previous index in this dir would silently mask freshly-written
     // rows (and make addTo refuse their ids) — clear them first
     graft.sources.Tombstones.clear(spark, dir)
-    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    // coalesce(1): the quantizer tables are structure-sized (they are
+    // collected driver-side on every search) and usually LocalRelations,
+    // whose physical scan otherwise fans out to defaultParallelism
+    // near-empty tasks — 32 tiny files written and 32 tasks on every
+    // later collect, for ~100 rows (measured: 2×32 tasks, ~1 s runtime
+    // + 3.3 s deserialize per write at sf0.1)
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    codebooks.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
     graft.sources.Sources.writeBucketed(
       codes, "cid", buckets, PqIndex.codesTable(dir), s"$dir/codes")
     import spark.implicits._
@@ -257,7 +263,7 @@ object PqIndex {
     * build and addTo encode from.
     */
   private def residuals(v: DataFrame, cents: DataFrame): DataFrame =
-    v.join(Similarity.rankCentroids(v, cents, 1), Seq("id"))
+    Similarity.assignWithVec(v, cents)
       .join(broadcast(cents.select(col("cid"), col("cv").as("__ccv"))), Seq("cid"))
       .select(col("id"), col("cid"),
         zip_with(col("v"), col("__ccv"), (a, b) => a - b).as("rv"))

@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -170,6 +170,39 @@ object Similarity {
     * nothing is sorted. Ties break toward the lower cid (same order the
     * previous window formulation used).
     */
+  /** Cell assignment that CARRIES the vector (and its norm) through the
+    * aggregation: (id, cid, v, nrm) with the same argmax/tie-break as
+    * [[rankCentroids]](n = 1). Exists so build paths that need both the
+    * assignment and the vector (IVF postings, PQ residuals, Lloyd
+    * refits) pay ONE partial-aggregating pass instead of a slim
+    * assignment plus an id equi-join back to the vector table — the
+    * join's broadcast/shuffle build was a separate Spark job per call,
+    * and the sim-tier builds make dozens of such calls (r16 verdict,
+    * Next #3: e10 ran 66 jobs for 2 MB of vectors). `v`/`nrm` are
+    * constant per id (one row per id), so max_by carrying them returns
+    * the identical row set the join produced.
+    */
+  private[sim] def assignWithVec(v: DataFrame, cents: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cents))
+      .withColumn("__ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("cid"), col("v"), col("nrm")),
+        struct(col("__ccos"), -col("cid"))).as("__best"))
+      .select(col("id"), col("__best.cid").as("cid"),
+        col("__best.v").as("v"), col("__best.nrm").as("nrm"))
+
+  /** A driver-held LocalRelation copy of collected rows. Broadcast
+    * exchanges over a LocalTableScan build driver-side WITHOUT a Spark
+    * job, so iterative loops whose per-round state is structure-sized
+    * (centroid/codebook tables — "always driver-collectable" by
+    * declaration) re-enter the next round's plan job-free where a
+    * checkpointed frame paid a broadcast-build job per consumer.
+    */
+  private[sim] def localTable(spark: SparkSession,
+                              rows: Array[org.apache.spark.sql.Row],
+                              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
   private[sim] def rankCentroids(v: DataFrame, cents: DataFrame, n: Int): DataFrame = {
     // codegen'd float dot product + precomputed norms on both sides —
     // no interpreted array-cast HOFs in this per-(vector × centroid) path
@@ -260,13 +293,12 @@ object Similarity {
                                   trainCap: Long): DataFrame = {
     require(numCentroids > 0)
     require(trainCap >= numCentroids, s"trainCap=$trainCap < numCentroids=$numCentroids")
-    val trainV = {
-      val n = estRows(v)
-      if (n <= trainCap) v
+    val nEst = estRows(v)
+    val trainV =
+      if (nEst <= trainCap) v
       else v.sample(withReplacement = false,
-          math.min(1.0, trainCap.toDouble / n), seed = 42L)
+          math.min(1.0, trainCap.toDouble / nEst), seed = 42L)
         .localCheckpoint(true)
-    }
     // deterministic init: the numCentroids lowest-id training vectors. The
     // centroid table carries float vectors + a precomputed norm so the
     // assignment pass is pure codegen'd arithmetic. cid is stamped with
@@ -274,32 +306,60 @@ object Similarity {
     // ≤ numCentroids rows post-limit) — same numbering a row_number window
     // would give, without WindowExec's move-everything-to-one-partition
     // shape (bounded here, but it spams the scale-warning log).
-    var cents = trainV.orderBy(col("id")).limit(numCentroids)
+    //
+    // JOB-STRUCTURE NOTE (r17 optimization round, verdict Next #3): the
+    // per-round centroid table is held as a driver-side LocalRelation
+    // (collect + localTable) instead of an eagerly-checkpointed frame.
+    // The values are identical — the refit aggregation is unchanged,
+    // collect just moves the numCentroids rows to the driver — but the
+    // next round's broadcast now builds from a LocalTableScan, which
+    // materializes driver-side with NO Spark job, and the refit's
+    // vector is carried through assignWithVec's aggregation instead of
+    // an id equi-join back to trainV (another broadcast build per
+    // round). Jobs per Lloyd round: ~4 → 1. (The r16 lazy-checkpoint
+    // experiment attacked the same cost and lost — e10 warm task time
+    // 7.2 → 33.4 s — because a LAZY checkpoint re-evaluated the chain
+    // per consumer; the LocalRelation form materializes exactly once
+    // per round, on the driver, where the table lives anyway.)
+    val initDf = trainV.orderBy(col("id")).limit(numCentroids)
       .coalesce(1).sortWithinPartitions(col("id"))
       .select((monotonically_increasing_id() + 1).cast("int").as("cid"),
         col("v").as("cv"), col("nrm").as("cnrm"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val assigned = rankCentroids(trainV, cents, 1)
-      // the centroid table is numCentroids rows — eagerly checkpoint each
-      // refit so the next iteration (and the final probe plan) reads a
-      // materialized table instead of re-evaluating the whole Lloyd
-      // lineage multiple times. A LAZY checkpoint here (materialize
-      // inside the next iteration's broadcast build) was tried in the
-      // r16 optimization round and MEASURED WORSE: the broadcast-thread
-      // materialization re-evaluated more of the chain than the
-      // dedicated one-task checkpoint job ever cost (e03 warm task time
-      // 5.1 s eager vs 8.5 s lazy; e10 7.2 vs 33.4 at sf0.1) — keep the
-      // eager form. The double→float cast runs over numCentroids rows
-      // only.
-      cents = centroids(assigned.join(trainV.select(col("id"), col("v")), "id"), "cid", "v")
-        .select(col("grp").as("cid"),
-          transform(col("centroid"), x => x.cast("float")).as("cv"))
-        .withColumn("cnrm", norm(col("cv")))
-        .localCheckpoint(true)
-    }
+    val centSchema = initDf.schema
+    val spark = v.sparkSession
+    var cents = localTable(spark, initDf.collect(), centSchema)
+    // Shuffle-partition scope for the bounded loop (the star-contraction
+    // loop's explicit-sizing precedent, Dedup.scala): the train frame is
+    // ≤ trainCap rows by construction, so the refit aggregations need
+    // bytes-sized partitioning, not the session's core-count default —
+    // AQE's parallelismFirst mode never coalesces below the core count,
+    // so every refit otherwise pays `cores` near-empty reduce tasks per
+    // exchange. Sized from the bounded row count, never a constant.
+    val loopP = boundedShufflePartitions(spark, math.min(nEst, trainCap))
+    val prevP = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopP.toString)
+    try {
+      for (_ <- 1 to iters) {
+        val assigned = assignWithVec(trainV, cents)
+        // the double→float cast runs over numCentroids rows only
+        val refit = centroids(assigned, "cid", "v")
+          .select(col("grp").as("cid"),
+            transform(col("centroid"), x => x.cast("float")).as("cv"))
+          .withColumn("cnrm", norm(col("cv")))
+        cents = localTable(spark, refit.collect(), centSchema)
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevP)
     cents
   }
+
+  /** Shuffle partitions for a BOUNDED frame of `rows` ~300-byte vector
+    * rows: enough partitions to keep each under ~64 MB, capped at the
+    * core count, floored at 1 — the scale-adaptive replacement for the
+    * session's core-count default inside bounded train loops.
+    */
+  private[sim] def boundedShufflePartitions(spark: SparkSession, rows: Long): Int =
+    math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      rows * 300L / (64L << 20))).toInt
 
   /** Per-group element-wise mean of an embedding column (cluster
     * centroids, per-source average embeddings). Distributed shape:
