@@ -1141,16 +1141,15 @@ object Dedup {
     */
   private def windowHashes(df: DataFrame, idCol: String, textCol: String,
                            k: Int): DataFrame = {
-    // tokens are staged as a column: `slice` inside the transform lambda
-    // is a free subexpression, and HOFs evaluate interpreted — an inline
-    // tokenizer would re-split the text once PER WINDOW (quadratic in
-    // document length); against the staged attribute each window is one
-    // O(k) copy
-    val tk = col("__tk")
-    val grams = when(size(tk) >= k,
-      transform(sequence(lit(1), size(tk) - k + 1),
-        i => xxhash64(array_join(slice(tk, i, lit(k)), " "))))
-      .otherwise(array().cast("array<bigint>"))
+    // native codegen'd window hashing (graft.functions.WindowHashes64),
+    // bit-identical to the interpreted HOF form
+    // transform(sequence(1, n−k+1), i => xxhash64(array_join(slice(tk, i, k), " ")))
+    // it replaces — the HOF re-entered the interpreter once per WINDOW
+    // and was the dominant task CPU of every window-hash gate (r17
+    // JobProbe: d19/d47/d48/d33 summed 10–24 s task time each on a
+    // ~1 MB corpus; the four gates are oracle-hash-checked, which pins
+    // the byte-exactness of the replacement)
+    val grams = graft.functions.VectorFunctions.windowHashes64(col("__tk"), k)
     df.select(col(idCol).as("id"), wsTokens(lower(col(textCol))).as("__tk"))
       .select(col("id"), posexplode(grams))
       .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("h"))
@@ -1164,15 +1163,23 @@ object Dedup {
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 20): DataFrame = {
     require(k >= 2, s"window size must be >= 2 tokens, got $k")
+    // ONE pass over the inverted index (r17 optimization round): the
+    // previous three-consumer form (per-hash dup set, semi-join back,
+    // per-doc totals) re-ran the scan+tokenize+hash map stage once per
+    // consumer — 3× the map work for identical output. A count window
+    // over h stamps each occurrence with its corpus frequency in the
+    // same shuffle the per-hash aggregation used, and ONE per-doc
+    // aggregation derives both counts. Identical values (the gate is
+    // oracle-hash-checked).
     val sh = windowHashes(df, idCol, textCol, k)
-    val dup = sh.groupBy("h").agg(count(lit(1)).as("__n"))
-      .where(col("__n") > 1).select("h")
-    val dupPerDoc = sh.join(dup, Seq("h"), "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("n_dup_shingles"))
-    val totals = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val perDoc = sh
+      .withColumn("__c", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_shingles"))
     df.select(col(idCol).as("id"))
-      .join(totals, Seq("id"), "left")
-      .join(dupPerDoc, Seq("id"), "left")
+      .join(perDoc, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
         coalesce(col("n_dup_shingles"), lit(0L)).as("n_dup_shingles"))
@@ -1346,9 +1353,13 @@ object Dedup {
   def softDedupWeights(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 13): DataFrame = {
     require(k >= 2, s"window size must be >= 2 tokens, got $k")
+    // one map pass + count window over h instead of per-hash agg +
+    // join-back (which re-ran the scan+tokenize+hash map stage twice) —
+    // see dupSpanStats; identical values, oracle-hash-checked gate
     val sh = windowHashes(df, idCol, textCol, k)
-    val counts = sh.groupBy("h").agg(count(lit(1)).as("__c"))
-    val perDoc = sh.join(counts, "h")
+    val perDoc = sh
+      .withColumn("__c", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
       .groupBy("id")
       .agg(count(lit(1)).as("n_windows"),
         avg(log(col("__c").cast("double"))).as("__mlc"))
@@ -1373,12 +1384,18 @@ object Dedup {
   private def excisedTokens(df: DataFrame, idCol: String, textCol: String,
                             minTokens: Int): DataFrame = {
     require(minTokens >= 2, s"window size must be >= 2 tokens, got $minTokens")
+    // one map pass + min/count windows over h instead of per-hash agg +
+    // join-back (which re-ran the scan+tokenize+hash map stage twice) —
+    // the canonical occurrence and the dup filter ride the same shuffle
+    // the aggregation used; identical rows (d47/d33 oracle-hash-checked)
     val sh = windowHashes(df, idCol, textCol, minTokens)
-    val canon = sh.groupBy("h")
-      .agg(min(struct(col("id"), col("pos"))).as("c"), count(lit(1)).as("__n"))
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val occ = sh
+      .withColumn("__n", count(lit(1)).over(wH))
+      .withColumn("__canon", min(struct(col("id"), col("pos"))).over(wH))
       .where(col("__n") > 1)
-      .select(col("h"), col("c.id").as("cid"), col("c.pos").as("cpos"))
-    val occ = sh.join(canon, "h")
+      .select(col("id"), col("pos"),
+        col("__canon.id").as("cid"), col("__canon.pos").as("cpos"))
     val isCanon = col("id") === col("cid") && col("pos") === col("cpos")
     def covered(o: DataFrame): DataFrame = o.select(col("id"),
       explode(sequence(col("pos"), col("pos") + (minTokens - 1))).as("tp"))

@@ -335,6 +335,79 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Position-ordered xxhash64 of every k-token window of a token array —
+  * the map half of the substring-dedup inverted index (Dedup
+  * windowHashes). Bit-identical to the interpreted HOF form
+  * `transform(sequence(1, n−k+1), i => xxhash64(array_join(slice(tk, i, k), " ")))`
+  * (same seed-42 XXH64 over the same space-joined UTF-8 bytes; n < k
+  * yields an empty array), but generated as a tight loop — the HOF form
+  * re-entered the interpreter per window and was the dominant task CPU
+  * of the d19/d47/d48/d33 family (JobProbe: 10–24 s summed task time
+  * per gate on a ~1 MB corpus).
+  */
+case class WindowHashes64(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 2)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_window_hashes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_window_hashes expects array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val count = n - k + 1
+    if (count <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Long](0))
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      val w = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*)
+      out(i) = XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes, 42L)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val parts = ctx.freshName("parts")
+      val w = ctx.freshName("w")
+      val u8 = "org.apache.spark.unsafe.types.UTF8String"
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      s"""
+        |int $n = $a.numElements();
+        |int $cnt = $n - ${k - 1};
+        |if ($cnt < 0) $cnt = 0;
+        |long[] $out = new long[$cnt];
+        |for (int $i = 0; $i < $cnt; $i++) {
+        |  $u8[] $parts = new $u8[$k];
+        |  for (int $j = 0; $j < $k; $j++) { $parts[$j] = $a.getUTF8String($i + $j); }
+        |  $u8 $w = $u8.concatWs($u8.fromString(" "), $parts);
+        |  $out[$i] = $xxh.hashUnsafeBytes($w.getBaseObject(), $w.getBaseOffset(), $w.numBytes(), 42L);
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Random-hyperplane LSH bucket: `numPlanes` sign bits of projections onto
   * pseudo-random planes derived from xxhash64(seed, plane, dim) — fully
   * deterministic, no RNG state. Input array<float|double>, output long.
@@ -509,6 +582,9 @@ object VectorFunctions {
 
   def shingles(tokens: Column, k: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), k))
+
+  def windowHashes64(tokens: Column, k: Int): Column =
+    ColumnBridge.column(WindowHashes64(ColumnBridge.expression(tokens), k))
 
   def hyperplaneBucket(vec: Column, numPlanes: Int, seed: Int): Column =
     ColumnBridge.column(HyperplaneBucket(ColumnBridge.expression(vec), numPlanes, seed))
