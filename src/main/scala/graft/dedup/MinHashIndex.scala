@@ -205,9 +205,10 @@ object MinHashIndex {
     graft.sources.Sources.writeBucketed(
       withSig.select(col("id"), col("sh")), "id", buckets,
       tableName(dir, "shingles"), s"$dir/shingles")
-    import spark.implicits._
-    Seq((k, numHashes, bands)).toDF("k", "numHashes", "bands").coalesce(1)
-      .write.mode("overwrite").json(s"$dir/meta")
+    // driver-side manifest (Sources.writeMetaJson — no Spark job for
+    // a one-line file; see IvfIndex.write)
+    graft.sources.Sources.writeMetaJson(spark, s"$dir/meta",
+      s"""{"k":$k,"numHashes":$numHashes,"bands":$bands}""")
     load(spark, dir)
   }
 
@@ -237,8 +238,8 @@ object MinHashIndex {
       "id", buckets, tableName(dstDir, "shingles"), s"$dstDir/shingles")
     // parameter meta travels verbatim: signatures in the copied tables
     // were computed under these (k, numHashes, bands)
-    spark.read.json(s"$srcDir/meta").coalesce(1)
-      .write.mode("overwrite").json(s"$dstDir/meta")
+    graft.sources.Sources.writeMetaJson(spark, s"$dstDir/meta",
+      graft.sources.Sources.readMetaJson(spark, s"$srcDir/meta"))
     load(spark, dstDir) // register the destination's catalog entries
     (before,
       spark.read.parquet(s"$dstDir/bands").inputFiles.length +
@@ -250,13 +251,13 @@ object MinHashIndex {
     * (manifest is the source of truth).
     */
   def load(spark: SparkSession, dir: String): MinHashIndex = {
-    val meta = spark.read.json(s"$dir/meta").head()
+    val meta = graft.sources.Sources.readMetaJson(spark, s"$dir/meta")
+    def fld(f: String) = graft.sources.Sources.metaLong(meta, f).getOrElse(
+      throw new IllegalStateException(s"manifest at $dir/meta has no $f: $meta")).toInt
     // register/validate the catalog entries once; per-access resolution
     // (bandsTable/shinglesTable defs) then picks up appended increments
     graft.sources.Sources.loadBucketed(spark, tableName(dir, "bands"), s"$dir/bands")
     graft.sources.Sources.loadBucketed(spark, tableName(dir, "shingles"), s"$dir/shingles")
-    new MinHashIndex(spark, dir,
-      meta.getAs[Long]("k").toInt, meta.getAs[Long]("numHashes").toInt,
-      meta.getAs[Long]("bands").toInt)
+    new MinHashIndex(spark, dir, fld("k"), fld("numHashes"), fld("bands"))
   }
 }

@@ -78,12 +78,12 @@ final class IvfIndex private (val centroids: DataFrame, val postings: DataFrame)
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     graft.sources.Sources.writeBucketed(
       postings, "cid", buckets, IvfIndex.postingsTable(dir), s"$dir/postings")
-    // bucket count for a FRESH session's load (which must re-register the
-    // external bucketed table) — written through Spark IO so the index
-    // stays FS-agnostic (local disk in tests, object store at scale)
-    import spark.implicits._
-    Seq(buckets).toDF("buckets").coalesce(1)
-      .write.mode("overwrite").json(s"$dir/meta")
+    // bucket count for a FRESH session's load (which must re-register
+    // the external bucketed table) — driver-side Hadoop-FS manifest
+    // write (Sources.writeMetaJson): FS-agnostic like the Spark writer
+    // it replaces, without a Spark job per one-line file
+    graft.sources.Sources.writeMetaJson(spark, s"$dir/meta",
+      s"""{"buckets":$buckets}""")
   }
 }
 
@@ -382,7 +382,8 @@ object IvfIndex {
   private[sim] def loadBucketedTable(spark: SparkSession, dir: String,
                                      subdir: String, tbl: String): DataFrame = {
     val metaBuckets =
-      try Some(spark.read.json(s"$dir/meta").head().getAs[Long]("buckets").toInt)
+      try graft.sources.Sources.metaLong(
+        graft.sources.Sources.readMetaJson(spark, s"$dir/meta"), "buckets").map(_.toInt)
       catch { case scala.util.control.NonFatal(_) => None }
     metaBuckets match {
       case Some(b) =>

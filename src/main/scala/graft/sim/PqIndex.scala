@@ -178,9 +178,9 @@ final class PqIndex private[sim] (val centroids: DataFrame,
     codebooks.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
     graft.sources.Sources.writeBucketed(
       codes, "cid", buckets, PqIndex.codesTable(dir), s"$dir/codes")
-    import spark.implicits._
-    Seq(buckets).toDF("buckets").coalesce(1)
-      .write.mode("overwrite").json(s"$dir/meta")
+    // driver-side manifest (see IvfIndex.write)
+    graft.sources.Sources.writeMetaJson(spark, s"$dir/meta",
+      s"""{"buckets":$buckets}""")
   }
 }
 

@@ -70,11 +70,70 @@ object Sources {
     df.repartition(buckets, col(key))
       .write.bucketBy(buckets, key).sortBy(key).mode("overwrite")
       .option("path", path).saveAsTable(table)
-    val spark = df.sparkSession
-    import spark.implicits._
-    Seq((key, buckets)).toDF("key", "buckets").coalesce(1)
-      .write.mode("overwrite").json(s"$path/_graft_meta")
+    writeMetaJson(df.sparkSession, s"$path/_graft_meta",
+      s"""{"key":"$key","buckets":$buckets}""")
   }
+
+  /** Write a tiny single-record JSON manifest through the Hadoop
+    * FileSystem API — the same FS abstraction Spark's writers (and
+    * GenerationPointer) use, so the index stays FS-agnostic, WITHOUT
+    * paying a Spark job to move one line (the Seq(...).toDF.write.json
+    * form it replaces cost a job per manifest; an index build/load
+    * touches several manifests — r17 JobProbe measured ~100 ms of
+    * driver round-trip per such micro-job). Layout-compatible with the
+    * previous Spark-written form: a directory holding one part-*.json
+    * line plus _SUCCESS, so stores written by either writer read back
+    * with either reader.
+    */
+  def writeMetaJson(spark: SparkSession, dir: String, json: String): Unit = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(d)) fs.delete(d, true)
+    fs.mkdirs(d)
+    val out = fs.create(new org.apache.hadoop.fs.Path(d, "part-00000.json"), true)
+    try out.write((json + "\n").getBytes("UTF-8")) finally out.close()
+    fs.create(new org.apache.hadoop.fs.Path(d, "_SUCCESS"), true).close()
+  }
+
+  /** First non-empty JSON line of a manifest dir — the driver-side read
+    * for [[writeMetaJson]] manifests (and the legacy Spark-written
+    * form). Throws FileNotFoundException when the dir is absent, like
+    * the spark.read.json it replaces.
+    */
+  def readMetaJson(spark: SparkSession, dir: String): String = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(d).filter(s =>
+      s.isFile && s.getPath.getName.endsWith(".json")).sortBy(_.getPath.getName)
+    files.iterator.flatMap { f =>
+      val in = fs.open(f.getPath)
+      val txt =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          var n = in.read(tmp)
+          while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+          buf.toString("UTF-8")
+        } finally in.close()
+      txt.linesIterator.map(_.trim).find(_.nonEmpty)
+    }.nextOption().getOrElse(throw new java.io.FileNotFoundException(
+      s"no JSON manifest line under $dir"))
+  }
+
+  /** Long field of a [[readMetaJson]] line — the manifests are written
+    * by graft itself ([[writeMetaJson]] call sites), so a flat-object
+    * field grab is exact, never heuristic.
+    */
+  def metaLong(json: String, field: String): Option[Long] =
+    ("\"" + java.util.regex.Pattern.quote(field) + "\"\\s*:\\s*(-?\\d+)").r
+      .findFirstMatchIn(json).map(_.group(1).toLong)
+
+  /** String field of a [[readMetaJson]] line (no escapes — graft meta
+    * fields are identifiers).
+    */
+  def metaString(json: String, field: String): Option[String] =
+    ("\"" + java.util.regex.Pattern.quote(field) + "\"\\s*:\\s*\"([^\"]*)\"").r
+      .findFirstMatchIn(json).map(_.group(1))
 
   /** Compact a parquet directory's small files into `targetBytes`-sized
     * ones, writing to `dstDir` (write-then-swap stays with the caller —
@@ -167,9 +226,11 @@ object Sources {
     * and recreated from the manifest (no data is touched).
     */
   def loadBucketed(spark: SparkSession, table: String, path: String): DataFrame = {
-    val meta = spark.read.json(s"$path/_graft_meta").head()
-    val key = meta.getAs[String]("key")
-    val buckets = meta.getAs[Long]("buckets").toInt
+    val meta = readMetaJson(spark, s"$path/_graft_meta")
+    val key = metaString(meta, "key").getOrElse(
+      throw new IllegalStateException(s"manifest at $path/_graft_meta has no key: $meta"))
+    val buckets = metaLong(meta, "buckets").getOrElse(
+      throw new IllegalStateException(s"manifest at $path/_graft_meta has no buckets: $meta")).toInt
     val declared =
       if (!spark.catalog.tableExists(table)) None
       else spark.sql(s"DESCRIBE TABLE EXTENDED `$table`").collect()
