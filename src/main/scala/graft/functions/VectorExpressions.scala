@@ -564,6 +564,103 @@ case class RandomProjection(child: Expression, dOut: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Shared kernel for [[CharGrams]]: both the interpreted eval and the
+  * generated code call this one static method, so the two paths are
+  * bit-identical by construction. One detached byte copy of the input
+  * per row; every gram is a zero-copy UTF8String slice of it, and the
+  * char→byte offset table is computed once — the HOF form
+  * (`transform(sequence(...), i => substr(s, i, n))` per n) re-entered
+  * the interpreter per gram AND paid substr's from-the-start char scan
+  * per gram (O(L²) on long docs).
+  */
+object CharGramsUtil {
+  def pooled(s: org.apache.spark.unsafe.types.UTF8String,
+             ns: Array[Int]): ArrayData = {
+    // getBytes returns the underlying array only when the string spans
+    // it exactly (a freshly-allocated expression result — never a
+    // reused row/page buffer, which are always nonzero-offset slices
+    // and therefore copied), so slicing `bytes` is safe.
+    val bytes = s.getBytes
+    val nb = bytes.length
+    var chars = 0
+    var b = 0
+    while (b < nb) {
+      b += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(bytes(b))
+      chars += 1
+    }
+    val offs = new Array[Int](chars + 1)
+    var c = 0
+    b = 0
+    while (b < nb) {
+      offs(c) = b
+      b += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    offs(chars) = nb
+    var total = 0
+    var t = 0
+    while (t < ns.length) {
+      if (chars >= ns(t)) total += chars - ns(t) + 1
+      t += 1
+    }
+    val out = new Array[AnyRef](total)
+    var o = 0
+    t = 0
+    while (t < ns.length) {
+      val n = ns(t)
+      val cnt = chars - n + 1
+      var i = 0
+      while (i < cnt) {
+        out(o) = org.apache.spark.unsafe.types.UTF8String.fromBytes(
+          bytes, offs(i), offs(i + n) - offs(i))
+        o += 1
+        i += 1
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Pooled character n-grams of a string: for each n in `ns` (in order),
+  * every char-level n-gram of the input, concatenated into one array —
+  * exactly `concat(transform(sequence(1, L-n+1), i => substr(s, i, n)) for
+  * n in ns)` with the `length(s) >= n` guard (shorter strings contribute
+  * nothing for that n). Character semantics match `substr` (codepoint
+  * positions, not bytes). NULL input yields NULL (callers that need the
+  * HOF form's empty-array-on-null coalesce it). This is CharLangId's
+  * featurize step (d51/d51b): the HOF form was the gates' dominant task
+  * CPU, interpreted per gram.
+  */
+case class CharGrams(child: Expression, ns: Seq[Int]) extends UnaryExpression {
+  require(ns.nonEmpty && ns.forall(_ >= 1), s"n-gram lengths must be >= 1, got $ns")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_char_grams"
+
+  private lazy val nsArr: Array[Int] = ns.toArray
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_char_grams expects string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    CharGramsUtil.pooled(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], nsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val nsRef = ctx.addReferenceObj("ns", nsArr, "int[]")
+      s"${ev.value} = graft.functions.CharGramsUtil.pooled($a, $nsRef);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-level entry points for the native expressions. */
 object VectorFunctions {
   def dotp(a: Column, b: Column): Column =
@@ -585,6 +682,9 @@ object VectorFunctions {
 
   def windowHashes64(tokens: Column, k: Int): Column =
     ColumnBridge.column(WindowHashes64(ColumnBridge.expression(tokens), k))
+
+  def charGrams(text: Column, ns: Seq[Int]): Column =
+    ColumnBridge.column(CharGrams(ColumnBridge.expression(text), ns))
 
   def hyperplaneBucket(vec: Column, numPlanes: Int, seed: Int): Column =
     ColumnBridge.column(HyperplaneBucket(ColumnBridge.expression(vec), numPlanes, seed))

@@ -63,12 +63,17 @@ object CharLangId {
     */
   def charGrams(text: Column, ns: Seq[Int]): Column = {
     val s = lower(trim(text))
-    val parts = ns.map { n =>
-      when(length(s) >= n,
-        transform(sequence(lit(1), length(s) - (n - 1)), i => s.substr(i, lit(n))))
-        .otherwise(array().cast("array<string>"))
-    }
-    if (parts.size == 1) parts.head else concat(parts: _*)
+    // native codegen'd kernel (graft.functions.CharGrams) — value-equal
+    // to the previous HOF form
+    //   concat(per n: when(length(s) >= n,
+    //     transform(sequence(1, length(s)-(n-1)), i => substr(s, i, n)))
+    //     .otherwise(array())),
+    // which re-entered the interpreter per gram and paid substr's
+    // from-the-start char scan per gram. The coalesce keeps the HOF
+    // form's null contract: NULL text featurizes to NO grams (the doc
+    // still scores — the prior/floor terms — rather than scoring NULL).
+    coalesce(graft.functions.VectorFunctions.charGrams(s, ns),
+      array().cast("array<string>"))
   }
 
   /** Train on labeled documents (rows with a NULL label are ignored).

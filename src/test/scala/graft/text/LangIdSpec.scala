@@ -191,4 +191,36 @@ class LangIdSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("empty union vocabulary"))
   }
+
+  test("native charGrams == HOF reference, gram for gram, on adversarial strings") {
+    // The native kernel (graft.functions.CharGrams) replaced the
+    // interpreted transform(sequence)+substr form; this pins
+    // value-identity on the edges: empty, whitespace-only (trim → ""),
+    // shorter than min(ns), exactly n, multi-byte UTF-8 (char ≠ byte
+    // positions), surrogate pairs, uppercase (lower() applies first),
+    // and NULL (both forms featurize to an empty array).
+    val rows = Seq("", "   ", "ab", "abc", "abcd", "The CAT",
+      "héllo wörld", "日本語のテキスト", "a😀b😀c", " padded  text ",
+      null.asInstanceOf[String]).zipWithIndex
+      .map { case (s, i) => (i.toLong, Option(s)) }
+    val df = rows.toDF("id", "text")
+    for (ns <- Seq(Seq(3, 4), Seq(1), Seq(2, 5))) {
+      val s = lower(trim(col("text")))
+      val hof = {
+        val parts = ns.map { n =>
+          when(length(s) >= n,
+            transform(sequence(lit(1), length(s) - (n - 1)), i => s.substr(i, lit(n))))
+            .otherwise(array().cast("array<string>"))
+        }
+        if (parts.size == 1) parts.head else concat(parts: _*)
+      }
+      val got = df.select(col("id"),
+          CharLangId.charGrams(col("text"), ns).as("native"), hof.as("ref"))
+        .collect()
+      for (r <- got) {
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"ns=$ns id=${r.getLong(0)}: native=${r.getSeq[String](1)} ref=${r.getSeq[String](2)}")
+      }
+    }
+  }
 }
