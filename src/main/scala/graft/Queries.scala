@@ -2589,8 +2589,13 @@ object Queries {
       val d = docsWide(s, dir)
       val n = graft.dedup.Dedup.approxRowCount(d)
       val media = withSharedScenes(d, "doc_id", nScenes = suggestedScenes(n))
+      // decode parallelism comes from docsWide's slim exchange UNDER the
+      // render; the media-tier gates used to ALSO repartition the rendered
+      // frame by media_id, which re-shuffled the payload bytes themselves
+      // (a02 measured 113 MB of WAV through that exchange) for identical
+      // row-wise results — removed round 17 from all eight m/a/v gates
       graft.dedup.Dedup.hammingPairs64(
-        imageDHash(media.repartition(col("media_id"))), "media_id", "dhash",
+        imageDHash(media), "media_id", "dhash",
         maxHamming = 3, wide = graft.dedup.Dedup.wideHammingBands(n),
         verdictKey = s"$dir#dhash")
         .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
@@ -2618,7 +2623,7 @@ object Queries {
       val evalMedia = withSharedScenes(probes, "media_id", nScenes + 10)
         .join(probes, Seq("media_id"))
       imageContaminationMatrix(
-        train.repartition(col("media_id")), "media_id", "source",
+        train, "media_id", "source",
         evalMedia, "media_id", "eval_set",
         maxHamming = 3, wide = graft.dedup.Dedup.wideHammingBands(n))
     },
@@ -2635,7 +2640,7 @@ object Queries {
       val n = graft.dedup.Dedup.approxRowCount(d)
       val media = withSharedAudioScenes(d, "doc_id", nScenes = suggestedScenes(n))
       graft.dedup.Dedup.hammingPairs64(
-        audioFingerprint(media.repartition(col("media_id"))), "media_id", "afp",
+        audioFingerprint(media), "media_id", "afp",
         maxHamming = 3, wide = graft.dedup.Dedup.wideHammingBands(n),
         verdictKey = s"$dir#afp")
         .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
@@ -3408,7 +3413,7 @@ object Queries {
     "m01_multimodal" -> nq { (s, dir) =>
       import graft.multimodal.Multimodal._
       val media = withFakeMediaPixels(docsWide(s, dir), "doc_id", "image")
-      decodeImage(media.repartition(col("media_id")))
+      decodeImage(media)
         .groupBy("format")
         .agg(count(lit(1)).as("n"), avg(col("width")).as("avg_w"),
           sum(when(col("px_width") === col("width") &&
@@ -3422,7 +3427,7 @@ object Queries {
     "m02_resize" -> nq { (s, dir) =>
       import graft.multimodal.Multimodal._
       val media = withFakeMediaPixels(docsWide(s, dir), "doc_id", "image")
-      decodeImage(resize(media.repartition(col("media_id")), 16))
+      decodeImage(resize(media, 16))
         .groupBy("format")
         .agg(count(lit(1)).as("n"), max(col("px_width")).as("max_w"),
           max(col("px_height")).as("max_h"),
@@ -3436,7 +3441,7 @@ object Queries {
     "v01_frames" -> nq { (s, dir) =>
       import graft.multimodal.Multimodal._
       val media = withFakeMediaPixels(docsWide(s, dir), "doc_id", "video")
-      sampleFrames(media.repartition(col("media_id")), 3)
+      sampleFrames(media, 3)
         .groupBy("frame_idx")
         .agg(count(lit(1)).as("n"), avg(col("frame_width")).as("avg_w"),
           avg(col("n_frames")).as("avg_total_frames"))
@@ -3449,7 +3454,7 @@ object Queries {
     "v02_scene_changes" -> nq { (s, dir) =>
       import graft.multimodal.Multimodal._
       val media = withFakeMediaPixels(docsWide(s, dir), "doc_id", "video")
-      sceneChanges(media.repartition(col("media_id")), n = 4)
+      sceneChanges(media, n = 4)
         .groupBy("is_cut")
         .agg(count(lit(1)).as("n_pairs"), avg(col("hamming")).as("avg_hamming"))
     },
@@ -3460,7 +3465,7 @@ object Queries {
     "a01_audio_meta" -> nq { (s, dir) =>
       import graft.multimodal.Multimodal._
       val media = withFakeMediaPixels(docsWide(s, dir), "doc_id", "audio")
-      decodeAudioMeta(media.repartition(col("media_id")))
+      decodeAudioMeta(media)
         .groupBy("sample_rate")
         .agg(count(lit(1)).as("n"), round(avg(col("seconds")), 4).as("avg_secs"),
           max(col("channels")).as("max_channels"), round(avg(col("rms")), 4).as("avg_rms"))
