@@ -839,10 +839,20 @@ object CorpusOps {
         posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
       .withColumn("__key",
         when(length(trim(col("__line"))) >= minChars, lower(trim(col("__line")))))
-    val first = lines.where(col("__key").isNotNull)
-      .groupBy(col("__key"))
-      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
-    val marked = lines.join(first, Seq("__key"), "left")
+    // First-occurrence stamp as a WINDOW over the line key riding one
+    // shuffle, not aggregate + join-back: the join-back shape evaluated
+    // `lines` — and the caller's whole upstream text construction —
+    // TWICE (the dupSpanStats r17 rewrite, applied here; d44 measured
+    // two ~10 s map stages, one per evaluation). Short/empty lines
+    // (null __key) are exempt from dedup, so they must not pile into
+    // one null partition at scale — they window over a per-row unique
+    // synthetic key (singleton partitions, no skew) and keep
+    // unconditionally via the isNull arm.
+    val wk = coalesce(col("__key"),
+      concat(lit(" "), col("__id").cast("string"), lit(":"), col("__pos").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(wk)
+    val marked = lines
+      .withColumn("__first", min(struct(col("__id"), col("__pos"))).over(w))
       .withColumn("__keep", col("__key").isNull ||
         (col("__first.__id") === col("__id") && col("__first.__pos") === col("__pos")))
     marked.groupBy(col("__id"))
@@ -889,13 +899,21 @@ object CorpusOps {
         posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
       .withColumn("__key",
         when(length(trim(col("__line"))) >= minChars, trim(col("__line"))))
-    val common = lines.where(col("__key").isNotNull)
-      .select(col("__id"), col("__key")).distinct()
-      .groupBy(col("__key")).agg(count(lit(1)).as("__df"))
-      .where(col("__df") >= minDocs)
-      .select(col("__key").as("__bp"))
-    val marked = lines.join(common, col("__key") === col("__bp"), "left")
-      .withColumn("__drop", col("__bp").isNotNull)
+    // Document frequency as a WINDOW over the line key riding one
+    // shuffle, not distinct+aggregate+join-back: the join-back shape
+    // evaluated `lines` — and the caller's whole upstream text
+    // construction — twice (same rewrite as dedupParagraphs below;
+    // size(collect_set) is the windowed count-distinct). Null keys
+    // (below minChars) are exempt from dropping; they window over a
+    // per-row unique synthetic key so they cannot pile into one null
+    // partition at scale (keys are trimmed, so a real key never starts
+    // with a space — the synthetic prefix is collision-free).
+    val wk = coalesce(col("__key"),
+      concat(lit(" "), col("__id").cast("string"), lit(":"), col("__pos").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(wk)
+    val marked = lines
+      .withColumn("__df", size(collect_set(col("__id")).over(w)))
+      .withColumn("__drop", col("__key").isNotNull && col("__df") >= minDocs)
     marked.groupBy(col("__id"))
       .agg(
         concat_ws("\n", transform(
