@@ -1969,15 +1969,40 @@ object CorpusOps {
     */
   def gopherSignals(df: DataFrame, idCol: String, textCol: String,
                     minStopHits: Int = 2): DataFrame = {
+    val withGrams = gopherFolds(df, idCol, textCol, Nil)
+    val sig = withGrams.select(
+      col(idCol) +: gopherSigExprs.map { case (n, e) => e.as(n) }: _*)
+    sig.withColumn("keep",
+      gopherKeep(gopherSigExprs.map { case (n, _) => n -> col(n) }.toMap,
+        minStopHits))
+  }
+
+  /** The staged tokenize/segment/fold pipeline shared by
+    * [[gopherSignals]] and [[gopherFilter]]: token/line arrays live in
+    * their own projections (HOF trees evaluate interpreted with no
+    * common-subexpression elimination — the d18 lesson; Catalyst's
+    * CollapseProject keeps the staging because the aliases are
+    * non-cheap and multiply referenced), `carry` columns ride every
+    * projection so the filter form keeps the caller's rows without
+    * re-evaluating the upstream.
+    */
+  private def gopherFolds(df: DataFrame, idCol: String, textCol: String,
+                          carry: Seq[String]): DataFrame = {
     import TextFunctions._
+    val reserved = Set("__tk", "__ln", "__pg", "__sym", "__n", "__tc",
+      "__alpha", "__stop", "__nl", "__bullet", "__ellip", "__lf", "__pf") ++
+      (2 to 10).map(n => s"__g$n")
+    require(carry.forall(c => !reserved(c)),
+      s"carried column collides with a gopher-internal name: $carry")
+    val cs = carry.map(col)
     val t = coalesce(col(textCol), lit(""))
-    val staged = df.select(col(idCol),
+    val staged = df.select(col(idCol) +: cs ++: Seq(
       wsTokens(lower(t)).as("__tk"),
       nonBlankSegments(t, "\n").as("__ln"),
       nonBlankSegments(t, "\n{2,}").as("__pg"),
       size(regexp_extract_all(t, lit("#|\\.\\.\\.|…"), lit(0)))
-        .cast("long").as("__sym"))
-    val folded = staged.select(col(idCol), col("__tk"), col("__sym"),
+        .cast("long").as("__sym")): _*)
+    val folded = staged.select(col(idCol) +: cs ++: Seq(col("__tk"), col("__sym"),
       size(col("__tk")).cast("long").as("__n"),
       aggregate(col("__tk"), lit(0L), (a, x) => a + length(x)).as("__tc"),
       size(filter(col("__tk"), w => w.rlike("[a-z]"))).cast("long").as("__alpha"),
@@ -1989,9 +2014,18 @@ object CorpusOps {
       size(filter(col("__ln"), l => l.rlike("(\\.\\.\\.|…)$")))
         .cast("long").as("__ellip"),
       segMassFold(col("__ln"), 0).as("__lf"),
-      segMassFold(col("__pg"), 0).as("__pf"))
-    val withGrams = folded.select(col("*") +: (2 to 10).map(n =>
+      segMassFold(col("__pg"), 0).as("__pf")): _*)
+    folded.select(col("*") +: (2 to 10).map(n =>
       segMassFold(wordShingles(col("__tk"), n), n - 1).as(s"__g$n")): _*)
+  }
+
+  /** The Table-A1 signal expressions over [[gopherFolds]]' columns, in
+    * the published output order. One definition feeds both the named
+    * [[gopherSignals]] projection and [[gopherFilter]]'s inline
+    * predicate, so the 6dp-rounded values — and therefore the keep
+    * boolean — are identical expression trees on both paths.
+    */
+  private def gopherSigExprs: Seq[(String, Column)] = {
     def frac(num: Column, den: Column): Column =
       when(den <= 0, 0.0).otherwise(round(num.cast("double") / den.cast("double"), 6))
     def charFrac(mass: Column, n: Int): Column =
@@ -2000,56 +2034,70 @@ object CorpusOps {
           lit(1.0)), 6))
     def dupCount(f: Column): Column = frac(f.getField("cnt") - f.getField("nd"), f.getField("cnt"))
     def dupChar(f: Column): Column = frac(f.getField("dup"), f.getField("tot"))
-    val sig = withGrams.select(
-      col(idCol),
-      col("__n").as("n_words"),
-      frac(col("__tc"), col("__n")).as("mean_word_len"),
-      frac(col("__sym"), col("__n")).as("symbol_word_ratio"),
-      frac(col("__alpha"), col("__n")).as("alpha_word_frac"),
-      col("__stop").as("stop_hits"),
-      frac(col("__bullet"), col("__nl")).as("bullet_line_frac"),
-      frac(col("__ellip"), col("__nl")).as("ellipsis_line_frac"),
-      dupCount(col("__lf")).as("dup_line_frac"),
-      dupChar(col("__lf")).as("dup_line_char_frac"),
-      dupCount(col("__pf")).as("dup_para_frac"),
-      dupChar(col("__pf")).as("dup_para_char_frac"),
-      charFrac(col("__g2").getField("top"), 2).as("top_2gram_char_frac"),
-      charFrac(col("__g3").getField("top"), 3).as("top_3gram_char_frac"),
-      charFrac(col("__g4").getField("top"), 4).as("top_4gram_char_frac"),
-      charFrac(col("__g5").getField("dup"), 5).as("dup_5gram_char_frac"),
-      charFrac(col("__g6").getField("dup"), 6).as("dup_6gram_char_frac"),
-      charFrac(col("__g7").getField("dup"), 7).as("dup_7gram_char_frac"),
-      charFrac(col("__g8").getField("dup"), 8).as("dup_8gram_char_frac"),
-      charFrac(col("__g9").getField("dup"), 9).as("dup_9gram_char_frac"),
-      charFrac(col("__g10").getField("dup"), 10).as("dup_10gram_char_frac"))
-    sig.withColumn("keep",
-      col("n_words").between(50L, 100000L) &&
-        col("mean_word_len").between(3.0, 10.0) &&
-        col("symbol_word_ratio") <= 0.1 &&
-        col("bullet_line_frac") <= 0.9 &&
-        col("ellipsis_line_frac") <= 0.3 &&
-        col("alpha_word_frac") >= 0.8 &&
-        col("stop_hits") >= minStopHits.toLong &&
-        col("dup_line_frac") <= 0.30 && col("dup_para_frac") <= 0.30 &&
-        col("dup_line_char_frac") <= 0.20 && col("dup_para_char_frac") <= 0.20 &&
-        col("top_2gram_char_frac") <= 0.20 &&
-        col("top_3gram_char_frac") <= 0.18 &&
-        col("top_4gram_char_frac") <= 0.16 &&
-        col("dup_5gram_char_frac") <= 0.15 &&
-        col("dup_6gram_char_frac") <= 0.14 &&
-        col("dup_7gram_char_frac") <= 0.13 &&
-        col("dup_8gram_char_frac") <= 0.12 &&
-        col("dup_9gram_char_frac") <= 0.11 &&
-        col("dup_10gram_char_frac") <= 0.10)
+    Seq(
+      "n_words" -> col("__n"),
+      "mean_word_len" -> frac(col("__tc"), col("__n")),
+      "symbol_word_ratio" -> frac(col("__sym"), col("__n")),
+      "alpha_word_frac" -> frac(col("__alpha"), col("__n")),
+      "stop_hits" -> col("__stop"),
+      "bullet_line_frac" -> frac(col("__bullet"), col("__nl")),
+      "ellipsis_line_frac" -> frac(col("__ellip"), col("__nl")),
+      "dup_line_frac" -> dupCount(col("__lf")),
+      "dup_line_char_frac" -> dupChar(col("__lf")),
+      "dup_para_frac" -> dupCount(col("__pf")),
+      "dup_para_char_frac" -> dupChar(col("__pf")),
+      "top_2gram_char_frac" -> charFrac(col("__g2").getField("top"), 2),
+      "top_3gram_char_frac" -> charFrac(col("__g3").getField("top"), 3),
+      "top_4gram_char_frac" -> charFrac(col("__g4").getField("top"), 4),
+      "dup_5gram_char_frac" -> charFrac(col("__g5").getField("dup"), 5),
+      "dup_6gram_char_frac" -> charFrac(col("__g6").getField("dup"), 6),
+      "dup_7gram_char_frac" -> charFrac(col("__g7").getField("dup"), 7),
+      "dup_8gram_char_frac" -> charFrac(col("__g8").getField("dup"), 8),
+      "dup_9gram_char_frac" -> charFrac(col("__g9").getField("dup"), 9),
+      "dup_10gram_char_frac" -> charFrac(col("__g10").getField("dup"), 10))
   }
 
-  /** Rows of `df` surviving the Gopher Table-A1 battery — a semi-join
-    * against [[gopherSignals]]' kept ids (one id-keyed shuffle; the
-    * signal pass itself is map-only, so at 100 TB the join is the only
-    * exchange and AQE sizes it).
+  /** The published Table-A1 thresholds over the 6dp-rounded signals —
+    * `sig` maps each signal name to either the named column
+    * ([[gopherSignals]]) or its defining expression ([[gopherFilter]]).
+    */
+  private def gopherKeep(sig: Map[String, Column], minStopHits: Int): Column =
+    sig("n_words").between(50L, 100000L) &&
+      sig("mean_word_len").between(3.0, 10.0) &&
+      sig("symbol_word_ratio") <= 0.1 &&
+      sig("bullet_line_frac") <= 0.9 &&
+      sig("ellipsis_line_frac") <= 0.3 &&
+      sig("alpha_word_frac") >= 0.8 &&
+      sig("stop_hits") >= minStopHits.toLong &&
+      sig("dup_line_frac") <= 0.30 && sig("dup_para_frac") <= 0.30 &&
+      sig("dup_line_char_frac") <= 0.20 && sig("dup_para_char_frac") <= 0.20 &&
+      sig("top_2gram_char_frac") <= 0.20 &&
+      sig("top_3gram_char_frac") <= 0.18 &&
+      sig("top_4gram_char_frac") <= 0.16 &&
+      sig("dup_5gram_char_frac") <= 0.15 &&
+      sig("dup_6gram_char_frac") <= 0.14 &&
+      sig("dup_7gram_char_frac") <= 0.13 &&
+      sig("dup_8gram_char_frac") <= 0.12 &&
+      sig("dup_9gram_char_frac") <= 0.11 &&
+      sig("dup_10gram_char_frac") <= 0.10
+
+  /** Rows of `df` surviving the Gopher Table-A1 battery. The signals
+    * are per-row pure (one row in, one row out), so the filter is the
+    * same map-only pass as [[gopherSignals]] with the keep conjunction
+    * applied inline — df's columns ride the staged projections and the
+    * upstream plan is evaluated ONCE, with no join and no exchange.
+    * (The previous shape semi-joined `df` against its own kept ids,
+    * which re-evaluated the whole upstream on both join sides and paid
+    * an id-keyed shuffle; for the unique-id frames this operator
+    * filters, the row set is identical.) The keep boolean compares the
+    * same 6dp-rounded expressions [[gopherSignals]] emits, so
+    * filter-vs-signals agreement is by construction.
     */
   def gopherFilter(df: DataFrame, idCol: String, textCol: String,
-                   minStopHits: Int = 2): DataFrame =
-    df.join(gopherSignals(df, idCol, textCol, minStopHits).where(col("keep"))
-      .select(col(idCol)), Seq(idCol), "left_semi")
+                   minStopHits: Int = 2): DataFrame = {
+    val orig = df.columns.toSeq
+    gopherFolds(df, idCol, textCol, orig.filterNot(_ == idCol))
+      .where(gopherKeep(gopherSigExprs.toMap, minStopHits))
+      .select(orig.map(col): _*)
+  }
 }
