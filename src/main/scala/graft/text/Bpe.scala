@@ -90,17 +90,19 @@ object Bpe {
     val counts = df
       .select(explode(TextFunctions.wsTokens(lower(trim(col(textCol))))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("word_count"))
-    if (graft.dedup.Dedup.approxRowCount(counts) <= localVocabThreshold) {
-      val wc = counts.collect().map(r => r.getString(0) -> r.getLong(1))
-      return serialMerges(wc, numMerges, minPairCount)
-        .zipWithIndex
-        .map { case ((a, b, c), i) => (i.toLong, a, b, c) }
-        .toDF("rank", "left", "right", "pair_count")
+    graft.dedup.Dedup.collectIfAtMost(counts, localVocabThreshold) match {
+      case Some(rows) =>
+        val wc = rows.map(r => r.getString(0) -> r.getLong(1))
+        serialMerges(wc, numMerges, minPairCount)
+          .zipWithIndex
+          .map { case ((a, b, c), i) => (i.toLong, a, b, c) }
+          .toDF("rank", "left", "right", "pair_count")
+      case None =>
+        val vocab0 = counts.withColumn("symbols",
+          concat(filter(split(col("word"), ""), s => length(s) > 0),
+            array(lit(EndOfWord))))
+        distributedMergeLoop(spark, vocab0, numMerges, minPairCount)
     }
-    val vocab0 = counts.withColumn("symbols",
-      concat(filter(split(col("word"), ""), s => length(s) > 0),
-        array(lit(EndOfWord))))
-    distributedMergeLoop(spark, vocab0, numMerges, minPairCount)
   }
 
   /** The distributed greedy merge loop over an initialized

@@ -109,16 +109,17 @@ object ByteBpe {
     import spark.implicits._
     val counts = df.select(explode(preTokUdf(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("word_count"))
-    if (graft.dedup.Dedup.approxRowCount(counts) <= localVocabThreshold) {
-      val wc = counts.collect().map(r => r.getString(0) -> r.getLong(1))
-      Bpe.serialMergeLoop(wc.toSeq.map { case (w, c) => toSymbols(w) -> c },
-          numMerges, minPairCount)
-        .zipWithIndex
-        .map { case ((a, b, c), i) => (i.toLong, a, b, c) }
-        .toDF("rank", "left", "right", "pair_count")
-    } else {
-      Bpe.distributedMergeLoop(spark,
-        counts.withColumn("symbols", symUdf(col("word"))), numMerges, minPairCount)
+    graft.dedup.Dedup.collectIfAtMost(counts, localVocabThreshold) match {
+      case Some(rows) =>
+        val wc = rows.map(r => r.getString(0) -> r.getLong(1))
+        Bpe.serialMergeLoop(wc.toSeq.map { case (w, c) => toSymbols(w) -> c },
+            numMerges, minPairCount)
+          .zipWithIndex
+          .map { case ((a, b, c), i) => (i.toLong, a, b, c) }
+          .toDF("rank", "left", "right", "pair_count")
+      case None =>
+        Bpe.distributedMergeLoop(spark,
+          counts.withColumn("symbols", symUdf(col("word"))), numMerges, minPairCount)
     }
   }
 

@@ -223,8 +223,9 @@ object Unigram {
     val counts = df
       .select(explode(TextFunctions.wsTokens(lower(trim(col(textCol))))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("word_count"))
-    if (graft.dedup.Dedup.approxRowCount(counts) <= localVocabThreshold) {
-      val wc = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val local = graft.dedup.Dedup.collectIfAtMost(counts, localVocabThreshold)
+    if (local.isDefined) {
+      val wc = local.get.map(r => r.getString(0) -> r.getLong(1)).toSeq
       return serialTrain(wc, vocabSize, maxPieceLen, seedSize, shrink, emIters)
         .toDF("piece", "logprob")
     }

@@ -87,8 +87,9 @@ object WordPiece {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
     import spark.implicits._
-    if (graft.dedup.Dedup.approxRowCount(counts) <= localVocabThreshold) {
-      val wc = counts.collect().map(r => r.getString(0) -> r.getLong(1))
+    val local = graft.dedup.Dedup.collectIfAtMost(counts, localVocabThreshold)
+    if (local.isDefined) {
+      val wc = local.get.map(r => r.getString(0) -> r.getLong(1))
       return serialTrain(wc, numMerges, minPairCount)
         .zipWithIndex
         .map { case ((a, b, c, sc), i) => (i.toLong, a, b, c, sc) }
