@@ -839,20 +839,20 @@ object CorpusOps {
         posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
       .withColumn("__key",
         when(length(trim(col("__line"))) >= minChars, lower(trim(col("__line")))))
-    // First-occurrence stamp as a WINDOW over the line key riding one
-    // shuffle, not aggregate + join-back: the join-back shape evaluated
-    // `lines` — and the caller's whole upstream text construction —
-    // TWICE (the dupSpanStats r17 rewrite, applied here; d44 measured
-    // two ~10 s map stages, one per evaluation). Short/empty lines
-    // (null __key) are exempt from dedup, so they must not pile into
-    // one null partition at scale — they window over a per-row unique
-    // synthetic key (singleton partitions, no skew) and keep
-    // unconditionally via the isNull arm.
-    val wk = coalesce(col("__key"),
-      concat(lit(" "), col("__id").cast("string"), lit(":"), col("__pos").cast("string")))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(wk)
-    val marked = lines
-      .withColumn("__first", min(struct(col("__id"), col("__pos"))).over(w))
+    // First-occurrence stamp via aggregate + join-back, NOT a window
+    // over the line key. The r17 single-pass window form (min over a
+    // Window.partitionBy(__key)) was measured 1.46x faster at sf0.1 and
+    // REVERTED on scale evidence: duplicated paragraphs at web scale
+    // are boilerplate — hot BY DESIGN — and WindowExec does no partial
+    // aggregation, so every row of a hot key lands in ONE task (the
+    // sibling removeBoilerplateLines form measured 4.3 s -> 108 s at
+    // 30x data before its revert). The groupBy collapses hot keys
+    // map-side; the join-back costs a second (fully parallel) upstream
+    // evaluation, which is the scale-correct trade.
+    val first = lines.where(col("__key").isNotNull)
+      .groupBy(col("__key"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+    val marked = lines.join(first, Seq("__key"), "left")
       .withColumn("__keep", col("__key").isNull ||
         (col("__first.__id") === col("__id") && col("__first.__pos") === col("__pos")))
     marked.groupBy(col("__id"))
@@ -899,21 +899,24 @@ object CorpusOps {
         posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
       .withColumn("__key",
         when(length(trim(col("__line"))) >= minChars, trim(col("__line"))))
-    // Document frequency as a WINDOW over the line key riding one
-    // shuffle, not distinct+aggregate+join-back: the join-back shape
-    // evaluated `lines` — and the caller's whole upstream text
-    // construction — twice (same rewrite as dedupParagraphs below;
-    // size(collect_set) is the windowed count-distinct). Null keys
-    // (below minChars) are exempt from dropping; they window over a
-    // per-row unique synthetic key so they cannot pile into one null
-    // partition at scale (keys are trimmed, so a real key never starts
-    // with a space — the synthetic prefix is collision-free).
-    val wk = coalesce(col("__key"),
-      concat(lit(" "), col("__id").cast("string"), lit(":"), col("__pos").cast("string")))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(wk)
-    val marked = lines
-      .withColumn("__df", size(collect_set(col("__id")).over(w)))
-      .withColumn("__drop", col("__key").isNotNull && col("__df") >= minDocs)
+    // Document frequency via distinct+aggregate+join-back, NOT a
+    // window over the line key. The r17 single-pass window form
+    // (size(collect_set(__id)) over Window.partitionBy(__key)) was
+    // measured 1.55x faster at sf0.1 and REVERTED on scale evidence:
+    // boilerplate lines are hot BY DESIGN (that is what this operator
+    // detects), WindowExec does no partial aggregation, and the hot
+    // keys concentrated most of the exploded corpus into a few tasks —
+    // d32 measured 4.33 s -> 80 s in-sweep (108 s isolated) at 30x
+    // data. distinct+groupBy collapses hot keys map-side; the
+    // join-back's second upstream evaluation is fully parallel and is
+    // the scale-correct trade.
+    val common = lines.where(col("__key").isNotNull)
+      .select(col("__id"), col("__key")).distinct()
+      .groupBy(col("__key")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDocs)
+      .select(col("__key").as("__bp"))
+    val marked = lines.join(common, col("__key") === col("__bp"), "left")
+      .withColumn("__drop", col("__bp").isNotNull)
     marked.groupBy(col("__id"))
       .agg(
         concat_ws("\n", transform(
